@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Reusable relational operators re-expressing the reference's hand-rolled
+  * idioms as declarative, Catalyst-optimizable Spark plans.
+  *
+  * The reference (KrishnaKabi04/Job-search-engine-using-Pyspark-Solar-and-Angular)
+  * implements these as driver-side loops / collected id lists / HashMap
+  * upserts; here each is a single distributed plan that survives a 1000×
+  * scale-up:
+  *
+  *  - id-list semi/anti filters (`Spark/Tweets_preprocessing.py:112-115,234`)
+  *    → real `left_semi` / `left_anti` joins (broadcast when small, shuffled
+  *    hash otherwise — Catalyst + AQE decide).
+  *  - keep-latest dedup (`Spark/Tweets_preprocessing.py:156-157`,
+  *    `Ranking Model/src/main/java/Main/SolrIndexer.java:25-45`)
+  *    → windowed `row_number`, deterministic under any partitioning (the
+  *    reference's `sort().drop_duplicates()` is order-dependent and not
+  *    guaranteed by Spark semantics).
+  *  - server-side pagination the reference UI requests but its server drops
+  *    (`Web UI/.../search-engine.component.ts:38` vs `api/Handler.java:34`).
+  */
+object Relational {
+
+  /** Keep rows whose key appears in `keys` — the reference's
+    * `df.filter(df.id.isin(collected_list))` without the driver round-trip.
+    * At scale the collected list becomes a broadcast/shuffled semi join.
+    */
+  def semiJoin(df: DataFrame, keys: DataFrame, cols: Seq[String]): DataFrame =
+    df.join(keys, cols, "left_semi")
+
+  /** Drop rows whose key appears in `keys` — the reference's `~isin`
+    * sensitive/duplicate exclusion (`Tweets_preprocessing.py:115,147,227`).
+    */
+  def antiJoin(df: DataFrame, keys: DataFrame, cols: Seq[String]): DataFrame =
+    df.join(keys, cols, "left_anti")
+
+  /** Keep exactly one row per key: the one ranked first by `order`.
+    * Deterministic as long as `order` is a total order within a key —
+    * callers should include a unique tiebreaker column.
+    *
+    * Scale note: one shuffle on `key`; with AQE skewed keys split
+    * automatically. Equivalent `max_by(struct(*), orderExpr)` avoids
+    * materializing ranks but `row_number` keeps arbitrary column sets.
+    */
+  def dedupKeepFirst(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k per group (reference: Solr `rows=N` per query shape,
+    * `SolrRanker.java:77,104,145`). `order` must totally order rows within a
+    * group for deterministic results.
+    */
+  def topKPerGroup(df: DataFrame, key: Seq[Column], order: Seq[Column], k: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** Global ordered page — `TakeOrderedAndProject` in the physical plan, no
+    * full sort materialization. The order must be total for determinism.
+    */
+  def page(df: DataFrame, order: Seq[Column], skip: Int, limit: Int): DataFrame =
+    df.orderBy(order: _*).offset(skip).limit(limit)
+}

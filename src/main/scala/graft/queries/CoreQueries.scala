@@ -1,0 +1,432 @@
+package graft.queries
+
+import graft.operators.Relational
+import graft.util.{Num, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Core relational operator coverage (SURVEY.md §2.2–§2.8) over the driver
+  * test tables, each with a DuckDB oracle.
+  *
+  * Conventions for oracle parity:
+  *  - double sums go through DECIMAL(18,2) (see [[graft.util.Num]]);
+  *  - every ORDER BY used under a LIMIT is a total order (unique tiebreaker);
+  *  - oracle SQL explicitly casts to the type Spark naturally produces
+  *    (DuckDB `count`/`length`/`year` are BIGINT, `sum(int)` is HUGEINT).
+  */
+object CoreQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------------
+    // Aggregations (SURVEY §2.4). TPC-H Q1 shape: the reference's
+    // group-count audit (`Tweets_preprocessing.py:457,470`) generalized.
+    "q_agg_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.sumd(col("l_quantity")).as("sum_qty"),
+          Num.sumd(col("l_extendedprice")).as("sum_base_price"),
+          // decimal arithmetic end-to-end: a per-row double product would
+          // land on round-half boundaries where Spark (HALF_UP) and DuckDB
+          // disagree; decimal × decimal is exact.
+          sum(Num.dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - Num.dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (Num.sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          Num.cnt.as("count_order"))
+    }),
+
+    // Filter + projection with parquet pushdown (SURVEY §2.2): predicate and
+    // column pruning must reach the scan.
+    "q_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(
+          lit("1997-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp"))
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+    }),
+
+    // HAVING over group counts — the reference's duplicate audit
+    // (`Tweets_preprocessing.py:457,470`) on orders-per-customer.
+    "q_having" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(Num.cnt.as("n_orders"), Num.sumd(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") > 14)
+    }),
+
+    // Min/max/count-distinct stats per event type.
+    "q_agg_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          Num.cnt.as("n"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          Num.sumd(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ROLLUP / CUBE (engine built-ins beyond the reference's surface).
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Num.cnt.as("n"), Num.sumd(col("l_quantity")).as("sum_qty"))
+    }),
+    "q_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(Num.cnt.as("n"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Joins (SURVEY §2.3). Star join with broadcast dims: nation/region are
+    // tiny → broadcast hash join, single shuffle on o_custkey=c_custkey.
+    "q_join_star" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(Num.cnt.as("n_orders"), Num.sumd(col("o_totalprice")).as("revenue"))
+    }),
+
+    // FK detail join, row-level output (tweet→user point-lookup join shape,
+    // `SolrRanker.java:58-64`, as one relational join instead of N+1 lookups).
+    "q_join_detail" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("c_acctbal"), col("o_totalprice"))
+    }),
+
+    // Semi join — reference's collected-id `isin` filter
+    // (`Tweets_preprocessing.py:234`) as a real left_semi.
+    "q_semi_join" -> ((s, dir) => {
+      val keys = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("o_custkey"))
+      Relational.semiJoin(Tables.orders(s, dir), keys, Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+
+    // Anti join — reference's `~isin` sensitive-id exclusion
+    // (`Tweets_preprocessing.py:115,147`).
+    "q_anti_join" -> ((s, dir) => {
+      val keys = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+      Relational.antiJoin(Tables.customer(s, dir), keys, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Window functions (SURVEY §2.5). Keep-latest-per-key: the reference's
+    // sort+drop_duplicates (`Tweets_preprocessing.py:156-157`) and HashMap
+    // upsert (`SolrIndexer.java:25-45`) made deterministic.
+    "q_window_dedup" -> ((s, dir) => {
+      Relational.dedupKeepFirst(
+        Tables.orders(s, dir),
+        key = Seq(col("o_custkey")),
+        order = Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+
+    // Ranking top-k per group.
+    "q_window_rank" -> ((s, dir) => {
+      Relational.topKPerGroup(
+        Tables.orders(s, dir),
+        key = Seq(col("o_orderpriority")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // Running + frame-bounded sums (decimal — order-independent).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          sum(Num.dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("mov3_spend",
+          sum(Num.dec2(col("o_totalprice")))
+            .over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("running_spend"), col("mov3_spend"))
+    }),
+
+    // lag/lead — inter-order gap per customer in days.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("gap_days"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Sorts / limits / pagination (SURVEY §2.6).
+    "q_topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    "q_sort_multi" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_orderkey").asc, col("l_shipdate").desc, col("l_linenumber").asc)
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+    }),
+
+    // Server-side pagination the reference UI asks for but never gets
+    // (`search-engine.component.ts:38` vs `api/Handler.java:34`).
+    "q_pagination" -> ((s, dir) => {
+      Relational.page(Tables.orders(s, dir), Seq(col("o_orderkey").asc), skip = 100, limit = 20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Set operations (SURVEY §2.7).
+    "q_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val b = o.filter(col("o_orderpriority") === "5-LOW" && col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      a.unionByName(b)
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val y1997 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      val y1998 = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+      y1997.intersect(y1998)
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.except(open)
+    }),
+
+    "q_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+    }),
+
+    // ------------------------------------------------------------------
+    // Scalar functions (SURVEY §2.8): regex/string munging mirroring the
+    // reference's created_at cleanup (`Tweets_preprocessing.py:125-128`).
+    "q_string_funcs" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+        upper(substring(col("text"), 1, 20)).as("head20"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        regexp_replace(col("text"), "spark", "SPARK").as("marked"),
+        ltrim(lower(col("text"))).as("lowered"))
+    }),
+
+    // Timestamp munging: format→parse round trip with the reference's
+    // 'MMM dd HH:mm:ss yyyy' pattern (`Tweets_preprocessing.py:128,455`).
+    "q_timestamp_parse" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "MMM dd HH:mm:ss yyyy").as("formatted"))
+        .withColumn("parsed", to_timestamp(col("formatted"), "MMM dd HH:mm:ss yyyy"))
+    }),
+
+    // Date part extraction + truncation.
+    "q_date_parts" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        date_trunc("day", col("ts")).as("day_ts"),
+        unix_millis(col("ts")).as("epoch_ms"))
+    }),
+
+    // JSON extraction (events.props is a JSON string).
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+    }),
+
+    // Regex predicate — the reference's hiring-tweet rlike filter
+    // (`Tweets_preprocessing.py:475-481`) over documents.text.
+    "q_regex_filter" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(lower(col("text")).rlike("(spark|stream) (query|filter|join)"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND l_quantity > 45""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 14""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_join_detail" ->
+      """SELECT o_orderkey, c_name, c_acctbal, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT' AND c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_window_dedup" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3_spend
+        |FROM orders""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |    o_orderdate) AS BIGINT) AS gap_days
+        |FROM orders""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |ORDER BY l_orderkey ASC, l_shipdate DESC, l_linenumber ASC LIMIT 100""".stripMargin,
+
+    "q_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC LIMIT 20 OFFSET 100""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority = '5-LOW' AND o_totalprice > 200000""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_string_funcs" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^(\w+)', 1) AS first_word,
+        |  upper(substring(text, 1, 20)) AS head20,
+        |  CAST(length(text) AS BIGINT) AS n_chars_txt,
+        |  regexp_replace(text, 'spark', 'SPARK', 'g') AS marked,
+        |  ltrim(lower(text)) AS lowered
+        |FROM documents""".stripMargin,
+
+    "q_timestamp_parse" ->
+      """SELECT event_id,
+        |  strftime(ts, '%b %d %H:%M:%S %Y') AS formatted,
+        |  strptime(strftime(ts, '%b %d %H:%M:%S %Y'), '%b %d %H:%M:%S %Y') AS parsed
+        |FROM events""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS epoch_ms
+        |FROM events""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) > 50""".stripMargin,
+
+    "q_regex_filter" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE regexp_matches(lower(text), '(spark|stream) (query|filter|join)')""".stripMargin
+  )
+}
