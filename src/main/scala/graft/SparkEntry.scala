@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, SearchQueries, TextQueries}
 import graft.util.QueryPack
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    CoreQueries
+    CoreQueries,
+    TextQueries,
+    SearchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.text.{Lexicons, TextAnalysis}
+import graft.util.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis coverage (reference NLP chain, SURVEY.md §2.9, plus the
+  * training-data-pipeline text ops) over `documents`.
+  */
+object TextQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokenize + explode — the reference's `explode(arrays_zip(...))`
+    // (`Word_cloud_evaluation.ipynb` cell 13) in its Spark-native form.
+    "q_tokenize" -> ((s, dir) =>
+      TextAnalysis.tokens(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Word-frequency top-k ("trending jobs" word cloud, ipynb cells 22–24).
+    "q_trending" -> ((s, dir) =>
+      TextAnalysis.trending(Tables.documents(s, dir), "doc_id", "text",
+        Lexicons.enStop, k = 20)),
+
+    // Language ID via lexicon scoring.
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(s, Tables.documents(s, dir), "doc_id", "text",
+        Lexicons.langLexicon)),
+
+    // Quality metrics per document.
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text",
+        Lexicons.enStop)),
+
+    // Token counting: whitespace vs BPE-ish regex.
+    "q_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("re_tokens"),
+        (size(split(col("text"), " ")) - 1).cast("long").as("n_bigrams"))
+    }),
+
+    // Document fingerprinting.
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Array functions over token arrays (SURVEY §2.8: explode/arrays_zip/
+    // element_at family).
+    "q_array_ops" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        array_contains(toks, "spark").as("has_spark"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        array_join(slice(toks, 1, 5), " ").as("head5"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        element_at(array_sort(toks), 1).as("min_tok"))
+    }),
+
+    // Multimodal column plumbing: opaque bytes + typed metadata. The decode
+    // step for real image/audio lives in graft.multimodal (stubbed); here the
+    // binary-column handling itself is exercised end-to-end.
+    "q_multimodal_meta" -> ((s, dir) => {
+      val bin = col("text").cast("binary")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(bin).cast("long").as("n_bytes"),
+        sha2(bin, 256).as("digest"),
+        md5(bin).as("checksum"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_tokenize" ->
+      "SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents",
+
+    "q_trending" ->
+      """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+        |WHERE term NOT IN ('the','a','an','and','of','to','in','is','that','it','for','on')
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH lex(term, lang) AS (VALUES
+        |  ('the','en'),('and','en'),('of','en'),('to','en'),('in','en'),
+        |  ('is','en'),('that','en'),('it','en'),('for','en'),('on','en'),
+        |  ('el','es'),('la','es'),('de','es'),('que','es'),('y','es'),
+        |  ('en','es'),('un','es'),('los','es'),('se','es'),('por','es'),
+        |  ('le','fr'),('et','fr'),('les','fr'),('des','fr'),('une','fr'),
+        |  ('du','fr'),('est','fr'),('pour','fr'),('dans','fr'),('ce','fr'),
+        |  ('der','de'),('die','de'),('und','de'),('das','de'),('von','de'),
+        |  ('zu','de'),('mit','de'),('den','de'),('ein','de'),('ist','de'),
+        |  ('的','zh'),('是','zh'),('在','zh'),('了','zh'),('我','zh'),
+        |  ('有','zh'),('和','zh'),('不','zh'),('人','zh'),('这','zh')),
+        |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |m AS (SELECT t.doc_id, l.lang, CAST(COUNT(*) AS BIGINT) AS matches
+        |      FROM toks t JOIN lex l ON t.term = l.term GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang, matches FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY matches DESC, lang ASC) AS rn FROM m) WHERE rn = 1)
+        |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+        |  coalesce(b.matches, 0) AS matches
+        |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
+
+    "q_quality" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_uniq,
+        |  round(CAST(COUNT(DISTINCT term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr,
+        |  round(CAST(SUM(length(term)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tok_len,
+        |  round(CAST(SUM(CASE WHEN term IN ('the','a','an','and','of','to','in','is','that','it','for','on') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS stop_ratio
+        |FROM toks GROUP BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS re_tokens,
+        |  CAST(len(str_split(text, ' ')) - 1 AS BIGINT) AS n_bigrams
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+        |  md5(array_to_string(list_sort(str_split(lower(text), ' ')), ' ')) AS fp_bow
+        |FROM documents""".stripMargin,
+
+    "q_array_ops" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  list_contains(str_split(text, ' '), 'spark') AS has_spark,
+        |  str_split(text, ' ')[1] AS first_tok,
+        |  str_split(text, ' ')[-1] AS last_tok,
+        |  array_to_string(str_split(text, ' ')[1:5], ' ') AS head5,
+        |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  list_sort(str_split(text, ' '))[1] AS min_tok
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest, md5(text) AS checksum
+        |FROM documents""".stripMargin
+  )
+}

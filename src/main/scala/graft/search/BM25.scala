@@ -1,0 +1,68 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** BM25 relevance scoring as DataFrame algebra — the Spark-native
+  * re-expression of the reference's Solr/Lucene ranking
+  * (`Ranking Model/src/main/java/Main/SolrRanker.java:66-91`, BM25 similarity
+  * selected at `SolrTemplates/SolrFieldType.java:48-51`).
+  *
+  * Instead of an inverted index, the postings/stats relations are computed as
+  * plain aggregations (SURVEY.md §7.3):
+  *
+  *   postings(doc, term, tf)   — tokenize + explode + groupBy(doc, term)
+  *   docstats(doc, len)        — groupBy(doc)
+  *   termstats(term, df)       — groupBy(term) over the query terms only
+  *   corpus(n, avglen)         — global agg, 1 row
+  *
+  * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+  * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's BM25 idf).
+  *
+  * Scale shape: the only shuffles are groupBy(doc[,term]) over *query-term
+  * postings* (tiny — terms are filtered before aggregation) plus the full
+  * doc-length scan; termstats/corpus are broadcast. At 100 TB, doc lengths
+  * would be precomputed once and reused across queries — `docStats` is
+  * exposed separately for exactly that.
+  */
+object BM25 {
+
+  val K1 = 1.2
+  val B  = 0.75
+
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+
+  /** (doc, len) — reusable across queries; persist/bucket at scale. */
+  def docStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("double").as("len"))
+
+  /** Top-k docs for a bag-of-terms query. Deterministic: score rounded to 6
+    * decimals (absorbs libm ln ulp differences), ties broken by doc id.
+    */
+  def scoreTopK(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], k: Int): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val dl = docStats(docs, idCol, textCol)
+    val corpus = dl.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * lit(K1 + 1) /
+      (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("len") / col("avglen")))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+}

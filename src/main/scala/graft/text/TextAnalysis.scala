@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators for a large-scale training-data pipeline, covering
+  * the reference's NLP chain (SURVEY.md §2.9 — tokenize / normalize /
+  * stopwords / frequency top-k from `Spark/Word_cloud_evaluation.ipynb`
+  * cells 9–24) plus language-ID, quality scoring, token counting and
+  * fingerprinting.
+  *
+  * Everything is declarative `functions._` algebra — no UDFs — so the whole
+  * chain stays inside WholeStageCodegen and scales linearly with input
+  * splits; the only shuffles are the explicit groupBys on (doc) or (term).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — the reference's `Tokenizer` stage for its
+    * space-delimited text. For natural text swap the delimiter regex.
+    */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+
+  /** BPE-ish regex token count: word runs + single non-word-non-space marks.
+    * Mirrors what a byte-pair pre-tokenizer counts, cheap enough to run over
+    * 100 TB as a single projection.
+    */
+  def regexTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** Per-document quality metrics: token counts, type-token ratio, mean
+    * token length, stopword ratio. One explode + one groupBy(doc) — a
+    * map-side-combinable aggregation.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              stopwords: Seq[String]): DataFrame = {
+    tokens(docs, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("term")).as("n_uniq"),
+        round(countDistinct(col("term")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("ttr"),
+        round(sum(length(col("term"))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_tok_len"),
+        round(sum(when(col("term").isin(stopwords: _*), 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("stop_ratio"))
+  }
+
+  /** N-gram-lexicon language ID: score each document against small per-language
+    * lexicons, pick the best-matching language (ties broken alphabetically),
+    * fall back to "und" when nothing matches.
+    *
+    * The lexicon join is a broadcast hash join (lexicon is tiny); the argmax
+    * is a windowed row_number — deterministic under any partitioning.
+    */
+  def langId(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+             lexicon: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val lex = lexicon.toDF("term", "lang")
+    val matches = tokens(docs, idCol, textCol)
+      .join(broadcast(lex), "term")
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).cast("long").as("matches"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("matches").desc, col("lang").asc)
+    val best = matches.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang"), lit("und")).as("pred_lang"),
+        coalesce(col("matches"), lit(0L)).as("matches"))
+  }
+
+  /** Content fingerprints: raw digest, strong digest, and an order-invariant
+    * bag-of-words fingerprint (detects shuffled duplicates). All codegen'd
+    * built-ins — no shuffle at all.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(col(textCol)).as("fp_md5"),
+      sha2(col(textCol), 256).as("fp_sha256"),
+      md5(concat_ws(" ", array_sort(split(lower(col(textCol)), " ")))).as("fp_bow"))
+
+  /** Trending-words top-k — the reference's word-cloud frequency query
+    * (`Word_cloud_evaluation.ipynb` cells 22–24: explode → count → top 500).
+    * Partial aggregation makes the (term) shuffle carry only distinct terms.
+    */
+  def trending(docs: DataFrame, idCol: String, textCol: String,
+               stopwords: Seq[String], k: Int): DataFrame =
+    tokens(docs, idCol, textCol)
+      .filter(!col("term").isin(stopwords: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+}
+
+/** Shared lexicons (public stopword lists, abbreviated). */
+object Lexicons {
+  val enStop: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "on")
+
+  /** (term, lang) seed lexicon for language ID. */
+  val langLexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "and" -> "en", "of" -> "en", "to" -> "en", "in" -> "en",
+    "is" -> "en", "that" -> "en", "it" -> "en", "for" -> "en", "on" -> "en",
+    "el" -> "es", "la" -> "es", "de" -> "es", "que" -> "es", "y" -> "es",
+    "en" -> "es", "un" -> "es", "los" -> "es", "se" -> "es", "por" -> "es",
+    "le" -> "fr", "et" -> "fr", "les" -> "fr", "des" -> "fr", "une" -> "fr",
+    "du" -> "fr", "est" -> "fr", "pour" -> "fr", "dans" -> "fr", "ce" -> "fr",
+    "der" -> "de", "die" -> "de", "und" -> "de", "das" -> "de", "von" -> "de",
+    "zu" -> "de", "mit" -> "de", "den" -> "de", "ein" -> "de", "ist" -> "de",
+    "的" -> "zh", "是" -> "zh", "在" -> "zh", "了" -> "zh", "我" -> "zh",
+    "有" -> "zh", "和" -> "zh", "不" -> "zh", "人" -> "zh", "这" -> "zh")
+}
