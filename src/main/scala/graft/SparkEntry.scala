@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, SearchQueries, TextQueries}
+import graft.queries.{CoreQueries, DedupQueries, SearchQueries, SimilarityQueries, StreamQueries, TextQueries}
 import graft.util.QueryPack
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -15,7 +15,10 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     CoreQueries,
     TextQueries,
-    SearchQueries
+    SearchQueries,
+    DedupQueries,
+    SimilarityQueries,
+    StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,146 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for a large-scale training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Everything is hash-based DataFrame algebra with *engine-independent* hash
+  * functions (md5 of explicit strings), so results are reproducible across
+  * runs, partitionings, and engines (the DuckDB oracle computes the same
+  * signatures).
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one groupBy(signature) shuffle with map-side combine;
+  *  - the all-pairs shingle join in [[jaccardPairs]] is quadratic in docs
+  *    sharing a shingle — it exists as the small-scale oracle/baseline; the
+  *    scale path is [[minHashLsh]], whose candidate generation shuffles only
+  *    (band, signature) keys, i.e. O(docs × bands), and whose verify step
+  *    touches only candidate pairs;
+  *  - at extreme skew (a shingle in millions of docs) drop top-frequency
+  *    shingles first (stopword-shingle filter) — standard MinHash practice.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by an order-invariant content signature.
+    * Returns one row per distinct signature with the kept (minimum) id and
+    * the group size — the keep-latest/keep-first policy of the reference's
+    * dedup (`Spark/Tweets_preprocessing.py:156-157`) generalized to
+    * content-hash keys.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("signature"))
+      .groupBy(col("signature"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("n_docs"))
+
+  /** Distinct word n-gram shingles per document: (doc, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("doc"),
+        explode(expr(s"sequence(0, size(split($textCol, ' ')) - $n)")).as("i"),
+        toks.as("toks"))
+      .select(col("doc"), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
+      .distinct()
+  }
+
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc")).agg(count(lit(1)).cast("long").as("n_sh"))
+
+  /** Verified Jaccard similarity for the given candidate pairs (doc_a, doc_b),
+    * computed from the shingle sets. One join per side + one groupBy(pair).
+    */
+  private def verifyJaccard(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val sz = shingleSizes(sh)
+    val inter = pairs
+      .join(sh.select(col("doc").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    inter
+      .join(sz.select(col("doc").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sz.select(col("doc").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jacc",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
+
+  /** All near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+    * Baseline/oracle path — all-pairs via the shingle join (see scale notes).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val pairs = sh.select(col("doc").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(sh, pairs, threshold)
+  }
+
+  /** MinHash signatures: minhash_i(doc) = min over shingles of
+    * md5(i + ":" + shingle) — a deterministic, engine-independent hash
+    * family (each salt i induces an independent pseudo-random order on
+    * shingles; the min is a valid MinHash permutation surrogate).
+    *
+    * Returns (doc, i, mh) with i in [0, numHashes).
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc"), col("shingle"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
+      .groupBy(col("doc"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("mh"))
+
+  /** MinHash + LSH near-dup pairs: band the signature vector, bucket-join on
+    * (band, band-signature), then verify candidates with true Jaccard.
+    *
+    * With rowsPerBand=2 and 6 bands, P(candidate | j=0.9) ≈ 0.99995.
+    */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
+                 threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sig = minHashSignatures(sh, numHashes)
+    val bands = sig
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("doc"), col("band"))
+      .agg(expr("md5(concat_ws('|', transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)))")
+        .as("sig"))
+    val pairs = bands.select(col("doc").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(sh, pairs, threshold)
+  }
+
+  /** 32-bit SimHash over token counts with an engine-independent bit source:
+    * bit b of a token's hash = bit (b mod 4) of hex digit (b div 4) of
+    * md5(token). Integer arithmetic end-to-end — bit-exact everywhere.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val termCounts = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("h", md5(col("term")))
+    val bitContrib = termCounts
+      .select(col("doc"), col("cnt"), col("h"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("hexv",
+        expr("CAST(instr('0123456789abcdef', substring(h, (b DIV 4) + 1, 1)) - 1 AS BIGINT)"))
+      .withColumn("bit", expr("(hexv >> (b % 4)) & 1"))
+      .withColumn("contrib", col("cnt") * (col("bit") * 2 - 1))
+    bitContrib
+      .groupBy(col("doc"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc"))
+      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(lit(0L)))
+        .cast("long").as("simhash"))
+  }
+}

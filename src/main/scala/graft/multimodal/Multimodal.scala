@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * operators.
+  *
+  * The reference's only multimodal op is per-image OCR at index time
+  * (`Ranking Model/src/main/java/Main/SolrIndexer.java:115-129`, Tesseract
+  * over fetched media URLs) — a driver-side loop. Here the same shape is a
+  * distributed column operator.
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * container): [[StubCodec]] is a deterministic fake that parses a tiny
+  * synthetic header. Everything around it — binary schema, metadata struct,
+  * partition-sized batching, the operator signatures — is real and tested,
+  * so swapping in a real codec is a one-function change.
+  *
+  * Scale notes: decode runs via `mapPartitions` (one codec context per
+  * partition, not per row); blobs stay off the driver; with media in object
+  * storage the binary column holds (uri, byte-range) instead and the decode
+  * stage does ranged reads — same operator shape.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by decode. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("valid", BooleanType)))
+
+  case class MediaMeta(format: String, width: Int, height: Int,
+                       n_bytes: Long, valid: Boolean)
+
+  /** The codec seam. A real build binds libjpeg/ffmpeg here; the stub
+    * decodes the deterministic fake header written by [[syntheticMedia]]:
+    * bytes = "GFT!" ++ [fmt:1] ++ [w:2 BE] ++ [h:2 BE] ++ payload.
+    */
+  object StubCodec {
+    val Formats: Map[Byte, String] = Map[Byte, String](
+      1.toByte -> "jpeg", 2.toByte -> "png", 3.toByte -> "wav", 4.toByte -> "mp4")
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null || bytes.length < 9 ||
+        !(bytes(0) == 'G' && bytes(1) == 'F' && bytes(2) == 'T' && bytes(3) == '!'))
+        MediaMeta("unknown", -1, -1, if (bytes == null) 0L else bytes.length.toLong, valid = false)
+      else {
+        val fmt = Formats.getOrElse(bytes(4), "unknown")
+        val w = ((bytes(5) & 0xff) << 8) | (bytes(6) & 0xff)
+        val h = ((bytes(7) & 0xff) << 8) | (bytes(8) & 0xff)
+        MediaMeta(fmt, w, h, bytes.length.toLong, valid = true)
+      }
+    }
+
+    /** Fake feature extraction: fixed-dim float vector from byte statistics —
+      * deterministic, same signature as a real embedding model.
+      */
+    def features(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes != null) {
+        var i = 0
+        while (i < bytes.length) {
+          out(i % dim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Decode a binary column into a metadata struct. `mapPartitions`-based:
+    * one codec context per partition, rows streamed through it.
+    */
+  def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField("meta", MetaSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // codec context would be opened here, once per partition
+      rows.map { r =>
+        val m = StubCodec.decode(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ Row(m.format, m.width, m.height, m.n_bytes, m.valid))
+      }
+    }(encoder)
+  }
+
+  /** Feature-extract a binary column to a float-array embedding column. */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 8): DataFrame = {
+    val featUdf = udf((b: Array[Byte]) => StubCodec.features(b, dim))
+    df.withColumn("features", featUdf(col(binCol)))
+  }
+
+  /** Deterministic frame-sample offsets for a video-shaped blob: k evenly
+    * spaced byte offsets past the header. Pure column arithmetic — the
+    * ranged-read pattern for real video.
+    */
+  def frameOffsets(nBytesCol: String, k: Int, headerBytes: Int = 9): DataFrame => DataFrame =
+    df => df.withColumn("frame_offsets",
+      expr(s"transform(sequence(0, ${k - 1}), " +
+        s"i -> CAST($headerBytes + i * (($nBytesCol - $headerBytes) DIV $k) AS BIGINT))"))
+
+  /** Synthetic media table for tests/demos: deterministic fake blobs derived
+    * from (id) — header per [[StubCodec]], payload from the id bytes.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val fmt = (1 + i % 4).toByte
+      val w = 16 + (i % 64); val h = 9 + (i % 32)
+      val payload = Array.tabulate[Byte](32 + i % 128)(j => ((i * 31 + j) % 251).toByte)
+      val bytes = Array[Byte]('G', 'F', 'T', '!', fmt,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte) ++ payload
+      (i.toLong, bytes)
+    }.toDF("media_id", "media")
+  }
+}

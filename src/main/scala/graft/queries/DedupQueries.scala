@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.util.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication coverage over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash — each with a DuckDB oracle computing the identical
+  * engine-independent signatures.
+  */
+object DedupQueries extends QueryPack {
+
+  /** Shared shingle CTE prefix (word trigrams, docs with ≥3 tokens). */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+      |  WHERE len(str_split(text, ' ')) >= 3),
+      |idx AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t),
+      |sh AS (SELECT DISTINCT doc_id AS doc, array_to_string(toks[i+1:i+3], ' ') AS shingle FROM idx),
+      |sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc)
+      |""".stripMargin
+
+  private val jaccardVerify =
+    """SELECT i.doc_a, i.doc_b,
+      |  round(CAST(i.inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - i.inter AS DOUBLE), 6) AS jacc
+      |FROM inter i JOIN sz x ON i.doc_a = x.doc JOIN sz y ON i.doc_b = y.doc
+      |WHERE round(CAST(i.inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - i.inter AS DOUBLE), 6) >= 0.5
+      |""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simHash(Tables.documents(s, dir), "doc_id", "text"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS signature, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_jaccard" -> (shingleCte +
+      """, inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY a.doc, b.doc)
+        |""".stripMargin + jaccardVerify),
+
+    "q_dedup_minhash" -> (shingleCte +
+      """, hid AS (SELECT doc, shingle, unnest(range(0, 12)) AS i FROM sh),
+        |sig AS (SELECT doc, i, MIN(md5(concat(CAST(i AS VARCHAR), ':', shingle))) AS mh
+        |  FROM hid GROUP BY doc, i),
+        |bands AS (SELECT doc, CAST(i // 2 AS INT) AS band,
+        |    md5(string_agg(mh, '|' ORDER BY i)) AS bsig
+        |  FROM sig GROUP BY doc, CAST(i // 2 AS INT)),
+        |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc),
+        |inter AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM pairs p
+        |  JOIN sh a ON a.doc = p.doc_a
+        |  JOIN sh b ON b.doc = p.doc_b AND b.shingle = a.shingle
+        |  GROUP BY p.doc_a, p.doc_b)
+        |""".stripMargin + jaccardVerify),
+
+    "q_simhash" ->
+      """WITH tc AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS cnt, md5(term) AS h
+        |  FROM (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc, term),
+        |bits AS (SELECT doc, cnt, h, unnest(range(0, 32)) AS b FROM tc),
+        |v AS (SELECT doc, b, cnt,
+        |  CAST(strpos('0123456789abcdef', substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1 AS BIGINT) AS hexv
+        |  FROM bits),
+        |c AS (SELECT doc, b, SUM(cnt * (((hexv >> (b % 4)) & 1) * 2 - 1)) AS s
+        |  FROM v GROUP BY doc, b)
+        |SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM c GROUP BY doc""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.similarity.Similarity
+import graft.util.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity-search coverage over `embeddings` (64-dim float vectors):
+  * exact cosine top-k, sign-LSH bucketed ANN, per-vector stats.
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** DuckDB sign-bucket expression matching [[Similarity.signBucket]]. */
+  private val bucketSql: String =
+    (0 until 8).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(list_zip(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), x -> x[1] * x[2])) /
+       |  (sqrt(list_sum(list_transform(CAST($a AS DOUBLE[]), x -> x * x))) *
+       |   sqrt(list_sum(list_transform(CAST($b AS DOUBLE[]), x -> x * x)))), 6)""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 5)),
+
+    "q_embedding_stats" -> ((s, dir) =>
+      Similarity.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
+         |FROM b JOIN q USING (bucket) WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_embedding_stats" ->
+      s"""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+         |  $bucketSql AS bucket
+         |FROM embeddings""".stripMargin
+  )
+}

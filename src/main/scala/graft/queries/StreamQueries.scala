@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.operators.Relational
+import graft.streaming.EventStreams
+import graft.util.{Num, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-time windowed aggregations over `events` — the batch-mode semantics
+  * of the engine's Structured Streaming jobs ([[graft.streaming]]), verified
+  * against DuckDB. The streaming variants run the same plan incrementally
+  * with a watermark; batch output == streaming output after all data arrives
+  * (tested in the streaming specs).
+  */
+object StreamQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour event-time window (same plan as the streaming job).
+    "q_window_tumbling" -> ((s, dir) =>
+      EventStreams.tumblingCounts(Tables.events(s, dir))),
+
+    // Gap-based session windows (30-min inactivity) via session_window.
+    "q_session_window" -> ((s, dir) =>
+      EventStreams.sessions(Tables.events(s, dir))),
+
+    // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
+    "q_window_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(Num.cnt.as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))),
+
+    // Streaming-dedup semantics in batch: latest event per user
+    // (`dropDuplicates` + watermark in the streaming variant).
+    "q_event_latest" -> ((s, dir) =>
+      Relational.dedupKeepFirst(
+        Tables.events(s, dir),
+        key = Seq(col("user_id")),
+        order = Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands: break when the gap to the previous event is >= the
+    // session gap (Spark's session end bound is exclusive), session_end =
+    // last event + gap.
+    "q_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM x)
+        |SELECT MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        |  user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "q_window_sliding" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) - (k.k * INTERVAL '30 minutes') AS window_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_latest" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin
+  )
+}

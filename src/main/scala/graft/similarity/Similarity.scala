@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths, mirroring what a 100 TB training-data pipeline needs:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    One broadcast of the query vector, one pass over the table, a
+  *    TakeOrderedAndProject for the top-k. Scales linearly; use when the
+  *    query set is small.
+  *  - [[annTopK]]: sign-LSH bucketed approximate search — candidates are
+  *    restricted to the query's hyperoctant bucket (sign pattern of the
+  *    leading dimensions), then scored exactly. The bucket id is a plain
+  *    integer column, so at scale the table can be written partitioned or
+  *    bucketed by it and a query touches only its own partition. An IVF
+  *    variant would swap the sign-bucket for a learned-centroid assignment;
+  *    the plumbing (bucket column + bucket-pruned exact scoring) is the same.
+  *
+  * All arithmetic runs in double precision via sequential folds
+  * (`aggregate`), giving bit-identical results to the DuckDB oracle's
+  * sequential list_sum.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** cosine(a,b) — shape-stable: dot / (sqrt(na) * sqrt(nb)). */
+  def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact cosine top-k against the embedding of `queryId`. Scores rounded
+    * to 6 decimals before ordering (ties then break on id) so ranking is
+    * reproducible across engines.
+    */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket id: bit i set iff vec[i] > 0, over the first `dims`
+    * dimensions. Pure comparisons — no float arithmetic, bit-exact.
+    * Uses null-safe `get` (0-based): vectors shorter than `dims` contribute
+    * 0 bits instead of failing under ANSI mode.
+    */
+  def signBucket(vecCol: Column, dims: Int = 8): Column =
+    (0 until dims).map { i =>
+      when(get(vecCol, lit(i)) > lit(0.0f), lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** Approximate top-k: exact scoring restricted to the query's sign bucket. */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, dims: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("__bucket", signBucket(col(vecCol), dims))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("__bucket"))
+    bucketed
+      .join(broadcast(q), "__bucket")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-vector stats: dimension, L2 norm, sign bucket. */
+  def vectorStats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(
+      col(idCol),
+      col("label"),
+      size(col(vecCol)).cast("long").as("dim"),
+      round(sqrt(norm2(col(vecCol))), 6).as("l2_norm"),
+      signBucket(col(vecCol)).as("bucket"))
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources and sinks covering the reference's scan surface (SURVEY.md §2.1).
+  */
+object Readers {
+
+  /** Multiline-JSON scan with schema inference — the reference's tweet-file
+    * ingest (`spark.read.json(f, multiLine=True)`,
+    * `Tweets_preprocessing.py:103`). Each input file is one JSON array.
+    */
+  def multilineJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", value = true).json(path)
+
+  /** Same scan with a declared schema — the 100 TB path: no inference pass,
+    * and empty struct-arrays keep their struct element type.
+    */
+  def multilineJson(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("multiLine", value = true).schema(schema).json(path)
+
+  /** Ordered multi-file batch source: the reference replays 2-hour batch
+    * files in event-time order via an epoch embedded in the filename
+    * (`order_file_list`, `Tweets_preprocessing.py:58-79`). Spark-first
+    * version: read the whole directory at once and order by the embedded
+    * epoch — one distributed job instead of a sequential driver loop; at
+    * scale the ordering column also serves as the watermark source for the
+    * Structured Streaming variant (file source, `latestFirst=false`).
+    */
+  def orderedFileBatches(spark: SparkSession, dir: String): DataFrame =
+    multilineJson(spark, dir)
+      .withColumn("__file", input_file_name())
+      // epoch from the file *name* only — directories may contain digit runs
+      .withColumn("__file_epoch",
+        regexp_extract(element_at(split(col("__file"), "/"), -1),
+          "(\\d{10,13})", 1).cast("long"))
+
+  /** Header CSV scan — replaces the reference's positional opencsv reader
+    * (`SolrIndexer.java:84-113`).
+    */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", value = true).csv(path)
+}
+
+object Sinks {
+
+  /** Single-file Parquet (`Tweets_preprocessing.py:487`). The coalesce(1)
+    * mirrors the reference's one-file contract; omit it at scale.
+    */
+  def parquetSingleFile(df: DataFrame, dest: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(dest)
+
+  /** CSV sink with the reference's scrubbing (`Tweets_preprocessing.py:490-505`):
+    * ids cast to string (CSV precision), newlines → '|', double quotes →
+    * single, arrays stringified. Arrays use Python-repr format
+    * ("['a', 'b']") for byte parity with the reference's
+    * `convert_array_tostring` UDF; empty arrays become "[]", nulls stay
+    * null (the sane default — the reference UDF would emit "None").
+    */
+  def csvScrubbed(df: DataFrame, dest: String,
+                  idCols: Seq[String], textCols: Seq[String],
+                  arrayCols: Seq[String]): Unit = {
+    val withIds = idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
+    val withText = textCols.foldLeft(withIds)((d, c) =>
+      d.withColumn(c, regexp_replace(regexp_replace(col(c), "[\\n\\r]", "|"), "\"", "'")))
+    val withArrays = arrayCols.foldLeft(withText)((d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .when(size(col(c)) === 0, lit("[]"))
+          .otherwise(concat(lit("['"), concat_ws("', '", col(c)), lit("']")))))
+    withArrays.coalesce(1).write.mode("overwrite")
+      .option("header", value = true).csv(dest)
+  }
+}

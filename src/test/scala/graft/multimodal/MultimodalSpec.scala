@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 20)
+
+  test("decodeMeta parses format/dimensions from the binary column") {
+    val decoded = Multimodal.decodeMeta(media, "media")
+    val metas = decoded.select("media_id", "meta.format", "meta.width", "meta.valid")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(metas.length == 20)
+    assert(metas.forall(_._4), "all synthetic blobs must decode as valid")
+    assert(metas.find(_._1 == 0L).get._2 == "jpeg")
+    assert(metas.find(_._1 == 1L).get._2 == "png")
+    assert(metas.find(_._1 == 0L).get._3 == 16)
+  }
+
+  test("corrupt blobs decode as invalid instead of failing the job") {
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    val m = Multimodal.decodeMeta(corrupt, "media").select("meta.valid", "meta.format").head()
+    assert(!m.getBoolean(0) && m.getString(1) == "unknown")
+  }
+
+  test("feature extraction emits fixed-dim deterministic vectors") {
+    val feats = Multimodal.extractFeatures(media, "media", dim = 8)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.values.forall(_.length == 8))
+    val again = Multimodal.extractFeatures(media, "media", dim = 8)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats == again)
+  }
+
+  test("frame offsets are k evenly spaced positions past the header") {
+    val withLen = Multimodal.decodeMeta(media, "media")
+      .select(col("media_id"), col("meta.n_bytes").as("n_bytes"))
+    val offs = Multimodal.frameOffsets("n_bytes", k = 4)(withLen)
+      .select("frame_offsets").head().getSeq[Long](0)
+    assert(offs.length == 4)
+    assert(offs.head == 9L)
+    assert(offs == offs.sorted)
+  }
+}

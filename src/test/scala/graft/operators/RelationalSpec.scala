@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "a", 10, 100.0), (1L, "b", 20, 50.0), (2L, "c", 5, 75.0),
+    (2L, "d", 5, 80.0), (3L, "e", 1, 10.0)
+  ).toDF("key", "tag", "ver", "amount")
+
+  test("dedupKeepFirst keeps exactly one deterministic row per key") {
+    val out = Relational.dedupKeepFirst(df,
+      key = Seq(col("key")),
+      order = Seq(col("ver").desc, col("tag").asc))
+    val kept = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(1L -> "b", 2L -> "c", 3L -> "e"))
+  }
+
+  test("semi and anti join partition the left side") {
+    val keys = Seq(1L, 3L).toDF("key")
+    val semi = Relational.semiJoin(df, keys, Seq("key")).count()
+    val anti = Relational.antiJoin(df, keys, Seq("key")).count()
+    assert(semi == 3 && anti == 2 && semi + anti == df.count())
+  }
+
+  test("page returns the ordered slice") {
+    val page = Relational.page(df, Seq(col("amount").desc), skip = 1, limit = 2)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(page == Seq(80.0, 75.0))
+  }
+
+  test("topKPerGroup ranks within each group") {
+    val top1 = Relational.topKPerGroup(df,
+      key = Seq(col("key")), order = Seq(col("amount").desc, col("tag").asc), k = 1)
+    assert(top1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "d", 3L -> "e"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to query
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Array(1.0f, 1.0f, 0.0f, 0.0f))    // 45 degrees
+  ).toDF("vec_id", "embedding")
+
+  test("cosine extremes: identical=1, orthogonal=0, opposite=-1") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top(1L) == 1.0)
+    assert(top(2L) == 0.0)
+    assert(top(3L) == -1.0)
+    assert(math.abs(top(4L) - math.sqrt(0.5)) < 1e-6)
+  }
+
+  test("topk ordering is by cosine desc then id") {
+    val order = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("ann restricts candidates to the query's sign bucket") {
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding", 0L, 10, dims = 4)
+      .collect().map(_.getLong(0)).toSet
+    // bucket(query)=bit0 → ids 1 (identical) and 4 (bit0|bit1 differs!) —
+    // vec 4 has dims 0 and 1 positive → different bucket; only vec 1 shares.
+    assert(ann == Set(1L))
+  }
+
+  test("vector stats: norms and buckets") {
+    val stats = Similarity.vectorStats(
+        vecs.withColumn("label", lit(0)), "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("dim"), r.getAs[Double]("l2_norm"))).toMap
+    assert(stats(0L) == (4L, 1.0))
+    assert(math.abs(stats(4L)._2 - math.sqrt(2)) < 1e-6)
+  }
+}

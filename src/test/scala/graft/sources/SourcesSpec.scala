@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multiline JSON scan reads one-array-per-file tweet batches") {
+    val df = Readers.multilineJson(spark, resourcePath("tweets_fixture.json"))
+    assert(df.count() == 8)
+    assert(df.schema.fieldNames.contains("quoted_status"))
+  }
+
+  test("ordered file batches extract the filename epoch for event-time replay") {
+    val dir = Files.createTempDirectory("batches").toFile
+    val a = new java.io.File(dir, "tweets_1634810000.json")
+    val b = new java.io.File(dir, "tweets_1634820000.json")
+    Files.writeString(a.toPath, """[{"id": 2, "text": "later"}]""")
+    Files.writeString(b.toPath, """[{"id": 1, "text": "earlier"}]""")
+    val df = Readers.orderedFileBatches(spark, dir.getAbsolutePath)
+      .orderBy(col("__file_epoch"))
+    val epochs = df.select("__file_epoch").collect().map(_.getLong(0)).toSeq
+    assert(epochs == Seq(1634810000L, 1634820000L))
+  }
+
+  test("scrubbed CSV sink stringifies arrays python-style and scrubs newlines") {
+    val out = Files.createTempDirectory("csvout").resolve("x").toString
+    val df = Seq(
+      (1L, "line1\nline2 \"quoted\"", Seq("a", "b")),
+      (2L, "plain", Seq.empty[String])
+    ).toDF("id", "txt", "tags")
+    Sinks.csvScrubbed(df, out, idCols = Seq("id"), textCols = Seq("txt"), arrayCols = Seq("tags"))
+    val back = Readers.csv(spark, out).orderBy("id").collect()
+    assert(back(0).getString(1) == "line1|line2 'quoted'")
+    assert(back(0).getString(2) == "['a', 'b']")
+    assert(back(1).getString(2) == "[]")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val rows = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0),
+    (2L, ts("2024-01-01 00:20:00"), 10L, "click", 2.0),
+    (3L, ts("2024-01-01 01:10:00"), 11L, "view", 3.0),
+    (4L, ts("2024-01-01 01:40:00"), 10L, "click", 4.0),
+    (5L, ts("2024-01-01 03:00:00"), 11L, "view", 5.0),
+    (5L, ts("2024-01-01 03:00:00"), 11L, "view", 5.0) // duplicate event_id
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.tumblingCounts(stream, watermark = true)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventStreams.tumblingCounts(rows).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split on it") {
+    val sessions = EventStreams.sessions(rows, gap = "30 minutes").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq.sorted
+    // user 10: events at 00:05+00:20 merge (15 min gap), 01:40 separate;
+    // user 11: 01:10 and 03:00(+dup) separate sessions
+    assert(sessions == Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)))
+  }
+
+  test("dedup first-seen drops duplicate event ids") {
+    assert(EventStreams.dedupFirstSeen(rows).count() == 5)
+  }
+}

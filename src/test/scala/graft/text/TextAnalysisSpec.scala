@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the spark engine is fast"),
+    (2L, "el motor es rapido y la memoria es grande"),
+    (3L, "xyzzy plugh")
+  ).toDF("doc_id", "text")
+
+  test("language id picks the best lexicon and falls back to und") {
+    val preds = TextAnalysis.langId(spark, docs, "doc_id", "text", Lexicons.langLexicon)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("quality metrics: counts, ttr, stopword ratio") {
+    val q = TextAnalysis.quality(docs, "doc_id", "text", Lexicons.enStop)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Long]("n_tokens") == 5)
+    assert(q(1L).getAs[Double]("ttr") == 1.0)
+    assert(q(1L).getAs[Double]("stop_ratio") == 0.4) // "the", "is"
+  }
+
+  test("trending excludes stopwords and orders by count then term") {
+    val top = TextAnalysis.trending(docs, "doc_id", "text", Lexicons.enStop, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.head == ("es", 2L))
+    assert(!top.map(_._1).contains("the"))
+  }
+
+  test("fingerprints: bag-of-words fp is word-order invariant") {
+    val shuffled = Seq((10L, "fast is engine spark the")).toDF("doc_id", "text")
+    val fp1 = TextAnalysis.fingerprints(docs.filter("doc_id = 1"), "doc_id", "text")
+      .select("fp_bow").head().getString(0)
+    val fp2 = TextAnalysis.fingerprints(shuffled, "doc_id", "text")
+      .select("fp_bow").head().getString(0)
+    assert(fp1 == fp2)
+  }
+}
