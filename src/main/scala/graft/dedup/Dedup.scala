@@ -71,16 +71,29 @@ object Dedup {
 
   /** All near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
     * Baseline/oracle path — all-pairs via the shingle join (see scale notes).
+    *
+    * Plan shape: the shingle set is persisted (it feeds the pair join twice
+    * plus the size aggregation — without the cache Spark recomputes the
+    * tokenize+explode DAG per use), and intersection counts come straight
+    * off the self-join — no separate candidate-distinct pass.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val pairs = sh.select(col("doc").as("doc_a"), col("shingle"))
+    val sh = shingles(docs, idCol, textCol, n).persist()
+    val sz = shingleSizes(sh)
+    val inter = sh.select(col("doc").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    verifyJaccard(sh, pairs, threshold)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    inter
+      .join(sz.select(col("doc").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sz.select(col("doc").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jacc",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
 
   /** MinHash signatures: minhash_i(doc) = min over shingles of
@@ -104,7 +117,7 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
                  threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = shingles(docs, idCol, textCol, n).persist()
     val sig = minHashSignatures(sh, numHashes)
     val bands = sig
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))

@@ -59,6 +59,43 @@ object TextQueries extends QueryPack {
         element_at(array_sort(toks), 1).as("min_tok"))
     }),
 
+    // Global concat-blob aggregation — the reference's word-cloud input
+    // (`agg(concat_ws(" ", collect_list(col)))`, ipynb cell 23), made
+    // deterministic by sorting the collected tokens (collect_list order is
+    // partitioning-dependent).
+    "q_text_blob" -> ((s, dir) => {
+      TextAnalysis.tokens(Tables.documents(s, dir).filter(col("doc_id") < 10),
+          "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(col("term")))).as("blob"))
+    }),
+
+    // Dictionary lemmatization — the reference's Lemmatizer (AntBNC
+    // dictionary, ipynb cell 9) as a broadcast lexicon join.
+    "q_lemmatize" -> ((s, dir) => {
+      import s.implicits._
+      val lemmas = Seq(
+        ("batches", "batch"), ("queries", "query"), ("tables", "table"),
+        ("joins", "join"), ("windows", "window"), ("rows", "row"),
+        ("keys", "key"), ("values", "value")).toDF("term", "lemma")
+      TextAnalysis.tokens(Tables.documents(s, dir), "doc_id", "text")
+        .join(broadcast(lemmas), Seq("term"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lemma"), col("term")).as("lemma_term"))
+        .groupBy(col("lemma_term"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
+    // Approximate distinct (HLL sketch) — rows-only check: sketch estimates
+    // are engine-specific, so no value oracle exists by construction.
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"))
+        .agg(approx_count_distinct(col("term")).as("approx_terms"),
+          countDistinct(col("term")).as("exact_terms"))
+    }),
+
     // Multimodal column plumbing: opaque bytes + typed metadata. The decode
     // step for real image/audio lives in graft.multimodal (stubbed); here the
     // binary-column handling itself is exercised end-to-end.
@@ -136,6 +173,25 @@ object TextQueries extends QueryPack {
         |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_uniq,
         |  list_sort(str_split(text, ' '))[1] AS min_tok
         |FROM documents""".stripMargin,
+
+    "q_text_blob" ->
+      """SELECT doc_id, string_agg(term, ' ' ORDER BY term) AS blob
+        |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+        |      WHERE doc_id < 10)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_lemmatize" ->
+      """WITH lem(term, lemma) AS (VALUES
+        |  ('batches','batch'),('queries','query'),('tables','table'),
+        |  ('joins','join'),('windows','window'),('rows','row'),
+        |  ('keys','key'),('values','value')),
+        |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+        |SELECT coalesce(l.lemma, t.term) AS lemma_term, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM toks t LEFT JOIN lem l ON t.term = l.term
+        |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
+
+    // q_approx_distinct: deliberately no oracle (HLL estimates are
+    // engine-specific); driver records the rows-only check.
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

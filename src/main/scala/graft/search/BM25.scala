@@ -33,25 +33,32 @@ object BM25 {
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
 
+  /** Full postings relation (doc, term, tf) — ONE tokenize+explode pass;
+    * doc lengths and query-term tfs both derive from it. Persist/bucket by
+    * doc at scale and reuse across queries.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
   /** (doc, len) — reusable across queries; persist/bucket at scale. */
   def docStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokens(docs, idCol, textCol)
+    postings(docs, idCol, textCol)
       .groupBy(col("doc"))
-      .agg(count(lit(1)).cast("double").as("len"))
+      .agg(sum(col("tf")).as("len"))
 
   /** Top-k docs for a bag-of-terms query. Deterministic: score rounded to 6
     * decimals (absorbs libm ln ulp differences), ties broken by doc id.
     */
   def scoreTopK(docs: DataFrame, idCol: String, textCol: String,
                 queryTerms: Seq[String], k: Int): DataFrame = {
-    val toks = tokens(docs, idCol, textCol)
-    val dl = docStats(docs, idCol, textCol)
+    val post = postings(docs, idCol, textCol).persist()
+    val dl = post.groupBy(col("doc")).agg(sum(col("tf")).as("len"))
     val corpus = dl.agg(
       count(lit(1)).cast("double").as("n"),
       (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = post.filter(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

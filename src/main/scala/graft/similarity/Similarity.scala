@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.expressions.GraftFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -24,7 +25,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — the portable
+    * reference formulation ([[graft.expressions.FloatVecDot]] is the
+    * codegen'd fast path with identical bit-level semantics).
+    */
   def dotd(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -37,19 +41,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Codegen'd cosine via the custom [[graft.expressions.FloatVecDot]]
+    * expression — bit-identical to [[cosine]], ~allocation-free. Callers
+    * must have run [[GraftFunctions.register]] on the session.
+    */
+  def cosineFast(a: String, b: String): Column =
+    expr(s"graft_dot($a, $b) / (sqrt(graft_dot($a, $a)) * sqrt(graft_dot($b, $b)))")
+
   /** Exact cosine top-k against the embedding of `queryId`. Scores rounded
     * to 6 decimals before ordering (ties then break on id) so ranking is
     * reproducible across engines.
     */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"))
     embeddings
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+        round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -67,6 +79,7 @@ object Similarity {
   /** Approximate top-k: exact scoring restricted to the query's sign bucket. */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, dims: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("__bucket", signBucket(col(vecCol), dims))
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"), col("__bucket"))
@@ -74,7 +87,7 @@ object Similarity {
       .join(broadcast(q), "__bucket")
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+        round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }

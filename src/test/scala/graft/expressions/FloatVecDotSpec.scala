@@ -1,0 +1,40 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class FloatVecDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.1f, 0.2f), Array(0.3f, 0.4f)),
+    (3L, null.asInstanceOf[Array[Float]], Array(1.0f))
+  ).toDF("id", "a", "b")
+
+  test("codegen dot product is bit-identical to the portable fold") {
+    GraftFunctions.register(spark)
+    val rows = vecs.filter(col("a").isNotNull).select(
+      expr("graft_dot(a, b)").as("fast"),
+      Similarity.dotd(col("a"), col("b")).as("fold")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(rows.length == 2)
+  }
+
+  test("null input yields null, not an error") {
+    GraftFunctions.register(spark)
+    val r = vecs.filter(col("id") === 3).select(expr("graft_dot(a, b)")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("type mismatch is rejected at analysis time") {
+    GraftFunctions.register(spark)
+    val bad = Seq((1L, Array(1.0, 2.0), Array(1.0f))).toDF("id", "a", "b")
+    val e = intercept[Exception](bad.select(expr("graft_dot(a, b)")).collect())
+    assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE"))
+  }
+}
