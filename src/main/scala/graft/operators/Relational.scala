@@ -69,4 +69,21 @@ object Relational {
     */
   def page(df: DataFrame, order: Seq[Column], skip: Int, limit: Int): DataFrame =
     df.orderBy(order: _*).offset(skip).limit(limit)
+
+  /** Skew-resistant two-phase aggregation: salt the key, partially
+    * aggregate per (key, salt), then merge partials per key. For algebraic
+    * aggregates (sum/count/min/max) the result is identical to a direct
+    * groupBy, but a hot key's rows spread over `saltBuckets` reducers in
+    * phase one instead of landing on a single task.
+    *
+    * `partials` maps each input column to its phase-one aggregate;
+    * `merge` combines phase-one outputs (e.g. sum of counts).
+    */
+  def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
+                partials: Seq[Column], merge: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(key, col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(key)
+      .agg(merge.head, merge.tail: _*)
 }

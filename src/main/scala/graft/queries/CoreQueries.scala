@@ -82,6 +82,15 @@ object CoreQueries extends QueryPack {
         .agg(Num.cnt.as("n"))
     }),
 
+    // Skew-resistant two-phase (salted) aggregation — identical results to
+    // a direct groupBy for algebraic aggregates, verified by the plain
+    // GROUP BY oracle; at scale a hot key spreads over the salt buckets.
+    "q_salted_agg" -> ((s, dir) =>
+      Relational.saltedAgg(Tables.events(s, dir), col("event_type"), saltBuckets = 8,
+        partials = Seq(count(lit(1)).as("pc"), sum(Num.dec2(col("value"))).as("ps")),
+        merge = Seq(sum(col("pc")).cast("long").as("n"),
+          sum(col("ps")).cast("double").as("sum_value")))),
+
     // ------------------------------------------------------------------
     // Joins (SURVEY §2.3). Star join with broadcast dims: nation/region are
     // tiny → broadcast hash join, single shuffle on o_custkey=c_custkey.
@@ -312,6 +321,11 @@ object CoreQueries extends QueryPack {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_join_star" ->
       """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,

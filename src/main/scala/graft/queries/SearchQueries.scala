@@ -21,7 +21,10 @@ object SearchQueries extends QueryPack {
     * [[graft.search.BM25.scoreTopK]] shape for shape.
     */
   private val bm25Cte =
-    """WITH toks AS (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents),
+    """WITH toks AS (SELECT doc, term FROM (
+      |    SELECT doc_id AS doc, unnest(string_split_regex(
+      |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
+      |    FROM documents) WHERE length(term) > 0),
       |dl AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks GROUP BY doc),
       |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
       |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl),

@@ -30,8 +30,16 @@ object BM25 {
   val K1 = 1.2
   val B  = 0.75
 
+  /** Analyzer: lowercase, strip non-alphanumerics, split on whitespace —
+    * the semantics of the reference's Solr query/index analyzers
+    * (`SolrSetup.java:105`, ClassicTokenizer + lowercase), without which
+    * "hiring!" never matches the query term "hiring".
+    */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+    docs.select(col(idCol).as("doc"),
+        explode(split(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+"))
+          .as("term"))
+      .filter(length(col("term")) > 0)
 
   /** Full postings relation (doc, term, tf) — ONE tokenize+explode pass;
     * doc lengths and query-term tfs both derive from it. Persist/bucket by

@@ -1,0 +1,98 @@
+package graft.search
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The reference's two Solr collections (`users`, `tweets` —
+  * `Ranking Model/src/main/java/Main/SolrSetup.java:76-83,119-130`,
+  * FIXTURES.md §3) as Spark tables derived from the processed 24-column
+  * relation, plus the id-keyed upsert that replaces the indexer's HashMap
+  * keep-latest (`SolrIndexer.java:25-45`) and Solr's overwrite-on-add
+  * (`SolrIndexer.java:47-59`).
+  *
+  * Scale: collections would be written bucketed by id so the upsert's
+  * full-outer-merge and the serving joins (tweets.userID = users.id) are
+  * co-partitioned, shuffle-free scans. The inverted-index role of Solr is
+  * played by [[BM25]]'s postings/stats relations over `tweetText`.
+  */
+object Collections {
+
+  /** users collection: latest profile per user id. */
+  def users(processed: DataFrame): DataFrame =
+    Relational.dedupKeepFirst(
+      processed.select(
+        col("user_id").cast("string").as("id"),
+        col("org_datetime").as("userDateTime"),
+        col("user_name").as("userName"),
+        col("user_screen_name").as("userScreenName"),
+        col("user_followers_count").as("userFollowersCount"),
+        col("user_friends_count").as("userFriendsCount"),
+        col("user_verified").as("userVerified"),
+        col("user_profile_image_url").as("userProfileImageURL"),
+        col("user_profile_banner_url").as("userProfileBannerURL")),
+      key = Seq(col("id")),
+      order = Seq(col("userDateTime").desc))
+
+  /** tweets collection: one row per original tweet, latest observation. */
+  def tweets(processed: DataFrame): DataFrame =
+    Relational.dedupKeepFirst(
+      processed.select(
+        col("org_id").cast("string").as("id"),
+        col("user_id").cast("string").as("userID"),
+        col("org_datetime").as("tweetDateTime"),
+        col("org_text").as("tweetText"),
+        col("org_favorite_count").as("tweetFavoriteCount"),
+        col("org_quote_count").as("tweetQuoteCount"),
+        col("org_reply_count").as("tweetReplyCount"),
+        col("org_retweet_count").as("tweetRetweetCount"),
+        col("org_hashtags").as("tweetHashtags"),
+        col("org_user_metions").as("tweetUserMentions"),
+        col("org_media_url").as("tweetMediaURL"),
+        col("org_attached_links").as("tweetAttachedLinks")),
+      key = Seq(col("id")),
+      order = Seq(col("tweetDateTime").desc))
+
+  /** Keyed upsert ("reindex"): rows in `updates` replace same-id rows in
+    * `existing`; new ids append. Anti-join + union — one shuffle on id
+    * (none at all when both sides are bucketed by id).
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, idCol: String): DataFrame =
+    existing.join(updates.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(updates)
+
+  /** Hashtag exact-match query shape (`SolrRanker.java:93-118`):
+    * `tweetHashtags:'<tag>'` as array_contains, capped at 1000.
+    */
+  def hashtagSearch(tweets: DataFrame, tag: String, limit: Int = 1000): DataFrame =
+    tweets.filter(array_contains(col("tweetHashtags"), tag))
+      .orderBy(col("id").asc)
+      .limit(limit)
+
+  /** User-timeline query shape (`SolrRanker.java:129-159`): resolve the
+    * user by screen name, expand the FK, newest first, capped at 1000.
+    */
+  def userTimeline(tweets: DataFrame, users: DataFrame, screenName: String,
+                   limit: Int = 1000): DataFrame = {
+    val u = users.filter(col("userScreenName") === screenName)
+    tweets.join(broadcast(u), tweets("userID") === u("id"))
+      .orderBy(col("tweetDateTime").desc, tweets("id").desc)
+      .limit(limit)
+      .select(col("userScreenName"), tweets("id").as("tweet_id"),
+        col("tweetDateTime"), col("tweetText"))
+  }
+
+  /** Keyword relevance search (`SolrRanker.java:66-91`): BM25 top-k over
+    * tweetText joined back to users — the reference's N+1 lookups as one
+    * broadcast join.
+    */
+  def keywordSearch(tweets: DataFrame, users: DataFrame,
+                    terms: Seq[String], k: Int = 10): DataFrame = {
+    val top = BM25.scoreTopK(tweets, "id", "tweetText", terms, k)
+    top.join(tweets.withColumnRenamed("id", "doc"), "doc")
+      .join(users.withColumnRenamed("id", "uid"),
+        col("userID") === col("uid"), "left")
+      .select(col("doc").as("tweet_id"), col("score"), col("tweetText"),
+        col("userName"), col("userScreenName"))
+  }
+}

@@ -174,4 +174,15 @@ object TweetNormalize {
   /** Full pipeline: normalize → dedup keep-latest → hiring filter. */
   def process(raw: DataFrame): DataFrame =
     hiringFilter(dedupKeepLatest(normalize(raw)))
+
+  /** Streaming variant (SURVEY.md §2.10): the same normalize + hiring
+    * projections run unchanged on a `readStream` frame; keep-latest becomes
+    * watermarked first-wins `dropDuplicates` (streaming can't rank a key's
+    * future rows; with the file source replaying batches in event-time
+    * order, first-seen == the reference's sequential-file behavior).
+    */
+  def processStreaming(raw: DataFrame, watermark: String = "1 day"): DataFrame =
+    hiringFilter(normalize(raw))
+      .withWatermark("samp_datetime", watermark)
+      .dropDuplicates("org_id")
 }

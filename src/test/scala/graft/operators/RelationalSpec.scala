@@ -32,6 +32,17 @@ class RelationalSpec extends SparkSpec {
     assert(page == Seq(80.0, 75.0))
   }
 
+  test("saltedAgg equals direct groupBy for algebraic aggregates") {
+    val direct = df.groupBy(col("key"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("ver")).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Relational.saltedAgg(df, col("key"), saltBuckets = 4,
+      partials = Seq(count(lit(1)).as("pc"), sum(col("ver")).as("ps")),
+      merge = Seq(sum(col("pc")).cast("long").as("n"), sum(col("ps")).cast("long").as("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
   test("topKPerGroup ranks within each group") {
     val top1 = Relational.topKPerGroup(df,
       key = Seq(col("key")), order = Seq(col("amount").desc, col("tag").asc), k = 1)

@@ -1,0 +1,60 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.sources.Readers
+import graft.tweets.{TweetNormalize, TweetSchema}
+import org.apache.spark.sql.functions._
+
+class CollectionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val processed = TweetNormalize.dedupKeepLatest(
+    TweetNormalize.normalize(
+      Readers.multilineJson(spark, resourcePath("tweets_fixture.json"), TweetSchema.raw)))
+    .cache()
+
+  private lazy val usersC = Collections.users(processed).cache()
+  private lazy val tweetsC = Collections.tweets(processed).cache()
+
+  test("collections carry the Solr schemas, one row per id") {
+    assert(usersC.columns.toSet.contains("userScreenName"))
+    assert(tweetsC.columns.toSet.contains("tweetHashtags"))
+    assert(usersC.select("id").distinct().count() == usersC.count())
+    assert(tweetsC.select("id").distinct().count() == tweetsC.count())
+    assert(tweetsC.count() == 6) // org ids 1,2,100,101,200,201
+  }
+
+  test("upsert replaces same-id rows and appends new ones") {
+    val updates = Seq(
+      ("1", "11", "updated text"), ("999", "11", "brand new")
+    ).toDF("id", "userID", "tweetText")
+    val merged = Collections.upsert(
+      tweetsC.select("id", "userID", "tweetText"), updates, "id")
+    assert(merged.count() == 7)
+    assert(merged.filter(col("id") === "1").head().getAs[String]("tweetText")
+      == "updated text")
+    assert(merged.filter(col("id") === "999").count() == 1)
+  }
+
+  test("keyword search scores tweets and resolves authors in one join") {
+    val hits = Collections.keywordSearch(tweetsC, usersC, Seq("hiring", "apply"), 5)
+      .collect()
+    assert(hits.nonEmpty)
+    val top = hits.head
+    assert(top.getAs[String]("tweetText").toLowerCase.contains("hiring"))
+    assert(top.getAs[String]("userScreenName") != null)
+  }
+
+  test("hashtag search matches the array exactly") {
+    val hits = Collections.hashtagSearch(tweetsC, "hiring")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(hits == Set("1"))
+  }
+
+  test("user timeline expands the FK newest-first") {
+    val tl = Collections.userTimeline(tweetsC, usersC, "acme")
+    val rows = tl.collect()
+    assert(rows.map(_.getAs[String]("tweet_id")).toSeq == Seq("1"))
+    assert(rows.head.getAs[String]("userScreenName") == "acme")
+  }
+}
