@@ -101,13 +101,27 @@ object Dedup {
     * family (each salt i induces an independent pseudo-random order on
     * shingles; the min is a valid MinHash permutation surrogate).
     *
+    * Plan shape: all `numHashes` minhashes are computed as parallel MIN
+    * aggregates in ONE groupBy(doc) over the shingle rows (wide form), then
+    * unpivoted — the naive explode-by-hash-index formulation multiplies the
+    * shuffle volume by numHashes for no benefit.
+    *
     * Returns (doc, i, mh) with i in [0, numHashes).
     */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("doc"), col("shingle"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
-      .groupBy(col("doc"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("mh"))
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val wide = minHashWide(sh, numHashes)
+    val stackArgs = (0 until numHashes).map(i => s"$i, mh_$i").mkString(", ")
+    wide.select(col("doc"),
+      expr(s"stack($numHashes, $stackArgs) AS (i, mh)"))
+  }
+
+  /** Wide form: one row per doc, columns mh_0..mh_{H-1}. */
+  private def minHashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i")
+    }
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash + LSH near-dup pairs: band the signature vector, bucket-join on
     * (band, band-signature), then verify candidates with true Jaccard.
@@ -118,12 +132,15 @@ object Dedup {
                  n: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
                  threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).persist()
-    val sig = minHashSignatures(sh, numHashes)
-    val bands = sig
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col("doc"), col("band"))
-      .agg(expr("md5(concat_ws('|', transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)))")
-        .as("sig"))
+    // band signatures straight off the wide signature row — no second
+    // shuffle: groupBy(doc) is the only exchange in candidate generation.
+    val numBands = numHashes / rowsPerBand
+    val bandExprs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}").mkString(", ")
+      s"$b, md5(concat_ws('|', $cols))"
+    }.mkString(", ")
+    val bands = minHashWide(sh, numHashes)
+      .select(col("doc"), expr(s"stack($numBands, $bandExprs) AS (band, sig)"))
     val pairs = bands.select(col("doc").as("doc_a"), col("band"), col("sig"))
       .join(bands.select(col("doc").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
