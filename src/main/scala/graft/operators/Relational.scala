@@ -70,6 +70,43 @@ object Relational {
   def page(df: DataFrame, order: Seq[Column], skip: Int, limit: Int): DataFrame =
     df.orderBy(order: _*).offset(skip).limit(limit)
 
+  /** As-of join: for each left row, the single latest right row with
+    * rightTime <= leftTime within the same key — the time-series join Spark
+    * lacks natively (SURVEY.md §2.3 notes its absence in both Spark's and
+    * the reference's surface).
+    *
+    * Composed Spark-first (preference (a) of the custom-operator ladder)
+    * via union + windowed last-value: tag both sides, sort each key by
+    * (time, side, tiebreak) with right rows before left rows on equal
+    * times (<= semantics), and carry the last seen right payload forward.
+    * ONE shuffle on the key, no range self-join blowup, and — unlike a
+    * windowed equi-join — no time bucketing to tune. Right rows must be
+    * unique per (key, time) for determinism; pre-dedup with
+    * [[dedupKeepFirst]] otherwise.
+    *
+    * Output: leftCols + rightPayload (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               leftCols: Seq[String], rightPayload: String): DataFrame = {
+    val l = left.select(
+      col(key), col(time), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(right.schema(rightPayload).dataType).as("__r"))
+    val r = right.select(
+      col(key), col(time), lit(0).as("__side"),
+      lit(null).cast(l.schema("__l").dataType).as("__l"),
+      col(rightPayload).as("__r"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(time)) ++
+        leftCols.map(c => col(s"__l.$c").as(c)) :+
+        col("__asof").as(rightPayload): _*)
+  }
+
   /** Skew-resistant two-phase aggregation: salt the key, partially
     * aggregate per (key, salt), then merge partials per key. For algebraic
     * aggregates (sum/count/min/max) the result is identical to a direct

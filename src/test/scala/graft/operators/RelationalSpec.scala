@@ -32,6 +32,21 @@ class RelationalSpec extends SparkSpec {
     assert(page == Seq(80.0, 75.0))
   }
 
+  test("asofJoin picks the latest right row at or before each left time") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 8L, 100L), (1L, 10L, 101L), (1L, 15L, 102L), (2L, 9L, 103L))
+      .toDF("key", "t", "quote")
+    val out = Relational.asofJoin(trades, quotes, "key", "t",
+      leftCols = Seq("trade"), rightPayload = "quote")
+      .collect().map(r => r.getAs[String]("trade") ->
+        Option(r.getAs[java.lang.Long]("quote")).map(_.toLong)).toMap
+    assert(out == Map(
+      "t1" -> Some(101L), // equal-time quote matches (<= semantics)
+      "t2" -> Some(102L), // latest preceding
+      "t3" -> None))      // quote is after the trade
+  }
+
   test("saltedAgg equals direct groupBy for algebraic aggregates") {
     val direct = df.groupBy(col("key"))
       .agg(count(lit(1)).cast("long").as("n"), sum(col("ver")).cast("long").as("s"))
