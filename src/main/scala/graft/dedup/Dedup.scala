@@ -149,6 +149,33 @@ object Dedup {
     verifyJaccard(sh, pairs, threshold)
   }
 
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found without
+    * an all-pairs scan: split the 32-bit hash into 4 bytes; by pigeonhole,
+    * any pair within hamming ≤ 3 shares at least one identical byte, so
+    * candidates come from a self-join on (byte-index, byte-value) and only
+    * candidates pay the popcount verification. (For maxHamming > 3 the
+    * byte banding is a heuristic recall bound — widen the bands to keep the
+    * pigeonhole guarantee.)
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simHash(docs, idCol, textCol).persist()
+    val bands = sig.select(col("doc"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("i"))
+      .withColumn("byte", expr("(simhash >> (8 * i)) & 255"))
+    val cands = bands.select(col("doc").as("doc_a"), col("simhash").as("ha"),
+        col("i"), col("byte"))
+      .join(bands.select(col("doc").as("doc_b"), col("simhash").as("hb"),
+        col("i"), col("byte")), Seq("i", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** 32-bit SimHash over token counts with an engine-independent bit source:
     * bit b of a token's hash = bit (b mod 4) of hex digit (b div 4) of
     * md5(token). Integer arithmetic end-to-end — bit-exact everywhere.

@@ -107,6 +107,29 @@ object Relational {
         col("__asof").as(rightPayload): _*)
   }
 
+  /** Bucketized interval join: match left rows (key, ts) to right intervals
+    * (key, [start, end)) — the range join Spark would otherwise plan as a
+    * broadcast-nested-loop. Each right interval is exploded into the coarse
+    * time buckets it covers; the join becomes an equi-join on (key, bucket)
+    * plus an exact residual filter. A left row lives in exactly one bucket,
+    * so no pair is matched twice — no distinct pass needed.
+    *
+    * Scale: shuffle is O(left + right × buckets-per-interval) on
+    * (key, bucket); pick `bucketSeconds` ≈ the typical interval length so
+    * intervals explode into ~1–2 buckets.
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, start: String, end: String,
+                        bucketSeconds: Long): DataFrame = {
+    val size = bucketSeconds * 1000000L
+    val lb = left.withColumn("__b", expr(s"unix_micros($ts) DIV $size"))
+    val rb = right.withColumn("__b",
+      explode(expr(s"sequence(unix_micros($start) DIV $size, (unix_micros($end) - 1) DIV $size)")))
+    lb.join(rb, Seq(key, "__b"))
+      .filter(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__b")
+  }
+
   /** Skew-resistant two-phase aggregation: salt the key, partially
     * aggregate per (key, salt), then merge partials per key. For algebraic
     * aggregates (sum/count/min/max) the result is identical to a direct

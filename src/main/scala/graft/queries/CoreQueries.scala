@@ -196,6 +196,54 @@ object CoreQueries extends QueryPack {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("gap_days"))
     }),
 
+    // Bucketized range join: purchases within 1 hour after an error by the
+    // same user. Oracle is the plain inequality join.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("err_end"),
+          col("event_id").as("err_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      Relational.rangeJoinBucketed(purchases, errors, "user_id",
+          ts = "ts", start = "err_ts", end = "err_end", bucketSeconds = 3600)
+        .select(col("user_id"), col("err_id"), col("purchase_id"), col("ts"))
+    }),
+
+    // Exact interpolated quantiles (continuous): Spark percentile ==
+    // DuckDB quantile_cont, both linear interpolation.
+    "q_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("med"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
+    // Pivot (wide counts per hour × event type) with explicit values and
+    // zero-fill so the shape is engine-independent.
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, dir)
+        .groupBy(hour(col("ts")).as("h"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(col("h") +: types.map(t =>
+        coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+    }),
+
+    // Unpivot / melt: lineitem measures to long form.
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "val")),
+
     // ------------------------------------------------------------------
     // Sorts / limits / pagination (SURVEY §2.6).
     "q_topk_orders" -> ((s, dir) => {
@@ -404,6 +452,42 @@ object CoreQueries extends QueryPack {
         |      ORDER BY o_orderdate ASC, o_orderkey ASC),
         |    o_orderdate) AS BIGINT) AS gap_days
         |FROM orders""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.user_id, e.event_id AS err_id, p.event_id AS purchase_id, p.ts
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS med,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(hour(ts) AS INT) AS h,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY hour(ts)""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

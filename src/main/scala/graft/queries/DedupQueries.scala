@@ -39,7 +39,11 @@ object DedupQueries extends QueryPack {
         n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)),
 
     "q_simhash" -> ((s, dir) =>
-      Dedup.simHash(Tables.documents(s, dir), "doc_id", "text"))
+      Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -70,17 +74,32 @@ object DedupQueries extends QueryPack {
         |  GROUP BY p.doc_a, p.doc_b)
         |""".stripMargin + jaccardVerify),
 
-    "q_simhash" ->
-      """WITH tc AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS cnt, md5(term) AS h
-        |  FROM (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents)
-        |  GROUP BY doc, term),
-        |bits AS (SELECT doc, cnt, h, unnest(range(0, 32)) AS b FROM tc),
-        |v AS (SELECT doc, b, cnt,
-        |  CAST(strpos('0123456789abcdef', substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1 AS BIGINT) AS hexv
-        |  FROM bits),
-        |c AS (SELECT doc, b, SUM(cnt * (((hexv >> (b % 4)) & 1) * 2 - 1)) AS s
-        |  FROM v GROUP BY doc, b)
-        |SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM c GROUP BY doc""".stripMargin
+    "q_simhash" -> (simhashCte + "SELECT doc, simhash FROM sig"),
+
+    "q_simhash_pairs" -> (simhashCte +
+      """, bands AS (SELECT doc, simhash, t.i, (simhash >> (8 * t.i)) & 255 AS byte
+        |  FROM sig CROSS JOIN range(0, 4) AS t(i)),
+        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM bands a JOIN bands b ON a.i = b.i AND a.byte = b.byte AND a.doc < b.doc)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin)
   )
+
+  /** Shared SimHash CTE producing sig(doc, simhash) — mirrors
+    * [[graft.dedup.Dedup.simHash]] value-for-value.
+    */
+  private lazy val simhashCte: String =
+    """WITH tc AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS cnt, md5(term) AS h
+      |  FROM (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY doc, term),
+      |bits AS (SELECT doc, cnt, h, unnest(range(0, 32)) AS b FROM tc),
+      |v AS (SELECT doc, b, cnt,
+      |  CAST(strpos('0123456789abcdef', substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1 AS BIGINT) AS hexv
+      |  FROM bits),
+      |c AS (SELECT doc, b, SUM(cnt * (((hexv >> (b % 4)) & 1) * 2 - 1)) AS s
+      |  FROM v GROUP BY doc, b),
+      |sig AS (SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM c GROUP BY doc)
+      |""".stripMargin
 }
