@@ -30,7 +30,11 @@ object SimilarityQueries extends QueryPack {
         queryId = 0L, k = 5)),
 
     "q_embedding_stats" -> ((s, dir) =>
-      Similarity.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding"))
+      Similarity.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 5, nCentroids = 8))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -45,6 +49,19 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0)
          |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
          |FROM b JOIN q USING (bucket) WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sim AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |  FROM sim) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cluster FROM assigned WHERE vec_id = 0)
+         |SELECT a.vec_id, ${cosSql("a.embedding", "qv")} AS cosine
+         |FROM assigned a JOIN q USING (cluster) WHERE a.vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "q_embedding_stats" ->

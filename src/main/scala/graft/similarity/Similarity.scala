@@ -92,6 +92,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of `nCentroids`
+    * seed centroids (here: the first `nCentroids` vectors by id — a
+    * deterministic stand-in for trained k-means centroids; swap in learned
+    * ones without changing the plan), then answer a query by scanning only
+    * the query's cluster and reranking exactly.
+    *
+    * Scale: the cluster id is a plain int column → write the table
+    * partitioned by it; a query prunes to 1/nCentroids of the data (nprobe
+    * =1; union more clusters for higher recall). Assignment is one
+    * broadcast of nCentroids vectors × a linear scan.
+    */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val cents = broadcast(embeddings.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
+    val dist = round(cosineFast(vecCol, "__cv"), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    embeddings.crossJoin(cents)
+      .withColumn("__sim", dist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__cv", "__rn")
+      .withColumnRenamed("__cid", "cluster")
+      .withColumnRenamed("__sim", "centroid_sim")
+  }
+
+  /** ANN query via IVF clusters: exact rerank within the query's cluster. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCentroids: Int = 8): DataFrame = {
+    val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("cluster"))
+    assigned
+      .join(broadcast(q), "cluster")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-vector stats: dimension, L2 norm, sign bucket. */
   def vectorStats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
     embeddings.select(

@@ -52,6 +52,19 @@ object Sinks {
   def parquetSingleFile(df: DataFrame, dest: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(dest)
 
+  /** Bucketed table write: pre-hash-partitions the data by the join/agg key
+    * so downstream equi-joins and aggregations on that key are
+    * shuffle-free — the engine's stand-in for Solr's sharded collections
+    * (`solr create -c tweets -s 2`, `Ranking Model/README.md:8-9`) and the
+    * scale plan for the serving tables (SCALE.md).
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** CSV sink with the reference's scrubbing (`Tweets_preprocessing.py:490-505`):
     * ids cast to string (CSV precision), newlines → '|', double quotes →
     * single, arrays stringified. Arrays use Python-repr format

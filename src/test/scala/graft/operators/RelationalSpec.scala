@@ -32,6 +32,25 @@ class RelationalSpec extends SparkSpec {
     assert(page == Seq(80.0, 75.0))
   }
 
+  test("rangeJoinBucketed: inclusive start, exclusive end, cross-bucket intervals") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "on_start"),
+      (1L, ts("2024-01-01 10:59:59"), "inside"),
+      (1L, ts("2024-01-01 11:00:00"), "on_end"),
+      (1L, ts("2024-01-01 10:30:00"), "inside2"),
+      (2L, ts("2024-01-01 10:30:00"), "other_key")
+    ).toDF("key", "t", "tag")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "iv1")
+    ).toDF("key", "s", "e", "iv")
+    // bucket smaller than the interval → interval spans several buckets
+    val out = Relational.rangeJoinBucketed(points, intervals, "key",
+      ts = "t", start = "s", end = "e", bucketSeconds = 900)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(out == Set("on_start", "inside", "inside2"))
+  }
+
   test("asofJoin picks the latest right row at or before each left time") {
     val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
       .toDF("key", "t", "trade")
