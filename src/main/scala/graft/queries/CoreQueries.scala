@@ -267,6 +267,25 @@ object CoreQueries extends QueryPack {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // The reference's one SQL entry point (`Word_cloud_evaluation.ipynb`
+    // cell 4): CREATE TEMPORARY VIEW ... USING parquet, then SELECT.
+    "q_sql_view" -> ((s, dir) => {
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW docs_view " +
+        s"USING parquet OPTIONS (path '$dir/documents.parquet')")
+      s.sql("SELECT doc_id, lang, n_chars FROM docs_view WHERE n_chars > 300")
+    }),
+
+    // Correlated scalar subquery through the SQL parser (decimal-routed avg
+    // for engine determinism).
+    "q_corr_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice > 2 * (
+          |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          |  FROM orders_v i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
     // ------------------------------------------------------------------
     // Set operations (SURVEY §2.7).
     "q_union" -> ((s, dir) => {
@@ -500,6 +519,15 @@ object CoreQueries extends QueryPack {
     "q_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC LIMIT 20 OFFSET 100""".stripMargin,
+
+    "q_sql_view" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 300",
+
+    "q_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
 
     "q_union" ->
       """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'

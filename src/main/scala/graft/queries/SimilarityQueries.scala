@@ -34,7 +34,11 @@ object SimilarityQueries extends QueryPack {
 
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryId = 0L, k = 5, nCentroids = 8))
+        queryId = 0L, k = 5, nCentroids = 8)),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -63,6 +67,12 @@ object SimilarityQueries extends QueryPack {
          |SELECT a.vec_id, ${cosSql("a.embedding", "qv")} AS cosine
          |FROM assigned a JOIN q USING (cluster) WHERE a.vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
     "q_embedding_stats" ->
       s"""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,

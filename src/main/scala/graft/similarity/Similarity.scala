@@ -135,6 +135,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine
+    * ≥ threshold. Baseline is the all-pairs scan (quadratic — fine for
+    * dedup batches); the scale path pre-buckets with [[signBucket]] or
+    * [[ivfAssign]] and only compares within buckets/clusters, trading
+    * recall for the pruning exactly like [[annTopK]].
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val a = embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
+    val b = embeddings.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosineFast("__va", "__vb"), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Per-vector stats: dimension, L2 norm, sign bucket. */
   def vectorStats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
     embeddings.select(
