@@ -96,10 +96,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
 
+  /** Modulus of the MinHash LCG family (2^31 − 1, prime). */
+  val MinHashP: Long = 2147483647L
+
   /** MinHash signatures: minhash_i(doc) = min over shingles of
-    * md5(i + ":" + shingle) — a deterministic, engine-independent hash
-    * family (each salt i induces an independent pseudo-random order on
-    * shingles; the min is a valid MinHash permutation surrogate).
+    * h_i(shingle), with an engine-independent two-stage hash family:
+    * ONE md5 per shingle → 60-bit integer (first 15 hex digits) → per-i
+    * linear-congruential mix  h_i(x) = ((2i+1)·(x mod p) + 12345·i) mod p.
+    * Each odd multiplier induces an independent pseudo-random order, so the
+    * min is a valid permutation surrogate; the integer stage costs ~nothing
+    * versus the one-md5-per-(shingle, i) formulation (numHashes× fewer
+    * digest calls — the GC hotspot at scale).
     *
     * Plan shape: all `numHashes` minhashes are computed as parallel MIN
     * aggregates in ONE groupBy(doc) over the shingle rows (wide form), then
@@ -115,12 +122,14 @@ object Dedup {
       expr(s"stack($numHashes, $stackArgs) AS (i, mh)"))
   }
 
-  /** Wide form: one row per doc, columns mh_0..mh_{H-1}. */
+  /** Wide form: one row per doc, columns mh_0..mh_{H-1} (long-typed). */
   private def minHashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val withH = sh.withColumn("__hm",
+      expr(s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MinHashP"))
     val aggs = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i")
+      min(expr(s"((${2 * i + 1} * __hm + ${12345L * i}) % $MinHashP)")).as(s"mh_$i")
     }
-    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    withH.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs: band the signature vector, bucket-join on
@@ -136,7 +145,8 @@ object Dedup {
     // shuffle: groupBy(doc) is the only exchange in candidate generation.
     val numBands = numHashes / rowsPerBand
     val bandExprs = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}").mkString(", ")
+      val cols = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS STRING)").mkString(", ")
       s"$b, md5(concat_ws('|', $cols))"
     }.mkString(", ")
     val bands = minHashWide(sh, numHashes)

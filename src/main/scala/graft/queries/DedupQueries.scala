@@ -58,21 +58,7 @@ object DedupQueries extends QueryPack {
         |  GROUP BY a.doc, b.doc)
         |""".stripMargin + jaccardVerify),
 
-    "q_dedup_minhash" -> (shingleCte +
-      """, hid AS (SELECT doc, shingle, unnest(range(0, 12)) AS i FROM sh),
-        |sig AS (SELECT doc, i, MIN(md5(concat(CAST(i AS VARCHAR), ':', shingle))) AS mh
-        |  FROM hid GROUP BY doc, i),
-        |bands AS (SELECT doc, CAST(i // 2 AS INT) AS band,
-        |    md5(string_agg(mh, '|' ORDER BY i)) AS bsig
-        |  FROM sig GROUP BY doc, CAST(i // 2 AS INT)),
-        |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc),
-        |inter AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-        |  FROM pairs p
-        |  JOIN sh a ON a.doc = p.doc_a
-        |  JOIN sh b ON b.doc = p.doc_b AND b.shingle = a.shingle
-        |  GROUP BY p.doc_a, p.doc_b)
-        |""".stripMargin + jaccardVerify),
+    "q_dedup_minhash" -> (shingleCte + minhashOracleCtes + jaccardVerify),
 
     "q_simhash" -> (simhashCte + "SELECT doc, simhash FROM sig"),
 
@@ -85,6 +71,38 @@ object DedupQueries extends QueryPack {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin)
   )
+
+  /** MinHash candidate + intersection CTEs mirroring
+    * [[graft.dedup.Dedup.minHashSignatures]]'s two-stage hash family
+    * (md5 → 60-bit int → per-i LCG mod 2^31−1), generated for 12 hashes /
+    * 6 bands of 2.
+    */
+  private lazy val minhashOracleCtes: String = {
+    val p = graft.dedup.Dedup.MinHashP
+    val mins = (0 until 12).map(i =>
+      s"MIN(((${2 * i + 1} * hm + ${12345L * i}) % $p)) AS mh_$i").mkString(",\n    ")
+    val bandSelects = (0 until 6).map { b =>
+      val c0 = s"CAST(mh_${2 * b} AS VARCHAR)"
+      val c1 = s"CAST(mh_${2 * b + 1} AS VARCHAR)"
+      s"SELECT doc, $b AS band, md5(concat($c0, '|', $c1)) AS bsig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s""", hsh AS (SELECT doc,
+       |    CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) % $p AS hm
+       |  FROM sh),
+       |sig AS (SELECT doc,
+       |    $mins
+       |  FROM hsh GROUP BY doc),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc),
+       |inter AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc = p.doc_a
+       |  JOIN sh b ON b.doc = p.doc_b AND b.shingle = a.shingle
+       |  GROUP BY p.doc_a, p.doc_b)
+       |""".stripMargin
+  }
 
   /** Shared SimHash CTE producing sig(doc, simhash) — mirrors
     * [[graft.dedup.Dedup.simHash]] value-for-value.
