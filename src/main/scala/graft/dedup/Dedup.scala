@@ -39,9 +39,8 @@ object Dedup {
     val toks = split(col(textCol), " ")
     docs
       .filter(size(toks) >= n)
-      .select(col(idCol).as("doc"),
-        explode(expr(s"sequence(0, size(split($textCol, ' ')) - $n)")).as("i"),
-        toks.as("toks"))
+      .select(col(idCol).as("doc"), toks.as("toks"),
+        explode(sequence(lit(0), size(toks) - lit(n))).as("i"))
       .select(col("doc"), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
       .distinct()
   }
@@ -75,7 +74,10 @@ object Dedup {
     * Plan shape: the shingle set is persisted (it feeds the pair join twice
     * plus the size aggregation — without the cache Spark recomputes the
     * tokenize+explode DAG per use), and intersection counts come straight
-    * off the self-join — no separate candidate-distinct pass.
+    * off the self-join — no separate candidate-distinct pass. The cache is
+    * MEMORY_AND_DISK and evictable (LRU), so repeated calls are bounded by
+    * executor storage, not leaked; callers running many dedup jobs in one
+    * session can `spark.catalog.clearCache()` between them.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {

@@ -30,7 +30,8 @@ object SimilarityQueries extends QueryPack {
         queryId = 0L, k = 5)),
 
     "q_embedding_stats" -> ((s, dir) =>
-      Similarity.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding")),
+      Similarity.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding",
+        extraCols = Seq("label"))),
 
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",

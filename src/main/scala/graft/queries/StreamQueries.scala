@@ -51,11 +51,11 @@ object StreamQueries extends QueryPack {
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
     "q_session_window" ->
-      """WITH x AS (SELECT user_id, ts, value,
+      """WITH x AS (SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS grp FROM x)
         |SELECT MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end,

@@ -18,10 +18,15 @@ import org.apache.spark.sql.DataFrame
   */
 object Collections {
 
-  /** users collection: latest profile per user id. */
+  /** users collection: latest profile per user id. The sampled-tweet id is
+    * carried as the dedup tiebreaker — org_datetime alone is not a total
+    * order (two observations can share a timestamp), and dedupKeepFirst's
+    * determinism contract requires one.
+    */
   def users(processed: DataFrame): DataFrame =
     Relational.dedupKeepFirst(
       processed.select(
+        col("samp_id").as("__tb"),
         col("user_id").cast("string").as("id"),
         col("org_datetime").as("userDateTime"),
         col("user_name").as("userName"),
@@ -32,12 +37,17 @@ object Collections {
         col("user_profile_image_url").as("userProfileImageURL"),
         col("user_profile_banner_url").as("userProfileBannerURL")),
       key = Seq(col("id")),
-      order = Seq(col("userDateTime").desc))
+      order = Seq(col("userDateTime").desc, col("__tb").desc))
+      .drop("__tb")
 
-  /** tweets collection: one row per original tweet, latest observation. */
+  /** tweets collection: one row per original tweet, latest observation
+    * (samp_id tiebreaker — all observations of one org_id share
+    * org_datetime, so the sampling id is the real discriminator).
+    */
   def tweets(processed: DataFrame): DataFrame =
     Relational.dedupKeepFirst(
       processed.select(
+        col("samp_id").as("__tb"),
         col("org_id").cast("string").as("id"),
         col("user_id").cast("string").as("userID"),
         col("org_datetime").as("tweetDateTime"),
@@ -51,7 +61,8 @@ object Collections {
         col("org_media_url").as("tweetMediaURL"),
         col("org_attached_links").as("tweetAttachedLinks")),
       key = Seq(col("id")),
-      order = Seq(col("tweetDateTime").desc))
+      order = Seq(col("tweetDateTime").desc, col("__tb").desc))
+      .drop("__tb")
 
   /** Keyed upsert ("reindex"): rows in `updates` replace same-id rows in
     * `existing`; new ids append. Anti-join + union — one shuffle on id

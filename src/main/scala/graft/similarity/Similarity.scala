@@ -153,12 +153,14 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  /** Per-vector stats: dimension, L2 norm, sign bucket. */
-  def vectorStats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** Per-vector stats: dimension, L2 norm, sign bucket, plus any
+    * caller-selected passthrough columns.
+    */
+  def vectorStats(embeddings: DataFrame, idCol: String, vecCol: String,
+                  extraCols: Seq[String] = Nil): DataFrame =
     embeddings.select(
-      col(idCol),
-      col("label"),
-      size(col(vecCol)).cast("long").as("dim"),
-      round(sqrt(norm2(col(vecCol))), 6).as("l2_norm"),
-      signBucket(col(vecCol)).as("bucket"))
+      (col(idCol) +: extraCols.map(col)) ++ Seq(
+        size(col(vecCol)).cast("long").as("dim"),
+        round(sqrt(norm2(col(vecCol))), 6).as("l2_norm"),
+        signBucket(col(vecCol)).as("bucket")): _*)
 }

@@ -41,11 +41,14 @@ object EventStreams {
         col("user_id"), col("n_events"), col("session_value"))
   }
 
-  /** Streaming dedup: first observation of each event_id wins, state bounded
-    * by the watermark (batch semantics: plain dropDuplicates).
+  /** Streaming dedup: first observation of each event_id wins. In streaming
+    * mode the state is bounded via `dropDuplicatesWithinWatermark` — plain
+    * `dropDuplicates(id)` after a watermark still keeps one state row per
+    * id forever (the watermark only evicts when the event-time column is in
+    * the dedup key). Batch semantics: plain dropDuplicates.
     */
-  def dedupFirstSeen(events: DataFrame, watermark: Boolean = false): DataFrame = {
-    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
-    src.dropDuplicates("event_id")
-  }
+  def dedupFirstSeen(events: DataFrame, watermark: Boolean = false): DataFrame =
+    if (watermark)
+      events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 }

@@ -118,18 +118,23 @@ object TweetNormalize {
     * untruncated flatten of each class.
     */
   def normalize(raw: DataFrame): DataFrame = {
+    // Drop only TRUTHY possibly_sensitive — the reference's filter_func
+    // (`Tweets_preprocessing.py:81-83`) collects ids where the flag is
+    // truthy; `false` (the common real-world value) must be KEPT.
+    def notSensitive(path: String) =
+      coalesce(col(path), lit(false)) === false
     val base = raw
-      .filter(col("possibly_sensitive").isNull)
+      .filter(notSensitive("possibly_sensitive"))
       .withColumn("samp_id", col("id"))
       .withColumn("samp_datetime", parseCreatedAt(col("created_at")))
 
     val quoted = base.filter(
       col("is_quote_status") === true && col("quoted_status").isNotNull &&
-        col("quoted_status.possibly_sensitive").isNull)
+        notSensitive("quoted_status.possibly_sensitive"))
     val retweet = base.filter(
       !(col("is_quote_status") === true && col("quoted_status").isNotNull) &&
         col("retweeted_status").isNotNull &&
-        col("retweeted_status.possibly_sensitive").isNull)
+        notSensitive("retweeted_status.possibly_sensitive"))
     val original = base.filter(
       !(col("is_quote_status") === true && col("quoted_status").isNotNull) &&
         col("retweeted_status").isNull)
@@ -184,5 +189,8 @@ object TweetNormalize {
   def processStreaming(raw: DataFrame, watermark: String = "1 day"): DataFrame =
     hiringFilter(normalize(raw))
       .withWatermark("samp_datetime", watermark)
-      .dropDuplicates("org_id")
+      // WithinWatermark bounds the dedup state: plain dropDuplicates keeps
+      // one state row per org_id forever (the watermark only evicts when
+      // the event-time column is part of the dedup key).
+      .dropDuplicatesWithinWatermark("org_id")
 }

@@ -25,6 +25,16 @@ class FloatVecDotSpec extends SparkSpec {
     assert(rows.length == 2)
   }
 
+  test("unequal lengths yield null — matching the zip_with fold's null-pad") {
+    GraftFunctions.register(spark)
+    val uneq = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val r = uneq.select(
+      expr("graft_dot(a, b)").as("fast"),
+      Similarity.dotd(col("a"), col("b")).as("fold")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1), "both paths must agree on null")
+  }
+
   test("null input yields null, not an error") {
     GraftFunctions.register(spark)
     val r = vecs.filter(col("id") === 3).select(expr("graft_dot(a, b)")).head()

@@ -21,7 +21,7 @@ class CollectionsSpec extends SparkSpec {
     assert(tweetsC.columns.toSet.contains("tweetHashtags"))
     assert(usersC.select("id").distinct().count() == usersC.count())
     assert(tweetsC.select("id").distinct().count() == tweetsC.count())
-    assert(tweetsC.count() == 6) // org ids 1,2,100,101,200,201
+    assert(tweetsC.count() == 7) // org ids 1,2,9,100,101,200,201
   }
 
   test("upsert replaces same-id rows and appends new ones") {
@@ -30,7 +30,7 @@ class CollectionsSpec extends SparkSpec {
     ).toDF("id", "userID", "tweetText")
     val merged = Collections.upsert(
       tweetsC.select("id", "userID", "tweetText"), updates, "id")
-    assert(merged.count() == 7)
+    assert(merged.count() == 8)
     assert(merged.filter(col("id") === "1").head().getAs[String]("tweetText")
       == "updated text")
     assert(merged.filter(col("id") === "999").count() == 1)

@@ -38,8 +38,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("vector stats: norms and buckets") {
-    val stats = Similarity.vectorStats(
-        vecs.withColumn("label", lit(0)), "vec_id", "embedding")
+    val stats = Similarity.vectorStats(vecs, "vec_id", "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Long]("dim"), r.getAs[Double]("l2_norm"))).toMap
     assert(stats(0L) == (4L, 1.0))

@@ -9,7 +9,7 @@ class SourcesSpec extends SparkSpec {
 
   test("multiline JSON scan reads one-array-per-file tweet batches") {
     val df = Readers.multilineJson(spark, resourcePath("tweets_fixture.json"))
-    assert(df.count() == 8)
+    assert(df.count() == 9)
     assert(df.schema.fieldNames.contains("quoted_status"))
   }
 

@@ -33,7 +33,7 @@ class StreamingPipelineSpec extends SparkSpec {
           TweetSchema.raw))
         .select("org_id").collect().map(_.getLong(0)).toSet
       assert(streamed == batch)
-      assert(streamed == Set(1L, 2L, 100L, 201L))
+      assert(streamed == Set(1L, 2L, 9L, 100L, 201L))
     } finally q.stop()
   }
 }

@@ -13,10 +13,11 @@ class TweetNormalizeSpec extends SparkSpec {
     assert(normalized.columns.toSeq == TweetNormalize.ProcessedColumns)
   }
 
-  test("sensitive rows are dropped, all variants flattened") {
-    // 9 fixture rows: 8 clean (one org_id=1 dup pair) + 1 sensitive
+  test("only truthy possibly_sensitive drops; false and null are kept") {
+    // 10 fixture rows: 9 kept (incl. possibly_sensitive=false id 9 and one
+    // org_id=1 dup pair) + 1 truthy-sensitive dropped
     val orgIds = normalized.select("org_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(orgIds == Seq(1L, 1L, 2L, 100L, 101L, 200L, 201L))
+    assert(orgIds == Seq(1L, 1L, 2L, 9L, 100L, 101L, 200L, 201L))
   }
 
   test("truncated branches read extended_tweet paths") {
@@ -35,7 +36,7 @@ class TweetNormalizeSpec extends SparkSpec {
 
   test("dedup keeps the latest observation per org_id") {
     val deduped = TweetNormalize.dedupKeepLatest(normalized)
-    assert(deduped.count() == 6)
+    assert(deduped.count() == 7)
     val kept = deduped.filter("org_id = 1").head()
     assert(kept.getAs[String]("org_text") == "We are hiring! Apply now v2")
   }
@@ -43,9 +44,10 @@ class TweetNormalizeSpec extends SparkSpec {
   test("hiring filter keeps only hiring tweets") {
     val result = TweetNormalize.process(raw)
     val kept = result.select("org_id").collect().map(_.getLong(0)).sorted.toSeq
-    // 1: "we are hiring", 2: "now hiring", 100: "join us", 201: "still hiring";
+    // 1: "we are hiring", 2: "now hiring", 9: "apply now"/"to join",
+    // 100: "join us", 201: "still hiring";
     // 200 ("nothing interesting") and 101 ("boring status") drop out.
-    assert(kept == Seq(1L, 2L, 100L, 201L))
+    assert(kept == Seq(1L, 2L, 9L, 100L, 201L))
   }
 
   test("created_at parsing matches the reference regex chain") {
