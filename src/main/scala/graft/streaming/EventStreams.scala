@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.util.Num
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Structured Streaming jobs over the events stream (SURVEY.md §2.10 — the
   * reference has no true streaming; its 2-hour file replay becomes a file
@@ -39,6 +40,44 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+  }
+
+  /** Typed event row / per-user running state for the custom stateful
+    * operator below.
+    */
+  case class Event(event_id: Long, user_id: Long, event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom arbitrary-state operator: per-user running totals via
+    * `flatMapGroupsWithState` — the escape hatch for state machines the
+    * declarative windows can't express (preference order: window /
+    * session_window first; this API only when state transitions are truly
+    * custom). Emits an updated running row per user per micro-batch.
+    *
+    * State lifecycle note: a production deployment adds an event-time
+    * timeout (`EventTimeTimeout` + watermark) to evict idle users; a
+    * processing-time timeout is deliberately NOT used here — it makes the
+    * engine schedule continuous empty micro-batches to poll timeouts,
+    * which also never lets `processAllAvailable()` settle in tests.
+    *
+    * Works on a streaming Dataset[Event]; for batch equivalence compare
+    * against a plain groupBy(user).agg (spec does exactly that).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunning(userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          Iterator.single(next)
+      }
   }
 
   /** Streaming dedup: first observation of each event_id wins. In streaming

@@ -49,4 +49,30 @@ class EventStreamsSpec extends SparkSpec {
   test("dedup first-seen drops duplicate event ids") {
     assert(EventStreams.dedupFirstSeen(rows).count() == 5)
   }
+
+  test("flatMapGroupsWithState running totals converge to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: state must carry across them
+      mem.addData(
+        EventStreams.Event(1L, 10L, "click", 1.0),
+        EventStreams.Event(2L, 10L, "click", 2.0),
+        EventStreams.Event(3L, 11L, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(4L, 10L, "click", 4.0))
+      q.processAllAvailable()
+      // last emitted row per user == cumulative totals
+      val finalRows = spark.table("running_out")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct("n_events", "total_value")).as("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(finalRows == Set((10L, 3L, 7.0), (11L, 1L, 5.0)))
+    } finally q.stop()
+  }
 }
