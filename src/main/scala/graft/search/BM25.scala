@@ -64,21 +64,32 @@ object BM25 {
     */
   def scoreTopK(docs: DataFrame, idCol: String, textCol: String,
                 queryTerms: Seq[String], k: Int): DataFrame = {
+    // ONE tokenize pass + ONE groupBy(doc): the doc length and every
+    // query-term tf come out of the same aggregation as conditional
+    // counts, then unpivot to (doc, term, tf). Halves the scan/shuffle of
+    // the separate doc-length + tf formulation.
     val toks = tokens(docs, idCol, textCol)
-    val dl = docStats(docs, idCol, textCol)
-    val corpus = dl.agg(
+    val termAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1).otherwise(0)).cast("double").as(s"__tf_$i")
+    }
+    val wide = toks.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("double").as("len"), termAggs: _*)
+    val corpus = wide.agg(
       count(lit(1)).cast("double").as("n"),
       (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val stackArgs = queryTerms.zipWithIndex
+      .map { case (t, i) => s"'${t.replace("'", "''")}', __tf_$i" }.mkString(", ")
+    val tf = wide.select(col("doc"), col("len"),
+        expr(s"stack(${queryTerms.size}, $stackArgs) AS (term, tf)"))
+      .filter(col("tf") > 0)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = col("tf") * lit(K1 + 1) /
       (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("len") / col("avglen")))
+    // len already rides along with tf from the wide aggregation — no
+    // doc-length re-join needed.
     tf.join(broadcast(dfreq), "term")
-      .join(dl, "doc")
       .crossJoin(broadcast(corpus))
       .groupBy(col("doc"))
       .agg(round(sum(idf * tfNorm), 6).as("score"))
