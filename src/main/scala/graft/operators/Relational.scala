@@ -85,6 +85,9 @@ object Relational {
     * [[dedupKeepFirst]] otherwise.
     *
     * Output: leftCols + rightPayload (null when no right row precedes).
+    * Null keys follow SQL join semantics: a null-key left row gets a null
+    * payload (null never equals null), so null-key right rows are dropped
+    * up front — a naive window partition would have matched them.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                leftCols: Seq[String], rightPayload: String): DataFrame = {
@@ -92,10 +95,12 @@ object Relational {
       col(key), col(time), lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(right.schema(rightPayload).dataType).as("__r"))
-    val r = right.select(
-      col(key), col(time), lit(0).as("__side"),
-      lit(null).cast(l.schema("__l").dataType).as("__l"),
-      col(rightPayload).as("__r"))
+    val r = right
+      .filter(col(key).isNotNull)
+      .select(
+        col(key), col(time), lit(0).as("__side"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"),
+        col(rightPayload).as("__r"))
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -123,8 +128,12 @@ object Relational {
                         bucketSeconds: Long): DataFrame = {
     val size = bucketSeconds * 1000000L
     val lb = left.withColumn("__b", expr(s"unix_micros($ts) DIV $size"))
-    val rb = right.withColumn("__b",
-      explode(expr(s"sequence(unix_micros($start) DIV $size, (unix_micros($end) - 1) DIV $size)")))
+    val rb = right
+      // [start, end): empty/inverted intervals match nothing — and would
+      // otherwise make sequence() run DESCENDING, exploding row counts.
+      .filter(col(end) > col(start))
+      .withColumn("__b",
+        explode(expr(s"sequence(unix_micros($start) DIV $size, (unix_micros($end) - 1) DIV $size)")))
     lb.join(rb, Seq(key, "__b"))
       .filter(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__b")

@@ -64,12 +64,21 @@ object BM25 {
     */
   def scoreTopK(docs: DataFrame, idCol: String, textCol: String,
                 queryTerms: Seq[String], k: Int): DataFrame = {
+    // Query terms go through the same analyzer as documents (lowercase,
+    // strip non-alphanumerics) — otherwise "Hiring" never matches the
+    // normalized token "hiring". Dedup keeps df correct for repeated
+    // terms; the [a-z0-9]-only result also makes the stack() literal
+    // interpolation below injection-proof by construction.
+    val terms = queryTerms
+      .map(_.toLowerCase.replaceAll("[^a-z0-9]", ""))
+      .filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "no query terms survive analysis")
     // ONE tokenize pass + ONE groupBy(doc): the doc length and every
     // query-term tf come out of the same aggregation as conditional
     // counts, then unpivot to (doc, term, tf). Halves the scan/shuffle of
     // the separate doc-length + tf formulation.
     val toks = tokens(docs, idCol, textCol)
-    val termAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+    val termAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1).otherwise(0)).cast("double").as(s"__tf_$i")
     }
     val wide = toks.groupBy(col("doc"))
@@ -77,10 +86,10 @@ object BM25 {
     val corpus = wide.agg(
       count(lit(1)).cast("double").as("n"),
       (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
-    val stackArgs = queryTerms.zipWithIndex
-      .map { case (t, i) => s"'${t.replace("'", "''")}', __tf_$i" }.mkString(", ")
+    val stackArgs = terms.zipWithIndex
+      .map { case (t, i) => s"'$t', __tf_$i" }.mkString(", ")
     val tf = wide.select(col("doc"), col("len"),
-        expr(s"stack(${queryTerms.size}, $stackArgs) AS (term, tf)"))
+        expr(s"stack(${terms.size}, $stackArgs) AS (term, tf)"))
       .filter(col("tf") > 0)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))

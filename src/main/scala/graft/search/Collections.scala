@@ -67,17 +67,34 @@ object Collections {
   /** Keyed upsert ("reindex"): rows in `updates` replace same-id rows in
     * `existing`; new ids append. Anti-join + union — one shuffle on id
     * (none at all when both sides are bucketed by id).
+    *
+    * PRECONDITION: `updates` has at most one row per id — duplicate update
+    * ids would both survive, breaking the one-row-per-id invariant. For a
+    * raw (undeduped) batch use [[upsertLatest]].
     */
   def upsert(existing: DataFrame, updates: DataFrame, idCol: String): DataFrame =
     existing.join(updates.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(updates)
+
+  /** Upsert from a raw batch: dedup `updates` first, keeping the row with
+    * the greatest `versionCol` per id (ties broken by the version column
+    * only — supply a total order for full determinism).
+    */
+  def upsertLatest(existing: DataFrame, updates: DataFrame, idCol: String,
+                   versionCol: String): DataFrame =
+    upsert(existing,
+      Relational.dedupKeepFirst(updates,
+        key = Seq(col(idCol)), order = Seq(col(versionCol).desc)),
+      idCol)
 
   /** Hashtag exact-match query shape (`SolrRanker.java:93-118`):
     * `tweetHashtags:'<tag>'` as array_contains, capped at 1000.
     */
   def hashtagSearch(tweets: DataFrame, tag: String, limit: Int = 1000): DataFrame =
     tweets.filter(array_contains(col("tweetHashtags"), tag))
-      .orderBy(col("id").asc)
+      // ids are numeric strings (Solr schema) — order numerically, or the
+      // limit cutoff keeps "1000000001" over "999"
+      .orderBy(col("id").cast("long").asc)
       .limit(limit)
 
   /** User-timeline query shape (`SolrRanker.java:129-159`): resolve the
@@ -87,7 +104,7 @@ object Collections {
                    limit: Int = 1000): DataFrame = {
     val u = users.filter(col("userScreenName") === screenName)
     tweets.join(broadcast(u), tweets("userID") === u("id"))
-      .orderBy(col("tweetDateTime").desc, tweets("id").desc)
+      .orderBy(col("tweetDateTime").desc, tweets("id").cast("long").desc)
       .limit(limit)
       .select(col("userScreenName"), tweets("id").as("tweet_id"),
         col("tweetDateTime"), col("tweetText"))

@@ -36,6 +36,7 @@ object Readers {
       .withColumn("__file_epoch",
         regexp_extract(element_at(split(col("__file"), "/"), -1),
           "(\\d{10,13})", 1).cast("long"))
+      .orderBy(col("__file_epoch").asc, col("__file").asc)
 
   /** Header CSV scan — replaces the reference's positional opencsv reader
     * (`SolrIndexer.java:84-113`).

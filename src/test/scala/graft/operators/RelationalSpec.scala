@@ -66,6 +66,19 @@ class RelationalSpec extends SparkSpec {
       "t3" -> None))      // quote is after the trade
   }
 
+  test("asofJoin: null keys never match (SQL join semantics)") {
+    val trades = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((Option(1L), 8L, 100L), (Option.empty[Long], 5L, 999L))
+      .toDF("key", "t", "quote")
+    val out = Relational.asofJoin(trades, quotes, "key", "t",
+      leftCols = Seq("trade"), rightPayload = "quote")
+      .collect().map(r => r.getAs[String]("trade") ->
+        Option(r.getAs[java.lang.Long]("quote"))).toMap
+    assert(out("a").contains(100L))
+    assert(out("b").isEmpty, "null-key left row must not match the null-key quote")
+  }
+
   test("saltedAgg equals direct groupBy for algebraic aggregates") {
     val direct = df.groupBy(col("key"))
       .agg(count(lit(1)).cast("long").as("n"), sum(col("ver")).cast("long").as("s"))

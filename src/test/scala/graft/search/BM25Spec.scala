@@ -22,6 +22,15 @@ class BM25Spec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("query terms pass through the same analyzer as documents") {
+    val normalized = BM25.scoreTopK(docs, "doc_id", "text", Seq("Spark!", "QUERY", "spark"), 5)
+      .collect().map(_.getLong(0)).toSet
+    val plain = BM25.scoreTopK(docs, "doc_id", "text", Seq("spark", "query"), 5)
+      .collect().map(_.getLong(0)).toSet
+    // capitalization/punctuation/duplicates must not change the result set
+    assert(normalized == plain)
+  }
+
   test("scores are deterministic across runs") {
     val a = BM25.scoreTopK(docs, "doc_id", "text", Seq("spark", "query"), 5)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq

@@ -36,6 +36,19 @@ class CollectionsSpec extends SparkSpec {
     assert(merged.filter(col("id") === "999").count() == 1)
   }
 
+  test("upsertLatest dedups a raw update batch by version before merging") {
+    val updates = Seq(
+      ("1", 100L, "old update"), ("1", 200L, "new update")
+    ).toDF("id", "version", "tweetText")
+    val merged = Collections.upsertLatest(
+      tweetsC.select(col("id"), org.apache.spark.sql.functions.lit(0L).as("version"),
+        col("tweetText")),
+      updates, "id", "version")
+    assert(merged.filter(col("id") === "1").count() == 1)
+    assert(merged.filter(col("id") === "1").head().getAs[String]("tweetText")
+      == "new update")
+  }
+
   test("keyword search scores tweets and resolves authors in one join") {
     val hits = Collections.keywordSearch(tweetsC, usersC, Seq("hiring", "apply"), 5)
       .collect()

@@ -19,8 +19,8 @@ class SourcesSpec extends SparkSpec {
     val b = new java.io.File(dir, "tweets_1634820000.json")
     Files.writeString(a.toPath, """[{"id": 2, "text": "later"}]""")
     Files.writeString(b.toPath, """[{"id": 1, "text": "earlier"}]""")
+    // no caller-side orderBy: the source itself must deliver replay order
     val df = Readers.orderedFileBatches(spark, dir.getAbsolutePath)
-      .orderBy(col("__file_epoch"))
     val epochs = df.select("__file_epoch").collect().map(_.getLong(0)).toSeq
     assert(epochs == Seq(1634810000L, 1634820000L))
   }
