@@ -43,6 +43,26 @@ object Readers {
     */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", value = true).csv(path)
+
+  /** ORC scan — second columnar format beside parquet; same pushdown and
+    * pruning behavior through the native reader.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Malformed-record-tolerant JSON scan: PERMISSIVE mode routes corrupt
+    * lines into `_corrupt_record` instead of failing the job — required for
+    * any real 100 TB ingest where some fraction of records is always bad.
+    */
+  def jsonWithCorrupt(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .json(path)
+  }
 }
 
 object Sinks {
@@ -65,6 +85,18 @@ object Sinks {
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** ORC sink. */
+  def orc(df: DataFrame, dest: String): Unit =
+    df.write.mode("overwrite").orc(dest)
+
+  /** Hive-style partitioned write: one directory per partition value, so a
+    * filter on the partition column prunes entire directories at planning
+    * time (`PartitionFilters` in the scan — see PartitioningSpec). The
+    * date/source/bucket columns of the big tables are the natural keys.
+    */
+  def partitionedTable(df: DataFrame, dest: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dest)
 
   /** CSV sink with the reference's scrubbing (`Tweets_preprocessing.py:490-505`):
     * ids cast to string (CSV precision), newlines → '|', double quotes →
