@@ -59,9 +59,11 @@ object TweetNormalize {
     * reference's regexp chain (`Tweets_preprocessing.py:125-128`).
     */
   def parseCreatedAt(c: Column): Column =
-    to_timestamp(
+    // try_to_timestamp: a malformed created_at yields null (the reference's
+    // legacy-parser behavior) instead of failing the whole job under ANSI.
+    try_to_timestamp(
       regexp_replace(ltrim(regexp_extract(c, "(\\ \\w+.+)", 1)), "(\\+\\d+\\ )", ""),
-      "MMM dd HH:mm:ss yyyy")
+      lit("MMM dd HH:mm:ss yyyy"))
 
   /** One flatten branch: project the 24 columns out of a tweet rooted at
     * `p` ("" = top level, or "quoted_status"/"retweeted_status"), reading
