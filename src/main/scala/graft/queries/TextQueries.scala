@@ -86,14 +86,21 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n"))
     }),
 
-    // Approximate distinct (HLL sketch) — rows-only check: sketch estimates
-    // are engine-specific, so no value oracle exists by construction.
+    // Approximate distinct (HLL sketch). The raw estimate is engine-specific
+    // (Spark HLL++ vs DuckDB's sketch), so the hash-checked contract is a
+    // tolerance bound: the query emits the EXACT distinct count plus a flag
+    // asserting the rsd=0.01 sketch landed within 5% (5σ) of it; the oracle
+    // recomputes the exact count and asserts the flag TRUE. A broken sketch
+    // (or a broken tolerance) flips the flag and fails the hash gate.
     "q_approx_distinct" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("source"))
-        .agg(approx_count_distinct(col("term")).as("approx_terms"),
+        .agg(approx_count_distinct(col("term"), rsd = 0.01).as("__approx"),
           countDistinct(col("term")).as("exact_terms"))
+        .select(col("source"), col("exact_terms"),
+          (abs(col("__approx") - col("exact_terms")).cast("double") /
+            col("exact_terms").cast("double") <= 0.05).as("approx_within_5pct"))
     }),
 
     // Multimodal column plumbing: opaque bytes + typed metadata. The decode
@@ -190,8 +197,11 @@ object TextQueries extends QueryPack {
         |FROM toks t LEFT JOIN lem l ON t.term = l.term
         |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
 
-    // q_approx_distinct: deliberately no oracle (HLL estimates are
-    // engine-specific); driver records the rows-only check.
+    "q_approx_distinct" ->
+      """WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS term FROM documents)
+        |SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_terms,
+        |  TRUE AS approx_within_5pct
+        |FROM toks GROUP BY source""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -106,19 +106,24 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val cents = broadcast(embeddings.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
-    val dist = round(cosineFast(vecCol, "__cv"), 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("__cid").asc)
-    embeddings.crossJoin(cents)
-      .withColumn("__sim", dist)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__cv", "__rn")
-      .withColumnRenamed("__cid", "cluster")
-      .withColumnRenamed("__sim", "centroid_sim")
+    // All centroids as ONE broadcast row (an array of (cid, vec) structs);
+    // the argmax is then a pure projection — array_max over a struct whose
+    // leading field is the similarity (tie-break: -cid, i.e. smallest cid
+    // wins) — so assignment is ZERO-shuffle: no window, no groupBy. The
+    // previous formulation (crossJoin + row_number over partitionBy(id))
+    // shuffled nCentroids copies of the table just to pick the per-row max.
+    val centsArr = embeddings.filter(col(idCol) < nCentroids)
+      .agg(collect_list(struct(col(idCol).as("cid"), col(vecCol).as("cv")))
+        .as("__cents"))
+    embeddings.crossJoin(broadcast(centsArr))
+      .withColumn("__best", expr(
+        s"""array_max(transform(__cents, c -> struct(
+           |  round(graft_dot($vecCol, c.cv) /
+           |    (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
+           |  -c.cid AS ncid)))""".stripMargin))
+      .withColumn("cluster", -col("__best.ncid"))
+      .withColumn("centroid_sim", col("__best.sim"))
+      .drop("__cents", "__best")
   }
 
   /** ANN query via IVF clusters: exact rerank within the query's cluster. */
