@@ -90,10 +90,44 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Feature-extract a binary column to a float-array embedding column. */
+  /** Feature-extract a binary column to a float-array embedding column.
+    * `mapPartitions`, not a per-row UDF: a real embedding model's context
+    * (weights, session) is loaded once per partition and amortized across
+    * the batch — per-call loading is the scale killer.
+    */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int = 8): DataFrame = {
-    val featUdf = udf((b: Array[Byte]) => StubCodec.features(b, dim))
-    df.withColumn("features", featUdf(col(binCol)))
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // embedding-model context would be loaded here, once per partition
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ StubCodec.features(r.getAs[Array[Byte]](binIdx), dim).toSeq)
+      }
+    }(encoder)
+  }
+
+  /** OCR seam — the reference's only multimodal op
+    * (`SolrIndexer.java:115-129`: Tesseract `doOCR` over each tweet's
+    * fetched media, output indexed as `tweetMediaText`). The stub emits
+    * deterministic fake text from the decoded header; a real build binds
+    * tess4j/tesseract here. Same one-context-per-partition shape as
+    * [[decodeMeta]]. Feeds
+    * [[graft.search.Collections.tweetsWithMediaText]].
+    */
+  def ocrText(df: DataFrame, binCol: String, outCol: String = "media_text"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // OCR context (a Tesseract instance) would be opened here, once
+      rows.map { r =>
+        val m = StubCodec.decode(r.getAs[Array[Byte]](binIdx))
+        val txt = if (m.valid) s"stub ocr ${m.format} ${m.width} ${m.height}" else ""
+        Row.fromSeq(r.toSeq :+ txt)
+      }
+    }(encoder)
   }
 
   /** Deterministic frame-sample offsets for a video-shaped blob: k evenly

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.search.BM25
+import graft.search.{BM25, BM25Index}
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,34 +17,65 @@ object SearchQueries extends QueryPack {
     */
   val QueryTerms: Seq[String] = Seq("spark", "query")
 
-  /** Shared BM25 CTE prefix for the oracle SQL (DuckDB). Mirrors
-    * [[graft.search.BM25.scoreTopK]] shape for shape.
+  /** Per-field BM25 CTE chain for the oracle SQL (DuckDB), mirroring
+    * [[graft.search.BM25.scoreAll]] shape for shape over an arbitrary field
+    * expression; CTE names carry `sfx` so two fields can coexist in one
+    * query (the multi-field oracle).
     */
-  private val bm25Cte =
-    """WITH toks AS (SELECT doc, term FROM (
-      |    SELECT doc_id AS doc, unnest(string_split_regex(
-      |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
-      |    FROM documents) WHERE length(term) > 0),
-      |dl AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks GROUP BY doc),
-      |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl),
-      |tf AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
-      |  WHERE term IN ('spark', 'query') GROUP BY doc, term),
-      |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-      |scored AS (
-      |  SELECT t.doc, round(SUM(
-      |    ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
-      |    (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)))
-      |  ), 6) AS score
-      |  FROM tf t JOIN dfreq d USING (term) JOIN dl USING (doc) CROSS JOIN corpus c
-      |  GROUP BY t.doc),
-      |top10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)
-      |""".stripMargin
+  private def bm25FieldCte(fieldSql: String, sfx: String): String =
+    raw"""toks$sfx AS (SELECT doc, term FROM (
+         |    SELECT doc_id AS doc, unnest(string_split_regex(
+         |      regexp_replace(lower($fieldSql), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
+         |    FROM documents) WHERE length(term) > 0),
+         |dl$sfx AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks$sfx GROUP BY doc),
+         |corpus$sfx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl$sfx),
+         |tf$sfx AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks$sfx
+         |  WHERE term IN ('spark', 'query') GROUP BY doc, term),
+         |dfreq$sfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf$sfx GROUP BY term),
+         |scored$sfx AS (
+         |  SELECT t.doc, round(SUM(
+         |    ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
+         |    (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)))
+         |  ), 6) AS score
+         |  FROM tf$sfx t JOIN dfreq$sfx d USING (term) JOIN dl$sfx dl USING (doc)
+         |  CROSS JOIN corpus$sfx c
+         |  GROUP BY t.doc)""".stripMargin
+
+  private val bm25Cte = "WITH " + bm25FieldCte("text", "") + ",\n" +
+    "top10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n"
+
+  /** The stand-in OCR field for the multi-field oracle: a deterministic
+    * derivation both engines can compute (every 20th doc "contains an image
+    * whose OCR text matches the query"; all others carry their lang tag).
+    * The real OCR seam feeds [[graft.search.Collections.tweetsWithMediaText]]
+    * — spec-verified; this derived field is what makes the multi-field
+    * SCORING hash-checkable against DuckDB.
+    */
+  private val MediaFieldSql =
+    "CASE WHEN doc_id % 20 = 0 THEN 'spark query ocr' ELSE lang END"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Keyword relevance search, rows=10 (`SolrRanker.java:66-91`).
+    // Keyword relevance search, rows=10 (`SolrRanker.java:66-91`) — the
+    // ad-hoc path (tokenizes the corpus; right for one-off queries).
     "q_keyword_bm25" -> ((s, dir) =>
       BM25.scoreTopK(Tables.documents(s, dir), "doc_id", "text", QueryTerms, k = 10)),
+
+    // Same query served from the persistent index (`SolrIndexer.java:47-59`
+    // — Solr never re-analyzes per query). Build-once-if-absent, then every
+    // run reads only the bucket-pruned postings slice. Identical top-10.
+    "q_keyword_bm25_served" -> ((s, dir) =>
+      BM25Index.topK(s, BM25Index.ensureBuilt(s, dir), QueryTerms, k = 10)),
+
+    // Multi-field relevance (`SolrRanker.java:76`: tweetText OR
+    // tweetMediaText): per-field BM25 summed; the derived media field makes
+    // a media-text-only match (doc_id % 20 = 0, text without the terms)
+    // surface in the ranking.
+    "q_keyword_multifield" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("media_text",
+        when(col("doc_id") % 20 === 0, lit("spark query ocr")).otherwise(col("lang")))
+      BM25.scoreTopKFields(docs, "doc_id", Seq("text", "media_text"), QueryTerms, k = 10)
+    }),
 
     // …then joined to its "users" side — the reference resolves each result
     // tweet's author with N+1 Solr point lookups (`SolrRanker.java:58-64`);
@@ -84,6 +115,17 @@ object SearchQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_keyword_bm25" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    // Serving path must produce the SAME ranking as the ad-hoc path.
+    "q_keyword_bm25_served" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    "q_keyword_multifield" ->
+      ("WITH " + bm25FieldCte("text", "_t") + ",\n" +
+        bm25FieldCte(MediaFieldSql, "_m") + ",\n" +
+        """comb AS (SELECT coalesce(a.doc, b.doc) AS doc,
+          |  round(coalesce(a.score, 0) + coalesce(b.score, 0), 6) AS score
+          |  FROM scored_t a FULL JOIN scored_m b ON a.doc = b.doc)
+          |SELECT doc, score FROM comb ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin),
 
     "q_keyword_join_source" -> (bm25Cte +
       """, src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs,

@@ -1,7 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** BM25 relevance scoring as DataFrame algebra — the Spark-native
   * re-expression of the reference's Solr/Lucene ranking
@@ -59,19 +59,32 @@ object BM25 {
       .groupBy(col("doc"))
       .agg(count(lit(1)).cast("double").as("len"))
 
-  /** Top-k docs for a bag-of-terms query. Deterministic: score rounded to 6
-    * decimals (absorbs libm ln ulp differences), ties broken by doc id.
+  /** Query-side analyzer: same normalization as document [[tokens]]
+    * (lowercase, strip non-alphanumerics) — otherwise "Hiring" never matches
+    * the normalized token "hiring". Dedup keeps df correct for repeated
+    * terms; the [a-z0-9]-only result also makes stack() literal
+    * interpolation injection-proof by construction.
     */
-  def scoreTopK(docs: DataFrame, idCol: String, textCol: String,
-                queryTerms: Seq[String], k: Int): DataFrame = {
-    // Query terms go through the same analyzer as documents (lowercase,
-    // strip non-alphanumerics) — otherwise "Hiring" never matches the
-    // normalized token "hiring". Dedup keeps df correct for repeated
-    // terms; the [a-z0-9]-only result also makes the stack() literal
-    // interpolation below injection-proof by construction.
-    val terms = queryTerms
-      .map(_.toLowerCase.replaceAll("[^a-z0-9]", ""))
+  def analyze(queryTerms: Seq[String]): Seq[String] =
+    queryTerms.map(_.toLowerCase.replaceAll("[^a-z0-9]", ""))
       .filter(_.nonEmpty).distinct
+
+  /** Lucene's BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)). */
+  def idfExpr(n: Column, df: Column): Column =
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** BM25 tf normalization: tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)). */
+  def tfNormExpr(tf: Column, len: Column, avglen: Column): Column =
+    tf * lit(K1 + 1) / (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * len / avglen))
+
+  /** Per-field BM25 scores for every matching doc (no ranking cut):
+    * (doc, score), score rounded to 6 decimals (absorbs libm ln ulp
+    * differences). Field statistics (df, len, avglen, N) are computed over
+    * this field only — per-field stats, as Lucene keeps them.
+    */
+  def scoreAll(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String]): DataFrame = {
+    val terms = analyze(queryTerms)
     require(terms.nonEmpty, "no query terms survive analysis")
     // ONE tokenize pass + ONE groupBy(doc): the doc length and every
     // query-term tf come out of the same aggregation as conditional
@@ -93,15 +106,42 @@ object BM25 {
       .filter(col("tf") > 0)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = col("tf") * lit(K1 + 1) /
-      (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("len") / col("avglen")))
     // len already rides along with tf from the wide aggregation — no
     // doc-length re-join needed.
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(corpus))
       .groupBy(col("doc"))
-      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .agg(round(sum(idfExpr(col("n"), col("df")) *
+        tfNormExpr(col("tf"), col("len"), col("avglen"))), 6).as("score"))
+  }
+
+  /** Top-k docs for a bag-of-terms query over ONE text field. Deterministic:
+    * rounded score ordering, ties broken by doc id.
+    */
+  def scoreTopK(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], k: Int): DataFrame =
+    scoreAll(docs, idCol, textCol, queryTerms)
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+
+  /** Multi-field top-k — the reference's `tweetText:<q> OR tweetMediaText:
+    * <q>` (`Ranking Model/src/main/java/Main/SolrRanker.java:76`; the media
+    * field is declared at `SolrTemplates/SolrSetup.java:128-130`). Lucene
+    * scores each field's subquery with that field's own statistics and the
+    * boolean OR sums them; docs matching in EITHER field rank. Same here:
+    * per-field [[scoreAll]], full-outer join on doc, missing field = 0.
+    */
+  def scoreTopKFields(docs: DataFrame, idCol: String, textCols: Seq[String],
+                      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(textCols.nonEmpty, "at least one field")
+    val combined = textCols.map(f => scoreAll(docs, idCol, f, queryTerms))
+      .reduce { (a, b) =>
+        a.select(col("doc"), col("score").as("__sa"))
+          .join(b.select(col("doc"), col("score").as("__sb")), Seq("doc"), "full_outer")
+          .select(col("doc"),
+            (coalesce(col("__sa"), lit(0.0)) + coalesce(col("__sb"), lit(0.0))).as("score"))
+      }
+    combined.select(col("doc"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
   }

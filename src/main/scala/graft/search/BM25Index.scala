@@ -1,0 +1,117 @@
+package graft.search
+
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** Persistent BM25 serving index — the Spark-native analogue of the
+  * reference's Solr collection index (`Ranking Model/src/main/java/Main/
+  * SolrIndexer.java:47-59`): built ONCE, reused across queries, so serving
+  * never re-tokenizes the corpus (Solr never re-analyzes its documents per
+  * query either; the ad-hoc [[BM25.scoreTopK]] path does, which is right for
+  * one-off queries and wrong for a serving deployment).
+  *
+  * Layout under one index directory:
+  * {{{
+  *   postings/tb=<0..15>/   (doc, term, tf, len)  sorted by (term, doc)
+  *   termstats/tb=<0..15>/  (term, df)            sorted by term
+  *   corpus/                (n, avglen)           one row
+  * }}}
+  *
+  * `len` (doc length) is denormalized onto postings — Lucene stores per-doc
+  * field norms alongside postings the same way — so serving needs NO
+  * docstats join. Query-time reads prune twice: the term bucket
+  * `tb = crc32(term) % 16` prunes whole directories at planning time
+  * (PartitionFilters) and the within-file term sort prunes row groups via
+  * parquet min/max stats (PushedFilters) — the two-level pruning a sharded
+  * inverted index gives. At 100 TB, scale the bucket count with vocabulary
+  * and write per-bucket files bucketed by doc for co-partitioned score joins.
+  *
+  * Why directory partitioning instead of [[graft.sources.Sinks.bucketedTable]]
+  * (bucketBy + saveAsTable): bucketed-table reads resolve through the session
+  * catalog, which does not survive across driver sessions here; partition
+  * directories give the same pruning from a plain path read.
+  */
+object BM25Index {
+
+  val NumTermBuckets = 16
+
+  /** Engine-independent term bucket, computable as a Column at build time
+    * and on the driver at query time (java.util.zip.CRC32 and Spark's
+    * `crc32` share the polynomial).
+    */
+  def termBucketCol(term: Column): Column =
+    pmod(crc32(term), lit(NumTermBuckets)).cast("int")
+
+  def termBucket(term: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % NumTermBuckets).toInt
+  }
+
+  /** Build the index from a corpus. One tokenize pass; postings and doc
+    * lengths come from the same (doc, term, tf) aggregation.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, dest: String): Unit = {
+    val post = BM25.postings(docs, idCol, textCol)
+    val lens = post.groupBy(col("doc")).agg(sum(col("tf")).as("len"))
+    post.join(lens, "doc")
+      .withColumn("tb", termBucketCol(col("term")))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/postings")
+    post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("tb", termBucketCol(col("term")))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/termstats")
+    lens.agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/corpus")
+  }
+
+  def isBuilt(dest: String): Boolean =
+    Files.exists(Paths.get(dest, "corpus", "_SUCCESS"))
+
+  /** Canonical index location for a testdata sf dir (kept inside the repo's
+    * build dir). The testdata corpora are immutable, so an existing index is
+    * always current.
+    */
+  def defaultDir(sfDir: String): String =
+    "/root/repo/target/bm25-index-v1/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Build-if-absent for a testdata documents corpus; returns the index dir. */
+  def ensureBuilt(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir)
+    if (!isBuilt(dest)) build(Tables.documents(spark, sfDir), "doc_id", "text", dest)
+    dest
+  }
+
+  /** Serving-path top-k: reads only the bucket-pruned, term-filtered
+    * postings/termstats slices plus the 1-row corpus; the whole query is two
+    * broadcast joins + one groupBy(doc) over matching postings. Score is
+    * bit-identical to [[BM25.scoreTopK]] (same idf/tfNorm/rounding over the
+    * same tf/len/df/N values).
+    */
+  def topK(spark: SparkSession, dest: String, queryTerms: Seq[String],
+           k: Int): DataFrame = {
+    val terms = BM25.analyze(queryTerms)
+    require(terms.nonEmpty, "no query terms survive analysis")
+    val tbs = terms.map(termBucket).distinct
+    val post = spark.read.parquet(s"$dest/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val tstats = spark.read.parquet(s"$dest/termstats")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val corpus = spark.read.parquet(s"$dest/corpus")
+    post.join(broadcast(tstats.select(col("term"), col("df"))), "term")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc"))
+      .agg(round(sum(BM25.idfExpr(col("n"), col("df")) *
+        BM25.tfNormExpr(col("tf"), col("len"), col("avglen"))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+}

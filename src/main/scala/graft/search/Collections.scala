@@ -64,6 +64,19 @@ object Collections {
       order = Seq(col("tweetDateTime").desc, col("__tb").desc))
       .drop("__tb")
 
+  /** tweets collection with the OCR media-text field — the reference
+    * declares `tweetMediaText` on the tweets collection
+    * (`SolrSetup.java:128-130`) and populates it at index time from
+    * per-image OCR (`SolrIndexer.java:115-129`). `mediaText` is
+    * (id, media_text) from [[graft.multimodal.Multimodal.ocrText]] over the
+    * tweets' media blobs; tweets without media get "" (Solr's empty field).
+    */
+  def tweetsWithMediaText(processed: DataFrame, mediaText: DataFrame): DataFrame =
+    tweets(processed)
+      .join(mediaText.select(col("id"), col("media_text").as("tweetMediaText")),
+        Seq("id"), "left")
+      .withColumn("tweetMediaText", coalesce(col("tweetMediaText"), lit("")))
+
   /** Keyed upsert ("reindex"): rows in `updates` replace same-id rows in
     * `existing`; new ids append. Anti-join + union — one shuffle on id
     * (none at all when both sides are bucketed by id).
@@ -122,5 +135,22 @@ object Collections {
         col("userID") === col("uid"), "left")
       .select(col("doc").as("tweet_id"), col("score"), col("tweetText"),
         col("userName"), col("userScreenName"))
+  }
+
+  /** Multi-field keyword search — the reference's actual query
+    * (`SolrRanker.java:76`: `tweetText:<q> OR tweetMediaText:<q>`): per-field
+    * BM25 summed, so a tweet whose text is image-only (terms appear only in
+    * the OCR field) still ranks. Requires the `tweetMediaText` column
+    * ([[tweetsWithMediaText]]).
+    */
+  def keywordSearchMultiField(tweets: DataFrame, users: DataFrame,
+                              terms: Seq[String], k: Int = 10): DataFrame = {
+    val top = BM25.scoreTopKFields(tweets, "id",
+      Seq("tweetText", "tweetMediaText"), terms, k)
+    top.join(tweets.withColumnRenamed("id", "doc"), "doc")
+      .join(users.withColumnRenamed("id", "uid"),
+        col("userID") === col("uid"), "left")
+      .select(col("doc").as("tweet_id"), col("score"), col("tweetText"),
+        col("tweetMediaText"), col("userName"), col("userScreenName"))
   }
 }

@@ -36,6 +36,17 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == again)
   }
 
+  test("ocrText emits deterministic text for valid media, empty for corrupt") {
+    val withText = Multimodal.ocrText(media, "media")
+      .select("media_id", "media_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(withText(0L) == "stub ocr jpeg 16 9")
+    assert(withText.values.forall(_.startsWith("stub ocr ")))
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    assert(Multimodal.ocrText(corrupt, "media")
+      .select("media_text").head().getString(0) == "")
+  }
+
   test("frame offsets are k evenly spaced positions past the header") {
     val withLen = Multimodal.decodeMeta(media, "media")
       .select(col("media_id"), col("meta.n_bytes").as("n_bytes"))

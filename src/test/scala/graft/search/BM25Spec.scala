@@ -38,4 +38,49 @@ class BM25Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(a == b)
   }
+
+  test("serving index returns the exact ad-hoc ranking (scores bit-equal)") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    BM25Index.build(docs, "doc_id", "text", dest)
+    val adhoc = BM25.scoreTopK(docs, "doc_id", "text", Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val served = BM25Index.topK(spark, dest, Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(served == adhoc)
+  }
+
+  test("serving scan is pruned to the query terms' buckets") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    BM25Index.build(docs, "doc_id", "text", dest)
+    val plan = BM25Index.topK(spark, dest, Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    // partition pruning on tb must reach the postings scan
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"))
+    // and the term filter must be pushed to parquet
+    assert(plan.contains("PushedFilters") && plan.contains("term"))
+  }
+
+  test("JVM and Column term buckets agree") {
+    val terms = Seq("spark", "query", "hiring", "a", "0", "zz9")
+    val fromCol = terms.toDF("t")
+      .select(BM25Index.termBucketCol($"t")).collect().map(_.getInt(0)).toSeq
+    assert(fromCol == terms.map(BM25Index.termBucket))
+  }
+
+  test("multi-field scoring surfaces a media-text-only match") {
+    val mm = Seq(
+      (1L, "spark query engine", ""),
+      (2L, "nothing relevant here", "stub ocr says spark query"), // media-only match
+      (3L, "also irrelevant text", ""),
+      (4L, "spark things", "more spark ocr")                      // match in both
+    ).toDF("doc_id", "text", "media_text")
+    val top = BM25.scoreTopKFields(mm, "doc_id", Seq("text", "media_text"),
+      Seq("spark", "query"), 4).collect()
+    val ids = top.map(_.getLong(0)).toSet
+    assert(ids.contains(2L)) // invisible to single-field scoring
+    assert(!ids.contains(3L))
+    val single = BM25.scoreTopK(mm, "doc_id", "text", Seq("spark", "query"), 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!single.contains(2L))
+  }
 }

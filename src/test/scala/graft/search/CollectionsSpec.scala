@@ -58,6 +58,21 @@ class CollectionsSpec extends SparkSpec {
     assert(top.getAs[String]("userScreenName") != null)
   }
 
+  test("multi-field search ranks a tweet whose match is OCR-only") {
+    // media text for tweet 2 carries terms that appear in NO tweet's text
+    val mediaText = Seq(("2", "stub ocr zebra unicorn banner")).toDF("id", "media_text")
+    val withMedia = Collections.tweetsWithMediaText(processed, mediaText)
+    assert(withMedia.columns.contains("tweetMediaText"))
+    // non-media tweets carry "" (never null — BM25 tokenization drops them)
+    assert(withMedia.filter(col("tweetMediaText").isNull).count() == 0)
+    val multi = Collections.keywordSearchMultiField(withMedia, usersC,
+      Seq("zebra", "unicorn"), 5).collect().map(_.getAs[String]("tweet_id")).toSet
+    assert(multi == Set("2"), "OCR-only match must rank in multi-field search")
+    val single = Collections.keywordSearch(tweetsC, usersC,
+      Seq("zebra", "unicorn"), 5).collect().map(_.getAs[String]("tweet_id")).toSet
+    assert(single.isEmpty, "fixture invariant: no tweet text matches these terms")
+  }
+
   test("hashtag search matches the array exactly") {
     val hits = Collections.hashtagSearch(tweetsC, "hiring")
       .select("id").collect().map(_.getString(0)).toSet
