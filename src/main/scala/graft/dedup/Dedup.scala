@@ -19,7 +19,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    (band, signature) keys, i.e. O(docs × bands), and whose verify step
   *    touches only candidate pairs;
   *  - at extreme skew (a shingle in millions of docs) drop top-frequency
-  *    shingles first (stopword-shingle filter) — standard MinHash practice.
+  *    shingles first (stopword-shingle filter) — standard MinHash practice;
+  *    wired as the `maxShingleDf` parameter on [[jaccardPairs]] and
+  *    [[minHashLsh]] (candidate generation only; verification stays exact).
   */
 object Dedup {
 
@@ -47,6 +49,23 @@ object Dedup {
 
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc")).agg(count(lit(1)).cast("long").as("n_sh"))
+
+  /** Shingles restricted to those appearing in ≤ `cut` docs — the standard
+    * frequent-shingle (stop-shingle) guardrail: a boilerplate shingle shared
+    * by millions of docs makes the candidate self-join quadratic in that
+    * shingle's df. Used for CANDIDATE GENERATION only; verification always
+    * runs on the full shingle sets, so reported Jaccard values stay exact —
+    * the cutoff can only lose candidate pairs whose every common shingle is
+    * hot (which at high thresholds are boilerplate near-dups, the pairs the
+    * cutoff exists to not drown in).
+    */
+  private[dedup] def capShingleDf(sh: DataFrame, cut: Long): DataFrame = {
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+      .filter(col("__df") > cut)
+      .select(col("shingle"))
+    sh.join(hot, Seq("shingle"), "left_anti")
+  }
 
   /** Verified Jaccard similarity for the given candidate pairs (doc_a, doc_b),
     * computed from the shingle sets. One join per side + one groupBy(pair).
@@ -80,22 +99,36 @@ object Dedup {
     * session can `spark.catalog.clearCache()` between them.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).persist()
-    val sz = shingleSizes(sh)
-    val inter = sh.select(col("doc").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).cast("long").as("inter"))
-    inter
-      .join(sz.select(col("doc").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sz.select(col("doc").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jacc",
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6))
-      .filter(col("jacc") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
+    maxShingleDf match {
+      case None =>
+        val sz = shingleSizes(sh)
+        val inter = sh.select(col("doc").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc").as("doc_b"), col("shingle")), "shingle")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).cast("long").as("inter"))
+        inter
+          .join(sz.select(col("doc").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(sz.select(col("doc").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .withColumn("jacc",
+            round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double"), 6))
+          .filter(col("jacc") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("jacc"))
+      case Some(cut) =>
+        // candidates from the capped shingles, verification on the full
+        // sets — see [[capShingleDf]].
+        val capped = capShingleDf(sh, cut)
+        val pairs = capped.select(col("doc").as("doc_a"), col("shingle"))
+          .join(capped.select(col("doc").as("doc_b"), col("shingle")), "shingle")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        verifyJaccard(sh, pairs, threshold)
+    }
   }
 
   /** Modulus of the MinHash LCG family (2^31 − 1, prime). */
@@ -141,8 +174,12 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
-                 threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).persist()
+                 threshold: Double = 0.5,
+                 maxShingleDf: Option[Long] = None): DataFrame = {
+    val shAll = shingles(docs, idCol, textCol, n).persist()
+    // candidate signatures over df-capped shingles (guardrail for skewed
+    // corpora); verification below always uses the full sets.
+    val sh = maxShingleDf.fold(shAll)(cut => capShingleDf(shAll, cut))
     // band signatures straight off the wide signature row — no second
     // shuffle: groupBy(doc) is the only exchange in candidate generation.
     val numBands = numHashes / rowsPerBand
@@ -158,7 +195,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyJaccard(sh, pairs, threshold)
+    verifyJaccard(shAll, pairs, threshold)
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found without

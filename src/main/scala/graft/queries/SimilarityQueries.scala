@@ -39,7 +39,15 @@ object SimilarityQueries extends QueryPack {
 
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45))
+        threshold = 0.45)),
+
+    // The scale path: same threshold semantics, candidates pruned to
+    // same-sign-bucket pairs (recall < 1 by design — see the operator's
+    // Scaladoc; the oracle mirrors the pruning exactly, so the entry is
+    // hash-checked, and SimilaritySpec quantifies recall vs the exact pairs).
+    "q_dedup_embedding_bucketed" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.45))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -73,6 +81,13 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
+
+    "q_dedup_embedding_bucketed" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
     "q_embedding_stats" ->

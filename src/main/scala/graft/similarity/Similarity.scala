@@ -158,6 +158,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Scale path for near-dup pairs: candidate pairs restricted to vectors
+    * sharing a sign-LSH bucket (equi-join on the bucket — partitionable,
+    * shuffle-bounded, no crossJoin), then scored exactly. The bucket column
+    * is the same one the table would be written partitioned by, so at 100 TB
+    * each bucket's self-join runs against one partition's slice.
+    *
+    * Recall note (documented tradeoff vs [[cosineNearDupPairs]]): a pair is
+    * a candidate only if none of the leading `dims` dimensions flips sign
+    * between the two vectors. For random vectors at angle θ each dimension
+    * flips with probability θ/π, so at threshold t the per-pair miss rate is
+    * ≈ 1 − (1 − acos(t)/π)^dims — nontrivial at moderate thresholds. Raise
+    * recall by unioning candidates from a second sign projection (different
+    * leading dims) or lowering `dims`; precision is unaffected (exact
+    * verification).
+    */
+  def cosineNearDupPairsBucketed(embeddings: DataFrame, idCol: String,
+                                 vecCol: String, threshold: Double,
+                                 dims: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val b = embeddings.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), dims).as("__bucket"))
+    b.select(col("__bucket"), col(idCol).as("vec_a"), col(vecCol).as("__va"))
+      .join(b.select(col("__bucket"), col(idCol).as("vec_b"), col(vecCol).as("__vb")),
+        "__bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosineFast("__va", "__vb"), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Per-vector stats: dimension, L2 norm, sign bucket, plus any
     * caller-selected passthrough columns.
     */

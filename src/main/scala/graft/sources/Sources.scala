@@ -38,11 +38,26 @@ object Readers {
           "(\\d{10,13})", 1).cast("long"))
       .orderBy(col("__file_epoch").asc, col("__file").asc)
 
-  /** Header CSV scan — replaces the reference's positional opencsv reader
-    * (`SolrIndexer.java:84-113`).
+  /** Header CSV scan — the name-based (saner) replacement for the
+    * reference's positional opencsv reader (`SolrIndexer.java:84-113`).
     */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", value = true).csv(path)
+
+  /** Positional CSV scan — the reference indexer's actual contract
+    * (`SolrIndexer.java:90-113`: fields consumed by column INDEX —
+    * `row[1]`, `row[2]`, … — regardless of header text). The supplied
+    * schema is applied by position (`enforceSchema`): the file's header row
+    * is skipped, its names ignored, exactly like opencsv's indexed access.
+    */
+  def csvPositional(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header)
+      .option("enforceSchema", value = true)
+      .schema(schema)
+      .csv(path)
 
   /** ORC scan — second columnar format beside parquet; same pushdown and
     * pruning behavior through the native reader.

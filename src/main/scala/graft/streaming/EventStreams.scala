@@ -54,11 +54,12 @@ object EventStreams {
     * session_window first; this API only when state transitions are truly
     * custom). Emits an updated running row per user per micro-batch.
     *
-    * State lifecycle note: a production deployment adds an event-time
-    * timeout (`EventTimeTimeout` + watermark) to evict idle users; a
-    * processing-time timeout is deliberately NOT used here — it makes the
-    * engine schedule continuous empty micro-batches to poll timeouts,
-    * which also never lets `processAllAvailable()` settle in tests.
+    * State lifecycle note: this variant's state is UNBOUNDED (one row per
+    * user forever) — production uses [[runningTotalsEvicting]]
+    * (`EventTimeTimeout` + watermark). A processing-time timeout is
+    * deliberately not used anywhere — it makes the engine schedule
+    * continuous empty micro-batches to poll timeouts, which also never
+    * lets `processAllAvailable()` settle in tests.
     *
     * Works on a streaming Dataset[Event]; for batch equivalence compare
     * against a plain groupBy(user).agg (spec does exactly that).
@@ -77,6 +78,53 @@ object EventStreams {
             prev.total_value + batch.map(_.value).sum)
           state.update(next)
           Iterator.single(next)
+      }
+  }
+
+  /** Timed event row for the watermark-evicting stateful operator. */
+  case class TimedEvent(event_id: Long, user_id: Long, event_type: String,
+                        value: Double, ts: java.sql.Timestamp)
+
+  /** Output of [[runningTotalsEvicting]]: `closed=false` rows are per-batch
+    * running updates; the single `closed=true` row per user is emitted when
+    * the watermark passes the user's last event + gap and the state is
+    * EVICTED (the bounded-state guarantee [[runningTotals]] lacks).
+    */
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double,
+                       closed: Boolean)
+
+  /** [[runningTotals]] with bounded state: `EventTimeTimeout` + watermark.
+    * Each update re-arms the user's timeout at (max event time in batch +
+    * gap); once the watermark passes it, the timed-out invocation emits the
+    * final `closed=true` row and removes the state — idle users cost
+    * nothing, exactly like the declarative windows' watermark eviction. A
+    * later event for the same user starts a FRESH state (a new session),
+    * which is the only sound semantics once the old state is gone.
+    */
+  def runningTotalsEvicting(events: Dataset[TimedEvent],
+                            delay: String = "10 minutes",
+                            gapMs: Long = 30L * 60 * 1000): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            val fin = state.get.copy(closed = true)
+            state.remove()
+            Iterator.single(fin)
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0, closed = false))
+            val batch = rows.toSeq
+            val next = prev.copy(
+              n_events = prev.n_events + batch.size,
+              total_value = prev.total_value + batch.map(_.value).sum)
+            state.update(next)
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + gapMs)
+            Iterator.single(next)
+          }
       }
   }
 

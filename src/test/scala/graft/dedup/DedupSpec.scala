@@ -38,6 +38,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("frequent-shingle cutoff bounds candidates without losing real pairs") {
+    // every doc shares one boilerplate opener (a hot shingle in all docs);
+    // the real near-dup pair 1/2 also shares plenty of rare shingles.
+    val skewed = (
+      Seq(
+        (1L, "legal header text here alpha beta gamma delta epsilon zeta"),
+        (2L, "legal header text here alpha beta gamma delta epsilon eta"))
+        ++ (3L to 40L).map(i => (i, s"legal header text here unique$i only$i words$i more$i"))
+      ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(skewed, "doc_id", "text", n = 3)
+    // the guardrail drops the boilerplate shingles (df=40) but keeps rare ones
+    val capped = Dedup.capShingleDf(sh, cut = 5)
+    assert(capped.filter($"shingle" === "legal header text").count() == 0)
+    assert(capped.filter($"shingle".contains("unique3")).count() > 0)
+    // results with the cutoff equal the exact all-pairs results: the real
+    // pair survives (rare shingles generate it), boilerplate-only pairs
+    // never reached the threshold anyway
+    val exact = Dedup.jaccardPairs(skewed, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = Dedup.jaccardPairs(skewed, "doc_id", "text", n = 3, threshold = 0.5,
+      maxShingleDf = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(guarded == exact)
+    val lshGuarded = Dedup.minHashLsh(skewed, "doc_id", "text", n = 3,
+      numHashes = 12, rowsPerBand = 2, threshold = 0.5, maxShingleDf = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshGuarded.contains((1L, 2L)))
+    assert(lshGuarded.subsetOf(exact.map(p => (p._1, p._2))))
+  }
+
   test("simhash is identical for identical docs, differs for unrelated ones") {
     val hashes = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

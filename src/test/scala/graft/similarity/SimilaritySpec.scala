@@ -37,6 +37,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ann == Set(1L))
   }
 
+  test("bucketed near-dup pairs: precision exact, recall = same-bucket subset") {
+    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = Similarity.cosineNearDupPairsBucketed(vecs, "vec_id", "embedding",
+      0.7, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every bucketed pair is a true pair with the identical exact cosine
+    assert(bucketed.subsetOf(exact))
+    // same-bucket near-dups are found: 0 and 1 are identical vectors
+    assert(bucketed.contains((0L, 1L, 1.0)))
+    // the documented recall loss: (0,4) has cosine ~0.707 ≥ 0.7 but vec 4's
+    // sign bucket differs (dim 1 positive) — pruned by construction
+    assert(exact.exists(p => p._1 == 0L && p._2 == 4L))
+    assert(!bucketed.exists(p => p._1 == 0L && p._2 == 4L))
+  }
+
   test("vector stats: norms and buckets") {
     val stats = Similarity.vectorStats(vecs, "vec_id", "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") ->

@@ -25,6 +25,19 @@ class SourcesSpec extends SparkSpec {
     assert(epochs == Seq(1634810000L, 1634820000L))
   }
 
+  test("positional CSV scan maps columns by index, ignoring header names") {
+    val dir = Files.createTempDirectory("poscsv")
+    Files.writeString(dir.resolve("part.csv"),
+      "wrong_name,other_name,third\n1,alice,2.5\n2,bob,7.0\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, name STRING, score DOUBLE")
+    val df = Readers.csvPositional(spark, dir.toString, schema)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "alice", 2.5), (2L, "bob", 7.0)))
+  }
+
   test("scrubbed CSV sink stringifies arrays python-style and scrubs newlines") {
     val out = Files.createTempDirectory("csvout").resolve("x").toString
     val df = Seq(

@@ -50,6 +50,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(EventStreams.dedupFirstSeen(rows).count() == 5)
   }
 
+  test("evicting running totals: watermark passage closes and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.TimedEvent]
+    val q = EventStreams.runningTotalsEvicting(mem.toDS(),
+        delay = "10 minutes", gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.TimedEvent(1L, 10L, "click", 1.0, ts("2024-01-01 00:00:00")),
+        EventStreams.TimedEvent(2L, 10L, "click", 2.0, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // advance the watermark way past user 10's timeout (00:05 + 30 min)
+      mem.addData(
+        EventStreams.TimedEvent(3L, 11L, "view", 5.0, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      // one more empty-for-10 batch so the timed-out state is processed
+      mem.addData(
+        EventStreams.TimedEvent(4L, 11L, "view", 1.0, ts("2024-01-01 02:01:00")))
+      q.processAllAvailable()
+      val closed = spark.table("evict_out")
+        .where("user_id = 10 AND closed").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(closed.toSeq == Seq((2L, 3.0)), "final closed row emitted on eviction")
+      // state really is gone: a late event for user 10 starts FRESH totals
+      mem.addData(
+        EventStreams.TimedEvent(5L, 10L, "click", 7.0, ts("2024-01-01 02:02:00")))
+      q.processAllAvailable()
+      val reopened = spark.table("evict_out")
+        .where("user_id = 10 AND NOT closed").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(reopened.contains((1L, 7.0)), "post-eviction event starts fresh totals")
+      assert(!reopened.contains((3L, 10.0)), "old totals must not resume")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
