@@ -38,6 +38,15 @@ object DedupQueries extends QueryPack {
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)),
 
+    // Same LSH with the frequent-shingle guardrail engaged (df cap 5 —
+    // low enough to bite on this corpus): signatures come from df-capped
+    // shingles, verification from the full sets. Hash-checked against a
+    // DuckDB oracle that mirrors the cap exactly.
+    "q_dedup_minhash_guarded" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5,
+        maxShingleDf = Some(5L))),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -58,7 +67,10 @@ object DedupQueries extends QueryPack {
         |  GROUP BY a.doc, b.doc)
         |""".stripMargin + jaccardVerify),
 
-    "q_dedup_minhash" -> (shingleCte + minhashOracleCtes + jaccardVerify),
+    "q_dedup_minhash" -> (shingleCte + minhashOracleCtes(None) + jaccardVerify),
+
+    "q_dedup_minhash_guarded" ->
+      (shingleCte + minhashOracleCtes(Some(5L)) + jaccardVerify),
 
     "q_simhash" -> (simhashCte + "SELECT doc, simhash FROM sig"),
 
@@ -75,9 +87,11 @@ object DedupQueries extends QueryPack {
   /** MinHash candidate + intersection CTEs mirroring
     * [[graft.dedup.Dedup.minHashSignatures]]'s two-stage hash family
     * (md5 → 60-bit int → per-i LCG mod 2^31−1), generated for 12 hashes /
-    * 6 bands of 2.
+    * 6 bands of 2. With `capDf` set, signatures come from df-capped
+    * shingles (mirroring `maxShingleDf`); verification always uses the
+    * full sets.
     */
-  private lazy val minhashOracleCtes: String = {
+  private def minhashOracleCtes(capDf: Option[Long]): String = {
     val p = graft.dedup.Dedup.MinHashP
     val mins = (0 until 12).map(i =>
       s"MIN(((${2 * i + 1} * hm + ${12345L * i}) % $p)) AS mh_$i").mkString(",\n    ")
@@ -86,9 +100,15 @@ object DedupQueries extends QueryPack {
       val c1 = s"CAST(mh_${2 * b + 1} AS VARCHAR)"
       s"SELECT doc, $b AS band, md5(concat($c0, '|', $c1)) AS bsig FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s""", hsh AS (SELECT doc,
+    val capCte = capDf.fold("")(c =>
+      s""", shc AS (SELECT sh.doc, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $c)
+         |  USING (shingle))
+         |""".stripMargin)
+    val shSource = capDf.fold("sh")(_ => "shc")
+    s"""$capCte, hsh AS (SELECT doc,
        |    CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) % $p AS hm
-       |  FROM sh),
+       |  FROM $shSource),
        |sig AS (SELECT doc,
        |    $mins
        |  FROM hsh GROUP BY doc),

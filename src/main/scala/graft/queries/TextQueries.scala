@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Lexicons, TextAnalysis}
+import graft.text.{Curation, Lexicons, TextAnalysis}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -103,6 +103,13 @@ object TextQueries extends QueryPack {
             col("exact_terms").cast("double") <= 0.05).as("approx_within_5pct"))
     }),
 
+    // End-to-end curation pipeline: dedup survivors → predicted-English →
+    // ttr quality gate → highest-quality docs until a 2500-token budget.
+    // The composition every pretraining data pipeline runs, as one plan.
+    "q_curation" -> ((s, dir) =>
+      Curation.curate(s, Tables.documents(s, dir), "doc_id", "text",
+        lang = "en", minTtr = 0.5, tokenBudget = 2500L)),
+
     // Multimodal column plumbing: opaque bytes + typed metadata. The decode
     // step for real image/audio lives in graft.multimodal (stubbed); here the
     // binary-column handling itself is exercised end-to-end.
@@ -196,6 +203,38 @@ object TextQueries extends QueryPack {
         |SELECT coalesce(l.lemma, t.term) AS lemma_term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks t LEFT JOIN lem l ON t.term = l.term
         |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
+
+    "q_curation" ->
+      """WITH lex(term, lang) AS (VALUES
+        |  ('the','en'),('and','en'),('of','en'),('to','en'),('in','en'),
+        |  ('is','en'),('that','en'),('it','en'),('for','en'),('on','en'),
+        |  ('el','es'),('la','es'),('de','es'),('que','es'),('y','es'),
+        |  ('en','es'),('un','es'),('los','es'),('se','es'),('por','es'),
+        |  ('le','fr'),('et','fr'),('les','fr'),('des','fr'),('une','fr'),
+        |  ('du','fr'),('est','fr'),('pour','fr'),('dans','fr'),('ce','fr'),
+        |  ('der','de'),('die','de'),('und','de'),('das','de'),('von','de'),
+        |  ('zu','de'),('mit','de'),('den','de'),('ein','de'),('ist','de'),
+        |  ('的','zh'),('是','zh'),('在','zh'),('了','zh'),('我','zh'),
+        |  ('有','zh'),('和','zh'),('不','zh'),('人','zh'),('这','zh')),
+        |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(COUNT(DISTINCT term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr
+        |  FROM toks GROUP BY doc_id),
+        |m AS (SELECT t.doc_id, l.lang, COUNT(*) AS matches
+        |  FROM toks t JOIN lex l ON t.term = l.term GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY matches DESC, lang ASC) AS rn FROM m) WHERE rn = 1),
+        |lng AS (SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+        |  FROM documents d LEFT JOIN best b USING (doc_id)),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |f AS (SELECT q.doc_id, q.n_tokens, q.ttr
+        |  FROM q JOIN keep USING (doc_id) JOIN lng USING (doc_id)
+        |  WHERE pred_lang = 'en' AND ttr >= 0.5),
+        |c AS (SELECT doc_id, n_tokens, ttr,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+        |  FROM f)
+        |SELECT doc_id, n_tokens, ttr, cum_tokens FROM c WHERE cum_tokens <= 2500""".stripMargin,
 
     "q_approx_distinct" ->
       """WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS term FROM documents)

@@ -1,0 +1,45 @@
+package graft.text
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end training-data curation — the composition a 100 TB pretraining
+  * pipeline actually runs, as ONE declarative plan: exact-dedup survivors →
+  * language filter → quality filter → token-budget sampling.
+  *
+  * Stage shapes (each individually oracle-verified by its own query):
+  *  - dedup survivors: [[Dedup.exact]] keep-ids (one groupBy(signature));
+  *  - language: [[TextAnalysis.langId]] (broadcast lexicon + windowed argmax);
+  *  - quality: [[TextAnalysis.quality]] (one groupBy(doc));
+  *  - budget: highest-quality docs first until the cumulative token budget
+  *    is spent — a running sum over (ttr desc, id).
+  *
+  * Scale note on the budget stage: the global-order running sum runs over
+  * the FILTERED doc METADATA (id, n_tokens, ttr — three narrow columns),
+  * never the text, so the single-direction sort is over a tiny fraction of
+  * input bytes. At extreme candidate counts replace it with a two-phase
+  * quota (range-partition by ttr from a sampled histogram, spend the budget
+  * per range) — same semantics up to the boundary partition.
+  */
+object Curation {
+
+  def curate(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+             lang: String, minTtr: Double, tokenBudget: Long,
+             stopwords: Seq[String] = Lexicons.enStop,
+             lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame = {
+    val keep = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val quality = TextAnalysis.quality(docs, idCol, textCol, stopwords)
+    val language = TextAnalysis.langId(spark, docs, idCol, textCol, lexicon)
+    val filtered = keep
+      .join(quality, idCol)
+      .join(language, idCol)
+      .filter(col("pred_lang") === lang && col("ttr") >= minTtr)
+      .select(col(idCol), col("n_tokens"), col("ttr"))
+    val w = Window.orderBy(col("ttr").desc, col(idCol).asc)
+    filtered
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+  }
+}
