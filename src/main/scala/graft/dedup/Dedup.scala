@@ -198,6 +198,22 @@ object Dedup {
     verifyJaccard(shAll, pairs, threshold)
   }
 
+  /** Benchmark decontamination: corpus docs sharing at least one word
+    * n-gram with an eval corpus, with the shared-shingle count — the
+    * standard pretraining "drop anything overlapping the benchmark" sweep.
+    * One equi-join on the shingle key + one groupBy(doc): cost is
+    * O(shingles matching the eval set), never pairwise. At 100 TB the eval
+    * side is tiny and broadcasts; the corpus side streams through.
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val corpus = shingles(docs, idCol, textCol, n)
+    val ev = shingles(evalDocs, idCol, textCol, n).select(col("shingle")).distinct()
+    corpus.join(broadcast(ev), "shingle")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found without
     * an all-pairs scan: split the 32-bit hash into 4 bytes; by pigeonhole,
     * any pair within hamming ≤ 3 shares at least one identical byte, so

@@ -155,4 +155,23 @@ object Relational {
       .agg(partials.head, partials.tail: _*)
       .groupBy(key)
       .agg(merge.head, merge.tail: _*)
+
+  /** Deterministic train/val/test split by CONTENT HASH of the id — the
+    * reproducible-split primitive every training pipeline needs. Unlike
+    * `df.randomSplit`/`rand()` (seed- and partitioning-dependent), the
+    * assignment is a pure function of the id: stable across runs, engines,
+    * repartitions, and incremental reprocessing (a re-ingested doc lands in
+    * the same split). Pure projection — zero shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    df.withColumn("__h", expr(
+        s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("__h") < trainPct, "train")
+          .when(col("__h") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__h")
+  }
 }

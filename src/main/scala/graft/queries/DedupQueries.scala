@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.util.{QueryPack, Tables}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deduplication coverage over `documents`: exact, n-gram Jaccard,
@@ -52,7 +53,17 @@ object DedupQueries extends QueryPack {
 
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 3))
+        maxHamming = 3)),
+
+    // Benchmark decontamination: every 50th doc plays the eval set; the
+    // rest of the corpus is swept for 5-gram overlap with it.
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -73,6 +84,17 @@ object DedupQueries extends QueryPack {
       (shingleCte + minhashOracleCtes(Some(5L)) + jaccardVerify),
 
     "q_simhash" -> (simhashCte + "SELECT doc, simhash FROM sig"),
+
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 5),
+        |idx AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i FROM t),
+        |sh5 AS (SELECT DISTINCT doc_id AS doc, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM idx),
+        |ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc % 50 = 0)
+        |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sh5 JOIN ev USING (shingle)
+        |WHERE doc % 50 <> 0
+        |GROUP BY doc""".stripMargin,
 
     "q_simhash_pairs" -> (simhashCte +
       """, bands AS (SELECT doc, simhash, t.i, (simhash >> (8 * t.i)) & 255 AS byte

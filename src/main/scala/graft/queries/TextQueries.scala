@@ -103,6 +103,12 @@ object TextQueries extends QueryPack {
             col("exact_terms").cast("double") <= 0.05).as("approx_within_5pct"))
     }),
 
+    // Deterministic content-hash train/val/test split — reproducible across
+    // engines/partitionings, unlike rand()-based randomSplit.
+    "q_sample_split" -> ((s, dir) =>
+      graft.operators.Relational.hashSplit(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")),
+
     // End-to-end curation pipeline: dedup survivors → predicted-English →
     // ttr quality gate → highest-quality docs until a 2500-token budget.
     // The composition every pretraining data pipeline runs, as one plan.
@@ -203,6 +209,13 @@ object TextQueries extends QueryPack {
         |SELECT coalesce(l.lemma, t.term) AS lemma_term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks t LEFT JOIN lem l ON t.term = l.term
         |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
+
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+        |  FROM documents)""".stripMargin,
 
     "q_curation" ->
       """WITH lex(term, lang) AS (VALUES

@@ -69,6 +69,18 @@ class DedupSpec extends SparkSpec {
     assert(lshGuarded.subsetOf(exact.map(p => (p._1, p._2))))
   }
 
+  test("contamination flags docs overlapping the eval set, counts shared n-grams") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // contains eval 5-gram
+      (11L, "totally unrelated content with nothing shared at all"),
+      (12L, "alpha beta gamma delta epsilon eta theta") // also overlaps
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, eval_, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(10L -> 1L, 12L -> 1L))
+  }
+
   test("simhash is identical for identical docs, differs for unrelated ones") {
     val hashes = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

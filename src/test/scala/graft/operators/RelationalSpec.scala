@@ -96,4 +96,17 @@ class RelationalSpec extends SparkSpec {
     assert(top1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
       Map(1L -> "a", 2L -> "d", 3L -> "e"))
   }
+
+  test("hashSplit is deterministic, partition-independent, and ~respects fractions") {
+    val ids = (0L until 1000L).toDF("id")
+    val a = Relational.hashSplit(ids, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Relational.hashSplit(ids.repartition(7), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 850 && counts("train") < 950)
+    assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) == 1000 - counts("train"))
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
 }
