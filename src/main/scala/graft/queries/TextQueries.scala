@@ -103,6 +103,17 @@ object TextQueries extends QueryPack {
             col("exact_terms").cast("double") <= 0.05).as("approx_within_5pct"))
     }),
 
+    // Within-doc repetition ratio (Gopher-style boilerplate signal) — a
+    // pure projection, no shuffle.
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text", n = 2)),
+
+    // Sliding-window token chunking (training-sequence prep): 32-token
+    // chunks, stride 16.
+    "q_chunking" -> ((s, dir) =>
+      TextAnalysis.chunks(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 32, stride = 16)),
+
     // Deterministic content-hash train/val/test split — reproducible across
     // engines/partitionings, unlike rand()-based randomSplit.
     "q_sample_split" -> ((s, dir) =>
@@ -209,6 +220,25 @@ object TextQueries extends QueryPack {
         |SELECT coalesce(l.lemma, t.term) AS lemma_term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks t LEFT JOIN lem l ON t.term = l.term
         |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) AS grams
+        |  FROM t)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq_grams,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE), 6) AS rep_ratio
+        |FROM g""".stripMargin,
+
+    "q_chunking" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS i FROM t)
+        |SELECT doc_id, CAST(i // 16 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[i+1:i+32], ' ') AS chunk_text,
+        |  CAST(least(32, len(toks) - i) AS BIGINT) AS n_chunk_tokens
+        |FROM s""".stripMargin,
 
     "q_sample_split" ->
       """SELECT doc_id,

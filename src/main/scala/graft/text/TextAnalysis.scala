@@ -73,6 +73,51 @@ object TextAnalysis {
         coalesce(col("matches"), lit(0L)).as("matches"))
   }
 
+  /** Within-document repetition: duplicate word n-gram ratio — the
+    * Gopher-style repetition filter signal (a doc whose bigrams repeat
+    * heavily is boilerplate/spam). Pure projection over the token array
+    * (transform + array_distinct) — no explode, no shuffle; scales as a
+    * map-only pass. Docs with fewer than n tokens are dropped (no gram
+    * exists; also guards Spark's descending `sequence(0, k<0)`).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(size(toks) >= n)
+      .select(col(idCol), expr(
+        s"""transform(sequence(0, size(split($textCol, ' ')) - $n),
+           |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"""
+          .stripMargin).as("__g"))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        size(array_distinct(col("__g"))).cast("long").as("n_uniq_grams"),
+        round(lit(1.0) -
+          size(array_distinct(col("__g"))).cast("double") /
+            size(col("__g")).cast("double"), 6).as("rep_ratio"))
+  }
+
+  /** Fixed-size token chunks with stride — training-sequence preparation
+    * (sliding windows with overlap, the packing-prep every pretraining
+    * pipeline runs before tokenizer batching). One explode over chunk
+    * starts; chunk_id is derivable from the start offset, so the output
+    * can be written partitioned/bucketed by (doc, chunk_id) for
+    * deterministic shard assembly. Final partial chunks are kept
+    * (n_chunk_tokens < size marks them).
+    */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+             chunkSize: Int = 32, stride: Int = 16): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(expr(s"sequence(0, size(__toks) - 1, $stride)")).as("__i"))
+      .select(col(idCol),
+        expr(s"CAST(__i DIV $stride AS BIGINT)").as("chunk_id"),
+        concat_ws(" ", expr(s"slice(__toks, __i + 1, $chunkSize)")).as("chunk_text"),
+        least(lit(chunkSize), size(col("__toks")) - col("__i")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Content fingerprints: raw digest, strong digest, and an order-invariant
     * bag-of-words fingerprint (detects shuffled duplicates). All codegen'd
     * built-ins — no shuffle at all.

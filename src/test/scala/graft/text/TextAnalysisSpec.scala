@@ -40,4 +40,29 @@ class TextAnalysisSpec extends SparkSpec {
       .select("fp_bow").head().getString(0)
     assert(fp1 == fp2)
   }
+
+  test("repetition ratio: repeated bigrams score high, unique text scores 0") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),       // 4 bigrams, 1 distinct
+      (2L, "all words here are different"),   // 4 bigrams, all distinct
+      (3L, "x")                               // < n tokens: dropped
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((4L, 1L, 0.75)))
+    assert(r(2L) == ((4L, 4L, 0.0)))
+    assert(!r.contains(3L))
+  }
+
+  test("chunks: stride windows cover the doc, final partial chunk kept") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val c = TextAnalysis.chunks(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(c.toSeq == Seq(
+      (0L, "t1 t2 t3 t4", 4L),
+      (1L, "t4 t5 t6 t7", 4L),
+      (2L, "t7 t8 t9 t10", 4L),
+      (3L, "t10", 1L)))
+  }
 }
