@@ -117,18 +117,24 @@ object Sinks {
     * ids cast to string (CSV precision), newlines → '|', double quotes →
     * single, arrays stringified. Arrays use Python-repr format
     * ("['a', 'b']") for byte parity with the reference's
-    * `convert_array_tostring` UDF; empty arrays become "[]", nulls stay
-    * null (the sane default — the reference UDF would emit "None").
+    * `convert_array_tostring` UDF; empty arrays become "[]". Null arrays:
+    * kept null by default (the sane choice — readers see a missing value);
+    * set `nullArraysAsNone = true` for byte parity with the reference UDF,
+    * which emits the literal string "None"
+    * (`Tweets_preprocessing.py:90-94`).
     */
   def csvScrubbed(df: DataFrame, dest: String,
                   idCols: Seq[String], textCols: Seq[String],
-                  arrayCols: Seq[String]): Unit = {
+                  arrayCols: Seq[String],
+                  nullArraysAsNone: Boolean = false): Unit = {
     val withIds = idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
     val withText = textCols.foldLeft(withIds)((d, c) =>
       d.withColumn(c, regexp_replace(regexp_replace(col(c), "[\\n\\r]", "|"), "\"", "'")))
+    val nullRepr =
+      if (nullArraysAsNone) lit("None") else lit(null).cast("string")
     val withArrays = arrayCols.foldLeft(withText)((d, c) =>
       d.withColumn(c,
-        when(col(c).isNull, lit(null).cast("string"))
+        when(col(c).isNull, nullRepr)
           .when(size(col(c)) === 0, lit("[]"))
           .otherwise(concat(lit("['"), concat_ws("', '", col(c)), lit("']")))))
     withArrays.coalesce(1).write.mode("overwrite")

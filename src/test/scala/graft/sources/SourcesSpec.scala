@@ -50,4 +50,15 @@ class SourcesSpec extends SparkSpec {
     assert(back(0).getString(2) == "['a', 'b']")
     assert(back(1).getString(2) == "[]")
   }
+
+  test("scrubbed CSV sink: nullArraysAsNone emits the reference's 'None' literal") {
+    val out = Files.createTempDirectory("csvout").resolve("x").toString
+    val df = Seq((1L, Option(Seq("a"))), (2L, None: Option[Seq[String]]))
+      .toDF("id", "tags")
+    Sinks.csvScrubbed(df, out, idCols = Seq("id"), textCols = Nil,
+      arrayCols = Seq("tags"), nullArraysAsNone = true)
+    val back = Readers.csv(spark, out).orderBy("id").collect()
+    assert(back(0).getString(1) == "['a']")
+    assert(back(1).getString(1) == "None")
+  }
 }
