@@ -34,7 +34,8 @@ object Bench {
 
     // A failed query reports -1.0 (and logs to stderr) — a crash must not
     // masquerade as a fast green timing in the emitted JSON.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times =
         try {
@@ -47,7 +48,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Seq(-1.0)
         }
-      name -> times(times.size / 2) // median
+      // lower-middle element: the median for odd rep counts, and the
+      // conservative (min) choice for reps=2 rather than the max
+      name -> times((times.size - 1) / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -51,42 +51,77 @@ object BM25Index {
     (c.getValue % NumTermBuckets).toInt
   }
 
-  /** Build the index from a corpus. One tokenize pass; postings and doc
-    * lengths come from the same (doc, term, tf) aggregation.
+  /** Build the index from a corpus. One tokenize pass — the (doc, term, tf)
+    * aggregation is persisted across the three writes (postings, termstats,
+    * corpus all derive from it; without the cache Spark would recompute the
+    * tokenize+explode+groupBy DAG per sink).
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dest: String): Unit = {
-    val post = BM25.postings(docs, idCol, textCol)
-    val lens = post.groupBy(col("doc")).agg(sum(col("tf")).as("len"))
-    post.join(lens, "doc")
-      .withColumn("tb", termBucketCol(col("term")))
-      .repartition(col("tb"))
-      .sortWithinPartitions(col("term"), col("doc"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/postings")
-    post.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-      .withColumn("tb", termBucketCol(col("term")))
-      .repartition(col("tb"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/termstats")
-    lens.agg(count(lit(1)).cast("double").as("n"),
-        (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dest/corpus")
+    val post = BM25.postings(docs, idCol, textCol).persist()
+    try {
+      val lens = post.groupBy(col("doc")).agg(sum(col("tf")).as("len"))
+      post.join(lens, "doc")
+        .withColumn("tb", termBucketCol(col("term")))
+        .repartition(col("tb"))
+        .sortWithinPartitions(col("term"), col("doc"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/postings")
+      post.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .withColumn("tb", termBucketCol(col("term")))
+        .repartition(col("tb"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/termstats")
+      lens.agg(count(lit(1)).cast("double").as("n"),
+          (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dest/corpus")
+    } finally post.unpersist()
   }
 
   def isBuilt(dest: String): Boolean =
     Files.exists(Paths.get(dest, "corpus", "_SUCCESS"))
 
-  /** Canonical index location for a testdata sf dir (kept inside the repo's
-    * build dir). The testdata corpora are immutable, so an existing index is
-    * always current.
+  /** Canonical index location for a testdata sf dir: under the repo's build
+    * dir by default (`user.dir` = the sbt fork's working directory), or
+    * `GRAFT_INDEX_DIR` when set — never a hardcoded absolute path.
     */
-  def defaultDir(sfDir: String): String =
-    "/root/repo/target/bm25-index-v1/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+  def defaultDir(sfDir: String): String = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${sys.props("user.dir")}/target/bm25-index-v1")
+    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+  }
 
-  /** Build-if-absent for a testdata documents corpus; returns the index dir. */
+  /** Cheap staleness stamp for a source parquet dir: (name, size, mtime) of
+    * every file — filesystem metadata only, no data scan. A regenerated
+    * corpus at the same path changes the stamp and forces a rebuild.
+    */
+  private def sourceStamp(sfDir: String): String = {
+    val dir = Paths.get(sfDir, "documents.parquet")
+    val files =
+      if (Files.isDirectory(dir)) {
+        val s = Files.list(dir)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+        finally s.close()
+      } else Seq(dir)
+    files.filter(Files.exists(_)).sortBy(_.getFileName.toString)
+      .map(p => s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      .mkString("\n")
+  }
+
+  /** Build-if-absent-or-stale for a testdata documents corpus; returns the
+    * index dir. Freshness = the stored source stamp matches the corpus
+    * files' current metadata (not a bare _SUCCESS check).
+    */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
     val dest = defaultDir(sfDir)
-    if (!isBuilt(dest)) build(Tables.documents(spark, sfDir), "doc_id", "text", dest)
+    val stampFile = Paths.get(dest, "source_stamp.txt")
+    val stamp = sourceStamp(sfDir)
+    val fresh = isBuilt(dest) && Files.exists(stampFile) &&
+      Files.readString(stampFile) == stamp
+    if (!fresh) {
+      build(Tables.documents(spark, sfDir), "doc_id", "text", dest)
+      Files.createDirectories(stampFile.getParent)
+      Files.writeString(stampFile, stamp)
+    }
     dest
   }
 

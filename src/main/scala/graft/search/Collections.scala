@@ -71,11 +71,20 @@ object Collections {
     * (id, media_text) from [[graft.multimodal.Multimodal.ocrText]] over the
     * tweets' media blobs; tweets without media get "" (Solr's empty field).
     */
-  def tweetsWithMediaText(processed: DataFrame, mediaText: DataFrame): DataFrame =
+  def tweetsWithMediaText(processed: DataFrame, mediaText: DataFrame): DataFrame = {
+    // One tweet can carry several media items (the reference indexes up to
+    // 4 images per tweet) → aggregate all OCR texts into ONE field per id
+    // BEFORE the join, exactly as the reference concatenates per-image OCR
+    // into tweetMediaText — a bare left join would fan the tweet row out.
+    // Sorted collect keeps the concatenation deterministic.
+    val perTweet = mediaText
+      .groupBy(col("id"))
+      .agg(concat_ws(" ", array_sort(collect_list(col("media_text"))))
+        .as("tweetMediaText"))
     tweets(processed)
-      .join(mediaText.select(col("id"), col("media_text").as("tweetMediaText")),
-        Seq("id"), "left")
+      .join(perTweet, Seq("id"), "left")
       .withColumn("tweetMediaText", coalesce(col("tweetMediaText"), lit("")))
+  }
 
   /** Keyed upsert ("reindex"): rows in `updates` replace same-id rows in
     * `existing`; new ids append. Anti-join + union — one shuffle on id

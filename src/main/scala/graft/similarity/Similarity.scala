@@ -105,6 +105,9 @@ object Similarity {
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int): DataFrame = {
+    // explicit contract: with an empty centroid set every row would get a
+    // null cluster (array_max over an empty array) — reject up front
+    require(nCentroids > 0, "ivfAssign needs at least one centroid")
     GraftFunctions.register(embeddings.sparkSession)
     // All centroids as ONE broadcast row (an array of (cid, vec) structs);
     // the argmax is then a pure projection — array_max over a struct whose

@@ -93,13 +93,24 @@ object EventStreams {
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double,
                        closed: Boolean)
 
+  /** State carried by [[runningTotalsEvicting]] (not part of its output):
+    * totals plus the max event time seen, so a late-but-admitted event can
+    * never move the timeout backwards. Public because Spark's encoder
+    * codegen requires an accessible constructor.
+    */
+  case class RunningState(n_events: Long, total_value: Double,
+                          max_ts_ms: Long)
+
   /** [[runningTotals]] with bounded state: `EventTimeTimeout` + watermark.
-    * Each update re-arms the user's timeout at (max event time in batch +
-    * gap); once the watermark passes it, the timed-out invocation emits the
-    * final `closed=true` row and removes the state — idle users cost
-    * nothing, exactly like the declarative windows' watermark eviction. A
-    * later event for the same user starts a FRESH state (a new session),
-    * which is the only sound semantics once the old state is gone.
+    * Each update re-arms the user's timeout at (max event time seen so far
+    * + gap) — the max is carried in the state, so an out-of-order event
+    * that is admitted by the watermark cannot shrink the timeout and close
+    * the session early. Once the watermark passes it, the timed-out
+    * invocation emits the final `closed=true` row and removes the state —
+    * idle users cost nothing, exactly like the declarative windows'
+    * watermark eviction. A later event for the same user starts a FRESH
+    * state (a new session), the only sound semantics once the old state is
+    * gone.
     */
   def runningTotalsEvicting(events: Dataset[TimedEvent],
                             delay: String = "10 minutes",
@@ -108,22 +119,23 @@ object EventStreams {
     events
       .withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserTotal, UserTotal](
+      .flatMapGroupsWithState[RunningState, UserTotal](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[UserTotal]) =>
+        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[RunningState]) =>
           if (state.hasTimedOut) {
-            val fin = state.get.copy(closed = true)
+            val s = state.get
             state.remove()
-            Iterator.single(fin)
+            Iterator.single(UserTotal(userId, s.n_events, s.total_value, closed = true))
           } else {
-            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0, closed = false))
+            val prev = state.getOption.getOrElse(RunningState(0L, 0.0, Long.MinValue))
             val batch = rows.toSeq
-            val next = prev.copy(
-              n_events = prev.n_events + batch.size,
-              total_value = prev.total_value + batch.map(_.value).sum)
+            val next = RunningState(
+              prev.n_events + batch.size,
+              prev.total_value + batch.map(_.value).sum,
+              math.max(prev.max_ts_ms, batch.map(_.ts.getTime).max))
             state.update(next)
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + gapMs)
-            Iterator.single(next)
+            state.setTimeoutTimestamp(next.max_ts_ms + gapMs)
+            Iterator.single(UserTotal(userId, next.n_events, next.total_value, closed = false))
           }
       }
   }

@@ -59,10 +59,17 @@ class CollectionsSpec extends SparkSpec {
   }
 
   test("multi-field search ranks a tweet whose match is OCR-only") {
-    // media text for tweet 2 carries terms that appear in NO tweet's text
-    val mediaText = Seq(("2", "stub ocr zebra unicorn banner")).toDF("id", "media_text")
+    // media text for tweet 2 carries terms that appear in NO tweet's text;
+    // tweet 2 has TWO media items — they must merge into one field, not
+    // fan the tweet row out
+    val mediaText = Seq(
+      ("2", "stub ocr zebra unicorn banner"),
+      ("2", "stub ocr second image")).toDF("id", "media_text")
     val withMedia = Collections.tweetsWithMediaText(processed, mediaText)
     assert(withMedia.columns.contains("tweetMediaText"))
+    assert(withMedia.filter(col("id") === "2").count() == 1, "no fan-out on multi-media")
+    assert(withMedia.filter(col("id") === "2").head()
+      .getAs[String]("tweetMediaText").contains("zebra"))
     // non-media tweets carry "" (never null — BM25 tokenization drops them)
     assert(withMedia.filter(col("tweetMediaText").isNull).count() == 0)
     val multi = Collections.keywordSearchMultiField(withMedia, usersC,
