@@ -86,6 +86,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed upsert sink: micro-batches merge keep-latest into the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("id", "version", "payload")
+    val q = StreamSinks.keyedUpsertSink(stream, "id", "version",
+      s"$dir/table", s"$dir/ckpt")
+    try {
+      mem.addData((1L, 1L, "one-v1"), (2L, 1L, "two-v1"))
+      q.processAllAvailable()
+      // second batch: update id 1 (two versions in ONE batch — the batch
+      // itself must dedup keep-latest), insert id 3
+      mem.addData((1L, 2L, "one-v2"), (1L, 3L, "one-v3"), (3L, 1L, "three-v1"))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$dir/table/current")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(snap == Map(1L -> "one-v3", 2L -> "two-v1", 3L -> "three-v1"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
