@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Curation, Lexicons, TextAnalysis}
+import graft.text.{Curation, Lexicons, Spell, TextAnalysis}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -101,6 +101,20 @@ object TextQueries extends QueryPack {
         .select(col("source"), col("exact_terms"),
           (abs(col("__approx") - col("exact_terms")).cast("double") /
             col("exact_terms").cast("double") <= 0.05).as("approx_within_5pct"))
+    }),
+
+    // Spell correction (reference §2.9 NorvigSweeting stage, public
+    // algorithm): deterministic distance-1 typos (first token + 'x' on
+    // every 97th doc) corrected against the corpus vocabulary via the
+    // SymSpell delete-key join.
+    "q_spell_correct" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.tokens(docs, "doc_id", "text")
+        .groupBy(col("term")).agg(count(lit(1)).cast("long").as("freq"))
+      val suspects = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("id"),
+          concat(get(split(col("text"), " "), lit(0)), lit("x")).as("typo"))
+      Spell.correct(vocab, suspects).withColumnRenamed("id", "doc_id")
     }),
 
     // Within-doc repetition ratio (Gopher-style boilerplate signal) — a
@@ -220,6 +234,22 @@ object TextQueries extends QueryPack {
         |SELECT coalesce(l.lemma, t.term) AS lemma_term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks t LEFT JOIN lem l ON t.term = l.term
         |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
+
+    "q_spell_correct" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY term),
+        |susp AS (SELECT doc_id, concat(str_split(text, ' ')[1], 'x') AS typo
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |known AS (SELECT s.doc_id, s.typo, s.typo AS corrected, v.freq
+        |  FROM susp s JOIN vocab v ON s.typo = v.term),
+        |cand AS (SELECT s.doc_id, s.typo, v.term AS corrected, v.freq
+        |  FROM susp s JOIN vocab v ON levenshtein(s.typo, v.term) <= 1
+        |  WHERE NOT EXISTS (SELECT 1 FROM vocab k WHERE k.term = s.typo)),
+        |best AS (SELECT doc_id, typo, corrected, freq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, typo
+        |    ORDER BY freq DESC, corrected ASC) AS rn FROM cand) WHERE rn = 1)
+        |SELECT doc_id, typo, corrected, freq FROM best
+        |UNION ALL SELECT doc_id, typo, corrected, freq FROM known""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents

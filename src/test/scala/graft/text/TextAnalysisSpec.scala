@@ -41,6 +41,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("spell correction: distance-1 typos map to the most frequent vocab term") {
+    val vocab = Seq(
+      ("spark", 100L), ("spare", 40L), ("shark", 90L), ("query", 50L)
+    ).toDF("term", "freq")
+    val suspects = Seq(
+      (1L, "sparkx"), // insert: delete-of-typo == vocab word
+      (2L, "spak"),   // delete: typo == delete-of-vocab ("spark"/"spak"? lev=1)
+      (3L, "sparc"),  // substitution: spark (100) beats spare (40), both lev 1
+      (4L, "query"),  // known word: returned as-is
+      (5L, "zzzzzz")  // no candidate within distance 1: dropped
+    ).toDF("id", "typo")
+    val out = Spell.correct(vocab, suspects).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(1L) == (("spark", 100L)))
+    assert(out(2L) == (("spark", 100L)))
+    assert(out(3L) == (("spark", 100L)))
+    assert(out(4L) == (("query", 50L)))
+    assert(!out.contains(5L))
+  }
+
   test("repetition ratio: repeated bigrams score high, unique text scores 0") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),       // 4 bigrams, 1 distinct
