@@ -103,6 +103,15 @@ object TextQueries extends QueryPack {
             col("exact_terms").cast("double") <= 0.05).as("approx_within_5pct"))
     }),
 
+    // POS tagging (reference §2.9 pretrained-tagger stage, public rule
+    // algorithm): closed-class lexicon + suffix heuristics per token, plus
+    // the downstream shape POS exists for — the noun-ish word-cloud filter.
+    "q_pos_tag" -> ((s, dir) =>
+      TextAnalysis.posTag(s, Tables.documents(s, dir), "doc_id", "text")
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          countDistinct(col("term")).as("n_terms"))),
+
     // Spell correction (reference §2.9 NorvigSweeting stage, public
     // algorithm): deterministic distance-1 typos (first token + 'x' on
     // every 97th doc) corrected against the corpus vocabulary via the
@@ -234,6 +243,28 @@ object TextQueries extends QueryPack {
         |SELECT coalesce(l.lemma, t.term) AS lemma_term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks t LEFT JOIN lem l ON t.term = l.term
         |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
+
+    "q_pos_tag" ->
+      """WITH lex(term, pos) AS (VALUES
+        |  ('the','DT'),('a','DT'),('an','DT'),('this','DT'),('that','DT'),
+        |  ('and','CC'),('or','CC'),('but','CC'),
+        |  ('of','IN'),('to','IN'),('in','IN'),('for','IN'),('on','IN'),
+        |  ('at','IN'),('by','IN'),('with','IN'),('from','IN'),
+        |  ('is','VB'),('are','VB'),('was','VB'),('were','VB'),('be','VB'),
+        |  ('it','PRP'),('he','PRP'),('she','PRP'),('they','PRP'),
+        |  ('we','PRP'),('i','PRP'),('you','PRP')),
+        |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tagged AS (SELECT t.doc_id, t.term,
+        |  coalesce(l.pos, CASE
+        |    WHEN t.term LIKE '%ing' THEN 'VBG'
+        |    WHEN t.term LIKE '%ed' THEN 'VBD'
+        |    WHEN t.term LIKE '%ly' THEN 'RB'
+        |    WHEN t.term LIKE '%s' AND length(t.term) > 3 THEN 'NNS'
+        |    ELSE 'NN' END) AS pos
+        |  FROM toks t LEFT JOIN lex l ON t.term = l.term)
+        |SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+        |FROM tagged GROUP BY pos""".stripMargin,
 
     "q_spell_correct" ->
       """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),

@@ -129,6 +129,29 @@ object TextAnalysis {
       sha2(col(textCol), 256).as("fp_sha256"),
       md5(concat_ws(" ", array_sort(split(lower(col(textCol)), " ")))).as("fp_bow"))
 
+  /** Rule-based POS tagging — the public-algorithm stand-in for the
+    * reference's pretrained perceptron tagger (SURVEY §2.9; the model
+    * artifact is non-public, the rule-tagger idea is textbook): a
+    * closed-class lexicon decides function words (broadcast join), suffix
+    * heuristics decide the rest. Supports the same downstream shape the
+    * reference uses POS for — filtering word-cloud terms by tag class.
+    * Returns (id, term, pos).
+    */
+  def posTag(spark: SparkSession, docs: DataFrame, idCol: String,
+             textCol: String): DataFrame = {
+    import spark.implicits._
+    val lex = Lexicons.posLexicon.toDF("term", "__lex_pos")
+    tokens(docs, idCol, textCol)
+      .join(broadcast(lex), Seq("term"), "left")
+      .select(col(idCol), col("term"),
+        coalesce(col("__lex_pos"),
+          when(col("term").endsWith("ing"), "VBG")
+            .when(col("term").endsWith("ed"), "VBD")
+            .when(col("term").endsWith("ly"), "RB")
+            .when(col("term").endsWith("s") && length(col("term")) > 3, "NNS")
+            .otherwise("NN")).as("pos"))
+  }
+
   /** Trending-words top-k — the reference's word-cloud frequency query
     * (`Word_cloud_evaluation.ipynb` cells 22–24: explode → count → top 500).
     * Partial aggregation makes the (term) shuffle carry only distinct terms.
@@ -147,6 +170,16 @@ object TextAnalysis {
 object Lexicons {
   val enStop: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "on")
+
+  /** (term, pos) closed-class lexicon for the rule-based tagger. */
+  val posLexicon: Seq[(String, String)] = Seq(
+    "the" -> "DT", "a" -> "DT", "an" -> "DT", "this" -> "DT", "that" -> "DT",
+    "and" -> "CC", "or" -> "CC", "but" -> "CC",
+    "of" -> "IN", "to" -> "IN", "in" -> "IN", "for" -> "IN", "on" -> "IN",
+    "at" -> "IN", "by" -> "IN", "with" -> "IN", "from" -> "IN",
+    "is" -> "VB", "are" -> "VB", "was" -> "VB", "were" -> "VB", "be" -> "VB",
+    "it" -> "PRP", "he" -> "PRP", "she" -> "PRP", "they" -> "PRP",
+    "we" -> "PRP", "i" -> "PRP", "you" -> "PRP")
 
   /** (term, lang) seed lexicon for language ID. */
   val langLexicon: Seq[(String, String)] = Seq(

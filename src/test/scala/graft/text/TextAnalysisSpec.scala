@@ -41,6 +41,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("pos tagging: closed-class lexicon wins, then suffix rules, then NN") {
+    val docs = Seq((1L, "the running dog barked quickly over walls in it")).toDF("doc_id", "text")
+    val tags = TextAnalysis.posTag(spark, docs, "doc_id", "text")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(tags("the") == "DT")      // lexicon beats the '-e' / default rules
+    assert(tags("running") == "VBG")
+    assert(tags("barked") == "VBD")
+    assert(tags("quickly") == "RB")
+    assert(tags("walls") == "NNS")
+    assert(tags("in") == "IN")       // lexicon beats nothing else
+    assert(tags("it") == "PRP")
+    assert(tags("dog") == "NN")
+  }
+
   test("spell correction: distance-1 typos map to the most frequent vocab term") {
     val vocab = Seq(
       ("spark", 100L), ("spare", 40L), ("shark", 90L), ("query", 50L)
