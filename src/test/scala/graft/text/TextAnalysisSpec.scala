@@ -41,6 +41,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("chunks invariant: stride == size partitions the doc losslessly") {
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val back = TextAnalysis.chunks(docs, "doc_id", "text", chunkSize = 5, stride = 5)
+      .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+    assert(back == text)
+  }
+
   test("pos tagging: closed-class lexicon wins, then suffix rules, then NN") {
     val docs = Seq((1L, "the running dog barked quickly over walls in it")).toDF("doc_id", "text")
     val tags = TextAnalysis.posTag(spark, docs, "doc_id", "text")
