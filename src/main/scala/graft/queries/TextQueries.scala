@@ -120,7 +120,10 @@ object TextQueries extends QueryPack {
       val docs = Tables.documents(s, dir)
       val vocab = TextAnalysis.tokens(docs, "doc_id", "text")
         .groupBy(col("term")).agg(count(lit(1)).cast("long").as("freq"))
-      val suspects = docs.filter(col("doc_id") % 97 === 0)
+      // text IS NOT NULL on both sides: Spark's concat(NULL, 'x') is NULL
+      // while DuckDB's concat skips NULL args — the guard keeps the
+      // engines' suspect sets identical on corpora with null text
+      val suspects = docs.filter(col("doc_id") % 97 === 0 && col("text").isNotNull)
         .select(col("doc_id").as("id"),
           concat(get(split(col("text"), " "), lit(0)), lit("x")).as("typo"))
       Spell.correct(vocab, suspects).withColumnRenamed("id", "doc_id")
@@ -270,7 +273,7 @@ object TextQueries extends QueryPack {
       """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
         |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY term),
         |susp AS (SELECT doc_id, concat(str_split(text, ' ')[1], 'x') AS typo
-        |  FROM documents WHERE doc_id % 97 = 0),
+        |  FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL),
         |known AS (SELECT s.doc_id, s.typo, s.typo AS corrected, v.freq
         |  FROM susp s JOIN vocab v ON s.typo = v.term),
         |cand AS (SELECT s.doc_id, s.typo, v.term AS corrected, v.freq

@@ -19,15 +19,20 @@ object StreamSinks {
     * per id ([[Collections.upsertLatest]] — dedupes the batch by
     * `versionCol`, then anti-join + union against the current snapshot).
     *
-    * Snapshot isolation without a table format: every batch writes a NEW
-    * versioned directory (`v<batchId>`), then an atomic symlink swap makes
-    * it the `current` snapshot — readers of `<dest>/current` never observe
-    * a half-written merge, and the read-then-overwrite-same-path hazard
-    * (Spark deletes the target before the reading job finishes) cannot
-    * occur by construction. At real scale this whole sink is a table
-    * format's MERGE (SCALE.md); the operator shape — dedup batch, anti-join
-    * snapshot, union — is identical. Old versions are left for the table
-    * format's job (GC/compaction); the spec covers the swap semantics.
+    * Snapshot isolation AND replay idempotence without a table format:
+    * batch N always writes `v<N>` and always reads its input snapshot as
+    * the highest COMPLETE version `v<k>` with k < N — never the `current`
+    * symlink. foreachBatch's contract is that a batch may be re-executed
+    * after a crash; reading `current` on replay would resolve to the very
+    * `v<N>` about to be overwritten (an aliasing hazard Spark's
+    * overwrite-while-reading check cannot see through a symlink), and a
+    * half-written `v<N>` would poison the merge. Anchoring the read to
+    * k < N makes re-execution rebuild `v<N>` from exactly the same input.
+    * The atomic symlink swap then publishes it — readers of
+    * `<dest>/current` never observe a half-written merge. At real scale
+    * this whole sink is a table format's MERGE (SCALE.md); the operator
+    * shape — dedup batch, anti-join snapshot, union — is identical. Old
+    * versions are left for the table format's job (GC/compaction).
     */
   def keyedUpsertSink(stream: DataFrame, idCol: String, versionCol: String,
                       dest: String, checkpoint: String): StreamingQuery = {
@@ -36,19 +41,31 @@ object StreamSinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val cur = Paths.get(dest, "current")
-        val existing =
-          if (Files.exists(cur)) spark.read.parquet(cur.toString)
-          else spark.createDataFrame(
+        // input snapshot: highest complete version strictly below batchId
+        val versionRe = "^v(\\d+)$".r
+        val listing = Files.list(Paths.get(dest))
+        val prev =
+          try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .flatMap(p => p.getFileName.toString match {
+              case versionRe(k)
+                if k.toLong < batchId &&
+                  Files.exists(p.resolve("_SUCCESS")) => Some(k.toLong)
+              case _ => None
+            }).sorted.lastOption
+          finally listing.close()
+        val existing = prev match {
+          case Some(k) => spark.read.parquet(s"$dest/v$k")
+          case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], batch.schema)
+        }
         val next = Paths.get(dest, s"v$batchId")
         Collections.upsertLatest(existing, batch, idCol, versionCol)
           .write.mode("overwrite").parquet(next.toString)
         val tmp = Paths.get(dest, "current.tmp")
         Files.deleteIfExists(tmp)
         Files.createSymbolicLink(tmp, next.toAbsolutePath)
-        Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, Paths.get(dest, "current"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         ()
       }
       .start()

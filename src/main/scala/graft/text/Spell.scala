@@ -37,18 +37,25 @@ object Spell {
     * within distance 1 are dropped (no correction exists).
     */
   def correct(vocab: DataFrame, suspects: DataFrame): DataFrame = {
-    val vocabKeys = vocab.select(col("term"), col("freq"),
+    // the (usually aggregated) vocabulary plan feeds three joins — persist
+    // so one action doesn't recompute the caller's corpus aggregation
+    // three times (MEMORY_AND_DISK, LRU-evictable, same policy as
+    // Dedup.jaccardPairs)
+    val v = vocab.persist()
+    val vocabKeys = v.select(col("term"), col("freq"),
       explode(deleteKeys("term")).as("__k"))
     val known = suspects
-      .join(vocab, suspects("typo") === vocab("term"))
+      .join(v, suspects("typo") === v("term"))
       .select(col("id"), col("typo"), col("typo").as("corrected"), col("freq"))
     val unknown = suspects
-      .join(vocab, suspects("typo") === vocab("term"), "left_anti")
+      .join(v, suspects("typo") === v("term"), "left_anti")
+    // no distinct needed: duplicate candidate rows from shared delete keys
+    // are identical (id, typo, corrected, freq) tuples, and the rn = 1
+    // window below collapses them with identical output
     val cands = unknown
       .select(col("id"), col("typo"), explode(deleteKeys("typo")).as("__k"))
       .join(vocabKeys, "__k")
       .select(col("id"), col("typo"), col("term").as("corrected"), col("freq"))
-      .distinct()
       .filter(levenshtein(col("typo"), col("corrected")) <= 1)
     val w = Window.partitionBy(col("id"), col("typo"))
       .orderBy(col("freq").desc, col("corrected").asc)
