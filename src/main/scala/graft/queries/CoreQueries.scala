@@ -198,6 +198,18 @@ object CoreQueries extends QueryPack {
     }),
 
     // lag/lead — inter-order gap per customer in days.
+    // Value-based RANGE frame (vs the ROWS frames above): peers within
+    // 1000.0 of the current price count toward the frame regardless of row
+    // position — deterministic under ties by construction (value-defined
+    // frame), so no tiebreaker column is needed for parity.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 0L)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          count(lit(1)).over(w).cast("long").as("n_within_1000"))
+    }),
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -479,6 +491,18 @@ object CoreQueries extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3_spend
+        |FROM orders""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1000
+        |FROM orders""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1000
         |FROM orders""".stripMargin,
 
     "q_window_lag" ->
