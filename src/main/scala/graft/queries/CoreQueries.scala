@@ -144,6 +144,16 @@ object CoreQueries extends QueryPack {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     }),
 
+    // Left outer join, row-level with null extension: every customer, with
+    // their big orders where they exist — the null-extended side is part of
+    // the hash-checked output.
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > lit(350000.0))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // As-of join: each purchase matched to the user's latest preceding (or
     // simultaneous) click. DuckDB's native ASOF JOIN is the oracle for our
     // union+window composition.
@@ -460,6 +470,11 @@ object CoreQueries extends QueryPack {
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+        |ON c_custkey = o.o_custkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events
