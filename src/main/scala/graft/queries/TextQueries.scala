@@ -59,6 +59,19 @@ object TextQueries extends QueryPack {
         element_at(array_sort(toks), 1).as("min_tok"))
     }),
 
+    // Higher-order lambda functions over token arrays (transform / filter /
+    // aggregate) — the codegen-friendly per-row functional surface that
+    // repetition/chunking/IVF build on, exercised directly.
+    "q_array_hof" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("transform(split(text, ' '), t -> length(t))").as("tok_lens"),
+        expr("CAST(size(filter(split(text, ' '), t -> length(t) > 4)) AS BIGINT)")
+          .as("n_long"),
+        expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) -> acc + length(t))")
+          .as("total_chars"))
+    }),
+
     // Global concat-blob aggregation — the reference's word-cloud input
     // (`agg(concat_ws(" ", collect_list(col)))`, ipynb cell 23), made
     // deterministic by sorting the collected tokens (collect_list order is
@@ -246,6 +259,13 @@ object TextQueries extends QueryPack {
         |SELECT coalesce(l.lemma, t.term) AS lemma_term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM toks t LEFT JOIN lem l ON t.term = l.term
         |GROUP BY coalesce(l.lemma, t.term)""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT doc_id,
+        |  list_transform(str_split(text, ' '), t -> length(t)) AS tok_lens,
+        |  CAST(len(list_filter(str_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(str_split(text, ' '), t -> length(t))) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
 
     "q_pos_tag" ->
       """WITH lex(term, pos) AS (VALUES
