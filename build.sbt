@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW (no sbt "[info] " prefix) and the
+// "[success] Total time" trailer must be suppressed: the driver parses the
+// LAST stdout line of `sbt runMain graft.Bench` as the bench JSON, and both
+// rounds 1–2 failed to parse ("parsed": null in BENCH_r0{1,2}.json) because
+// the JSON line was logger-prefixed and followed by the [success] line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -52,10 +52,20 @@ object Bench {
       // conservative (min) choice for reps=2 rather than the max
       name -> times((times.size - 1) / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 3-decimal (1 ms) precision keeps the single JSON line short enough to
+    // survive the driver's bounded tail capture (~2 KB) with ~80 queries.
+    import java.util.Locale
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${"%.3f".formatLocal(Locale.ROOT, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Redundant copy on disk in case stdout parsing fails again.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // Printed AFTER spark.stop() so no shutdown log line can land after it:
+    // the driver reads the last stdout line as the bench JSON.
+    println(line)
   }
 }

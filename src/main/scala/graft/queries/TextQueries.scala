@@ -61,11 +61,15 @@ object TextQueries extends QueryPack {
 
     // Higher-order lambda functions over token arrays (transform / filter /
     // aggregate) — the codegen-friendly per-row functional surface that
-    // repetition/chunking/IVF build on, exercised directly.
+    // repetition/chunking/IVF build on, exercised directly. The transform
+    // output is serialized to a CSV string (array_join) because the driver's
+    // comparison harness sorts result columns in pandas, which cannot order
+    // array cells (round-2 `q_array_hof` err: unhashable numpy.ndarray).
     "q_array_hof" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         col("doc_id"),
-        expr("transform(split(text, ' '), t -> length(t))").as("tok_lens"),
+        expr("array_join(transform(split(text, ' '), t -> CAST(length(t) AS STRING)), ',')")
+          .as("tok_lens"),
         expr("CAST(size(filter(split(text, ' '), t -> length(t) > 4)) AS BIGINT)")
           .as("n_long"),
         expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) -> acc + length(t))")
@@ -262,7 +266,7 @@ object TextQueries extends QueryPack {
 
     "q_array_hof" ->
       """SELECT doc_id,
-        |  list_transform(str_split(text, ' '), t -> length(t)) AS tok_lens,
+        |  array_to_string(list_transform(str_split(text, ' '), t -> length(t)), ',') AS tok_lens,
         |  CAST(len(list_filter(str_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS n_long,
         |  CAST(list_sum(list_transform(str_split(text, ' '), t -> length(t))) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
