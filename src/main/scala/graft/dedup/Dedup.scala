@@ -241,6 +241,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Near-dup CLUSTER resolution: connected components over a pair list,
+    * labeling every doc with the minimum doc id reachable through the
+    * near-dup relation (its cluster representative). Pairwise dedup output
+    * ((a,b), (b,c)) under-deletes if you drop only `b` per pair — the
+    * standard fix is to resolve components and keep ONE doc per component;
+    * `kept = (doc == rep)` marks the survivor.
+    *
+    * Algorithm: iterative min-label propagation — label(u) ←
+    * min(label(u), min over neighbors v of label(v)) until a fixpoint.
+    * Each round is one equi-join (labels onto edges) + one map-side-
+    * combinable groupBy(u).min — no windows, no collect of edges. Rounds =
+    * cluster diameter, and near-dup clusters are shallow (a few hops);
+    * for adversarial long-chain graphs the published upgrade is the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), which this
+    * API can swap in without changing its contract. Lineage is truncated
+    * per round with localCheckpoint (at 100 TB use a reliable checkpoint
+    * dir); convergence is detected by the label-sum invariant — labels
+    * only ever decrease, so an unchanged sum ⇔ fixpoint — which costs one
+    * scalar action per round instead of a change-count join.
+    *
+    * Returns one row per doc in `docs`: (idCol, rep, kept).
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .union(pairs.select(col("doc_b").cast("long").as("u"), col("doc_a").cast("long").as("v")))
+      .persist()
+    var labels = docs.select(col(idCol).cast("long").as("u"), col(idCol).cast("long").as("rep"))
+    // decimal(38,0) — a sum of 64-bit ids can overflow a long at scale
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = edges
+        .join(labels.select(col("u").as("v"), col("rep")), "v")
+        .select(col("u"), col("rep"))
+      val next = labels.union(prop)
+        .groupBy(col("u")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prev) == 0
+      prev = s
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("u").as(idCol), col("rep"),
+      (col("u") === col("rep")).as("kept"))
+  }
+
   /** 32-bit SimHash over token counts with an engine-independent bit source:
     * bit b of a token's hash = bit (b mod 4) of hex digit (b div 4) of
     * md5(token). Integer arithmetic end-to-end — bit-exact everywhere.

@@ -55,6 +55,17 @@ object DedupQueries extends QueryPack {
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
 
+    // Cluster resolution over the SimHash near-dup pairs: every doc labeled
+    // with its connected-component representative (min reachable id), kept =
+    // survivor. The oracle recomputes the same pairs and resolves components
+    // with a recursive transitive-closure CTE — the Spark side must converge
+    // to the identical fixpoint.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusters(docs, "doc_id",
+        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; the
     // rest of the corpus is swept for 5-gram overlap with it.
     "q_contamination" -> ((s, dir) => {
@@ -103,7 +114,26 @@ object DedupQueries extends QueryPack {
         |    a.simhash AS ha, b.simhash AS hb
         |  FROM bands a JOIN bands b ON a.i = b.i AND a.byte = b.byte AND a.doc < b.doc)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin)
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin),
+
+    // Same SimHash pairs, then connected components via recursive transitive
+    // closure: rep(u) = min id reachable over the symmetric edge set.
+    "q_dedup_clusters" -> (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, bands AS (SELECT doc, simhash, t.i, (simhash >> (8 * t.i)) & 255 AS byte
+        |  FROM sig CROSS JOIN range(0, 4) AS t(i)),
+        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM bands a JOIN bands b ON a.i = b.i AND a.byte = b.byte AND a.doc < b.doc),
+        |prs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |reach AS (SELECT u, v FROM e
+        |  UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |minr AS (SELECT u, MIN(v) AS mv FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  CAST(LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS BIGINT) AS rep,
+        |  LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) = d.doc_id AS kept
+        |FROM documents d LEFT JOIN minr m ON d.doc_id = m.u""".stripMargin)
   )
 
   /** MinHash candidate + intersection CTEs mirroring

@@ -30,6 +30,17 @@ object StreamQueries extends QueryPack {
         .agg(Num.cnt.as("n"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))),
 
+    // Stream-stream interval join in batch: clicks × same-user views within
+    // a 2-hour lookback (the watermark-bounded streaming variant is the
+    // same plan — see EventStreams.clickViewJoin).
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStreams.clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        lookback = "2 hours")
+    }),
+
     // Streaming-dedup semantics in batch: latest event per user
     // (`dropDuplicates` + watermark in the streaming variant).
     "q_event_latest" -> ((s, dir) =>
@@ -68,6 +79,16 @@ object StreamQueries extends QueryPack {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |    FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |    FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, click_id, view_id, click_ts, view_ts
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND view_ts >= click_ts - INTERVAL '2 hours'
+        |  AND view_ts < click_ts""".stripMargin,
 
     "q_event_latest" ->
       """SELECT user_id, event_id, ts, event_type FROM (

@@ -157,6 +157,46 @@ object TextQueries extends QueryPack {
       TextAnalysis.chunks(Tables.documents(s, dir), "doc_id", "text",
         chunkSize = 32, stride = 16)),
 
+    // Chunk→sequence packing per source shard: 32/16 stride chunks packed
+    // into 48-token training sequences (window partitioned by shard — no
+    // global sort; see TextAnalysis.packChunks scale note).
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ch = TextAnalysis.chunks(docs, "doc_id", "text",
+          chunkSize = 32, stride = 16)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      TextAnalysis.packChunks(ch, "source",
+          Seq(col("doc_id"), col("chunk_id")), "n_chunk_tokens", budget = 48)
+        .select(col("source"), col("doc_id"), col("chunk_id"),
+          col("n_chunk_tokens"), col("seq_id"))
+    }),
+
+    // Per-document TF-IDF top-3 keywords (smoothed IDF, round6+term
+    // tiebreak so the ranking is engine-independent).
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
+    // Vocabulary head / Zipf audit: top-100 terms with rank and cumulative
+    // corpus coverage.
+    "q_vocab_zipf" -> ((s, dir) =>
+      TextAnalysis.vocabStats(Tables.documents(s, dir), "doc_id", "text", k = 100)),
+
+    // PII scrub: deterministic synthetic PII (an email + a 555 phone per
+    // doc) injected, then counted and redacted. concat_ws on both sides —
+    // it skips NULLs identically in Spark and DuckDB (plain concat does
+    // not: Spark nulls out, DuckDB skips).
+    "q_pii_redact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"), lit("@mail.com")),
+          concat(lit("555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(TextAnalysis.PhoneRe)).cast("long").as("n_phones"),
+          md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"))
+    }),
+
     // Deterministic content-hash train/val/test split — reproducible across
     // engines/partitionings, unlike rand()-based randomSplit.
     "q_sample_split" -> ((s, dir) =>
@@ -327,6 +367,55 @@ object TextQueries extends QueryPack {
         |  array_to_string(toks[i+1:i+32], ' ') AS chunk_text,
         |  CAST(least(32, len(toks) - i) AS BIGINT) AS n_chunk_tokens
         |FROM s""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, source, toks, unnest(range(0, len(toks), 16)) AS i FROM t),
+        |ch AS (SELECT source, doc_id, CAST(i // 16 AS BIGINT) AS chunk_id,
+        |    CAST(least(32, len(toks) - i) AS BIGINT) AS n_chunk_tokens FROM s)
+        |SELECT source, doc_id, chunk_id, n_chunk_tokens,
+        |  CAST(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id, chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 48 AS BIGINT) AS seq_id
+        |FROM ch""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    round(CAST(tf.tf AS DOUBLE) * ln((n.nn + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)), 6) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, score, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+
+    "q_vocab_zipf" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM f),
+        |topk AS (SELECT term, n FROM f ORDER BY n DESC, term ASC LIMIT 100)
+        |SELECT term, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk,
+        |  round(CAST(SUM(n) OVER (ORDER BY n DESC, term ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t, 6) AS cum_frac
+        |FROM topk CROSS JOIN tot""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, concat_ws(' ', text,
+        |    concat('user', CAST(doc_id AS VARCHAR), '@mail.com'),
+        |    concat('555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug""".stripMargin,
 
     "q_sample_split" ->
       """SELECT doc_id,

@@ -140,6 +140,40 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views in the lookback window [click_ts − lookback, click_ts). The ONLY
+    * sound stream-stream join shape: the time-range predicate is what lets
+    * Spark bound both state stores — each side's watermark plus the
+    * interval condition tells the engine when a buffered row can never
+    * match again and is evicted. An equi-join on user_id alone would buffer
+    * both streams forever.
+    *
+    * Both inputs may be batch (same plan, no state) or streaming (pass
+    * `watermark = true`; inner-join output is emitted as matches arrive).
+    * Batch output == streaming output after all data arrives
+    * (StreamingPipelineSpec); the batch plan is oracle-verified as
+    * `q_interval_join`.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    lookback: String = "10 minutes",
+                    watermark: Boolean = false): DataFrame = {
+    val c0 = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val v0 = views.select(col("user_id").as("v_user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val (c, v) =
+      if (watermark)
+        (c0.withWatermark("click_ts", "1 hour"),
+         v0.withWatermark("view_ts", "1 hour"))
+      else (c0, v0)
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
+          col("view_ts") < col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Streaming dedup: first observation of each event_id wins. In streaming
     * mode the state is bounded via `dropDuplicatesWithinWatermark` — plain
     * `dropDuplicates(id)` after a watermark still keeps one state row per

@@ -118,6 +118,92 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** Pack chunks into fixed-token-budget training sequences, PER SHARD:
+    * within each shard (partition column), chunks are laid out in a
+    * deterministic order and assigned seq_id = floor(tokens-before / budget)
+    * — the concat-then-split packing every pretraining pipeline runs before
+    * batching, at chunk granularity (a sequence can overrun the budget by at
+    * most one chunk; exact token-boundary splitting is the downstream
+    * tokenizer's re-chunk, see [[chunks]]).
+    *
+    * Scale shape: the running sum is a window PARTITIONED BY the shard
+    * column — never a global ORDER BY (which would serialize 100 TB through
+    * one sort partition). Shards are the natural packing domain anyway:
+    * training data is materialized shard-by-shard and sequences must not
+    * cross shard files.
+    */
+  def packChunks(chunks: DataFrame, shardCol: String, orderCols: Seq[Column],
+                 tokCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("__before", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"CAST(__before DIV $budget AS BIGINT)"))
+      .drop("__before")
+  }
+
+  /** Per-document TF-IDF top-k keywords: tf(doc,term) · ln((N+1)/(df+1)),
+    * the classic smoothed IDF. Two map-side-combinable aggregations (tf,
+    * then df over the tf rows — df never re-touches raw tokens), the corpus
+    * size N broadcast as a 1-row crossJoin, and a per-doc row_number window
+    * for the top-k. Scores are rounded to 6 decimals BEFORE ranking with a
+    * term tiebreak, so the ordering is engine-independent (oracle-parity
+    * round6+tiebreak contract).
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast("double") *
+        log((col("__n") + lit(1.0)) / (col("df").cast("double") + lit(1.0))), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rnk"))
+  }
+
+  /** Vocabulary head statistics (Zipf audit): the top-k corpus terms with
+    * frequency, rank, and cumulative corpus-coverage fraction — the "how
+    * much of the corpus do the top 100 terms cover" check run before
+    * tokenizer training. The top-k is a TakeOrderedAndProject (scale-safe:
+    * only k rows survive to the driver-side-free global window); the
+    * cumulative window then runs over k rows, not the vocabulary.
+    */
+  def vocabStats(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    val freqs = tokens(docs, idCol, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("n"))
+    val tot = freqs.agg(sum(col("n")).cast("double").as("__tot"))
+    val topk = freqs.orderBy(col("n").desc, col("term").asc).limit(k)
+    // single-partition window is fine HERE: input is the k-row top-k
+    val w = Window.orderBy(col("n").desc, col("term").asc)
+    topk.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_frac",
+        round(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("__tot"), 6))
+      .select(col("term"), col("n"), col("rnk"), col("cum_frac"))
+  }
+
+  /** PII patterns shared by scrub and count — conservative syntax that means
+    * the same thing to Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Redact emails/phones in place — the pre-training PII scrub, as a pure
+    * codegen'd projection (regexp_replace replaces ALL matches).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** Content fingerprints: raw digest, strong digest, and an order-invariant
     * bag-of-words fingerprint (detects shuffled duplicates). All codegen'd
     * built-ins — no shuffle at all.

@@ -81,6 +81,20 @@ class DedupSpec extends SparkSpec {
     assert(hits == Map(10L -> 1L, 12L -> 1L))
   }
 
+  test("clusters: min-label propagation resolves chains beyond one hop") {
+    // chain 1-2, 2-3, 3-4 (diameter 3 — forces multiple propagation
+    // rounds), separate pair 10-11, singleton 20
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val out = Dedup.clusters(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val rep = out.map(t => t._1 -> t._2).toMap
+    assert(rep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(out.filter(_._3).map(_._1).sorted.toSeq == Seq(1L, 10L, 20L))
+  }
+
   test("simhash is identical for identical docs, differs for unrelated ones") {
     val hashes = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

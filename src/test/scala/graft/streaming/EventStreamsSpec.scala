@@ -50,6 +50,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(EventStreams.dedupFirstSeen(rows).count() == 5)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val viewMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // user 10: views at 01:30 and 01:39 precede the 01:40 click (10-min
+    // lookback admits only 01:39 — boundary 01:30 is exactly −10 min,
+    // inclusive); a view AT the click ts is excluded (strict upper bound)
+    val clicks = Seq((4L, ts("2024-01-01 01:40:00"), 10L, "click", 4.0))
+    val views = Seq(
+      (20L, ts("2024-01-01 01:30:00"), 10L, "view", 0.0),
+      (21L, ts("2024-01-01 01:39:00"), 10L, "view", 0.0),
+      (22L, ts("2024-01-01 01:40:00"), 10L, "view", 0.0),
+      (23L, ts("2024-01-01 01:39:30"), 99L, "view", 0.0)) // other user
+    val out = EventStreams.clickViewJoin(
+      clickMem.toDF().toDF(cols: _*), viewMem.toDF().toDF(cols: _*),
+      lookback = "10 minutes", watermark = true)
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clickMem.addData(clicks: _*)
+      viewMem.addData(views: _*)
+      out.processAllAvailable()
+      val streamed = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventStreams.clickViewJoin(
+        clicks.toDF(cols: _*).where("event_type = 'click'"),
+        views.toDF(cols: _*).where("event_type = 'view'"),
+        lookback = "10 minutes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch == Set((10L, 4L, 20L), (10L, 4L, 21L)))
+    } finally out.stop()
+  }
+
   test("evicting running totals: watermark passage closes and evicts state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.TimedEvent]

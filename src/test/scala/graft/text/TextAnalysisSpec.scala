@@ -107,4 +107,53 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "t7 t8 t9 t10", 4L),
       (3L, "t10", 1L)))
   }
+
+  test("packChunks: per-shard prefix-sum binning, never crossing shards") {
+    import org.apache.spark.sql.functions.col
+    // shard A: chunks of 4,4,4,2 tokens, budget 8 → seqs 0,0,1,1
+    // shard B: 7,7 → seqs 0,0 (7 before-second < 8); B restarts at 0
+    val ch = Seq(
+      ("A", 1L, 0L, 4L), ("A", 1L, 1L, 4L), ("A", 2L, 0L, 4L), ("A", 2L, 1L, 2L),
+      ("B", 3L, 0L, 7L), ("B", 3L, 1L, 7L)
+    ).toDF("source", "doc_id", "chunk_id", "n_chunk_tokens")
+    val out = TextAnalysis.packChunks(ch, "source",
+        Seq(col("doc_id"), col("chunk_id")), "n_chunk_tokens", budget = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(out.toSeq == Seq(
+      ("A", 1L, 0L, 0L), ("A", 1L, 1L, 0L), ("A", 2L, 0L, 1L), ("A", 2L, 1L, 1L),
+      ("B", 3L, 0L, 0L), ("B", 3L, 1L, 0L)))
+  }
+
+  test("tfidf: corpus-wide terms score zero-ish, rare terms rank first") {
+    val corpus = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common filler filler"),
+      (3L, "common other words")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val d1 = top.filter(_._1 == 1L).sortBy(_._4)
+    // "rare1" (df=1) must outrank "common" (df=3) despite tf 1 vs 3
+    assert(d1.head._2 == "rare1")
+    // smoothed idf of an every-doc term: ln(4/4) = 0 → score 0
+    assert(d1.find(_._2 == "common").forall(_._3 == 0.0))
+  }
+
+  test("vocabStats: rank by freq desc then term, cum_frac reaches 1 at full k") {
+    val corpus = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabStats(corpus, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._3)
+    assert(v.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 3L, 1L), ("b", 2L, 2L), ("c", 1L, 3L)))
+    assert(v.head._4 == 0.5 && v.last._4 == 1.0)
+  }
+
+  test("redactPii scrubs all emails and 555-phones, leaves the rest") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val out = Seq("mail bob.smith@corp.io and jo@x.net or 555-1234 not 5555-1234x")
+      .toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("r")).head().getString(0)
+    assert(out == "mail <EMAIL> and <EMAIL> or <PHONE> not 5555-1234x")
+  }
 }
