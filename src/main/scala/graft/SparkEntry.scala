@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, DedupQueries, SearchQueries, SimilarityQueries, StreamQueries, TextQueries}
+import graft.queries.{CoreQueries, DedupQueries, SearchQueries, SimilarityQueries, StatsQueries, StreamQueries, TextQueries}
 import graft.util.QueryPack
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -18,7 +18,8 @@ object SparkEntry {
     SearchQueries,
     DedupQueries,
     SimilarityQueries,
-    StreamQueries
+    StreamQueries,
+    StatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

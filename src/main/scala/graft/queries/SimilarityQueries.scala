@@ -41,6 +41,13 @@ object SimilarityQueries extends QueryPack {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45)),
 
+    // Two full Lloyd iterations (assign → decimal-mean update → reassign),
+    // k=8, hash-checked end-to-end — the oracle replays the identical
+    // deterministic iteration.
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
     // The scale path: same threshold semantics, candidates pruned to
     // same-sign-bucket pairs (recall < 1 by design — see the operator's
     // Scaladoc; the oracle mirrors the pruning exactly, so the entry is
@@ -89,6 +96,30 @@ object SimilarityQueries extends QueryPack {
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
+
+    "q_kmeans" -> {
+      def cosd(a: String, b: String): String =
+        s"""round(
+           |  list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+           |  (sqrt(list_sum(list_transform($a, x -> x * x))) *
+           |   sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin
+      def assignCte(out: String, centsCte: String): String =
+        s"""s_$out AS (SELECT e.vec_id, e.v, c.cid, ${cosd("e.v", "c.cv")} AS s
+           |  FROM emb e CROSS JOIN $centsCte c),
+           |$out AS (SELECT vec_id, v, cluster, s FROM (
+           |  SELECT vec_id, v, cid AS cluster, s, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY s DESC, cid ASC) AS rn FROM s_$out) WHERE rn = 1)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM emb WHERE vec_id < 8),
+         |${assignCte("a1", "c0")},
+         |u1 AS (SELECT cluster AS cid, pos,
+         |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS m
+         |  FROM (SELECT cluster, v, unnest(range(1, len(v) + 1)) AS pos FROM a1)
+         |  GROUP BY cluster, pos),
+         |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
+         |${assignCte("a2", "c1")}
+         |SELECT vec_id, cluster, s AS centroid_sim FROM a2""".stripMargin
+    },
 
     "q_embedding_stats" ->
       s"""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,

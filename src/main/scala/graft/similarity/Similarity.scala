@@ -143,6 +143,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic Lloyd's k-means over embedding vectors — the trained
+    * upgrade for [[ivfAssign]]'s seed centroids and the topic-clustering
+    * pass of a training-data pipeline. Engine-parity by construction, so
+    * the full iteration is hash-checkable against the DuckDB oracle:
+    *
+    *  - init: centroids = the first k vectors by id (deterministic seed;
+    *    k-means|| would be the production seeding, same plan after init);
+    *  - assignment: the zero-shuffle broadcast-centroid projection from
+    *    [[ivfAssign]] (array_max over (round6 sim, -cid) structs — the
+    *    round6+tiebreak makes the argmax engine-independent);
+    *  - update: per-(cluster, dim) means via DECIMAL(38,12) sums (decimal
+    *    addition is exact ⇒ order-independent — double sums would vary
+    *    with partitioning), then round6 back to double. One posexplode +
+    *    one groupBy(cluster, dim) per iteration — map-side combinable,
+    *    k·dim output rows.
+    *
+    * Empty clusters vanish (no member rows ⇒ no centroid next round) —
+    * standard Lloyd behavior, identical in the oracle. Returns
+    * (idCol, cluster, centroid_sim) after `iters` assignment rounds.
+    */
+  def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, "kmeansAssign needs k > 0 and iters >= 1")
+    val withVd = embeddings.select(col(idCol), col(vecCol),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
+    var cents = withVd.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), col("__vd").as("cv"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignNearest(withVd, cents)
+      cents = assigned
+        .select(col("cluster").as("cid"), posexplode(col("__vd")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col").cast("decimal(38,12)")).as("__s"),
+          count(lit(1)).cast("long").as("__n"))
+        .withColumn("m",
+          round(col("__s").cast("double") / col("__n").cast("double"), 6))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+    }
+    assigned.select(col(idCol), col("cluster"), col("centroid_sim"))
+  }
+
+  /** Nearest-centroid assignment against an explicit (cid, cv: double[])
+    * centroid frame — [[ivfAssign]]'s broadcast-projection argmax
+    * generalized to computed centroids. collect_list order is
+    * partitioning-dependent but harmless: array_max is order-independent.
+    */
+  private def assignNearest(withVd: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
+    withVd.crossJoin(broadcast(centsArr))
+      .withColumn("__best", expr(
+        """array_max(transform(__cents, c -> struct(
+          |  round(
+          |    aggregate(zip_with(__vd, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /
+          |    (sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x)) *
+          |     sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x))), 6) AS sim,
+          |  -c.cid AS ncid)))""".stripMargin))
+      .withColumn("cluster", -col("__best.ncid"))
+      .withColumn("centroid_sim", col("__best.sim"))
+      .drop("__cents", "__best")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine
     * ≥ threshold. Baseline is the all-pairs scan (quadratic — fine for
     * dedup batches); the scale path pre-buckets with [[signBucket]] or

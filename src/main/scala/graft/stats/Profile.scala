@@ -1,0 +1,78 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Data-profiling operators a pipeline runs BEFORE the heavy jobs: key-skew
+  * audits (pick salting/AQE thresholds from evidence, not guesses), ANALYZE
+  * -style column profiles (the stats a cost-based optimizer and a data-
+  * quality gate both want), and sketch-based quantiles with a checkable
+  * tolerance contract.
+  *
+  * All of it is plain aggregation algebra: one map-side-combinable groupBy
+  * or one global agg per operator — profiles of 100 TB inputs cost one scan.
+  */
+object Profile {
+
+  /** Heavy-hitter audit for a prospective shuffle key: the top-k keys by
+    * row count with their corpus share and rank. THE pre-join skew check —
+    * a key holding >1% of 100 TB makes a plain shuffle join spill; this
+    * report is what decides salting (`Relational.saltedAgg`) or AQE skew
+    * thresholds. Cost: one groupBy(key) (map-side combined) + a broadcast
+    * 1-row total + TakeOrdered k rows.
+    */
+  def skewAudit(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tot = df.agg(count(lit(1)).cast("double").as("__tot"))
+    val topk = counts.orderBy(col("n").desc, col(keyCol).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col(keyCol).asc)
+    topk.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("share", round(col("n") / col("__tot"), 6))
+      .select(col(keyCol), col("n"), col("rnk"), col("share"))
+  }
+
+  /** ANALYZE-style column profile, long format: one row per requested
+    * column with distinct count, null count, and min/max rendered as
+    * strings (so heterogeneous column types share one schema — the same
+    * shape catalog stats tables use). One pass, all columns aggregated
+    * together; NDVs here are exact (the sketch variant is
+    * `approx_count_distinct`, same plan shape, see `q_approx_distinct`).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"__ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', __ndv_$c, __nn_$c, __min_$c, __max_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs)")
+        .as(Seq("column", "ndv", "n_null", "min_str", "max_str")))
+  }
+
+  /** Sketch quantiles under a tolerance CONTRACT (the `q_approx_distinct`
+    * pattern): emits the exact percentile next to a flag asserting the
+    * sketch landed within `tol` of it. Sketch internals are engine-specific
+    * so the raw estimate can never hash-match an oracle — the exact value +
+    * within-tolerance boolean CAN, which keeps the approximate operator
+    * under the same correctness gate as everything else.
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                      accuracy: Int, tol: Double): DataFrame = {
+    val psArr = s"array(${ps.map(p => s"${p}D").mkString(", ")})"
+    df.agg(
+        expr(s"percentile($valueCol, $psArr)").as("__exact"),
+        expr(s"percentile_approx($valueCol, $psArr, $accuracy)").as("__approx"))
+      .select(posexplode(arrays_zip(expr(psArr).as("p"),
+        col("__exact"), col("__approx"))))
+      .select(col("col.p").as("p"),
+        round(col("col.__exact"), 6).as("exact_value"),
+        (abs(col("col.__approx") - col("col.__exact")) /
+          col("col.__exact") <= tol).as(s"within_tol"))
+  }
+}

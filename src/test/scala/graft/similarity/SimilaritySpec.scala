@@ -53,6 +53,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!bucketed.exists(p => p._1 == 0L && p._2 == 4L))
   }
 
+  test("kmeans separates two obvious direction clusters and refines centroids") {
+    // ids 0,1 seed the two clusters; 2,3 near axis-x, 4,5 near axis-y
+    val pts = Seq(
+      (0L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.0f)), (3L, Array(1.0f, -0.1f)),
+      (1L, Array(0.1f, 1.0f)), (4L, Array(0.0f, 0.9f)), (5L, Array(-0.1f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(pts, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byCluster = out.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(byCluster(0L) == Set(0L, 2L, 3L))
+    assert(byCluster(1L) == Set(1L, 4L, 5L))
+    // after refinement every member sits close to its centroid direction
+    assert(out.forall(_._3 > 0.9))
+  }
+
   test("vector stats: norms and buckets") {
     val stats = Similarity.vectorStats(vecs, "vec_id", "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") ->

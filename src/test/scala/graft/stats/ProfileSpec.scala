@@ -1,0 +1,36 @@
+package graft.stats
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skewAudit ranks the heavy key first with its corpus share") {
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c")).toDF("k")
+    val out = Profile.skewAudit(df, "k", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("hot", 6L, 1L, 0.6), ("a", 2L, 2L, 0.2)))
+  }
+
+  test("columnProfile: ndv, nulls, min/max as strings across mixed types") {
+    val df = Seq((1L, Some(2.5), "x"), (2L, None, "y"), (2L, Some(7.0), "y"))
+      .toDF("id", "v", "s")
+    val rows = Profile.columnProfile(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(rows("id") == ((2L, 0L, "1", "2")))
+    assert(rows("v") == ((2L, 1L, "2.5", "7.0")))
+    assert(rows("s") == ((2L, 0L, "x", "y")))
+  }
+
+  test("approxQuantiles: exact percentile emitted, sketch within tolerance") {
+    val df = (1L to 1000L).toDF("v")
+    val out = Profile.approxQuantiles(df, "v", Seq(0.5, 0.99),
+      accuracy = 10000, tol = 0.05)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0.5, 0.99))
+    assert(out.head._2 == 500.5) // R-7 interpolated median of 1..1000
+    assert(out.forall(_._3))
+  }
+}
