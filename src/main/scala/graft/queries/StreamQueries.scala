@@ -41,6 +41,12 @@ object StreamQueries extends QueryPack {
         lookback = "2 hours")
     }),
 
+    // Conversion funnel: clicks followed by a purchase within 1 hour,
+    // rolled up per user (bounded left interval join + two combinable aggs).
+    "q_funnel" -> ((s, dir) =>
+      EventStreams.conversionFunnel(Tables.events(s, dir),
+        from = "click", to = "purchase", horizon = "1 hour")),
+
     // Streaming-dedup semantics in batch: latest event per user
     // (`dropDuplicates` + watermark in the streaming variant).
     "q_event_latest" -> ((s, dir) =>
@@ -79,6 +85,19 @@ object StreamQueries extends QueryPack {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH f AS (SELECT user_id, event_id AS from_id, ts AS from_ts
+        |    FROM events WHERE event_type = 'click'),
+        |t AS (SELECT user_id, ts AS to_ts FROM events WHERE event_type = 'purchase'),
+        |per_click AS (SELECT f.user_id, f.from_id,
+        |    MAX(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |  FROM f LEFT JOIN t ON f.user_id = t.user_id
+        |    AND t.to_ts > f.from_ts AND t.to_ts <= f.from_ts + INTERVAL '1 hour'
+        |  GROUP BY f.user_id, f.from_id)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_from,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted
+        |FROM per_click GROUP BY user_id""".stripMargin,
 
     "q_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts

@@ -157,6 +157,10 @@ object TextQueries extends QueryPack {
       TextAnalysis.chunks(Tables.documents(s, dir), "doc_id", "text",
         chunkSize = 32, stride = 16)),
 
+    // Language-model bigram count table, top-50.
+    "q_bigrams" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(Tables.documents(s, dir), "text", n = 2, k = 50)),
+
     // Chunk→sequence packing per source shard: 32/16 stride chunks packed
     // into 48-token training sequences (window partitioned by shard — no
     // global sort; see TextAnalysis.packChunks scale note).
@@ -367,6 +371,15 @@ object TextQueries extends QueryPack {
         |  array_to_string(toks[i+1:i+32], ' ') AS chunk_text,
         |  CAST(least(32, len(toks) - i) AS BIGINT) AS n_chunk_tokens
         |FROM s""".stripMargin,
+
+    "q_bigrams" ->
+      """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |g AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+        |    i -> array_to_string(toks[i+1:i+2], ' '))) AS gram FROM t)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g GROUP BY gram
+        |ORDER BY n DESC, gram ASC LIMIT 50""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),

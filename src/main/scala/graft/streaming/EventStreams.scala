@@ -174,6 +174,29 @@ object EventStreams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Conversion funnel: per user, how many `from` events were followed by
+    * at least one `to` event within `horizon`. The left interval join is
+    * the same bounded shape as [[clickViewJoin]]; the per-(user, from-event)
+    * max-flag collapse then the per-user rollup are both map-side
+    * combinable. Returns (user_id, n_from, n_converted).
+    */
+  def conversionFunnel(events: DataFrame, from: String, to: String,
+                       horizon: String = "1 hour"): DataFrame = {
+    val f = events.filter(col("event_type") === from)
+      .select(col("user_id"), col("event_id").as("from_id"), col("ts").as("from_ts"))
+    val t = events.filter(col("event_type") === to)
+      .select(col("user_id").as("__tu"), col("ts").as("to_ts"))
+    f.join(t,
+        col("user_id") === col("__tu") &&
+          col("to_ts") > col("from_ts") &&
+          col("to_ts") <= col("from_ts") + expr(s"INTERVAL $horizon"), "left")
+      .groupBy(col("user_id"), col("from_id"))
+      .agg(max(when(col("__tu").isNotNull, 1L).otherwise(0L)).as("__conv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_from"),
+        sum(col("__conv")).cast("long").as("n_converted"))
+  }
+
   /** Streaming dedup: first observation of each event_id wins. In streaming
     * mode the state is bounded via `dropDuplicatesWithinWatermark` — plain
     * `dropDuplicates(id)` after a watermark still keeps one state row per

@@ -204,6 +204,26 @@ object TextAnalysis {
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  /** Corpus n-gram counts, top-k — the language-model count table (bigram/
+    * trigram frequencies). Grams are built as a per-row transform over the
+    * token array ([[repetition]]'s trick — no intermediate token explode),
+    * so the only shuffle is the map-side-combined groupBy(gram), and the
+    * top-k is a TakeOrderedAndProject.
+    */
+  def ngramCounts(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(size(toks) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(split($textCol, ' ')) - $n),
+           |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"""
+          .stripMargin)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Content fingerprints: raw digest, strong digest, and an order-invariant
     * bag-of-words fingerprint (detects shuffled duplicates). All codegen'd
     * built-ins — no shuffle at all.

@@ -50,6 +50,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(EventStreams.dedupFirstSeen(rows).count() == 5)
   }
 
+  test("conversion funnel counts from-events with a to-event inside the horizon") {
+    val ev = Seq(
+      // user 10: click at 00:05 converts (purchase 00:30); click at 02:00 doesn't
+      (1L, ts("2024-01-01 00:05:00"), 10L, "click", 0.0),
+      (2L, ts("2024-01-01 00:30:00"), 10L, "purchase", 0.0),
+      (3L, ts("2024-01-01 02:00:00"), 10L, "click", 0.0),
+      // user 11: purchase BEFORE the click — not a conversion
+      (4L, ts("2024-01-01 00:10:00"), 11L, "purchase", 0.0),
+      (5L, ts("2024-01-01 00:20:00"), 11L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.conversionFunnel(ev, "click", "purchase", "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((10L, 2L, 1L), (11L, 1L, 0L)))
+  }
+
   test("stream-stream interval join == batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val clickMem = MemoryStream[(Long, Timestamp, Long, String, Double)]

@@ -149,6 +149,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v.head._4 == 0.5 && v.last._4 == 1.0)
   }
 
+  test("ngramCounts: bigram table ordered by count desc then gram") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val grams = TextAnalysis.ngramCounts(corpus, "text", n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(grams == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("redactPii scrubs all emails and 555-phones, leaves the rest") {
     import org.apache.spark.sql.functions.{col, lit}
     val out = Seq("mail bob.smith@corp.io and jo@x.net or 555-1234 not 5555-1234x")
