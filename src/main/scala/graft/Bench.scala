@@ -36,7 +36,11 @@ object Bench {
     // masquerade as a fast green timing in the emitted JSON.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // builder-local iteration aid: comma-separated query-name filter
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times =
         try {
           (1 to reps).map { _ =>

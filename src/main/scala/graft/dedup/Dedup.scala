@@ -248,19 +248,29 @@ object Dedup {
     * standard fix is to resolve components and keep ONE doc per component;
     * `kept = (doc == rep)` marks the survivor.
     *
-    * Algorithm: iterative min-label propagation — label(u) ←
-    * min(label(u), min over neighbors v of label(v)) until a fixpoint.
-    * Each round is one equi-join (labels onto edges) + one map-side-
-    * combinable groupBy(u).min — no windows, no collect of edges. Rounds =
-    * cluster diameter, and near-dup clusters are shallow (a few hops);
-    * for adversarial long-chain graphs the published upgrade is the
-    * alternating large-star/small-star algorithm (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14), which this
-    * API can swap in without changing its contract. Lineage is truncated
-    * per round with localCheckpoint (at 100 TB use a reliable checkpoint
-    * dir); convergence is detected by the label-sum invariant — labels
-    * only ever decrease, so an unchanged sum ⇔ fixpoint — which costs one
+    * Algorithm: min-label propagation with POINTER JUMPING — each round
+    * first propagates label(u) ← min(label(u), min over neighbors v of
+    * label(v)) (one equi-join + one map-side-combinable groupBy(u).min),
+    * then compresses paths with label(u) ← label(label(u)) (one self-join)
+    * — the classic parallel-CC path-halving step (Shiloach–Vishkin). Plain
+    * propagation needs diameter rounds, which a single boilerplate web of
+    * millions of docs turns into hundreds of shuffles; with jumping the
+    * round count drops to O(log diameter). The published alternative at
+    * extreme edge counts is alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14); this
+    * API could swap it in without changing its contract. Lineage is
+    * truncated per round with localCheckpoint (at 100 TB use a reliable
+    * checkpoint dir); convergence is detected by the label-sum invariant —
+    * labels only ever decrease, so an unchanged sum ⇔ fixpoint — one
     * scalar action per round instead of a change-count join.
+    *
+    * Bench note (local mode): wall time here is round count × fixed
+    * scheduling cost — the per-round data is a few thousand labels, so
+    * nearly all of the measured seconds are stage-submission latency, not
+    * work. At cluster scale the same rounds each carry billions of edges
+    * and the fixed cost amortizes to nothing; what matters is that rounds
+    * stay O(log diameter) (pointer jumping) and every round is a bounded,
+    * combinable shuffle.
     *
     * Returns one row per doc in `docs`: (idCol, rep, kept).
     */
@@ -269,9 +279,26 @@ object Dedup {
     val edges = pairs
       .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
       .union(pairs.select(col("doc_b").cast("long").as("u"), col("doc_a").cast("long").as("v")))
-      .persist()
-    var labels = docs.select(col(idCol).cast("long").as("u"), col(idCol).cast("long").as("rep"))
-    // decimal(38,0) — a sum of 64-bit ids can overflow a long at scale
+      .localCheckpoint() // pairs' DAG (LSH/banding) must not re-run per round
+    // Iterate ONLY over the active subgraph — docs that appear in some pair.
+    // In a near-dup workload that is a sliver of the corpus (dup rate ×
+    // cluster size); every doc outside it is its own rep by definition and
+    // rejoins at the end, so the per-round joins never touch the full table.
+    // init = the first propagation round for free: with identity labels,
+    // min over N(u) ∪ {u} needs no join — one groupBy over the edge list.
+    var labels = edges.select(col("u"), col("v"))
+      .union(edges.select(col("u"), col("u")))
+      .groupBy(col("u")).agg(min(col("v")).as("rep"))
+      .localCheckpoint(false)
+    // decimal(38,0) — a sum of 64-bit ids can overflow a long at scale.
+    // The sum action ALSO materializes each round's LAZY localCheckpoint,
+    // so a round costs exactly one job (multi-stage): propagation join →
+    // groupBy min → jump join → sum. The checkpoint itself is mandatory —
+    // the jump self-join doubles the logical plan every round, so without
+    // lineage truncation the plan tree grows 2^rounds and analysis OOMs;
+    // the EAGER variant would truncate too but spends a second job per
+    // round on materialization alone, and at tiny per-round state the
+    // fixed job overhead is the entire cost.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
     var prev = labelSum(labels)
@@ -281,18 +308,27 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("u").as("v"), col("rep")), "v")
         .select(col("u"), col("rep"))
-      val next = labels.union(prop)
+      val propagated = labels.union(prop)
         .groupBy(col("u")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
+      // pointer jump: rep(u) ← rep(rep(u)). Every rep value is an active
+      // node id, so the lookup always resolves; left+coalesce guards the
+      // self-rooted rows anyway.
+      val next = propagated
+        .join(propagated.select(col("u").as("rep"), col("rep").as("__rep2")),
+          Seq("rep"), "left")
+        .select(col("u"), coalesce(col("__rep2"), col("rep")).as("rep"))
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prev) == 0
       prev = s
       labels = next
       it += 1
     }
-    edges.unpersist()
-    labels.select(col("u").as(idCol), col("rep"),
-      (col("u") === col("rep")).as("kept"))
+    docs.select(col(idCol).cast("long").as("u"))
+      .join(labels, Seq("u"), "left")
+      .select(col("u").as(idCol),
+        coalesce(col("rep"), col("u")).as("rep"),
+        (col("u") === coalesce(col("rep"), col("u"))).as("kept"))
   }
 
   /** 32-bit SimHash over token counts with an engine-independent bit source:
