@@ -37,23 +37,27 @@ object Profile {
   /** ANALYZE-style column profile, long format: one row per requested
     * column with distinct count, null count, and min/max rendered as
     * strings (so heterogeneous column types share one schema — the same
-    * shape catalog stats tables use). One pass, all columns aggregated
-    * together; NDVs here are exact (the sketch variant is
-    * `approx_count_distinct`, same plan shape, see `q_approx_distinct`).
+    * shape catalog stats tables use). NDVs are exact (the sketch variant
+    * is `approx_count_distinct`, same plan shape, see `q_approx_distinct`).
+    *
+    * Plan shape: one independent single-column aggregation per column,
+    * unioned — each branch prunes the scan to ITS column and runs a
+    * partial (map-side) distinct. The single-agg multi-distinct
+    * alternative Expands every row ×(columns+1) before one big shuffle —
+    * on a wide profile that inflates shuffle volume by the column count,
+    * while the union's branches read disjoint column chunks and shuffle
+    * only their own distinct values.
     */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(countDistinct(col(c)).as(s"__ndv_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"__nn_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val stackArgs = cols.map(c =>
-      s"'$c', __ndv_$c, __nn_$c, __min_$c, __max_$c").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stackArgs)")
-        .as(Seq("column", "ndv", "n_null", "min_str", "max_str")))
-  }
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c)).agg(
+        countDistinct(col(c)).as("ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("ndv"), col("n_null"),
+          col("min_str"), col("max_str"))
+    }.reduce(_.unionAll(_))
 
   /** Sketch quantiles under a tolerance CONTRACT (the `q_approx_distinct`
     * pattern): emits the exact percentile next to a flag asserting the
