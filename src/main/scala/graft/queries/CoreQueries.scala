@@ -220,6 +220,30 @@ object CoreQueries extends QueryPack {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
           count(lit(1)).over(w).cast("long").as("n_within_1000"))
     }),
+    // Distribution windows: ntile quartiles + percent_rank/cume_dist, tie
+    // broken by event_id so relative positions are engine-independent.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir).select(
+        col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
+    // FULL OUTER join with genuine null extension on both sides: per-source
+    // doc counts against a small tag table containing a source with no docs.
+    "q_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val tags = Seq(("src0", "alpha"), ("src1", "beta"), ("srcX", "ghost"))
+        .toDF("source", "tag")
+      Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_docs"))
+        .join(tags, Seq("source"), "full_outer")
+        .select(col("source"), col("n_docs"), col("tag"))
+    }),
+
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -514,11 +538,23 @@ object CoreQueries extends QueryPack {
         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1000
         |FROM orders""".stripMargin,
 
-    "q_window_range" ->
-      """SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
-        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1000
-        |FROM orders""".stripMargin,
+    // Distribution windows: quartile bucketing + relative-position stats,
+    // deterministic under the (value, event_id) total order.
+    "q_window_ntile" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT COALESCE(d.source, k.source) AS source, n_docs, tag
+        |FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM documents GROUP BY source) d
+        |FULL JOIN (VALUES ('src0','alpha'), ('src1','beta'), ('srcX','ghost'))
+        |  AS k(source, tag)
+        |ON d.source = k.source""".stripMargin,
 
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.util.{QueryPack, Tables}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, levenshtein}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deduplication coverage over `documents`: exact, n-gram Jaccard,
@@ -55,6 +55,20 @@ object DedupQueries extends QueryPack {
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
 
+    // Edit-distance verification layered on the LSH candidates: the exact
+    // character-level confirmation pass a dedup pipeline runs on its
+    // near-dup pairs (cost O(len²) per PAIR, never per corpus — only the
+    // LSH survivors pay it).
+    "q_edit_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minHashLsh(docs, "doc_id", "text",
+          n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("__ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("__tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jacc"),
+          levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
+    }),
+
     // Cluster resolution over the SimHash near-dup pairs: every doc labeled
     // with its connected-component representative (min reachable id), kept =
     // survivor. The oracle recomputes the same pairs and resolves components
@@ -90,6 +104,13 @@ object DedupQueries extends QueryPack {
         |""".stripMargin + jaccardVerify),
 
     "q_dedup_minhash" -> (shingleCte + minhashOracleCtes(None) + jaccardVerify),
+
+    "q_edit_distance" -> (shingleCte + minhashOracleCtes(None) +
+      ", jv AS (" + jaccardVerify + ")\n" +
+      """SELECT jv.doc_a, jv.doc_b, jv.jacc,
+        |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+        |FROM jv JOIN documents x ON jv.doc_a = x.doc_id
+        |JOIN documents y ON jv.doc_b = y.doc_id""".stripMargin),
 
     "q_dedup_minhash_guarded" ->
       (shingleCte + minhashOracleCtes(Some(5L)) + jaccardVerify),

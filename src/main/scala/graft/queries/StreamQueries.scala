@@ -41,6 +41,15 @@ object StreamQueries extends QueryPack {
         lookback = "2 hours")
     }),
 
+    // Per-user EWMA of event values (α=0.2) — time-series smoothing as a
+    // deterministic sequential fold: events sorted by (ts, event_id) inside
+    // a per-user collected array, folded with the same left-to-right
+    // semantics as the oracle's list_reduce. Per-user state is the user's
+    // own event list (bounded); the unbounded-stream variant is the
+    // windowed aggregation family above.
+    "q_ewma" -> ((s, dir) =>
+      EventStreams.ewma(Tables.events(s, dir), alpha = 0.2)),
+
     // Conversion funnel: clicks followed by a purchase within 1 hour,
     // rolled up per user (bounded left interval join + two combinable aggs).
     "q_funnel" -> ((s, dir) =>
@@ -85,6 +94,15 @@ object StreamQueries extends QueryPack {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_ewma" ->
+      """WITH o AS (SELECT user_id,
+        |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(CAST(list_reduce(vals, (a, b) -> 0.2 * b + 0.8 * a) AS DOUBLE), 6) AS ewma
+        |FROM o""".stripMargin,
 
     "q_funnel" ->
       """WITH f AS (SELECT user_id, event_id AS from_id, ts AS from_ts

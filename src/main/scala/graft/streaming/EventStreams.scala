@@ -174,6 +174,30 @@ object EventStreams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Per-key EWMA (exponentially weighted moving average) of `valueCol`,
+    * events ordered by (ts, event_id): a deterministic sequential fold —
+    * ewma ← α·x + (1−α)·ewma, seeded with the first value. The fold runs
+    * inside a per-key collected array (array_sort + aggregate), so the
+    * result is partitioning-independent and bit-identical to the oracle's
+    * list_reduce. Per-key state is that key's event list — bounded for
+    * entity keys; for unbounded streams use the windowed aggregations.
+    * Returns (user_id, n_events, ewma round6).
+    */
+  def ewma(events: DataFrame, alpha: Double): DataFrame = {
+    val beta = 1.0 - alpha
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        expr("transform(array_sort(collect_list(struct(ts, event_id, value))), e -> e.value)")
+          .as("__vals"))
+      .select(col("user_id"), col("n_events"),
+        round(expr(
+          s"""aggregate(slice(__vals, 2, size(__vals) - 1),
+             |  CAST(__vals[0] AS DOUBLE),
+             |  (acc, x) -> ${alpha}D * x + ${beta}D * acc)""".stripMargin), 6)
+          .as("ewma"))
+  }
+
   /** Conversion funnel: per user, how many `from` events were followed by
     * at least one `to` event within `horizon`. The left interval join is
     * the same bounded shape as [[clickViewJoin]]; the per-(user, from-event)

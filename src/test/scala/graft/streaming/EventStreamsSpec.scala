@@ -50,6 +50,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(EventStreams.dedupFirstSeen(rows).count() == 5)
   }
 
+  test("ewma folds values in (ts, event_id) order, seeded with the first") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+      (2L, ts("2024-01-01 00:01:00"), 7L, "view", 2.0),
+      (3L, ts("2024-01-01 00:02:00"), 7L, "view", 3.0),
+      (4L, ts("2024-01-01 00:00:00"), 8L, "view", 5.0) // single event → ewma = value
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.ewma(ev, alpha = 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // user 7: seed 1.0 → 0.2·2+0.8·1 = 1.2 → 0.2·3+0.8·1.2 = 1.56
+    assert(out(7L) == ((3L, 1.56)))
+    assert(out(8L) == ((1L, 5.0)))
+  }
+
   test("conversion funnel counts from-events with a to-event inside the horizon") {
     val ev = Seq(
       // user 10: click at 00:05 converts (purchase 00:30); click at 02:00 doesn't
