@@ -67,6 +67,14 @@ object SearchQueries extends QueryPack {
     "q_keyword_bm25_served" -> ((s, dir) =>
       BM25Index.topK(s, BM25Index.ensureBuilt(s, dir), QueryTerms, k = 10)),
 
+    // Incremental index maintenance (Lucene-segment style): base index on
+    // 80% of the corpus, the rest appended later as a segment; merged
+    // serving (global df/N/avglen across parts) must equal the full-corpus
+    // ranking EXACTLY — the oracle is the same ad-hoc BM25 SQL.
+    "q_keyword_bm25_incr" -> ((s, dir) =>
+      BM25Index.topKMerged(s, BM25Index.ensureBuiltIncremental(s, dir),
+        QueryTerms, k = 10)),
+
     // Multi-field relevance (`SolrRanker.java:76`: tweetText OR
     // tweetMediaText): per-field BM25 summed; the derived media field makes
     // a media-text-only match (doc_id % 20 = 0, text without the terms)
@@ -118,6 +126,9 @@ object SearchQueries extends QueryPack {
 
     // Serving path must produce the SAME ranking as the ad-hoc path.
     "q_keyword_bm25_served" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    // Segment-merged serving must ALSO reproduce the full-corpus ranking.
+    "q_keyword_bm25_incr" -> (bm25Cte + "SELECT doc, score FROM top10"),
 
     "q_keyword_multifield" ->
       ("WITH " + bm25FieldCte("text", "_t") + ",\n" +

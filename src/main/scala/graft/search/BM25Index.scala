@@ -55,6 +55,11 @@ object BM25Index {
     * aggregation is persisted across the three writes (postings, termstats,
     * corpus all derive from it; without the cache Spark would recompute the
     * tokenize+explode+groupBy DAG per sink).
+    *
+    * `corpus` carries `total_len` (exact integer token count) alongside the
+    * derived `avglen` so segment merges ([[topKMerged]]) can recombine
+    * corpus stats EXACTLY — merging via n·avglen would reintroduce the
+    * division's rounding error per segment.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dest: String): Unit = {
     val post = BM25.postings(docs, idCol, textCol).persist()
@@ -72,9 +77,69 @@ object BM25Index {
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/termstats")
       lens.agg(count(lit(1)).cast("double").as("n"),
-          (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
+          (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"),
+          sum(col("len")).cast("long").as("total_len"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dest/corpus")
     } finally post.unpersist()
+  }
+
+  /** Incremental maintenance, Lucene-segment style: NEW documents are
+    * indexed as a self-contained segment (same postings/termstats/corpus
+    * layout) under `dest/segments/<name>`, never rewriting the base — the
+    * write cost of an append is proportional to the appended docs, not the
+    * index. [[topKMerged]] serves the union with globally merged df/N/
+    * avglen, which makes segment-append + merged-serve EXACTLY equal to a
+    * full rebuild (spec-asserted). Contract: appended docs are NEW ids
+    * (dedup upstream) — re-adding an id would double-count its postings,
+    * the same contract Solr's add-without-delete has. Background segment
+    * compaction (merge small segments into the base) is the standard
+    * follow-on and reuses [[build]] unchanged.
+    */
+  def appendSegment(docs: DataFrame, idCol: String, textCol: String,
+                    dest: String, name: String): Unit =
+    build(docs, idCol, textCol, s"$dest/segments/$name")
+
+  /** All index parts: the base plus any appended segments. */
+  private def partDirs(dest: String): Seq[String] = {
+    val segRoot = Paths.get(dest, "segments")
+    val segs =
+      if (Files.isDirectory(segRoot)) {
+        val s = Files.list(segRoot)
+        try s.toArray.map(_.toString).toSeq.sorted finally s.close()
+      } else Seq.empty
+    dest +: segs
+  }
+
+  /** Serving-path top-k over base + segments: per-part bucket/term-pruned
+    * postings reads unioned, df summed per term across parts, corpus stats
+    * recombined from exact counts. With zero segments this is [[topK]]'s
+    * plan plus one no-op union.
+    */
+  def topKMerged(spark: SparkSession, dest: String, queryTerms: Seq[String],
+                 k: Int): DataFrame = {
+    val terms = BM25.analyze(queryTerms)
+    require(terms.nonEmpty, "no query terms survive analysis")
+    val tbs = terms.map(termBucket).distinct
+    val parts = partDirs(dest)
+    def readPruned(sub: String): DataFrame = parts
+      .map(p => spark.read.parquet(s"$p/$sub")
+        .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+      .reduce(_.unionAll(_))
+    val post = readPruned("postings")
+    val tstats = readPruned("termstats")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val corpus = parts
+      .map(p => spark.read.parquet(s"$p/corpus"))
+      .reduce(_.unionAll(_))
+      .agg(sum(col("n")).as("n"),
+        (sum(col("total_len")).cast("double") / sum(col("n"))).as("avglen"))
+    post.join(broadcast(tstats), "term")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc"))
+      .agg(round(sum(BM25.idfExpr(col("n"), col("df")) *
+        BM25.tfNormExpr(col("tf"), col("len"), col("avglen"))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
   }
 
   def isBuilt(dest: String): Boolean =
@@ -86,7 +151,7 @@ object BM25Index {
     */
   def defaultDir(sfDir: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/bm25-index-v1")
+      s"${sys.props("user.dir")}/target/bm25-index-v2")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -124,6 +189,39 @@ object BM25Index {
     }
     dest
   }
+
+  /** Build-if-absent-or-stale for the SEGMENTED index exercised by
+    * `q_keyword_bm25_incr`: the base indexes 80% of the corpus
+    * (doc_id % 5 ≠ 0), the other 20% arrives later as an appended segment
+    * — merged serving must equal a full-corpus index exactly. A rebuild
+    * wipes the whole dest first so stale segments can never linger.
+    */
+  def ensureBuiltIncremental(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__incr"
+    val stampFile = Paths.get(dest, "source_stamp.txt")
+    val stamp = sourceStamp(sfDir)
+    val fresh = isBuilt(dest) && Files.exists(stampFile) &&
+      Files.readString(stampFile) == stamp &&
+      Files.isDirectory(Paths.get(dest, "segments"))
+    if (!fresh) {
+      deleteRecursively(Paths.get(dest))
+      val docs = Tables.documents(spark, sfDir)
+      build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", dest)
+      appendSegment(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        dest, "seg-00001")
+      Files.createDirectories(stampFile.getParent)
+      Files.writeString(stampFile, stamp)
+    }
+    dest
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.delete(q))
+      finally s.close()
+    }
 
   /** Serving-path top-k: reads only the bucket-pruned, term-filtered
     * postings/termstats slices plus the 1-row corpus; the whole query is two

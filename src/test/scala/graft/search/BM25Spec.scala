@@ -49,6 +49,23 @@ class BM25Spec extends SparkSpec {
     assert(served == adhoc)
   }
 
+  test("segment append + merged serve == full rebuild, scores bit-equal") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25seg").toString
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    val (base, late) = (docs.filter("doc_id <= 3"), docs.filter("doc_id > 3"))
+    BM25Index.build(base, "doc_id", "text", dest)
+    BM25Index.appendSegment(late, "doc_id", "text", dest, "seg-00001")
+    BM25Index.build(docs, "doc_id", "text", full)
+    val merged = BM25Index.topKMerged(spark, dest, Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val rebuilt = BM25Index.topK(spark, full, Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(merged == rebuilt)
+    // the late doc 5 (both terms, short) must rank — proof the segment
+    // actually participates rather than the base alone matching
+    assert(merged.map(_._1).contains(5L))
+  }
+
   test("serving scan is pruned to the query terms' buckets") {
     val dest = java.nio.file.Files.createTempDirectory("bm25idx").toString
     BM25Index.build(docs, "doc_id", "text", dest)
