@@ -105,6 +105,17 @@ object Sinks {
   def orc(df: DataFrame, dest: String): Unit =
     df.write.mode("overwrite").orc(dest)
 
+  /** JSON-Lines sink — the lingua-franca export format of training-data
+    * pipelines (one JSON object per line; each output file is a valid
+    * JSONL shard). Optionally gzip-compressed; sharding follows the
+    * DataFrame's partitioning, so `repartition(n)` upstream controls the
+    * shard count and a partitioned write stays embarrassingly parallel.
+    */
+  def jsonl(df: DataFrame, dest: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(dest)
+  }
+
   /** Hive-style partitioned write: one directory per partition value, so a
     * filter on the partition column prunes entire directories at planning
     * time (`PartitionFilters` in the scan — see PartitioningSpec). The

@@ -61,4 +61,22 @@ class SourcesSpec extends SparkSpec {
     assert(back(0).getString(1) == "['a']")
     assert(back(1).getString(1) == "None")
   }
+
+  test("jsonl sink round-trips rows as line-delimited JSON shards") {
+    val out = Files.createTempDirectory("jsonlout").resolve("x").toString
+    val df = Seq((1L, "alpha beta", Seq("a", "b")), (2L, "gamma", Seq.empty[String]))
+      .toDF("doc_id", "text", "tags")
+    Sinks.jsonl(df.repartition(2), out)
+    // each part file is valid JSONL: one parseable object per line
+    val lines = Files.list(java.nio.file.Paths.get(out)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(p)).asScala)
+    assert(lines.length == 2)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    val back = spark.read.json(out).orderBy("doc_id").collect()
+    assert(back.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(back(0).getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("a", "b"))
+  }
 }
