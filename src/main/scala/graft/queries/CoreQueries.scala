@@ -220,6 +220,35 @@ object CoreQueries extends QueryPack {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
           count(lit(1)).over(w).cast("long").as("n_within_1000"))
     }),
+    // Exact grouped quantiles — per-type latency-percentile style rollup
+    // (Spark's exact `percentile` == DuckDB quantile_cont, both R-7).
+    "q_group_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type")).agg(
+        count(lit(1)).cast("long").as("n"),
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99D)"), 6).as("p99"))),
+
+    // Fixed-width histogram binning — the profiling companion to
+    // quantiles; one combinable groupBy over computed buckets.
+    "q_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"))),
+
+    // Union-by-name with missing-column null fill — schema-evolution
+    // unions (Spark unionByName(allowMissingColumns) == DuckDB
+    // UNION ALL BY NAME).
+    "q_union_by_name" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .unionByName(
+          d.filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("lang"), col("source")),
+          allowMissingColumns = true)
+    }),
+
     // Distribution windows: ntile quartiles + percent_rank/cume_dist, tie
     // broken by event_id so relative positions are engine-independent.
     "q_window_ntile" -> ((s, dir) => {
@@ -537,6 +566,23 @@ object CoreQueries extends QueryPack {
         |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1000
         |FROM orders""".stripMargin,
+
+    "q_group_quantiles" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |UNION ALL BY NAME
+        |SELECT doc_id, lang, source FROM documents WHERE doc_id < 100""".stripMargin,
 
     // Distribution windows: quartile bucketing + relative-position stats,
     // deterministic under the (value, event_id) total order.
