@@ -99,6 +99,51 @@ object BM25Index {
                     dest: String, name: String): Unit =
     build(docs, idCol, textCol, s"$dest/segments/$name")
 
+  /** Segment compaction — fold every appended segment back into the base,
+    * WITHOUT re-tokenizing any document: postings rows are already the
+    * per-(doc, term) ground truth, so the merged index is just the unioned
+    * postings re-bucketed/re-sorted, termstats re-summed from the unioned
+    * parts, and corpus stats recombined from the exact counts (same math
+    * as [[topKMerged]] — compact-then-serve ≡ merged-serve, spec-asserted).
+    * This is Lucene's background segment merge: amortize many small
+    * appends into one read-optimized base. Cost: one read+shuffle+write of
+    * index METADATA (postings), never a corpus scan.
+    */
+  def compact(spark: SparkSession, dest: String): Unit = {
+    val parts = partDirs(dest)
+    if (parts.size > 1) {
+      val post = parts.map(p => spark.read.parquet(s"$p/postings"))
+        .reduce(_.unionAll(_)).drop("tb").persist()
+      val corpus = parts.map(p => spark.read.parquet(s"$p/corpus"))
+        .reduce(_.unionAll(_))
+        .agg(sum(col("n")).as("n"),
+          (sum(col("total_len")).cast("double") / sum(col("n"))).as("avglen"),
+          sum(col("total_len")).cast("long").as("total_len"))
+      try {
+        val tmp = s"$dest/compact-tmp"
+        post
+          .withColumn("tb", termBucketCol(col("term")))
+          .repartition(col("tb"))
+          .sortWithinPartitions(col("term"), col("doc"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
+        post.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df"))
+          .withColumn("tb", termBucketCol(col("term")))
+          .repartition(col("tb"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/termstats")
+        corpus.coalesce(1).write.mode("overwrite").parquet(s"$tmp/corpus")
+        // swap: tmp subdirs replace the base's, segments are dropped
+        Seq("postings", "termstats", "corpus").foreach { sub =>
+          deleteRecursively(Paths.get(dest, sub))
+          Files.move(Paths.get(tmp, sub), Paths.get(dest, sub))
+        }
+        deleteRecursively(Paths.get(tmp))
+        deleteRecursively(Paths.get(dest, "segments"))
+      } finally post.unpersist()
+    }
+  }
+
   /** All index parts: the base plus any appended segments. */
   private def partDirs(dest: String): Seq[String] = {
     val segRoot = Paths.get(dest, "segments")

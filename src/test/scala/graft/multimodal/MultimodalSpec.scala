@@ -56,4 +56,27 @@ class MultimodalSpec extends SparkSpec {
     assert(offs.head == 9L)
     assert(offs == offs.sorted)
   }
+
+  test("pngMeta parses REAL PNG header bytes as a pure projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a genuine PNG prefix: signature + IHDR for a 2x3, 8-bit RGBA image
+    // (CRC bytes arbitrary — header parsing does not checksum)
+    val png: Array[Byte] = Array(
+      0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',             // IHDR length + type
+      0, 0, 0, 2,                                  // width = 2
+      0, 0, 0, 3,                                  // height = 3
+      8, 6, 0, 0, 0,                               // depth, color, comp, filt, inter
+      0, 0, 0, 0                                   // (fake) CRC
+    ).map(_.toByte)
+    val junk: Array[Byte] = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val out = Seq((1L, png), (2L, junk)).toDF("id", "bin")
+      .select(col("id"), Multimodal.pngMeta(col("bin")).as("m"))
+      .select("id", "m.width", "m.height", "m.bit_depth", "m.color_type", "m.valid")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((2L, 3L, 8, 6, true)))
+    assert(out(2L) == ((-1L, -1L, -1, -1, false)))
+  }
 }

@@ -66,6 +66,21 @@ class BM25Spec extends SparkSpec {
     assert(merged.map(_._1).contains(5L))
   }
 
+  test("compaction folds segments into the base with identical serving") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25cpt").toString
+    BM25Index.build(docs.filter("doc_id <= 3"), "doc_id", "text", dest)
+    BM25Index.appendSegment(docs.filter("doc_id > 3"), "doc_id", "text",
+      dest, "seg-00001")
+    val before = BM25Index.topKMerged(spark, dest, Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    BM25Index.compact(spark, dest)
+    // segments are gone; the plain base-only serving path now sees all docs
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "segments")))
+    val after = BM25Index.topK(spark, dest, Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(after == before)
+  }
+
   test("serving scan is pruned to the query terms' buckets") {
     val dest = java.nio.file.Files.createTempDirectory("bm25idx").toString
     BM25Index.build(docs, "doc_id", "text", dest)
