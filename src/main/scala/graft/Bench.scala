@@ -64,9 +64,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${"%.3f".formatLocal(Locale.ROOT, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Redundant copy on disk in case stdout parsing fails again.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Redundant copy on disk in case stdout parsing fails again —
+    // best-effort only (a backup-path IO failure must never suppress the
+    // primary stdout line), and skipped for filtered runs whose partial
+    // totals would masquerade as a full bench.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
     // Printed AFTER spark.stop() so no shutdown log line can land after it:
     // the driver reads the last stdout line as the bench JSON.

@@ -299,8 +299,12 @@ object Dedup {
     // the EAGER variant would truncate too but spends a second job per
     // round on materialization alone, and at tiny per-round state the
     // fixed job overhead is the entire cost.
+    // coalesce to 0: with NO pairs at all (a clean corpus) the label frame
+    // is empty and a bare sum returns null — the loop must converge on the
+    // first round and every doc fall through as its own singleton rep.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prev = labelSum(labels)
     var it = 0
     var converged = false

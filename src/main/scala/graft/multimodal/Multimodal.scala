@@ -145,7 +145,11 @@ object Multimodal {
   def pngMeta(binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def beInt(pos: Int, len: Int) =
       conv(hex(substring(binCol, pos, len)), 16, 10).cast("long")
-    val isPng = hex(substring(binCol, 1, 8)) === lit("89504E470D0A1A0A")
+    // the length guard keeps a truncated signature-only blob on the
+    // invalid branch — without it the dims would come back NULL (substring
+    // past the end) under valid=true, breaking the -1 sentinel contract
+    val isPng = hex(substring(binCol, 1, 8)) === lit("89504E470D0A1A0A") &&
+      length(binCol) >= 26
     when(isPng, struct(
       beInt(17, 4).as("width"),
       beInt(21, 4).as("height"),

@@ -110,7 +110,8 @@ object SimilarityQueries extends QueryPack {
            |  SELECT vec_id, v, cid AS cluster, s, row_number() OVER (PARTITION BY vec_id
            |    ORDER BY s DESC, cid ASC) AS rn FROM s_$out) WHERE rn = 1)""".stripMargin
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM emb WHERE vec_id < 8),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM emb
+         |  ORDER BY vec_id ASC LIMIT 8),
          |${assignCte("a1", "c0")},
          |u1 AS (SELECT cluster AS cid, pos,
          |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS m

@@ -133,11 +133,14 @@ object BM25Index {
           .sortWithinPartitions(col("term"))
           .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/termstats")
         corpus.coalesce(1).write.mode("overwrite").parquet(s"$tmp/corpus")
-        // swap: tmp subdirs replace the base's, segments are dropped
-        Seq("postings", "termstats", "corpus").foreach { sub =>
-          deleteRecursively(Paths.get(dest, sub))
-          Files.move(Paths.get(tmp, sub), Paths.get(dest, sub))
-        }
+        // swap with the isBuilt sentinel (corpus/_SUCCESS) handled FIRST on
+        // delete and LAST on move: a crash anywhere mid-swap leaves the
+        // index without its sentinel, so build-if-absent callers rebuild
+        // instead of serving mixed-generation postings/termstats.
+        val swapOrder = Seq("corpus", "postings", "termstats")
+        swapOrder.foreach(sub => deleteRecursively(Paths.get(dest, sub)))
+        swapOrder.reverse.foreach(sub =>
+          Files.move(Paths.get(tmp, sub), Paths.get(dest, sub)))
         deleteRecursively(Paths.get(tmp))
         deleteRecursively(Paths.get(dest, "segments"))
       } finally post.unpersist()

@@ -168,7 +168,10 @@ object Similarity {
     require(k > 0 && iters >= 1, "kmeansAssign needs k > 0 and iters >= 1")
     val withVd = embeddings.select(col(idCol), col(vecCol),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
-    var cents = withVd.filter(col(idCol) < k)
+    // genuinely the first k vectors BY id (TakeOrdered, k rows) — an
+    // `id < k` filter would silently yield no centroids on id spaces that
+    // don't start at 0
+    var cents = withVd.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol).cast("long").as("cid"), col("__vd").as("cv"))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {

@@ -76,7 +76,13 @@ object Profile {
         col("__exact"), col("__approx"))))
       .select(col("col.p").as("p"),
         round(col("col.__exact"), 6).as("exact_value"),
-        (abs(col("col.__approx") - col("col.__exact")) /
-          col("col.__exact") <= tol).as(s"within_tol"))
+        // relative error against |exact| — a signed denominator would make
+        // the flag vacuously true for negative percentiles; an exactly-zero
+        // percentile demands an exactly-zero sketch (no meaningful relative
+        // scale exists there)
+        when(col("col.__exact") === 0.0, col("col.__approx") === 0.0)
+          .otherwise(abs(col("col.__approx") - col("col.__exact")) /
+            abs(col("col.__exact")) <= tol)
+          .as("within_tol"))
   }
 }

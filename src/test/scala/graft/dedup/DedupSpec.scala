@@ -95,6 +95,14 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_._3).map(_._1).sorted.toSeq == Seq(1L, 10L, 20L))
   }
 
+  test("clusters: empty pair list yields every doc as its own kept singleton") {
+    val ids = Seq(3L, 7L, 9L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(ids, "doc_id", noPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(out.toSeq == Seq((3L, 3L, true), (7L, 7L, true), (9L, 9L, true)))
+  }
+
   test("simhash is identical for identical docs, differs for unrelated ones") {
     val hashes = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

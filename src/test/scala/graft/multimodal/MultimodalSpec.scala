@@ -78,5 +78,12 @@ class MultimodalSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
     assert(out(1L) == ((2L, 3L, 8, 6, true)))
     assert(out(2L) == ((-1L, -1L, -1, -1, false)))
+    // a truncated blob with ONLY the signature must be invalid, not
+    // valid-with-null-dims
+    val sigOnly = png.take(8)
+    val t = Seq((3L, sigOnly)).toDF("id", "bin")
+      .select(Multimodal.pngMeta(col("bin")).as("m"))
+      .select("m.width", "m.valid").head()
+    assert(t.getLong(0) == -1L && !t.getBoolean(1))
   }
 }

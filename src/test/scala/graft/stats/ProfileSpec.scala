@@ -23,6 +23,20 @@ class ProfileSpec extends SparkSpec {
     assert(rows("s") == ((2L, 0L, "x", "y")))
   }
 
+  test("approxQuantiles: tolerance uses |exact| — negative percentiles can fail") {
+    // all-negative column: a correct sketch passes, and the flag is NOT
+    // vacuously true (signed denominator would make any error pass)
+    val df = (1L to 1000L).map(v => -v).toDF("v")
+    val out = Profile.approxQuantiles(df, "v", Seq(0.5), 10000, tol = 0.05)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    assert(out.head._1 == -500.5 && out.head._2)
+    // zero percentile: exact 0 demands exact sketch (here it is exact)
+    val zeros = Seq.fill(100)(0L).toDF("v")
+    val z = Profile.approxQuantiles(zeros, "v", Seq(0.5), 10000, tol = 0.05)
+      .collect().head
+    assert(z.getDouble(1) == 0.0 && z.getBoolean(2))
+  }
+
   test("approxQuantiles: exact percentile emitted, sketch within tolerance") {
     val df = (1L to 1000L).toDF("v")
     val out = Profile.approxQuantiles(df, "v", Seq(0.5, 0.99),
