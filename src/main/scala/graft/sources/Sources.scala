@@ -105,6 +105,22 @@ object Sinks {
   def orc(df: DataFrame, dest: String): Unit =
     df.write.mode("overwrite").orc(dest)
 
+  /** Range-clustered layout: repartitionByRange + sortWithinPartitions on
+    * the clustering keys before writing parquet. Each output file then
+    * covers a narrow, non-overlapping key range, so parquet footer min/max
+    * stats prune FILES (and row groups within them) for range predicates
+    * on those keys — the sort-based data-clustering technique lakehouse
+    * tables call Z-ordering's single-dimension case. The write itself is
+    * one range-partitioning shuffle; no global sort node survives in the
+    * plan. `PartitioningSpec` proves the pruning: a range predicate scans
+    * fewer files than the unclustered layout.
+    */
+  def rangeClustered(df: DataFrame, dest: String, numFiles: Int,
+                     clusterCols: Seq[String]): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(dest)
+
   /** JSON-Lines sink — the lingua-franca export format of training-data
     * pipelines (one JSON object per line; each output file is a valid
     * JSONL shard). Optionally gzip-compressed; sharding follows the

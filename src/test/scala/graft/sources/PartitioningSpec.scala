@@ -52,4 +52,34 @@ class PartitioningSpec extends SparkSpec {
     assert(pf.contains("source"), s"PartitionFilters missing: ${scan.metadata}")
     assert(q.count() == 25)
   }
+
+  test("range-clustered layout prunes row groups for range predicates") {
+    val clustered = Files.createTempDirectory("rc").resolve("c").toString
+    val scattered = Files.createTempDirectory("rc").resolve("s").toString
+    val df = (0 until 10000).map(i => ((i * 7919) % 10000L, i.toLong))
+      .toDF("k", "payload") // k in scrambled order
+    Sinks.rangeClustered(df, clustered, numFiles = 8, clusterCols = Seq("k"))
+    df.repartition(8).write.mode("overwrite").parquet(scattered)
+
+    // rows the parquet scan PRODUCES (after pushed-filter row-group
+    // skipping, before Spark's re-evaluation filter)
+    def scanOutput(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("k") >= 9000)
+      // drive THIS plan instance so its metrics populate (a separate
+      // count() would execute a different query execution)
+      assert(q.collect().length == 1000)
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.getOrElse(fail("no file scan"))
+      assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(k,9000)"))
+      scan.metrics("numOutputRows").value
+    }
+    val pruned = scanOutput(clustered)
+    val full = scanOutput(scattered)
+    // scattered: every file's row group spans the whole key range — nothing
+    // skips, the scan emits all 10k rows. clustered: 7 of 8 files have
+    // max(k) < 9000, so their row groups skip entirely.
+    assert(full == 10000L, s"expected unclustered scan to read everything, got $full")
+    assert(pruned <= 2000L, s"expected clustered scan to skip non-matching row groups, got $pruned")
+  }
 }
