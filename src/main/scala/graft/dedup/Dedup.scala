@@ -330,9 +330,9 @@ object Dedup {
     }
     docs.select(col(idCol).cast("long").as("u"))
       .join(labels, Seq("u"), "left")
-      .select(col("u").as(idCol),
-        coalesce(col("rep"), col("u")).as("rep"),
-        (col("u") === coalesce(col("rep"), col("u"))).as("kept"))
+      .withColumn("rep", coalesce(col("rep"), col("u")))
+      .select(col("u").as(idCol), col("rep"),
+        (col("u") === col("rep")).as("kept"))
   }
 
   /** 32-bit SimHash over token counts with an engine-independent bit source:

@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample
@@ -142,7 +142,7 @@ object Multimodal {
     * Returns a struct (width, height, bit_depth, color_type, valid);
     * non-PNG bytes yield valid=false with -1 dims.
     */
-  def pngMeta(binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def pngMeta(binCol: Column): Column = {
     def beInt(pos: Int, len: Int) =
       conv(hex(substring(binCol, pos, len)), 16, 10).cast("long")
     // the length guard keeps a truncated signature-only blob on the

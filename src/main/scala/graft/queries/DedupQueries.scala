@@ -115,7 +115,7 @@ object DedupQueries extends QueryPack {
     "q_dedup_minhash_guarded" ->
       (shingleCte + minhashOracleCtes(Some(5L)) + jaccardVerify),
 
-    "q_simhash" -> (simhashCte + "SELECT doc, simhash FROM sig"),
+    "q_simhash" -> (simhashCte() + "SELECT doc, simhash FROM sig"),
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
@@ -128,23 +128,15 @@ object DedupQueries extends QueryPack {
         |WHERE doc % 50 <> 0
         |GROUP BY doc""".stripMargin,
 
-    "q_simhash_pairs" -> (simhashCte +
-      """, bands AS (SELECT doc, simhash, t.i, (simhash >> (8 * t.i)) & 255 AS byte
-        |  FROM sig CROSS JOIN range(0, 4) AS t(i)),
-        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-        |    a.simhash AS ha, b.simhash AS hb
-        |  FROM bands a JOIN bands b ON a.i = b.i AND a.byte = b.byte AND a.doc < b.doc)
+    "q_simhash_pairs" -> (simhashCte() + simhashBandsCte +
+      """
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin),
 
     // Same SimHash pairs, then connected components via recursive transitive
     // closure: rep(u) = min id reachable over the symmetric edge set.
-    "q_dedup_clusters" -> (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, bands AS (SELECT doc, simhash, t.i, (simhash >> (8 * t.i)) & 255 AS byte
-        |  FROM sig CROSS JOIN range(0, 4) AS t(i)),
-        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-        |    a.simhash AS ha, b.simhash AS hb
-        |  FROM bands a JOIN bands b ON a.i = b.i AND a.byte = b.byte AND a.doc < b.doc),
+    "q_dedup_clusters" -> (simhashCte(recursive = true) + simhashBandsCte +
+      """,
         |prs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         |e AS (SELECT doc_a AS u, doc_b AS v FROM prs
         |  UNION SELECT doc_b, doc_a FROM prs),
@@ -197,11 +189,24 @@ object DedupQueries extends QueryPack {
        |""".stripMargin
   }
 
-  /** Shared SimHash CTE producing sig(doc, simhash) — mirrors
-    * [[graft.dedup.Dedup.simHash]] value-for-value.
+  /** Shared pigeonhole-banding candidate CTEs over sig(doc, simhash) —
+    * appended after [[simhashCte]] by both the pairs and clusters oracles.
     */
-  private lazy val simhashCte: String =
-    """WITH tc AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS cnt, md5(term) AS h
+  private val simhashBandsCte: String =
+    """, bands AS (SELECT doc, simhash, t.i, (simhash >> (8 * t.i)) & 255 AS byte
+      |  FROM sig CROSS JOIN range(0, 4) AS t(i)),
+      |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+      |    a.simhash AS ha, b.simhash AS hb
+      |  FROM bands a JOIN bands b ON a.i = b.i AND a.byte = b.byte AND a.doc < b.doc)""".stripMargin
+
+  /** Shared SimHash CTE producing sig(doc, simhash) — mirrors
+    * [[graft.dedup.Dedup.simHash]] value-for-value. `recursive = true`
+    * emits a WITH RECURSIVE prefix for oracles that append a recursive
+    * CTE (DuckDB allows non-recursive CTEs under it).
+    */
+  private def simhashCte(recursive: Boolean = false): String =
+    (if (recursive) "WITH RECURSIVE " else "WITH ") +
+    """tc AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS cnt, md5(term) AS h
       |  FROM (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents)
       |  GROUP BY doc, term),
       |bits AS (SELECT doc, cnt, h, unnest(range(0, 32)) AS b FROM tc),

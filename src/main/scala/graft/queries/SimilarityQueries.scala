@@ -98,13 +98,10 @@ object SimilarityQueries extends QueryPack {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
     "q_kmeans" -> {
-      def cosd(a: String, b: String): String =
-        s"""round(
-           |  list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
-           |  (sqrt(list_sum(list_transform($a, x -> x * x))) *
-           |   sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin
+      // cosSql's CAST(x AS DOUBLE[]) is a no-op here (emb.v is already
+      // DOUBLE[]) — the shared helper keeps the formula single-sourced
       def assignCte(out: String, centsCte: String): String =
-        s"""s_$out AS (SELECT e.vec_id, e.v, c.cid, ${cosd("e.v", "c.cv")} AS s
+        s"""s_$out AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
            |  FROM emb e CROSS JOIN $centsCte c),
            |$out AS (SELECT vec_id, v, cluster, s FROM (
            |  SELECT vec_id, v, cid AS cluster, s, row_number() OVER (PARTITION BY vec_id

@@ -117,8 +117,8 @@ object Sinks {
     */
   def rangeClustered(df: DataFrame, dest: String, numFiles: Int,
                      clusterCols: Seq[String]): Unit =
-    df.repartitionByRange(numFiles, clusterCols.map(org.apache.spark.sql.functions.col): _*)
-      .sortWithinPartitions(clusterCols.map(org.apache.spark.sql.functions.col): _*)
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(dest)
 
   /** JSON-Lines sink — the lingua-franca export format of training-data
