@@ -156,7 +156,8 @@ object EventStreams {
     */
   def clickViewJoin(clicks: DataFrame, views: DataFrame,
                     lookback: String = "10 minutes",
-                    watermark: Boolean = false): DataFrame = {
+                    watermark: Boolean = false,
+                    joinType: String = "inner"): DataFrame = {
     val c0 = clicks.select(col("user_id"), col("event_id").as("click_id"),
       col("ts").as("click_ts"))
     val v0 = views.select(col("user_id").as("v_user_id"),
@@ -166,10 +167,14 @@ object EventStreams {
         (c0.withWatermark("click_ts", "1 hour"),
          v0.withWatermark("view_ts", "1 hour"))
       else (c0, v0)
+    // "left_outer" is the harder streaming shape: an unmatched click's
+    // null-extended row can only emit once the watermark proves no
+    // in-window view can still arrive — which is exactly why the interval
+    // condition is mandatory (it bounds how long that proof takes).
     c.join(v,
         col("user_id") === col("v_user_id") &&
           col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
-          col("view_ts") < col("click_ts"))
+          col("view_ts") < col("click_ts"), joinType)
       .select(col("user_id"), col("click_id"), col("view_id"),
         col("click_ts"), col("view_ts"))
   }

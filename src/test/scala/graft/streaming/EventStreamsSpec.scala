@@ -64,6 +64,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(8L) == ((1L, 5.0)))
   }
 
+  test("left-outer stream-stream join emits null-extended rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val viewMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // click 4 has a matching view; click 5 has none — its outer row can
+    // only emit once the watermark proves no in-window view can arrive
+    val clicks = Seq(
+      (4L, ts("2024-01-01 01:40:00"), 10L, "click", 0.0),
+      (5L, ts("2024-01-01 01:45:00"), 11L, "click", 0.0))
+    val views = Seq((21L, ts("2024-01-01 01:39:00"), 10L, "view", 0.0))
+    // far-future events on BOTH streams advance the watermark past
+    // click_ts + lookback + delay, forcing the outer emission for click 5
+    val advance = ts("2024-01-01 08:00:00")
+    val out = EventStreams.clickViewJoin(
+      clickMem.toDF().toDF(cols: _*), viewMem.toDF().toDF(cols: _*),
+      lookback = "10 minutes", watermark = true, joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      clickMem.addData(clicks: _*)
+      viewMem.addData(views: _*)
+      out.processAllAvailable()
+      clickMem.addData((99L, advance, 99L, "click", 0.0))
+      viewMem.addData((98L, advance, 99L, "view", 0.0))
+      out.processAllAvailable()
+      val streamed = spark.table("ssj_outer")
+        .filter("click_id < 90") // the advance rows are still pending
+        .collect()
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      val batch = EventStreams.clickViewJoin(
+        clicks.toDF(cols: _*), views.toDF(cols: _*),
+        lookback = "10 minutes", joinType = "left_outer").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(streamed == batch)
+      assert(batch == Set((4L, Some(21L)), (5L, None)))
+    } finally out.stop()
+  }
+
   test("conversion funnel counts from-events with a to-event inside the horizon") {
     val ev = Seq(
       // user 10: click at 00:05 converts (purchase 00:30); click at 02:00 doesn't
