@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-shape regression guard for flagship queries: the properties
+  * ExplainAudit checks by eye, asserted so a future edit cannot silently
+  * trade a pruned/broadcast/TakeOrdered plan for a worse one. Each check
+  * is a stable plan-string marker, not an exact plan match — Spark is free
+  * to improve the plan, not to regress the property.
+  */
+class PlanHealthSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def scan(q: String): FileSourceScanExec =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail(s"no parquet scan in $q"))
+
+  test("q_filter_project: predicates pushed to the scan, schema pruned") {
+    val s = scan("q_filter_project")
+    assert(s.metadata("PushedFilters").contains("GreaterThan(l_quantity"))
+    // projection needs 5 columns; the scan must not read all 16
+    assert(s.schema.fields.length <= 6,
+      s"scan reads ${s.schema.fields.length} columns: ${s.schema.fieldNames.mkString(",")}")
+  }
+
+  test("q_join_star: dimensions broadcast, no sort-merge join") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "star dims fell back to SMJ")
+  }
+
+  test("q_topk_orders: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_ann_ivf: centroid assignment has no Window operator") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("Window"), "assignment regressed to a windowed argmax")
+  }
+
+  test("q_window_dedup: rank-limit pushed below the shuffle (WindowGroupLimit)") {
+    val p = plan("q_window_dedup")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_tfidf: per-doc top-k pre-filtered map-side (WindowGroupLimit)") {
+    val p = plan("q_tfidf")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_interval_join: event_type filters pushed to both scans") {
+    // scan nodes sit under an AdaptiveSparkPlanExec (collect can't reach
+    // them pre-execution) — assert on the rendered plan instead
+    val p = plan("q_interval_join")
+    assert("EqualTo\\(event_type".r.findAllIn(p).size == 2,
+      s"expected both sides pruned in:\n$p")
+  }
+}
