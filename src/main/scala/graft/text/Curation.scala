@@ -30,6 +30,33 @@ object Curation {
              stopwords: Seq[String] = Lexicons.enStop,
              lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame = {
     val keep = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    curateFrom(spark, docs, keep, idCol, textCol, lang, minTtr, tokenBudget,
+      stopwords, lexicon)
+  }
+
+  /** [[curate]] with NEAR-dup cluster dedup instead of exact: survivors are
+    * the connected-component representatives of [[Dedup.simHashPairs]]
+    * resolved by [[Dedup.clusters]] — dropping every non-representative of
+    * a near-dup web, not just byte-identical copies. Same downstream
+    * stages; the survivor policy (`kept`) is the only change.
+    */
+  def curateNearDup(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, lang: String, minTtr: Double,
+                    tokenBudget: Long,
+                    stopwords: Seq[String] = Lexicons.enStop,
+                    lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame = {
+    val keep = Dedup.clusters(docs, idCol,
+        Dedup.simHashPairs(docs, idCol, textCol, maxHamming = 3))
+      .filter(col("kept")).select(col(idCol))
+    curateFrom(spark, docs, keep, idCol, textCol, lang, minTtr, tokenBudget,
+      stopwords, lexicon)
+  }
+
+  private def curateFrom(spark: SparkSession, docs: DataFrame, keep: DataFrame,
+                         idCol: String, textCol: String, lang: String,
+                         minTtr: Double, tokenBudget: Long,
+                         stopwords: Seq[String],
+                         lexicon: Seq[(String, String)]): DataFrame = {
     val quality = TextAnalysis.quality(docs, idCol, textCol, stopwords)
     val language = TextAnalysis.langId(spark, docs, idCol, textCol, lexicon)
     val filtered = keep
