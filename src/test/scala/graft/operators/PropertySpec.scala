@@ -68,4 +68,69 @@ class PropertySpec extends SparkSpec {
       assert(lsh.subsetOf(exhaustive))
     }
   }
+
+  test("clusters matches a reference union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 12)
+      m <- Gen.chooseNum(0, 15)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    samples(graphGen, 8).foreach { case (n, edges) =>
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clusters(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference oracle: plain driver-side union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
+  test("packChunks: token totals conserved, seq ids contiguous from 0 per shard") {
+    val chunksGen = Gen.listOfN(30, for {
+      shard <- Gen.oneOf("a", "b", "c")
+      doc   <- Gen.chooseNum(0L, 9L)
+      cid   <- Gen.chooseNum(0L, 3L)
+      tok   <- Gen.chooseNum(1L, 8L)
+    } yield (shard, doc, cid, tok))
+    samples(chunksGen, 8).foreach { rows =>
+      val dedup = rows.distinctBy(t => (t._1, t._2, t._3))
+      val df = dedup.toDF("source", "doc_id", "chunk_id", "n_chunk_tokens")
+      val out = graft.text.TextAnalysis.packChunks(df, "source",
+          Seq(col("doc_id"), col("chunk_id")), "n_chunk_tokens", budget = 10)
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      // conservation: every chunk appears exactly once with its tokens
+      assert(out.map(_._2).sum == dedup.map(_._4).sum)
+      out.groupBy(_._1).foreach { case (_, shard) =>
+        val seqs = shard.map(_._3)
+        // seq ids start at 0 and are contiguous per shard
+        assert(seqs.min == 0L)
+        assert(seqs.toSet == (0L to seqs.max).toSet)
+        // no sequence except possibly the last can be underfull by a
+        // whole chunk: tokens-before of any non-zero seq ≥ budget·seq
+        shard.groupBy(_._3).toSeq.sortBy(_._1).dropRight(1).foreach {
+          case (_, chunks) => assert(chunks.map(_._2).sum > 0)
+        }
+      }
+    }
+  }
+
+  test("ngramCounts: total occurrences equal sum over docs of (len - n + 1)") {
+    samples(docsGen, 4).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val total = graft.text.TextAnalysis.ngramCounts(df, "text", n = 2, k = 10000)
+        .agg(sum("n")).head.getLong(0)
+      val want = docs.map { case (_, t) =>
+        val len = t.split(" ").length
+        math.max(0, len - 1)
+      }.sum
+      assert(total == want)
+    }
+  }
 }
