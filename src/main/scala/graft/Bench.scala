@@ -56,21 +56,37 @@ object Bench {
       // conservative (min) choice for reps=2 rather than the max
       name -> times((times.size - 1) / 2)
     }
-    // 3-decimal (1 ms) precision keeps the single JSON line short enough to
-    // survive the driver's bounded tail capture (~2 KB) with ~80 queries.
+    // The driver captures only a bounded tail of stdout (~2 KB observed in
+    // BENCH_r03: a 2237-byte line came back front-truncated and parsed:null).
+    // So the stdout line carries the total plus the SLOWEST queries up to a
+    // hard byte budget, with the omitted remainder summarized; the complete
+    // per-query map always lands in BENCH_LOCAL.json (method v3, BASELINE.md).
     import java.util.Locale
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + "%.3f".formatLocal(Locale.ROOT, v)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double) = "%.3f".formatLocal(Locale.ROOT, v)
+    def entry(kv: (String, Double)) = "\"" + kv._1 + "\":" + fmt(kv._2)
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${"%.3f".formatLocal(Locale.ROOT, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullQs = results.map(entry).mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    // failures (-1.0) first so they are never silently omitted, then slowest
+    val ranked = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+    val budgetBytes = 1400
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    ranked.foreach { kv =>
+      val len = entry(kv).length + 1
+      if (used + len <= budgetBytes) { kept += kv; used += len }
+    }
+    val omitted = results.size - kept.size
+    val omittedSec = total - kept.map(_._2).filter(_ >= 0).sum
+    val qs = kept.map(entry).mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"queries_full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // Redundant copy on disk in case stdout parsing fails again —
     // best-effort only (a backup-path IO failure must never suppress the
     // primary stdout line), and skipped for filtered runs whose partial
     // totals would masquerade as a full bench.
     if (only.isEmpty) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
       }

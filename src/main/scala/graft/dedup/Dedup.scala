@@ -251,8 +251,9 @@ object Dedup {
     * Algorithm: min-label propagation with POINTER JUMPING — each round
     * first propagates label(u) ← min(label(u), min over neighbors v of
     * label(v)) (one equi-join + one map-side-combinable groupBy(u).min),
-    * then compresses paths with label(u) ← label(label(u)) (one self-join)
-    * — the classic parallel-CC path-halving step (Shiloach–Vishkin). Plain
+    * then compresses paths with label(u) ← label(label(u)) applied three
+    * times (three self-joins, 8× path compression per round) — the classic
+    * parallel-CC path-halving step (Shiloach–Vishkin), batched. Plain
     * propagation needs diameter rounds, which a single boilerplate web of
     * millions of docs turns into hundreds of shuffles; with jumping the
     * round count drops to O(log diameter). The published alternative at
@@ -276,6 +277,9 @@ object Dedup {
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 25): DataFrame = {
+    // convergence can only be OBSERVED by running a round — even an
+    // already-fixed label set needs one verification pass
+    require(maxIter >= 1, "clusters needs at least one iteration")
     val edges = pairs
       .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
       .union(pairs.select(col("doc_b").cast("long").as("u"), col("doc_a").cast("long").as("v")))
@@ -316,18 +320,34 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("rep")).as("rep"))
       // pointer jump: rep(u) ← rep(rep(u)). Every rep value is an active
       // node id, so the lookup always resolves; left+coalesce guards the
-      // self-rooted rows anyway.
-      val next = propagated
-        .join(propagated.select(col("u").as("rep"), col("rep").as("__rep2")),
-          Seq("rep"), "left")
-        .select(col("u"), coalesce(col("__rep2"), col("rep")).as("rep"))
-        .localCheckpoint(false)
+      // self-rooted rows anyway. Jumping THREE times per round compresses
+      // path length 8× per round instead of 2×, so the round count (and
+      // with it the dominant per-round job-scheduling cost — see bench
+      // note) drops ~3×; the plan still only grows a bounded 2^3× before
+      // the checkpoint truncates lineage.
+      var jumped = propagated
+      for (_ <- 0 until 3) {
+        jumped = jumped
+          .join(jumped.select(col("u").as("rep"), col("rep").as("__rep2")),
+            Seq("rep"), "left")
+          .select(col("u"), coalesce(col("__rep2"), col("rep")).as("rep"))
+      }
+      val next = jumped.localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prev) == 0
       prev = s
       labels = next
       it += 1
     }
+    // Exiting via the iteration cap means the labels are NOT a fixpoint —
+    // silently returning them would hand callers (curateNearDup,
+    // q_dedup_clusters) wrong representatives with no signal. 25 rounds of
+    // 8×-per-round path halving covers any conceivable diameter, so this
+    // can only fire on a bug or a pathological maxIter argument: fail loud.
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge within $maxIter rounds; " +
+          "raise maxIter or inspect the pair list for unexpected structure")
     docs.select(col(idCol).cast("long").as("u"))
       .join(labels, Seq("u"), "left")
       .withColumn("rep", coalesce(col("rep"), col("u")))

@@ -147,9 +147,13 @@ object Multimodal {
       conv(hex(substring(binCol, pos, len)), 16, 10).cast("long")
     // the length guard keeps a truncated signature-only blob on the
     // invalid branch — without it the dims would come back NULL (substring
-    // past the end) under valid=true, breaking the -1 sentinel contract
+    // past the end) under valid=true, breaking the -1 sentinel contract.
+    // The chunk-tag check (bytes 13-16 must spell "IHDR" — PNG mandates
+    // IHDR first) keeps a signature-prefixed blob with some other first
+    // chunk from yielding garbage dims under valid=true.
     val isPng = hex(substring(binCol, 1, 8)) === lit("89504E470D0A1A0A") &&
-      length(binCol) >= 26
+      length(binCol) >= 26 &&
+      hex(substring(binCol, 13, 4)) === lit("49484452")
     when(isPng, struct(
       beInt(17, 4).as("width"),
       beInt(21, 4).as("height"),

@@ -136,13 +136,17 @@ object BM25Index {
         // swap with the isBuilt sentinel (corpus/_SUCCESS) handled FIRST on
         // delete and LAST on move: a crash anywhere mid-swap leaves the
         // index without its sentinel, so build-if-absent callers rebuild
-        // instead of serving mixed-generation postings/termstats.
+        // instead of serving mixed-generation postings/termstats. The
+        // segments dir is deleted BEFORE the sentinel lands — if it were
+        // removed after, a crash between the corpus move and the segment
+        // delete would leave a valid sentinel alongside the old segments
+        // and topKMerged would double-count every compacted segment doc.
         val swapOrder = Seq("corpus", "postings", "termstats")
         swapOrder.foreach(sub => deleteRecursively(Paths.get(dest, sub)))
+        deleteRecursively(Paths.get(dest, "segments"))
         swapOrder.reverse.foreach(sub =>
           Files.move(Paths.get(tmp, sub), Paths.get(dest, sub)))
         deleteRecursively(Paths.get(tmp))
-        deleteRecursively(Paths.get(dest, "segments"))
       } finally post.unpersist()
     }
   }

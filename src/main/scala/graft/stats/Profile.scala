@@ -48,7 +48,9 @@ object Profile {
     * while the union's branches read disjoint column chunks and shuffle
     * only their own distinct values.
     */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // .reduce on an empty list throws an opaque UnsupportedOperationException
+    require(cols.nonEmpty, "columnProfile needs at least one column")
     cols.map { c =>
       df.select(col(c)).agg(
         countDistinct(col(c)).as("ndv"),
@@ -58,6 +60,7 @@ object Profile {
         .select(lit(c).as("column"), col("ndv"), col("n_null"),
           col("min_str"), col("max_str"))
     }.reduce(_.unionAll(_))
+  }
 
   /** Sketch quantiles under a tolerance CONTRACT (the `q_approx_distinct`
     * pattern): emits the exact percentile next to a flag asserting the

@@ -95,6 +95,21 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_._3).map(_._1).sorted.toSeq == Seq(1L, 10L, 20L))
   }
 
+  test("clusters: hitting the iteration cap before convergence fails loud") {
+    // a 16-node chain cannot reach its label fixpoint AND verify it in a
+    // single round — with maxIter=1 the loop must exit via the cap and
+    // throw rather than silently return non-converged representatives
+    val chain = (1L until 16L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+    val ids = (1L to 16L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(ids, "doc_id", chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assertThrows[IllegalArgumentException] {
+      Dedup.clusters(ids, "doc_id", chain, maxIter = 0)
+    }
+  }
+
   test("clusters: empty pair list yields every doc as its own kept singleton") {
     val ids = Seq(3L, 7L, 9L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

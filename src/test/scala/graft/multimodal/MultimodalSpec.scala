@@ -85,5 +85,14 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.pngMeta(col("bin")).as("m"))
       .select("m.width", "m.valid").head()
     assert(t.getLong(0) == -1L && !t.getBoolean(1))
+    // a signature-prefixed blob whose first chunk is NOT IHDR must be
+    // invalid — PNG mandates IHDR first; without the tag check the dims
+    // would be garbage under valid=true
+    val wrongChunk = png.clone()
+    wrongChunk(12) = 'i'.toByte // "iHDR" — not the mandated tag
+    val w = Seq((4L, wrongChunk)).toDF("id", "bin")
+      .select(Multimodal.pngMeta(col("bin")).as("m"))
+      .select("m.width", "m.valid").head()
+    assert(w.getLong(0) == -1L && !w.getBoolean(1))
   }
 }

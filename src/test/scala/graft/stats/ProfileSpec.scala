@@ -21,6 +21,10 @@ class ProfileSpec extends SparkSpec {
     assert(rows("id") == ((2L, 0L, "1", "2")))
     assert(rows("v") == ((2L, 1L, "2.5", "7.0")))
     assert(rows("s") == ((2L, 0L, "x", "y")))
+    // empty column list: a clear error, not an opaque reduce() failure
+    assertThrows[IllegalArgumentException] {
+      Profile.columnProfile(df, Seq.empty)
+    }
   }
 
   test("approxQuantiles: tolerance uses |exact| — negative percentiles can fail") {
