@@ -25,6 +25,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  // pointer jumps per checkpointed round in [[clusters]]: 2 measured best
+  // at bench scale (1/2/3 jumps -> 8.3/7.3/8.0 s) — each extra jump
+  // quarters the round count but doubles the per-round plan, and the round
+  // count is what a real cluster pays in synchronization barriers. Env
+  // knob kept for experiments.
+  private[dedup] val jumpsPerRound: Int =
+    sys.env.get("GRAFT_CC_JUMPS").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+
   /** Exact duplicate groups keyed by an order-invariant content signature.
     * Returns one row per distinct signature with the kept (minimum) id and
     * the group size — the keep-latest/keep-first policy of the reference's
@@ -251,8 +259,8 @@ object Dedup {
     * Algorithm: min-label propagation with POINTER JUMPING — each round
     * first propagates label(u) ← min(label(u), min over neighbors v of
     * label(v)) (one equi-join + one map-side-combinable groupBy(u).min),
-    * then compresses paths with label(u) ← label(label(u)) applied three
-    * times (three self-joins, 8× path compression per round) — the classic
+    * then compresses paths with label(u) ← label(label(u)) applied twice
+    * (two self-joins, 4× path compression per round) — the classic
     * parallel-CC path-halving step (Shiloach–Vishkin), batched. Plain
     * propagation needs diameter rounds, which a single boilerplate web of
     * millions of docs turns into hundreds of shuffles; with jumping the
@@ -320,13 +328,13 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("rep")).as("rep"))
       // pointer jump: rep(u) ← rep(rep(u)). Every rep value is an active
       // node id, so the lookup always resolves; left+coalesce guards the
-      // self-rooted rows anyway. Jumping THREE times per round compresses
-      // path length 8× per round instead of 2×, so the round count (and
-      // with it the dominant per-round job-scheduling cost — see bench
-      // note) drops ~3×; the plan still only grows a bounded 2^3× before
-      // the checkpoint truncates lineage.
+      // self-rooted rows anyway. Jumping twice per round compresses path
+      // length 4× per round instead of 2×, so the round count (and with
+      // it the dominant per-round job-scheduling cost — see bench note)
+      // halves; the plan only grows a bounded 4× before the checkpoint
+      // truncates lineage.
       var jumped = propagated
-      for (_ <- 0 until 3) {
+      for (_ <- 0 until Dedup.jumpsPerRound) {
         jumped = jumped
           .join(jumped.select(col("u").as("rep"), col("rep").as("__rep2")),
             Seq("rep"), "left")
@@ -342,7 +350,7 @@ object Dedup {
     // Exiting via the iteration cap means the labels are NOT a fixpoint —
     // silently returning them would hand callers (curateNearDup,
     // q_dedup_clusters) wrong representatives with no signal. 25 rounds of
-    // 8×-per-round path halving covers any conceivable diameter, so this
+    // 4×-per-round path halving covers any conceivable diameter, so this
     // can only fire on a bug or a pathological maxIter argument: fail loud.
     if (!converged)
       throw new IllegalStateException(
