@@ -363,6 +363,126 @@ object Dedup {
         (col("u") === col("rep")).as("kept"))
   }
 
+  /** Span-level (sub-document) dedup audit — the RefinedWeb/CCNet
+    * line-dedup idea for a corpus without line structure: for every doc,
+    * the fraction of its distinct n-token spans that also occur in at
+    * least one OTHER doc. Downstream curation drops or rewrites the docs
+    * whose shared fraction exceeds a policy threshold; this operator
+    * computes the evidence, not the policy.
+    *
+    * Plan shape: one distinct-shingle pass, one map-side-combinable
+    * groupBy(shingle) for document frequency, one shingle-keyed join that
+    * REUSES the groupBy's hash partitioning (no extra exchange), and one
+    * groupBy(doc). No all-pairs step anywhere — cost is linear in total
+    * span count, so it survives 100 TB where pairwise comparison cannot.
+    * Docs shorter than n tokens carry no span and report 0/0/0.0.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    // df counts DOCS per span (shingles() is distinct per doc already)
+    val df = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+    val perDoc = sh.join(df, "shingle")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("__df") >= 2L, 1L).otherwise(0L)).cast("long").as("n_shared"),
+        round(sum(when(col("__df") >= 2L, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("shared_frac"))
+    docs.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("shared_frac"), lit(0.0)).as("shared_frac"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the published alternative to [[clusters]]'s label
+    * propagation, wired as a first-class engine path with the identical
+    * contract: (idCol, rep, kept) with rep = min id of the component.
+    *
+    * Edges live canonically as (hi, lo), hi > lo. Large-star connects every
+    * neighbor LARGER than a node to the smallest node of its neighborhood
+    * (computed over the symmetrized edges); small-star connects the smaller
+    * neighbors (and the node itself) to that minimum. Each operation
+    * preserves connectivity and strictly shrinks a potential function, and
+    * the fixpoint is a star forest centered on component minima. Per round:
+    * two map-side-combinable groupBy-mins and two co-partitioned joins —
+    * every shuffle is keyed and combinable, nothing is ever all-pairs.
+    *
+    * Versus [[clusters]]: same contract, different convergence currency —
+    * star rounds RESHAPE the edge set (size can transiently grow, bounded
+    * by Kiveris' potential argument) while label rounds keep a fixed
+    * per-node state. Convergence = unchanged canonical edge set, detected
+    * by an order-invariant (count, xor-style hash-sum) checksum — one
+    * scalar action per round, same as clusters' label-sum trick. Lineage is
+    * truncated per round with a lazy localCheckpoint materialized by that
+    * same action.
+    */
+  def clustersAlternating(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, "clustersAlternating needs at least one iteration")
+    // canonical (hi, lo): direction carries no information in an undirected
+    // graph, so normalize once; self-pairs (a,a) carry none either
+    var edges = pairs
+      .select(greatest(col("doc_a").cast("long"), col("doc_b").cast("long")).as("hi"),
+        least(col("doc_a").cast("long"), col("doc_b").cast("long")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(false)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = checksum(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // LARGE-STAR over the symmetrized graph: m(u) = min(N(u) ∪ {u});
+      // every neighbor v > u re-attaches to m. Output is canonical by
+      // construction (v > u ≥ m).
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR on the canonical (hi, lo) set: m(hi) = min of the
+      // strictly-smaller neighborhood; each smaller neighbor and hi itself
+      // attach to m. (lo, m) rows with lo = m would be self-loops — drop.
+      val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(sMins, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .union(sMins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(false)
+      val s = checksum(ss)
+      converged = s == prev
+      prev = s
+      edges = ss
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clustersAlternating did not converge within $maxIter rounds")
+    // fixpoint is a star forest: every non-center points at its component
+    // min; centers are absent as 'hi' and default to themselves
+    val labels = edges.groupBy(col("hi")).agg(min(col("lo")).as("rep"))
+      .select(col("hi").as("u"), col("rep"))
+    docs.select(col(idCol).cast("long").as("u"))
+      .join(labels, Seq("u"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("u")))
+      .select(col("u").as(idCol), col("rep"),
+        (col("u") === col("rep")).as("kept"))
+  }
+
   /** 32-bit SimHash over token counts with an engine-independent bit source:
     * bit b of a token's hash = bit (b mod 4) of hex digit (b div 4) of
     * md5(token). Integer arithmetic end-to-end — bit-exact everywhere.

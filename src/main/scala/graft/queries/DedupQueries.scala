@@ -80,6 +80,22 @@ object DedupQueries extends QueryPack {
         Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
     }),
 
+    // Same contract and oracle as q_dedup_clusters, computed by the
+    // published alternative engine path: alternating large-star/small-star
+    // rounds (Kiveris et al., SoCC'14) instead of label propagation — both
+    // must converge to the identical min-id star forest.
+    "q_dedup_clusters_ls" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clustersAlternating(docs, "doc_id",
+        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
+    }),
+
+    // Span-level dedup audit: per doc, the fraction of its distinct 8-token
+    // spans that occur in at least one other doc (RefinedWeb line-dedup
+    // shape, no all-pairs step).
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8)),
+
     // Benchmark decontamination: every 50th doc plays the eval set; the
     // rest of the corpus is swept for 5-gram overlap with it.
     "q_contamination" -> ((s, dir) => {
@@ -135,7 +151,35 @@ object DedupQueries extends QueryPack {
 
     // Same SimHash pairs, then connected components via recursive transitive
     // closure: rep(u) = min id reachable over the symmetric edge set.
-    "q_dedup_clusters" -> (simhashCte(recursive = true) + simhashBandsCte +
+    "q_dedup_clusters" -> clustersOracle,
+
+    // The alternating-star path must land on the exact same fixpoint.
+    "q_dedup_clusters_ls" -> clustersOracle,
+
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 8),
+        |idx AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i FROM t),
+        |sp AS (SELECT DISTINCT doc_id AS doc, array_to_string(toks[i+1:i+8], ' ') AS shingle FROM idx),
+        |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sp GROUP BY shingle),
+        |per AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |    round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS shared_frac
+        |  FROM sp JOIN df USING (shingle) GROUP BY doc)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(p.shared_frac, 0.0) AS shared_frac
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc""".stripMargin
+  )
+
+  /** SimHash pairs → connected components via recursive transitive closure
+    * — shared verbatim by the label-propagation and alternating-star
+    * engine paths (same contract, same fixpoint).
+    */
+  // lazy: refers to simhashBandsCte, a val declared further down the body
+  private lazy val clustersOracle: String =
+    simhashCte(recursive = true) + simhashBandsCte +
       """,
         |prs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         |e AS (SELECT doc_a AS u, doc_b AS v FROM prs
@@ -146,8 +190,7 @@ object DedupQueries extends QueryPack {
         |SELECT d.doc_id,
         |  CAST(LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS BIGINT) AS rep,
         |  LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) = d.doc_id AS kept
-        |FROM documents d LEFT JOIN minr m ON d.doc_id = m.u""".stripMargin)
-  )
+        |FROM documents d LEFT JOIN minr m ON d.doc_id = m.u""".stripMargin
 
   /** MinHash candidate + intersection CTEs mirroring
     * [[graft.dedup.Dedup.minHashSignatures]]'s two-stage hash family

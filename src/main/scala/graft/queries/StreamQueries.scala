@@ -50,6 +50,11 @@ object StreamQueries extends QueryPack {
     "q_ewma" -> ((s, dir) =>
       EventStreams.ewma(Tables.events(s, dir), alpha = 0.2)),
 
+    // Windowed EWMA: the same fold per (user, 1-hour tumbling window) —
+    // bounded state, watermark-evictable under readStream.
+    "q_ewma_windowed" -> ((s, dir) =>
+      EventStreams.ewmaWindowed(Tables.events(s, dir), alpha = 0.2)),
+
     // Conversion funnel: clicks followed by a purchase within 1 hour,
     // rolled up per user (bounded left interval join + two combinable aggs).
     "q_funnel" -> ((s, dir) =>
@@ -101,6 +106,16 @@ object StreamQueries extends QueryPack {
         |    CAST(COUNT(*) AS BIGINT) AS n_events
         |  FROM events GROUP BY user_id)
         |SELECT user_id, n_events,
+        |  round(CAST(list_reduce(vals, (a, b) -> 0.2 * b + 0.8 * a) AS DOUBLE), 6) AS ewma
+        |FROM o""".stripMargin,
+
+    "q_ewma_windowed" ->
+      """WITH o AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    user_id,
+        |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, user_id, n_events,
         |  round(CAST(list_reduce(vals, (a, b) -> 0.2 * b + 0.8 * a) AS DOUBLE), 6) AS ewma
         |FROM o""".stripMargin,
 

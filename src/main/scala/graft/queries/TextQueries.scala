@@ -31,6 +31,19 @@ object TextQueries extends QueryPack {
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text",
         Lexicons.enStop)),
 
+    // Map-typed column functions: per-doc term-frequency map assembled with
+    // map_from_entries, probed with map_filter/map_values/aggregate, and
+    // serialized sorted-by-key for engine-independent comparison.
+    "q_map_funcs" -> ((s, dir) =>
+      TextAnalysis.termCountMap(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 2L)),
+
+    // Gopher-style rule-based quality gate (token bounds, mean token
+    // length, stopword floor, repetition ceiling) as one shuffle-free
+    // projection.
+    "q_quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, dir), "doc_id", "text")),
+
     // Token counting: whitespace vs BPE-ish regex.
     "q_token_count" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -268,6 +281,38 @@ object TextQueries extends QueryPack {
         |  round(CAST(SUM(length(term)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tok_len,
         |  round(CAST(SUM(CASE WHEN term IN ('the','a','an','and','of','to','in','is','that','it','for','on') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS stop_ratio
         |FROM toks GROUP BY doc_id""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COALESCE(string_agg(CASE WHEN cnt >= 2 THEN term || ':' || cnt END,
+        |    ',' ORDER BY term), '') AS repeated_terms
+        |FROM tc GROUP BY doc_id""".stripMargin,
+
+    "q_quality_gopher" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(str_split(text, ' ')), 6) AS mean_tok_len,
+        |    round(CAST(len(list_filter(str_split(text, ' '),
+        |        t -> t IN ('the','a','an','and','of','to','in','is','that','it','for','on'))) AS DOUBLE)
+        |      / len(str_split(text, ' ')), 6) AS stop_frac,
+        |    round(CAST(list_max(list_transform(list_distinct(str_split(text, ' ')),
+        |        d -> len(list_filter(str_split(text, ' '), x -> x = d)))) AS DOUBLE)
+        |      / len(str_split(text, ' ')), 6) AS max_word_frac
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, mean_tok_len, stop_frac, max_word_frac,
+        |  n_tokens BETWEEN 30 AND 100000 AS ok_len,
+        |  mean_tok_len BETWEEN 4.0 AND 6.0 AS ok_tok_len,
+        |  stop_frac >= 0.02 AS ok_stop,
+        |  max_word_frac <= 0.15 AS ok_rep,
+        |  (n_tokens BETWEEN 30 AND 100000) AND (mean_tok_len BETWEEN 4.0 AND 6.0)
+        |    AND stop_frac >= 0.02 AND max_word_frac <= 0.15 AS pass
+        |FROM m""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

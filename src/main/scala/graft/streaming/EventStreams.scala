@@ -203,6 +203,33 @@ object EventStreams {
           .as("ewma"))
   }
 
+  /** Windowed EWMA — [[ewma]] with bounded state for unbounded streams:
+    * the sequential fold runs per (user, tumbling window), so per-key state
+    * is one window's event list instead of the full history, and under
+    * `readStream` a watermark on `ts` lets Structured Streaming evict each
+    * window's state once it closes (the same agg expression is
+    * watermark-compatible: one groupBy on window(ts) + key). Same
+    * deterministic order contract as [[ewma]]: (ts, event_id) sort inside
+    * the collected array, fold seeded with the first value, round6.
+    * Returns (window_start, user_id, n_events, ewma).
+    */
+  def ewmaWindowed(events: DataFrame, alpha: Double,
+                   win: String = "1 hour"): DataFrame = {
+    val beta = 1.0 - alpha
+    events
+      .groupBy(window(col("ts"), win).getField("start").as("window_start"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        expr("transform(array_sort(collect_list(struct(ts, event_id, value))), e -> e.value)")
+          .as("__vals"))
+      .select(col("window_start"), col("user_id"), col("n_events"),
+        round(expr(
+          s"""aggregate(slice(__vals, 2, size(__vals) - 1),
+             |  CAST(__vals[0] AS DOUBLE),
+             |  (acc, x) -> ${alpha}D * x + ${beta}D * acc)""".stripMargin), 6)
+          .as("ewma"))
+  }
+
   /** Conversion funnel: per user, how many `from` events were followed by
     * at least one `to` event within `horizon`. The left interval join is
     * the same bounded shape as [[clickViewJoin]]; the per-(user, from-event)

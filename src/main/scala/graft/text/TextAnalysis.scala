@@ -258,6 +258,80 @@ object TextAnalysis {
             .otherwise("NN")).as("pos"))
   }
 
+  /** Per-document term-frequency MAP — the map-typed column family
+    * (`map_from_entries` / `map_filter` / `map_values` / `aggregate`) over
+    * real data. The map is built from one (doc, term) aggregation, so the
+    * only shuffles are the two map-side-combinable groupBys; everything
+    * after is a codegen'd projection over the assembled MapType column.
+    *
+    * Map columns have no canonical wire order, so for engine-independent
+    * output the filtered map is serialized as its entry list sorted by key
+    * (`array_sort(map_entries(...))`) — the same round6+tiebreak idea the
+    * oracle-parity contract uses for floats, applied to container types.
+    * Returns (id, n_terms, n_tokens, repeated_terms) where repeated_terms
+    * is "term:count,..." for terms with count ≥ minCount.
+    */
+  def termCountMap(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 2L): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("cnt"))))
+        .as("__tf"))
+      .select(col(idCol),
+        size(col("__tf")).cast("long").as("n_terms"),
+        expr("aggregate(map_values(__tf), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("n_tokens"),
+        expr(
+          s"""array_join(transform(array_sort(map_entries(
+             |  map_filter(__tf, (k, v) -> v >= $minCount))),
+             |  e -> concat(e.key, ':', e.value)), ',')""".stripMargin)
+          .as("repeated_terms"))
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1 — adapted to this corpus's signal ranges): token-count
+    * bounds, mean-token-length band, minimum stopword fraction, and a
+    * maximum single-token frequency share (the repetition rule). All four
+    * signals are computed as ONE pure projection over the token array — no
+    * explode, no shuffle, embarrassingly parallel over 100 TB of splits.
+    * The max-frequency signal is O(distinct·n) per doc via array
+    * higher-order functions, the right trade below ~1k tokens/doc; longer
+    * docs should use the [[quality]] groupBy formulation instead.
+    * Returns every doc with its signals and per-rule flags; `pass` is the
+    * conjunction.
+    */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String] = Lexicons.enStop,
+                    minTokens: Int = 30, maxTokens: Int = 100000,
+                    minMeanTokLen: Double = 4.0, maxMeanTokLen: Double = 6.0,
+                    minStopFrac: Double = 0.02,
+                    maxWordFrac: Double = 0.15): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        round(length(regexp_replace(col(textCol), " ", "")).cast("double") /
+          size(split(col(textCol), " ")), 6).as("mean_tok_len"),
+        round(expr(
+          s"size(filter(split($textCol, ' '), t -> array_contains($stopArr, t)))")
+          .cast("double") / size(split(col(textCol), " ")), 6).as("stop_frac"),
+        round(expr(
+          s"""array_max(transform(array_distinct(split($textCol, ' ')),
+             |  d -> size(filter(split($textCol, ' '), x -> x = d))))"""
+            .stripMargin).cast("double") /
+          size(split(col(textCol), " ")), 6).as("max_word_frac"))
+      .withColumn("ok_len",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("ok_tok_len",
+        col("mean_tok_len") >= minMeanTokLen && col("mean_tok_len") <= maxMeanTokLen)
+      .withColumn("ok_stop", col("stop_frac") >= minStopFrac)
+      .withColumn("ok_rep", col("max_word_frac") <= maxWordFrac)
+      .withColumn("pass",
+        col("ok_len") && col("ok_tok_len") && col("ok_stop") && col("ok_rep"))
+  }
+
   /** Trending-words top-k — the reference's word-cloud frequency query
     * (`Word_cloud_evaluation.ipynb` cells 22–24: explode → count → top 500).
     * Partial aggregation makes the (term) shuffle carry only distinct terms.

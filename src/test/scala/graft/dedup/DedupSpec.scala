@@ -95,6 +95,49 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_._3).map(_._1).sorted.toSeq == Seq(1L, 10L, 20L))
   }
 
+  test("clustersAlternating: same fixpoint as label propagation") {
+    // chain + separate pair + singleton (the clusters fixture), plus a
+    // 9-node chain whose diameter forces several star rounds
+    val pairs = (Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)) ++
+      (30L until 38L).map(i => (i + 1L, i))).toDF("doc_a", "doc_b")
+    val ids = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L) ++ (30L to 38L)).toDF("doc_id")
+    val viaStars = Dedup.clustersAlternating(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    val viaLabels = Dedup.clusters(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(viaStars.toSeq == viaLabels.toSeq)
+    assert(viaStars.filter(_._3).map(_._1).toSeq == Seq(1L, 10L, 20L, 30L))
+  }
+
+  test("clustersAlternating: empty pairs and cap both behave like clusters") {
+    val ids = Seq(3L, 7L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.clustersAlternating(ids, "doc_id", none)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(out.toSeq == Seq((3L, 3L, true), (7L, 7L, true)))
+    val chain = (1L until 30L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      Dedup.clustersAlternating((1L to 30L).toDF("doc_id"), "doc_id", chain,
+        maxIter = 1).collect()
+    }
+  }
+
+  test("spanDedup: shared-span fractions with short docs reporting zero") {
+    val d = Seq(
+      (1L, "a b c d e f g h tail1"),      // shares the 8-gram a..h with doc 2
+      (2L, "a b c d e f g h tail2"),
+      (3L, "q r s t u v w x y"),          // no shared span
+      (4L, "too short")                    // < 8 tokens: no spans at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(d, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("clusters: hitting the iteration cap before convergence fails loud") {
     // a 16-node chain cannot reach its label fixpoint AND verify it in a
     // single round — with maxIter=1 the loop must exit via the cap and
