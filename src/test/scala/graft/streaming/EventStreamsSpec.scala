@@ -64,6 +64,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(8L) == ((1L, 5.0)))
   }
 
+  test("ewmaWindowed folds per (user, window); streaming == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+      (2L, ts("2024-01-01 00:01:00"), 7L, "view", 2.0),
+      (3L, ts("2024-01-01 01:02:00"), 7L, "view", 3.0), // next hour: new fold
+      (4L, ts("2024-01-01 00:30:00"), 8L, "view", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = EventStreams.ewmaWindowed(ev, alpha = 0.2)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // window 00:00 user 7 folds only its own two events; 01:00 reseeds
+    assert(batch((ts("2024-01-01 00:00:00"), 7L)) == ((2L, 1.2)))
+    assert(batch((ts("2024-01-01 01:00:00"), 7L)) == ((1L, 3.0)))
+    assert(batch((ts("2024-01-01 00:00:00"), 8L)) == ((1L, 5.0)))
+    // identical expression under a watermark as a streaming query
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+    val q = EventStreams.ewmaWindowed(stream, alpha = 0.2)
+      .writeStream.format("memory").queryName("ewma_win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(ev.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_win_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits null-extended rows after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val clickMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
