@@ -70,16 +70,26 @@ object Bench {
     // failures (-1.0) first so they are never silently omitted, then slowest
     val ranked = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
     val budgetBytes = 1400
+    // STRICT prefix of the ranking: stop at the first entry that overflows
+    // the budget, so the emitted map is exactly "the N slowest" — skipping
+    // one long-named slow query while admitting shorter fast ones after it
+    // would misrepresent the omitted remainder as uniformly fast.
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
+    var full = false
     ranked.foreach { kv =>
       val len = entry(kv).length + 1
-      if (used + len <= budgetBytes) { kept += kv; used += len }
+      if (!full && used + len <= budgetBytes) { kept += kv; used += len }
+      else full = true
     }
     val omitted = results.size - kept.size
     val omittedSec = total - kept.map(_._2).filter(_ >= 0).sum
     val qs = kept.map(entry).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"queries_full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    // the full-map pointer is only valid when this run actually (re)writes
+    // the file — a filtered run would point at a stale previous full map
+    val fullRef =
+      if (only.isEmpty) """"queries_full":"BENCH_LOCAL.json",""" else ""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},$fullRef"sf":"$sfDir"}"""
     // Redundant copy on disk in case stdout parsing fails again —
     // best-effort only (a backup-path IO failure must never suppress the
     // primary stdout line), and skipped for filtered runs whose partial

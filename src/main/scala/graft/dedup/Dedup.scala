@@ -464,7 +464,13 @@ object Dedup {
         .distinct()
         .localCheckpoint(false)
       val s = checksum(ss)
-      converged = s == prev
+      // the checksum is a cheap per-round filter, but unlike clusters'
+      // label sum it is NOT exact (the edge set is not monotone, so no
+      // sum invariant exists): a 2^-64 collision would silently declare a
+      // non-fixpoint converged. Confirm exactly — counts already match,
+      // and both sets are distinct, so one empty set-difference proves
+      // equality. This runs ONCE, on the round that claims convergence.
+      converged = s == prev && ss.except(edges).isEmpty
       prev = s
       edges = ss
       it += 1

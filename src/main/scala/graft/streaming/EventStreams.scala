@@ -217,12 +217,17 @@ object EventStreams {
                    win: String = "1 hour"): DataFrame = {
     val beta = 1.0 - alpha
     events
-      .groupBy(window(col("ts"), win).getField("start").as("window_start"),
-        col("user_id"))
+      // group on the window STRUCT, not window().start: projecting the
+      // start field inside the grouping key strips the event-time/watermark
+      // metadata, and Spark then rejects append mode ("streaming output
+      // mode ... without watermark") and never evicts state — the struct
+      // keeps the aggregation watermark-evictable; start is selected after
+      .groupBy(window(col("ts"), win).as("__w"), col("user_id"))
       .agg(count(lit(1)).cast("long").as("n_events"),
         expr("transform(array_sort(collect_list(struct(ts, event_id, value))), e -> e.value)")
           .as("__vals"))
-      .select(col("window_start"), col("user_id"), col("n_events"),
+      .select(col("__w").getField("start").as("window_start"),
+        col("user_id"), col("n_events"),
         round(expr(
           s"""aggregate(slice(__vals, 2, size(__vals) - 1),
              |  CAST(__vals[0] AS DOUBLE),

@@ -308,20 +308,20 @@ object TextAnalysis {
                     minMeanTokLen: Double = 4.0, maxMeanTokLen: Double = 6.0,
                     minStopFrac: Double = 0.02,
                     maxWordFrac: Double = 0.15): DataFrame = {
-    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    // Column-API lambdas throughout — no SQL-string splicing, so stopwords
+    // containing quotes ("don't") and column names needing backticks work
+    val toks = split(col(textCol), " ")
+    val stopArr = array(stopwords.map(lit): _*)
     docs
       .select(col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        size(toks).cast("long").as("n_tokens"),
         round(length(regexp_replace(col(textCol), " ", "")).cast("double") /
-          size(split(col(textCol), " ")), 6).as("mean_tok_len"),
-        round(expr(
-          s"size(filter(split($textCol, ' '), t -> array_contains($stopArr, t)))")
-          .cast("double") / size(split(col(textCol), " ")), 6).as("stop_frac"),
-        round(expr(
-          s"""array_max(transform(array_distinct(split($textCol, ' ')),
-             |  d -> size(filter(split($textCol, ' '), x -> x = d))))"""
-            .stripMargin).cast("double") /
-          size(split(col(textCol), " ")), 6).as("max_word_frac"))
+          size(toks), 6).as("mean_tok_len"),
+        round(size(filter(toks, t => array_contains(stopArr, t)))
+          .cast("double") / size(toks), 6).as("stop_frac"),
+        round(array_max(transform(array_distinct(toks),
+            d => size(filter(toks, x => x === d)))).cast("double") /
+          size(toks), 6).as("max_word_frac"))
       .withColumn("ok_len",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("ok_tok_len",

@@ -95,6 +95,16 @@ class EventStreamsSpec extends SparkSpec {
           ((r.getLong(2), r.getDouble(3)))).toMap
       assert(streamed == batch)
     } finally q.stop()
+    // the aggregation must be recognized as WATERMARKED: append mode is
+    // only accepted when the window grouping key kept its event-time
+    // metadata (grouping by window().start strips it and start() throws)
+    val qa = EventStreams.ewmaWindowed(stream, alpha = 0.2)
+      .writeStream.format("memory").queryName("ewma_win_append")
+      .outputMode("append").start()
+    try {
+      mem.addData((99L, ts("2024-01-01 09:00:00"), 7L, "view", 1.0))
+      qa.processAllAvailable()
+    } finally qa.stop()
   }
 
   test("left-outer stream-stream join emits null-extended rows after watermark") {
