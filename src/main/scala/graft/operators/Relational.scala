@@ -156,6 +156,26 @@ object Relational {
       .groupBy(key)
       .agg(merge.head, merge.tail: _*)
 
+  /** Skew-resistant equi-join: the fact side gets a pseudo-random salt in
+    * [0, saltBuckets); the (small, skew-free) dim side is exploded × the
+    * full salt range so every (key, salt) pair still finds its match. The
+    * join RESULT is salt-invariant — salting only changes which reducer a
+    * hot key's rows land on, splitting it across `saltBuckets` tasks
+    * instead of one straggler. This is the manual form of what AQE's
+    * skew-join split does at runtime; use it when the skew is known ahead
+    * of time (or the join sits under an AQE-opaque operator). The dim-side
+    * row multiplication is the price — keep saltBuckets modest and the dim
+    * side small relative to the fact side.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<long>")))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Deterministic train/val/test split by CONTENT HASH of the id — the
     * reproducible-split primitive every training pipeline needs. Unlike
     * `df.randomSplit`/`rand()` (seed- and partitioning-dependent), the

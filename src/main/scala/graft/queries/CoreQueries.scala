@@ -102,6 +102,18 @@ object CoreQueries extends QueryPack {
         merge = Seq(sum(col("pc")).cast("long").as("n"),
           sum(col("ps")).cast("double").as("sum_value")))),
 
+    // Skew-resistant salted JOIN (the join-side companion to q_salted_agg):
+    // fact rows salted, dim exploded × salt range; result is salt-invariant
+    // so the plain-join oracle must hash-match exactly.
+    "q_salted_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Relational.saltedJoin(Tables.events(s, dir), dim, "user_id", saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(Num.dec2(col("value"))).cast("double").as("sum_value"))
+    }),
+
     // ------------------------------------------------------------------
     // Joins (SURVEY §2.3). Star join with broadcast dims: nation/region are
     // tiny → broadcast hash join, single shuffle on o_custkey=c_custkey.
@@ -501,6 +513,12 @@ object CoreQueries extends QueryPack {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_join_star" ->
       """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -50,6 +50,11 @@ object StreamQueries extends QueryPack {
     "q_ewma" -> ((s, dir) =>
       EventStreams.ewma(Tables.events(s, dir), alpha = 0.2)),
 
+    // Cohort retention matrix: distinct users per (first-seen cohort date,
+    // day offset).
+    "q_retention" -> ((s, dir) =>
+      EventStreams.retention(Tables.events(s, dir))),
+
     // Windowed EWMA: the same fold per (user, 1-hour tumbling window) —
     // bounded state, watermark-evictable under readStream.
     "q_ewma_windowed" -> ((s, dir) =>
@@ -108,6 +113,16 @@ object StreamQueries extends QueryPack {
         |SELECT user_id, n_events,
         |  round(CAST(list_reduce(vals, (a, b) -> 0.2 * b + 0.8 * a) AS DOUBLE), 6) AS ewma
         |FROM o""".stripMargin,
+
+    "q_retention" ->
+      """WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        |    FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT fs.cohort_date,
+        |  CAST(date_diff('day', fs.cohort_date, act.d) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN fs USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_ewma_windowed" ->
       """WITH o AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

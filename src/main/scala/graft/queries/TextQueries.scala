@@ -44,6 +44,17 @@ object TextQueries extends QueryPack {
     "q_quality_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQuality(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Content-defined chunking audit: boundaries where the trigram hash
+    // ≡ 0 (mod 8) — insertion-robust chunking, as one pure projection.
+    "q_cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, modulus = 8)),
+
+    // Term co-occurrence counts within a 3-token forward window, top 50 —
+    // the PMI/embedding count table.
+    "q_cooccur" -> ((s, dir) =>
+      TextAnalysis.cooccurrence(Tables.documents(s, dir), "text", w = 3, k = 50)),
+
     // Token counting: whitespace vs BPE-ish regex.
     "q_token_count" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -313,6 +324,30 @@ object TextQueries extends QueryPack {
         |  (n_tokens BETWEEN 30 AND 100000) AND (mean_tok_len BETWEEN 4.0 AND 6.0)
         |    AND stop_frac >= 0.02 AND max_word_frac <= 0.15 AS pass
         |FROM m""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |    ELSE []::VARCHAR[] END AS grams FROM t),
+        |b AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |    CAST(len(list_filter(grams,
+        |      g -> CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 8 = 0)) AS BIGINT) AS n_boundaries
+        |  FROM g)
+        |SELECT doc_id, n_grams, n_boundaries,
+        |  n_boundaries + 1 AS n_chunks
+        |FROM b""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |i AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM t),
+        |p AS (SELECT toks[i+1] AS a,
+        |    unnest(toks[i+2 : least(i+4, len(toks))]) AS b FROM i)
+        |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY a, b
+        |ORDER BY n DESC, a, b LIMIT 50""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -179,6 +179,25 @@ object EventStreams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Cohort retention matrix: users are cohorted by their first active
+    * date; each (cohort_date, day_offset) cell counts the distinct users
+    * of that cohort active that many days later — the standard product
+    * analytics retention triangle. Plan shape: one combinable
+    * groupBy(user) for first-seen, one distinct over (user, date), one
+    * user-keyed join (co-partitioned with the groupBy), and one final
+    * combinable groupBy over the tiny (cohort, offset) key space. Nothing
+    * all-pairs, nothing windowed over the full stream.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    events.select(col("user_id"), to_date(col("ts")).as("__d")).distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("__d"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Per-key EWMA (exponentially weighted moving average) of `valueCol`,
     * events ordered by (ts, event_id): a deterministic sequential fold —
     * ewma ← α·x + (1−α)·ewma, seeded with the first value. The fold runs

@@ -224,6 +224,55 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Content-defined chunking audit (Rabin-style, over tokens): a chunk
+    * boundary falls after every position whose n-gram hash ≡ 0 (mod
+    * `modulus`), so boundaries move WITH the content — the property that
+    * makes CDC dedup robust to insertions, unlike fixed-size [[chunks]].
+    * The hash is the engine-portable md5→60-bit-int family (the MinHash
+    * recipe), so the oracle reproduces boundaries bit-for-bit. One pure
+    * projection (transform + filter over the gram array): no explode, no
+    * shuffle — boundary detection over 100 TB rides the scan. Docs
+    * shorter than n tokens have no gram and form a single chunk.
+    * Returns (id, n_grams, n_boundaries, n_chunks).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, modulus: Int = 8): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= n, expr(
+      s"""transform(sequence(0, size(split($textCol, ' ')) - $n),
+         |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"""
+        .stripMargin)).otherwise(array())
+    docs.select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        size(expr(
+          s"""filter(__g, g ->
+             |  CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $modulus = 0)"""
+            .stripMargin)).cast("long").as("n_boundaries"))
+      .withColumn("n_chunks", (col("n_boundaries") + 1L).cast("long"))
+  }
+
+  /** Term co-occurrence counts within a forward window of `w` tokens —
+    * the PMI/embedding-training count table. Pairs are generated by ONE
+    * positional explode followed by a bounded slice-explode (output rows ≤
+    * tokens × w, the information-theoretic minimum for this statistic);
+    * the only full shuffle is the map-side-combined groupBy(a, b), and
+    * the top-k is a TakeOrderedAndProject with the deterministic
+    * (n desc, a, b) tiebreak.
+    */
+  def cooccurrence(docs: DataFrame, textCol: String, w: Int, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(size(toks) >= 2)
+      .select(toks.as("__t"), explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
+      .select(expr("element_at(__t, __i + 1)").as("a"),
+        explode(expr(s"slice(__t, __i + 2, $w)")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** Content fingerprints: raw digest, strong digest, and an order-invariant
     * bag-of-words fingerprint (detects shuffled duplicates). All codegen'd
     * built-ins — no shuffle at all.

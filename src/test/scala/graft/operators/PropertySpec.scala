@@ -92,6 +92,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clustersAlternating matches the same union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 12)
+      m <- Gen.chooseNum(0, 15)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    samples(graphGen, 8).foreach { case (n, edges) =>
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clustersAlternating(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
   test("packChunks: token totals conserved, seq ids contiguous from 0 per shard") {
     val chunksGen = Gen.listOfN(30, for {
       shard <- Gen.oneOf("a", "b", "c")

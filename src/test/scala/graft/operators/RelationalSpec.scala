@@ -90,6 +90,20 @@ class RelationalSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("saltedJoin equals the plain equi-join for any salt count") {
+    val fact = df // (key, ver, ...) rows
+    val dim = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("key", "label")
+    val plain = fact.join(dim, "key")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(1, 4, 7).foreach { s =>
+      val salted = Relational.saltedJoin(fact, dim, "key", saltBuckets = s)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(salted == plain, s"saltBuckets=$s")
+    }
+  }
+
   test("topKPerGroup ranks within each group") {
     val top1 = Relational.topKPerGroup(df,
       key = Seq(col("key")), order = Seq(col("amount").desc, col("tag").asc), k = 1)
