@@ -165,6 +165,37 @@ object Multimodal {
         lit(false).as("valid")))
   }
 
+  /** REAL WAV (RIFF) header metadata — the audio sibling of [[pngMeta]],
+    * again pure codegen'd column arithmetic over the public wire format:
+    * "RIFF" at 1–4, "WAVE" at 9–12, the fmt chunk tag at 13–16, then
+    * LITTLE-endian fields — audio format (17+4+1=21, 2 bytes), channels
+    * (23, 2), sample rate (25, 4), bits/sample (35, 2). `conv(hex(...))`
+    * reads big-endian, so LE integers are assembled per byte:
+    * b0 + b1·2⁸ + b2·2¹⁶ + b3·2²⁴. Metadata extraction over 100 TB of
+    * audio without any codec — a WholeStageCodegen projection.
+    * Returns struct (n_channels, sample_rate, bits_per_sample, pcm,
+    * valid); non-WAV bytes yield valid=false with -1s.
+    */
+  def wavMeta(binCol: Column): Column = {
+    def byte(pos: Int) = conv(hex(substring(binCol, pos, 1)), 16, 10).cast("long")
+    def le(pos: Int, len: Int) =
+      (0 until len).map(i => byte(pos + i) * (1L << (8 * i)) : Column)
+        .reduce(_ + _)
+    val isWav = hex(substring(binCol, 1, 4)) === lit("52494646") &&   // "RIFF"
+      hex(substring(binCol, 9, 4)) === lit("57415645") &&             // "WAVE"
+      hex(substring(binCol, 13, 4)) === lit("666D7420") &&            // "fmt "
+      length(binCol) >= 36
+    when(isWav, struct(
+      le(23, 2).cast("int").as("n_channels"),
+      le(25, 4).as("sample_rate"),
+      le(35, 2).cast("int").as("bits_per_sample"),
+      (le(21, 2) === 1L).as("pcm"),
+      lit(true).as("valid")))
+      .otherwise(struct(lit(-1).as("n_channels"), lit(-1L).as("sample_rate"),
+        lit(-1).as("bits_per_sample"), lit(false).as("pcm"),
+        lit(false).as("valid")))
+  }
+
   /** Deterministic frame-sample offsets for a video-shaped blob: k evenly
     * spaced byte offsets past the header. Pure column arithmetic — the
     * ranged-read pattern for real video.

@@ -176,6 +176,29 @@ object Relational {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Deterministic stratified sampling — `sampleBy` semantics without
+    * `rand()`: a row is kept iff its id's content-hash bucket (0–99, the
+    * [[hashSplit]] family) falls below its stratum's percentage. Language
+    * rebalancing, source down-weighting, and eval carve-outs all need
+    * exactly this: per-stratum rates that are REPRODUCIBLE across runs,
+    * engines, repartitions and incremental reprocessing. Pure projection +
+    * filter — zero shuffle, rides the scan at 100 TB.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int],
+                       defaultPct: Int = 0): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "rates are percentages in [0, 100]")
+    val bucket = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+    // rates is a Scala Map (deterministic application order irrelevant:
+    // stratum values are disjoint), folded into one CASE chain
+    val rateCol = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(col(stratumCol) === lit(k), lit(pct)).otherwise(acc)
+    }
+    df.filter(bucket < rateCol)
+  }
+
   /** Deterministic train/val/test split by CONTENT HASH of the id — the
     * reproducible-split primitive every training pipeline needs. Unlike
     * `df.randomSplit`/`rand()` (seed- and partitioning-dependent), the

@@ -231,6 +231,20 @@ object TextQueries extends QueryPack {
       graft.operators.Relational.hashSplit(
         Tables.documents(s, dir).select(col("doc_id")), "doc_id")),
 
+    // Deterministic stratified sampling: per-language keep rates over the
+    // id-hash bucket (sampleBy without rand() — reproducible across runs,
+    // engines and repartitions).
+    "q_stratified" -> ((s, dir) =>
+      graft.operators.Relational.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        rates = Map("en" -> 40, "zh" -> 80), defaultPct = 25)),
+
+    // Smoothed bigram LM table: P(b|a) with add-0.5 smoothing, top 50.
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(Tables.documents(s, dir), "text",
+        k = 0.5, topK = 50)),
+
     // End-to-end curation pipeline: dedup survivors → predicted-English →
     // ttr quality gate → highest-quality docs until a 2500-token budget.
     // The composition every pretraining data pipeline runs, as one plan.
@@ -516,6 +530,28 @@ object TextQueries extends QueryPack {
         |FROM (SELECT doc_id,
         |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
         |  FROM documents)""".stripMargin,
+
+    "q_stratified" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+        |  FROM documents)
+        |WHERE h < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 80 ELSE 25 END""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |i AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM t),
+        |bi AS (SELECT toks[i+1] AS a, toks[i+2] AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM i GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ca FROM bi GROUP BY a),
+        |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents))
+        |SELECT bi.a, bi.b, bi.n,
+        |  round((CAST(bi.n AS DOUBLE) + 0.5) / (CAST(ca.ca AS DOUBLE) + 0.5 * v.v), 6) AS p
+        |FROM bi JOIN ca USING (a) CROSS JOIN v
+        |ORDER BY bi.n DESC, bi.a, bi.b LIMIT 50""".stripMargin,
 
     "q_curation" ->
       """WITH lex(term, lang) AS (VALUES

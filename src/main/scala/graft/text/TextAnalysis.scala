@@ -273,6 +273,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Smoothed bigram language-model table: P(b|a) = (c(a,b) + k) /
+    * (c(a·) + k·V) with add-k smoothing, where c(a·) sums a's outgoing
+    * bigrams and V is the corpus vocabulary size. The first aggregation
+    * every count-based LM (and every PMI table) needs. Plan: one bigram
+    * groupBy (combinable), one groupBy(a) OVER THE BIGRAM COUNTS (never
+    * re-touching raw tokens — the [[tfidfTopK]] df trick), the scalar V
+    * broadcast as a 1-row crossJoin, and TakeOrdered top-k with the
+    * deterministic (n desc, a, b) tiebreak. Probabilities round6 for
+    * engine parity.
+    */
+  def bigramLm(docs: DataFrame, textCol: String, k: Double,
+               topK: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bi = docs
+      .filter(size(toks) >= 2)
+      .select(toks.as("__t"), explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
+      .select(expr("element_at(__t, __i + 1)").as("a"),
+        expr("element_at(__t, __i + 2)").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ca = bi.groupBy(col("a")).agg(sum(col("n")).cast("long").as("__ca"))
+    val v = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("__v"))
+    bi.join(ca, "a")
+      .crossJoin(broadcast(v))
+      .select(col("a"), col("b"), col("n"),
+        round((col("n").cast("double") + lit(k)) /
+          (col("__ca").cast("double") + lit(k) * col("__v")), 6).as("p"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Content fingerprints: raw digest, strong digest, and an order-invariant
     * bag-of-words fingerprint (detects shuffled duplicates). All codegen'd
     * built-ins — no shuffle at all.

@@ -95,4 +95,33 @@ class MultimodalSpec extends SparkSpec {
       .select("m.width", "m.valid").head()
     assert(w.getLong(0) == -1L && !w.getBoolean(1))
   }
+
+  test("wavMeta parses REAL RIFF/WAVE header bytes, little-endian fields") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // genuine 44-byte WAV header prefix: PCM, stereo, 44100 Hz, 16-bit
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    val wav: Array[Byte] = ("RIFF".getBytes("ASCII").toSeq ++ le(36, 4) ++
+      "WAVE".getBytes("ASCII").toSeq ++ "fmt ".getBytes("ASCII").toSeq ++
+      le(16, 4) ++       // fmt chunk size
+      le(1, 2) ++        // audio format 1 = PCM
+      le(2, 2) ++        // channels
+      le(44100, 4) ++    // sample rate
+      le(176400, 4) ++   // byte rate
+      le(4, 2) ++        // block align
+      le(16, 2)          // bits per sample
+      ).toArray
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val out = Seq((1L, wav), (2L, junk), (3L, wav.take(12)))
+      .toDF("id", "bin")
+      .select(col("id"), Multimodal.wavMeta(col("bin")).as("m"))
+      .select("id", "m.n_channels", "m.sample_rate", "m.bits_per_sample",
+        "m.pcm", "m.valid")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((2, 44100L, 16, true, true)))
+    assert(out(2L) == ((-1, -1L, -1, false, false)))
+    assert(out(3L) == ((-1, -1L, -1, false, false)))
+  }
 }
