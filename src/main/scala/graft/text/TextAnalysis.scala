@@ -286,6 +286,10 @@ object TextAnalysis {
   def bigramLm(docs: DataFrame, textCol: String, k: Double,
                topK: Int): DataFrame = {
     val toks = split(col(textCol), " ")
+    // persisted: ca below derives from bi, and without materialization the
+    // whole bigram aggregation re-runs for that branch (two corpus scans —
+    // verified in the plan). The bigram table is tiny next to the corpus,
+    // making this the opposite trade from spanDedup's two-scan choice.
     val bi = docs
       .filter(size(toks) >= 2)
       .select(toks.as("__t"), explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
@@ -293,6 +297,7 @@ object TextAnalysis {
         expr("element_at(__t, __i + 2)").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n"))
+      .persist()
     val ca = bi.groupBy(col("a")).agg(sum(col("n")).cast("long").as("__ca"))
     val v = docs.select(explode(split(col(textCol), " ")).as("term"))
       .agg(countDistinct(col("term")).cast("double").as("__v"))
