@@ -489,6 +489,20 @@ object Dedup {
         (col("u") === col("rep")).as("kept"))
   }
 
+  /** Degree distribution of a near-dup pair graph: how many docs have k
+    * near-duplicates. The shape of this histogram is the first thing to
+    * inspect before cluster resolution — a power-law tail (a few
+    * boilerplate templates shared by thousands of docs) is what motivates
+    * [[clustersAlternating]]'s large-star handling and the frequent-
+    * shingle guardrail. Two combinable groupBys; the second runs over the
+    * tiny distinct-degree key space.
+    */
+  def degreeDistribution(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("u"))
+      .union(pairs.select(col("doc_b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).cast("long").as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_docs"))
+
   /** 32-bit SimHash over token counts with an engine-independent bit source:
     * bit b of a token's hash = bit (b mod 4) of hex digit (b div 4) of
     * md5(token). Integer arithmetic end-to-end — bit-exact everywhere.

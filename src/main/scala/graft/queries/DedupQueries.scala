@@ -96,6 +96,14 @@ object DedupQueries extends QueryPack {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8)),
 
+    // Degree distribution of the SimHash near-dup graph — the pre-cluster
+    // skew audit (power-law tail ⇒ large-star/guardrail territory).
+    "q_dedup_degree" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.degreeDistribution(
+        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; the
     // rest of the corpus is swept for 5-gram overlap with it.
     "q_contamination" -> ((s, dir) => {
@@ -155,6 +163,14 @@ object DedupQueries extends QueryPack {
 
     // The alternating-star path must land on the exact same fixpoint.
     "q_dedup_clusters_ls" -> clustersOracle,
+
+    "q_dedup_degree" -> (simhashCte() + simhashBandsCte +
+      """,
+        |prs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |e AS (SELECT doc_a AS u FROM prs UNION ALL SELECT doc_b AS u FROM prs),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY u)
+        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY degree""".stripMargin),
 
     "q_span_dedup" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents

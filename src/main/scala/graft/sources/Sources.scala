@@ -121,6 +121,42 @@ object Sinks {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(dest)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(total-bytes / targetFileBytes) files. Streaming sinks, per-key
+    * upserts and fine-grained partitioned writes all accumulate small
+    * files, and at 100 TB the file count itself becomes the bottleneck
+    * (driver-side listing, task-per-file scheduling, footer overhead) —
+    * periodic compaction is the standard maintenance pass (lakehouse
+    * OPTIMIZE). The rewrite is one job: read → repartition(n) → write to
+    * a temp dir, then swap. The swap uses local-FS moves (this harness);
+    * on an object store the same shape runs as write-new + atomic
+    * pointer/manifest flip — rename is NOT atomic there, which is exactly
+    * why table formats exist (see `Collections.upsert` note in SCALE.md).
+    * Returns the output file count.
+    */
+  def compactFiles(spark: SparkSession, dir: String,
+                   targetFileBytes: Long): Int = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    def walk[A](p: Path)(f: java.util.stream.Stream[Path] => A): A = {
+      val s = Files.walk(p)
+      try f(s) finally s.close()
+    }
+    val root = Paths.get(dir)
+    val totalBytes = walk(root)(_.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(Files.size).sum)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = dir.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    // local-FS swap: remove old dir, move compacted into place
+    walk(root)(_.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete))
+    Files.move(Paths.get(tmp), root)
+    nFiles
+  }
+
   /** JSON-Lines sink — the lingua-franca export format of training-data
     * pipelines (one JSON object per line; each output file is a valid
     * JSONL shard). Optionally gzip-compressed; sharding follows the

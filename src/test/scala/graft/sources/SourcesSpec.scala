@@ -79,4 +79,30 @@ class SourcesSpec extends SparkSpec {
     assert(back.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
     assert(back(0).getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("a", "b"))
   }
+
+  test("compactFiles merges a many-file table, preserving content exactly") {
+    def parquetFiles(dir: String) =
+      Files.list(java.nio.file.Paths.get(dir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+    val dir = Files.createTempDirectory("compact").resolve("t").toString
+    val df = (1L to 500L).map(i => (i, s"row $i")).toDF("id", "s")
+    df.repartition(20).write.parquet(dir)
+    assert(parquetFiles(dir).length == 20)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // generous target: everything fits one file
+    val n = Sinks.compactFiles(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1)
+    assert(parquetFiles(dir).length == 1)
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    // sub-file-size target: ceil(bytes/target) files, content still exact
+    val bytes = parquetFiles(dir).map(Files.size).sum
+    val n2 = Sinks.compactFiles(spark, dir, targetFileBytes = bytes / 3 + 1)
+    assert(n2 >= 2 && parquetFiles(dir).length == n2)
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == before)
+  }
 }
