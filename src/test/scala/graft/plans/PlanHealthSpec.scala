@@ -56,6 +56,28 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q_quality_gopher: zero shuffles — the gate rides the scan") {
+    val p = plan("q_quality_gopher")
+    assert(!p.contains("Exchange"), s"quality gate grew a shuffle:\n$p")
+    assert(!p.contains("Generate"), "quality gate grew an explode")
+  }
+
+  test("q_cdc_chunks: zero shuffles — boundary detection rides the scan") {
+    val p = plan("q_cdc_chunks")
+    assert(!p.contains("Exchange"), s"CDC chunking grew a shuffle:\n$p")
+  }
+
+  test("q_stratified: sampling is a pure filter on the scan") {
+    val p = plan("q_stratified")
+    assert(!p.contains("Exchange") && !p.contains("Sample"),
+      s"stratified sampling should be filter-only:\n$p")
+  }
+
+  test("q_cooccur / q_bigram_lm: top-k via TakeOrderedAndProject") {
+    assert(plan("q_cooccur").contains("TakeOrderedAndProject"))
+    assert(plan("q_bigram_lm").contains("TakeOrderedAndProject"))
+  }
+
   test("q_interval_join: event_type filters pushed to both scans") {
     // scan nodes sit under an AdaptiveSparkPlanExec (collect can't reach
     // them pre-execution) — assert on the rendered plan instead
