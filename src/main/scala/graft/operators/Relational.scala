@@ -189,15 +189,22 @@ object Relational {
                        defaultPct: Int = 0): DataFrame = {
     require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
       "rates are percentages in [0, 100]")
-    val bucket = expr(
-      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
     // rates is a Scala Map (deterministic application order irrelevant:
     // stratum values are disjoint), folded into one CASE chain
     val rateCol = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
       when(col(stratumCol) === lit(k), lit(pct)).otherwise(acc)
     }
-    df.filter(bucket < rateCol)
+    df.filter(hashBucket100(idCol) < rateCol)
   }
+
+  /** The content-hash percent bucket shared by [[hashSplit]] and
+    * [[stratifiedSample]] — ONE definition because the exact expression is
+    * an oracle-parity contract (mirrored byte-for-byte in the DuckDB SQL):
+    * md5 of the stringified id → first 15 hex digits → 60-bit int → mod
+    * 100.
+    */
+  private def hashBucket100(idCol: String): Column = expr(
+    s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
 
   /** Deterministic train/val/test split by CONTENT HASH of the id — the
     * reproducible-split primitive every training pipeline needs. Unlike
@@ -209,8 +216,7 @@ object Relational {
   def hashSplit(df: DataFrame, idCol: String,
                 trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct + valPct <= 100, "split percentages exceed 100")
-    df.withColumn("__h", expr(
-        s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+    df.withColumn("__h", hashBucket100(idCol))
       .withColumn("split",
         when(col("__h") < trainPct, "train")
           .when(col("__h") < trainPct + valPct, "val")

@@ -104,10 +104,15 @@ object CoreQueries extends QueryPack {
 
     // Skew-resistant salted JOIN (the join-side companion to q_salted_agg):
     // fact rows salted, dim exploded × salt range; result is salt-invariant
-    // so the plain-join oracle must hash-match exactly.
+    // so the plain-join oracle must hash-match exactly. The dim carries a
+    // shuffle_hash hint — at bench scale Spark would broadcast it, and a
+    // broadcast join never shuffles the fact side by key, which would make
+    // the salt a no-op: the hint forces the shuffled plan the operator
+    // exists for (PlanHealthSpec guards it stays that way).
     "q_salted_join" -> ((s, dir) => {
       val dim = Tables.customer(s, dir)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        .hint("shuffle_hash")
       Relational.saltedJoin(Tables.events(s, dir), dim, "user_id", saltBuckets = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).cast("long").as("n"),

@@ -132,7 +132,9 @@ object Sinks {
     * on an object store the same shape runs as write-new + atomic
     * pointer/manifest flip — rename is NOT atomic there, which is exactly
     * why table formats exist (see `Collections.upsert` note in SCALE.md).
-    * Returns the output file count.
+    * Hive-partitioned layouts (name=value subdirectories) are compacted
+    * per partition directory, preserving the tree and its pruning.
+    * Returns the output file count (summed across partitions).
     */
   def compactFiles(spark: SparkSession, dir: String,
                    targetFileBytes: Long): Int = {
@@ -142,7 +144,21 @@ object Sinks {
       val s = Files.walk(p)
       try f(s) finally s.close()
     }
+    def list(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     val root = Paths.get(dir)
+    // Hive-partitioned layout (name=value subdirectories): compact each
+    // partition directory IN PLACE and keep the directory tree — a flat
+    // rewrite would delete the date=.../ dirs, bake the partition column
+    // into flat files, and silently break every consumer that reads a
+    // partition subpath or relies on pruning.
+    val partDirs = list(root).filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    if (partDirs.nonEmpty)
+      return partDirs.sorted.map(p =>
+        compactFiles(spark, p.toString, targetFileBytes)).sum
     val totalBytes = walk(root)(_.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(Files.size).sum)

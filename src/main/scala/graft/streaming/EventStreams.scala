@@ -195,7 +195,12 @@ object EventStreams {
       .join(firstSeen, "user_id")
       .groupBy(col("cohort_date"),
         datediff(col("__d"), col("cohort_date")).cast("long").as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // the input is distinct per (user, date) and cohort_date is unique
+      // per user, so each user hits a (cohort, offset) cell exactly once:
+      // a plain count is provably equal to count-distinct and keeps the
+      // final aggregation single-stage map-side combinable (countDistinct
+      // would re-shuffle the activity set keyed by user first)
+      .agg(count(lit(1)).cast("long").as("n_users"))
   }
 
   /** Per-key EWMA (exponentially weighted moving average) of `valueCol`,

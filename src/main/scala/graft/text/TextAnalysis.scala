@@ -237,12 +237,16 @@ object TextAnalysis {
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 3, modulus: Int = 8): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= n, expr(
-      s"""transform(sequence(0, size(split($textCol, ' ')) - $n),
-         |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"""
-        .stripMargin)).otherwise(array())
-    docs.select(col(idCol), grams.as("__g"))
+    // tokenize ONCE into __t and reference it from every lambda — inlining
+    // split() into the expr strings would re-tokenize each doc three times
+    // (the guard, the sequence bound, and the slice) since Spark does not
+    // CSE across a projection boundary into lambda bodies
+    docs.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol),
+        when(size(col("__t")) >= n, expr(
+          s"""transform(sequence(0, size(__t) - $n),
+             |  i -> concat_ws(' ', slice(__t, i + 1, $n)))""".stripMargin))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("__g"))
       .select(col(idCol),
         size(col("__g")).cast("long").as("n_grams"),
         size(expr(

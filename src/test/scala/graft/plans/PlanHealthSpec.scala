@@ -78,6 +78,14 @@ class PlanHealthSpec extends SparkSpec {
     assert(plan("q_bigram_lm").contains("TakeOrderedAndProject"))
   }
 
+  test("q_salted_join: the salted join actually shuffles (no broadcast)") {
+    // a broadcast join never shuffles the fact side by key — the salt
+    // would be dead overhead; the demo must run the plan it exists for
+    val p = plan("q_salted_join")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salted join fell back to broadcast:\n$p")
+  }
+
   test("q_interval_join: event_type filters pushed to both scans") {
     // scan nodes sit under an AdaptiveSparkPlanExec (collect can't reach
     // them pre-execution) — assert on the rendered plan instead

@@ -105,4 +105,27 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet == before)
   }
+
+  test("compactFiles preserves a Hive-partitioned layout and its pruning") {
+    val dir = Files.createTempDirectory("compactp").resolve("t").toString
+    val df = (1L to 200L).map(i => (i, s"v$i", s"p${i % 2}")).toDF("id", "s", "part")
+    df.repartition(10).write.partitionBy("part").parquet(dir)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    Sinks.compactFiles(spark, dir, targetFileBytes = 1L << 30)
+    // the partition directories survive, each compacted to one file
+    Seq("p0", "p1").foreach { p =>
+      val sub = java.nio.file.Paths.get(dir, s"part=$p")
+      assert(Files.isDirectory(sub), s"partition dir part=$p was destroyed")
+      val files = Files.list(sub).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      assert(files.length == 1)
+    }
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before)
+    // a partition subpath read still works (the consumer contract a flat
+    // rewrite would break)
+    assert(spark.read.parquet(s"$dir/part=p0").count() == 100)
+  }
 }
