@@ -196,6 +196,67 @@ object Multimodal {
         lit(false).as("valid")))
   }
 
+  /** REAL JPEG (JFIF/EXIF) header metadata — the third no-codec parser.
+    * Unlike PNG/WAV, JPEG has no fixed offsets: dimensions live in a SOFn
+    * segment at a position that depends on every preceding segment's
+    * declared length, so extraction is a bounded MARKER WALK, not a fixed
+    * slice. The walk is a `functions.aggregate` fold over a constant
+    * sequence (max `maxSegments` hops) carrying (pos, w, h, done, bad)
+    * through per-segment transitions — still pure Catalyst expressions:
+    * no UDF, no mapPartitions, evaluated row-local with zero shuffle, so
+    * it runs at scan speed over 100 TB of media like its siblings.
+    *
+    * Wire format (public, ITU T.81): SOI `FF D8`, then segments of
+    * `FF <marker> <len:2 BE incl. itself> <payload>`; standalone markers
+    * (TEM `01`, RST `D0-D7`) have no length; SOFn (`C0-C3, C5-C7, C9-CB,
+    * CD-CF` — baseline/progressive/lossless families, excluding DHT `C4`,
+    * JPG `C8`, DAC `CC`) carries precision(1), height(2 BE), width(2 BE)
+    * after the length. EOI or any malformed byte before a SOF → invalid.
+    * Returns struct (width, height, valid); non-JPEG bytes yield
+    * valid=false with -1 dims.
+    */
+  def jpegMeta(binCol: Column, maxSegments: Int = 24): Column = {
+    def byteAt(pos: Column): Column =
+      coalesce(conv(hex(binCol.substr(pos, lit(1))), 16, 10).cast("long"), lit(-1L))
+    def be2(pos: Column): Column = byteAt(pos) * 256L + byteAt(pos + 1)
+    def mk(pos: Column, w: Column, h: Column, done: Column, bad: Column) =
+      struct(pos.as("pos"), w.as("w"), h.as("h"), done.as("done"), bad.as("bad"))
+    val init = mk(lit(3L), lit(-1L), lit(-1L), lit(false), lit(false))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val keep = acc
+        val m0 = byteAt(pos)
+        val m1 = byteAt(pos + 1)
+        val sof = m1.isin(0xC0L, 0xC1L, 0xC2L, 0xC3L, 0xC5L, 0xC6L, 0xC7L,
+          0xC9L, 0xCAL, 0xCBL, 0xCDL, 0xCEL, 0xCFL)
+        val standalone = m1 === 0x01L || (m1 >= 0xD0L && m1 <= 0xD7L) || m1 === 0xD8L
+        val segLen = be2(pos + 2)
+        val h = be2(pos + 5)
+        val w = be2(pos + 7)
+        val badState = mk(pos, lit(-1L), lit(-1L), lit(false), lit(true))
+        when(acc.getField("done") || acc.getField("bad"), keep)
+          .when(m0 =!= 0xFFL || m1 < 0L || m1 === 0xD9L || m1 === 0x00L, badState)
+          .when(sof,
+            // truncated SOF payload → substr past the end → -1 sentinel dims
+            when(h < 0L || w < 0L, badState)
+              .otherwise(mk(pos, w, h, lit(true), lit(false))))
+          .when(standalone, mk(pos + 2L, lit(-1L), lit(-1L), lit(false), lit(false)))
+          .when(segLen < 2L, badState)
+          .otherwise(mk(pos + 2L + segLen, lit(-1L), lit(-1L), lit(false), lit(false)))
+      })
+    val isJpeg = hex(substring(binCol, 1, 2)) === lit("FFD8") &&
+      walked.getField("done") && !walked.getField("bad")
+    when(isJpeg, struct(
+      walked.getField("w").as("width"),
+      walked.getField("h").as("height"),
+      lit(true).as("valid")))
+      .otherwise(struct(lit(-1L).as("width"), lit(-1L).as("height"),
+        lit(false).as("valid")))
+  }
+
   /** Deterministic frame-sample offsets for a video-shaped blob: k evenly
     * spaced byte offsets past the header. Pure column arithmetic — the
     * ranged-read pattern for real video.

@@ -66,6 +66,12 @@ object StreamQueries extends QueryPack {
       EventStreams.conversionFunnel(Tables.events(s, dir),
         from = "click", to = "purchase", horizon = "1 hour")),
 
+    // Rolling z-score anomalies: each value scored against its user's
+    // previous 20 events; |z| >= 2.5 flagged.
+    "q_anomaly" -> ((s, dir) =>
+      EventStreams.anomalies(Tables.events(s, dir),
+        lookback = 20, minN = 10, zThreshold = 2.5)),
+
     // Streaming-dedup semantics in batch: latest event per user
     // (`dropDuplicates` + watermark in the streaming variant).
     "q_event_latest" -> ((s, dir) =>
@@ -104,6 +110,23 @@ object StreamQueries extends QueryPack {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH w AS (SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      OVER win AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) OVER win AS DOUBLE) AS n
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT event_id, user_id, value,
+        |    s1 / n AS mean, (s2 - s1 * s1 / n) / (n - 1.0) AS varr
+        |  FROM w WHERE n >= 10.0),
+        |z AS (SELECT event_id, user_id, value, round(mean, 6) AS win_mean,
+        |    round((value - mean) / sqrt(varr), 6) AS z
+        |  FROM m WHERE varr > 0.0)
+        |SELECT event_id, user_id, value, win_mean, z FROM z WHERE abs(z) >= 2.5""".stripMargin,
 
     "q_ewma" ->
       """WITH o AS (SELECT user_id,

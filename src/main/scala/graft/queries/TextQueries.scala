@@ -245,6 +245,22 @@ object TextQueries extends QueryPack {
       TextAnalysis.bigramLm(Tables.documents(s, dir), "text",
         k = 0.5, topK = 50)),
 
+    // Per-doc perplexity under the corpus bigram LM — the LM-based quality
+    // filter (fluency under the corpus distribution).
+    "q_bigram_ppl" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexity(Tables.documents(s, dir), "doc_id", "text",
+        k = 0.5)),
+
+    // Per-doc token-distribution entropy — repetition/diversity signal.
+    "q_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
+
+    // TextRank keyword extraction: 3 PageRank rounds over the token
+    // co-occurrence graph, top 20 terms.
+    "q_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(Tables.documents(s, dir), "text",
+        damping = 0.85, teleport = 0.15, iters = 3, topK = 20)),
+
     // End-to-end curation pipeline: dedup survivors → predicted-English →
     // ttr quality gate → highest-quality docs until a 2500-token budget.
     // The composition every pretraining data pipeline runs, as one plan.
@@ -552,6 +568,65 @@ object TextQueries extends QueryPack {
         |  round((CAST(bi.n AS DOUBLE) + 0.5) / (CAST(ca.ca AS DOUBLE) + 0.5 * v.v), 6) AS p
         |FROM bi JOIN ca USING (a) CROSS JOIN v
         |ORDER BY bi.n DESC, bi.a, bi.b LIMIT 50""".stripMargin,
+
+    "q_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |i AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM t),
+        |db AS (SELECT doc_id, toks[i+1] AS a, toks[i+2] AS b FROM i),
+        |bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM db GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ca FROM bi GROUP BY a),
+        |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents)),
+        |lm AS (SELECT bi.a, bi.b,
+        |    round((CAST(bi.n AS DOUBLE) + 0.5) / (CAST(ca.ca AS DOUBLE) + 0.5 * v.v), 6) AS p
+        |  FROM bi JOIN ca USING (a) CROSS JOIN v),
+        |g AS (SELECT db.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CAST(round(-log2(lm.p), 6) AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS su
+        |  FROM db JOIN lm USING (a, b) GROUP BY db.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST((2 * su + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS avg_nll_microbits,
+        |  round(pow(2.0, CAST((2 * su + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+        |    / 1000000.0), 6) AS ppl
+        |FROM g""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  round(log2(CAST(SUM(c) AS DOUBLE)) -
+        |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_textrank" ->
+      """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |i AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM t),
+        |p AS (SELECT toks[i+1] AS x, toks[i+2] AS y FROM i WHERE toks[i+1] <> toks[i+2]),
+        |und AS (SELECT least(x, y) AS u, greatest(x, y) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |e0 AS (SELECT u AS src, v AS dst, n FROM und
+        |  UNION ALL SELECT v AS src, u AS dst, n FROM und),
+        |dg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS deg FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, e0.n, dg.deg FROM e0 JOIN dg USING (src)),
+        |s0 AS (SELECT DISTINCT src AS term, CAST(1.0 AS DOUBLE) AS score FROM e),
+        |s1 AS (SELECT e.dst AS term,
+        |    round(0.15 + 0.85 * CAST(SUM(CAST(round(s0.score * CAST(e.n AS DOUBLE)
+        |      / CAST(e.deg AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS score
+        |  FROM e JOIN s0 ON e.src = s0.term GROUP BY e.dst),
+        |s2 AS (SELECT e.dst AS term,
+        |    round(0.15 + 0.85 * CAST(SUM(CAST(round(s1.score * CAST(e.n AS DOUBLE)
+        |      / CAST(e.deg AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS score
+        |  FROM e JOIN s1 ON e.src = s1.term GROUP BY e.dst),
+        |s3 AS (SELECT e.dst AS term,
+        |    round(0.15 + 0.85 * CAST(SUM(CAST(round(s2.score * CAST(e.n AS DOUBLE)
+        |      / CAST(e.deg AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS score
+        |  FROM e JOIN s2 ON e.src = s2.term GROUP BY e.dst)
+        |SELECT term, round(score, 6) AS score FROM s3
+        |ORDER BY score DESC, term ASC LIMIT 20""".stripMargin,
 
     "q_curation" ->
       """WITH lex(term, lang) AS (VALUES

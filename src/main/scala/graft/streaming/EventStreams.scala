@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.util.Num
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -292,4 +293,47 @@ object EventStreams {
     if (watermark)
       events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
+
+  /** Rolling z-score anomaly detection: per user, each event's value is
+    * scored against the mean/stddev of its previous `lookback` events
+    * (current row excluded — the score is a true out-of-sample surprise),
+    * and rows with |z| ≥ `zThreshold` are flagged. The standard streaming
+    * outlier gate for metric/telemetry pipelines.
+    *
+    * Engine parity: the window sums run in DECIMAL (sum and sum-of-squares
+    * of 2-decimal values are exact, order-independent); mean/variance/z are
+    * then single IEEE ops on identical doubles, rounded to 6. Variance uses
+    * the sums form (S2 − S1²/n)/(n−1) so one window pass feeds both moments.
+    *
+    * Scale: one shuffle on user_id, per-partition sorted ROWS frames — the
+    * frame is bounded (`lookback` rows), so executor memory per key is O(1)
+    * and the operator streams. Skewed users are bounded by the frame too.
+    * Returns (event_id, user_id, value, win_mean, z) for flagged rows only.
+    */
+  def anomalies(events: DataFrame, lookback: Int = 20, minN: Int = 10,
+                zThreshold: Double = 2.5): DataFrame = {
+    require(lookback >= minN && minN >= 2,
+      s"need lookback >= minN >= 2, got lookback=$lookback minN=$minN")
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-lookback, -1)
+    val vd = Num.dec2(col("value"))
+    val s1 = sum(vd).over(win).cast("double")
+    val s2 = sum(vd * vd).over(win).cast("double")
+    val n = count(lit(1)).over(win).cast("double")
+    val mean = col("__s1") / col("__n")
+    val varr = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+      (col("__n") - lit(1.0))
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        s1.as("__s1"), s2.as("__s2"), n.as("__n"))
+      .filter(col("__n") >= lit(minN.toDouble))
+      .select(col("event_id"), col("user_id"), col("value"),
+        mean.as("__mean"), varr.as("__varr"))
+      .filter(col("__varr") > lit(0.0))
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("__mean"), 6).as("win_mean"),
+        round((col("value") - col("__mean")) / sqrt(col("__varr")), 6).as("z"))
+      .filter(abs(col("z")) >= lit(zThreshold))
+  }
 }

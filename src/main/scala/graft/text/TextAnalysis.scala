@@ -288,7 +288,16 @@ object TextAnalysis {
     * engine parity.
     */
   def bigramLm(docs: DataFrame, textCol: String, k: Double,
-               topK: Int): DataFrame = {
+               topK: Int): DataFrame =
+    bigramLmTable(docs, textCol, k)
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+
+  /** The full (unlimited) smoothed bigram LM table — see [[bigramLm]] for
+    * the formula and plan notes. Shared by the top-k view and the per-doc
+    * perplexity scorer.
+    */
+  def bigramLmTable(docs: DataFrame, textCol: String, k: Double): DataFrame = {
     val toks = split(col(textCol), " ")
     // persisted: ca below derives from bi, and without materialization the
     // whole bigram aggregation re-runs for that branch (two corpus scans —
@@ -310,7 +319,121 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("n"),
         round((col("n").cast("double") + lit(k)) /
           (col("__ca").cast("double") + lit(k) * col("__v")), 6).as("p"))
-      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+  }
+
+  /** Per-document perplexity under the corpus-level add-k bigram LM — the
+    * standard LM-based quality filter for training-data curation (low-ppl ≈
+    * fluent under the corpus distribution, high-ppl ≈ noise). Per-bigram
+    * surprisal −log2 P(b|a) comes from [[bigramLmTable]]; the per-doc mean
+    * runs each surprisal through round(6)→DECIMAL so the sum is
+    * order-independent (engine parity — double sums are not associative).
+    *
+    * The mean itself is reported in integer MICRO-BITS, half-up-rounded via
+    * pure integer arithmetic — (2·Σ_µ + n) DIV (2·n) — never by round() on
+    * the double quotient: Σ_µ/n is a small-denominator rational that lands
+    * EXACTLY on round-half boundaries with probability ~1/n per doc, where
+    * Spark (exact binary HALF_UP) and DuckDB (multiply-based round) disagree
+    * on the coin flip (observed: 1 doc in 5000 at sf0.1). Integer DIV is
+    * engine-exact. ppl = 2^mean is then a single IEEE pow on an identical
+    * double.
+    *
+    * Plan: the LM table is tiny (|vocab|² upper bound) and broadcast, so the
+    * per-doc side never shuffles — one explode, one broadcast-hash join, one
+    * map-side-combinable groupBy(doc).
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       k: Double): DataFrame = {
+    val lm = bigramLmTable(docs, textCol, k).select(col("a"), col("b"), col("p"))
+    val toks = split(col(textCol), " ")
+    val docBi = docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol), toks.as("__t"),
+        explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
+      .select(col(idCol), expr("element_at(__t, __i + 1)").as("a"),
+        expr("element_at(__t, __i + 2)").as("b"))
+    docBi.join(broadcast(lm), Seq("a", "b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(round(-log2(col("p")), 6).cast("decimal(28,6)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("(2 * CAST(__s * 1000000 AS BIGINT) + n_bigrams) DIV (2 * n_bigrams)")
+          .cast("long").as("avg_nll_microbits"))
+      .withColumn("ppl",
+        round(pow(lit(2.0), col("avg_nll_microbits").cast("double") / lit(1000000.0)), 6))
+  }
+
+  /** Per-document token-distribution entropy H = −Σ pᵢ·log2 pᵢ — a
+    * repetition/diversity quality signal (near-zero entropy = one token
+    * repeated; log2(n_types) = uniform). Computed via the shuffle-friendly
+    * identity H = log2(n) − (Σ c·log2 c)/n so a single (doc,term) count pass
+    * feeds one groupBy(doc): no per-term p=c/n join against a totals table.
+    * Each c·log2 c term is round(9)→DECIMAL before summing (order-independent,
+    * engine-exact); the outer log2/divide/subtract are single IEEE ops on
+    * identical inputs, rounded to 6 for the oracle hash.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(round(col("__c").cast("double") * log2(col("__c").cast("double")), 9)
+          .cast("decimal(28,9)")).as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(log2(col("n_tokens").cast("double")) -
+          col("__s").cast("double") / col("n_tokens").cast("double"), 6).as("entropy"))
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): PageRank
+    * over the undirected token-adjacency graph, weighted by co-occurrence
+    * count. `iters` synchronous rounds of
+    * s'(v) = teleport + damping · Σ_{u∈N(v)} s(u)·w(u,v)/deg(u), then top-k
+    * terms by final score. `teleport` is passed explicitly (not computed as
+    * 1−damping) so the literal matches the oracle bit-for-bit.
+    *
+    * Engine parity: each neighbor contribution is round(12)→DECIMAL(38,12)
+    * before the groupBy sum (double addition is not associative; decimal
+    * addition is exact), and the damping update is IEEE ops on the exact sum.
+    *
+    * Scale: the edge+degree table is built once, persisted, and re-joined
+    * each round — per round ONE shuffle join on src plus ONE combinable
+    * groupBy(dst), both partitioned by term; the corpus itself is scanned
+    * exactly once. At 100 TB the graph (≤|vocab|² edges) is orders smaller
+    * than the corpus, so the iteration cost is decoupled from input size.
+    */
+  def textRank(docs: DataFrame, textCol: String, damping: Double = 0.85,
+               teleport: Double = 0.15, iters: Int = 3, topK: Int = 20): DataFrame = {
+    require(iters >= 1, s"textRank needs iters >= 1, got $iters")
+    val toks = split(col(textCol), " ")
+    val pairs = docs
+      .filter(size(toks) >= 2)
+      .select(toks.as("__t"), explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
+      .select(expr("element_at(__t, __i + 1)").as("x"),
+        expr("element_at(__t, __i + 2)").as("y"))
+      .filter(col("x") =!= col("y"))
+    val und = pairs
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val edges = und.select(col("u").as("src"), col("v").as("dst"), col("n"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("n")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("n")).cast("long").as("deg"))
+    val ed = edges.join(deg, "src").persist()
+    var scores = ed.select(col("src").as("term")).distinct()
+      .withColumn("score", lit(1.0))
+    (1 to iters).foreach { _ =>
+      scores = ed.join(scores, ed("src") === scores("term"))
+        .select(col("dst"),
+          round(col("score") * col("n").cast("double") / col("deg").cast("double"), 12)
+            .cast("decimal(38,12)").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__s"))
+        .select(col("dst").as("term"),
+          round(lit(teleport) + lit(damping) * col("__s").cast("double"), 12).as("score"))
+    }
+    scores
+      .select(col("term"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
       .limit(topK)
   }
 

@@ -124,4 +124,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((-1, -1L, -1, false, false)))
     assert(out(3L) == ((-1, -1L, -1, false, false)))
   }
+
+  test("jpegMeta walks REAL JPEG segments to SOFn and reads dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def be2(v: Int): Seq[Byte] = Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(marker: Int, payload: Seq[Byte]): Seq[Byte] =
+      Seq(0xFF.toByte, marker.toByte) ++ be2(payload.length + 2) ++ payload
+    val soi = Seq(0xFF.toByte, 0xD8.toByte)
+    val app0 = seg(0xE0, "JFIF".getBytes("ASCII").toSeq ++
+      Seq[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xDB, Seq.fill[Byte](65)(3))
+    def sof(marker: Int, h: Int, w: Int): Seq[Byte] =
+      seg(marker, Seq[Byte](8) ++ be2(h) ++ be2(w) ++ Seq[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val baseline = (soi ++ app0 ++ dqt ++ sof(0xC0, 480, 640)).toArray
+    val progressive = (soi ++ app0 ++ sof(0xC2, 1080, 1920)).toArray
+    val withRst = (soi ++ Seq(0xFF.toByte, 0x01.toByte) ++ sof(0xC1, 7, 9)).toArray
+    val eoiFirst = (soi ++ app0 ++ Seq(0xFF.toByte, 0xD9.toByte)).toArray
+    val truncated = baseline.take(soi.length + app0.length + 3)
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6)
+    val zeroLen = (soi ++ Seq(0xFF.toByte, 0xE1.toByte, 0.toByte, 0.toByte)).toArray
+    val out = Seq(1L -> baseline, 2L -> progressive, 3L -> withRst,
+      4L -> eoiFirst, 5L -> truncated, 6L -> junk, 7L -> zeroLen)
+      .toDF("id", "bin")
+      .select(col("id"), Multimodal.jpegMeta(col("bin")).as("m"))
+      .select("id", "m.width", "m.height", "m.valid")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((640L, 480L, true)))
+    assert(out(2L) == ((1920L, 1080L, true)))
+    assert(out(3L) == ((9L, 7L, true)))
+    assert(out(4L) == ((-1L, -1L, false)))
+    assert(out(5L) == ((-1L, -1L, false)))
+    assert(out(6L) == ((-1L, -1L, false)))
+    assert(out(7L) == ((-1L, -1L, false)))
+  }
 }

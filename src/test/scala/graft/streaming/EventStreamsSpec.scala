@@ -279,4 +279,19 @@ class EventStreamsSpec extends SparkSpec {
       assert(finalRows == Set((10L, 3L, 7.0), (11L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("anomalies flags only the spike, scored out-of-sample") {
+    // 20 calm events (alternating 10/12) then one spike per user; a second
+    // user stays calm throughout — no row of theirs may be flagged
+    def series(user: Long, spike: Boolean) = (1 to 21).map { i =>
+      val v = if (spike && i == 21) 99.0 else if (i % 2 == 0) 12.0 else 10.0
+      (user * 100 + i, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), user, "m", v)
+    }
+    val ev = (series(1L, spike = true) ++ series(2L, spike = false))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.anomalies(ev, lookback = 20, minN = 10, zThreshold = 2.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == Seq(121L))       // only user 1's spike
+    assert(out.head._2 > 2.5)                      // z well above threshold
+  }
 }

@@ -163,4 +163,40 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.redactPii(col("t")).as("r")).head().getString(0)
     assert(out == "mail <EMAIL> and <EMAIL> or <PHONE> not 5555-1234x")
   }
+
+  test("tokenEntropy: zero for constant docs, log2(n) for uniform, bounded") {
+    val d = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b c")).toDF("doc_id", "text")
+    val e = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(e(1L) == ((4L, 1L, 0.0)))
+    assert(e(2L) == ((4L, 4L, 2.0)))
+    val (n3, t3, h3) = e(3L)
+    assert(n3 == 4L && t3 == 3L)
+    assert(h3 > 0.0 && h3 < math.log(3.0) / math.log(2.0) + 1e-9)
+  }
+
+  test("bigramPerplexity: deterministic corpus scores ppl >= 1, repeated bigram lowest") {
+    val d = Seq((1L, "x y x y x y"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(d, "doc_id", "text", k = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 5L && out(2L)._1 == 4L)
+    assert(out(1L)._3 >= 1.0 && out(2L)._3 >= 1.0)
+    // doc 1 repeats its bigrams — its corpus-LM perplexity must be lower
+    assert(out(1L)._3 < out(2L)._3)
+  }
+
+  test("textRank: hub term outranks leaves; every graph vertex is scored") {
+    // star graph: "hub" adjacent to each leaf, leaves never adjacent;
+    // trailing "hub" closes the walk so every leaf edge has weight 2
+    val d = Seq((1L, "hub a hub b hub c hub d hub")).toDF("doc_id", "text")
+    val ranked = TextAnalysis.textRank(d, "text", iters = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(ranked.head._1 == "hub")
+    assert(ranked.map(_._1).toSet == Set("hub", "a", "b", "c", "d"))
+    assert(ranked.forall(_._2 > 0.0))
+    // leaves are symmetric under the graph — identical scores
+    assert(ranked.filter(_._1 != "hub").map(_._2).distinct.size == 1)
+  }
 }
