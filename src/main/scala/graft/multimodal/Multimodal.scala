@@ -257,6 +257,79 @@ object Multimodal {
         lit(false).as("valid")))
   }
 
+  /** REAL GIF header metadata — fixed public offsets like [[pngMeta]]:
+    * signature "GIF87a"/"GIF89a", then the logical screen descriptor with
+    * LITTLE-endian width (offset 7, 2 bytes) and height (offset 9).
+    * Pure codegen'd column arithmetic; returns struct (width, height,
+    * version, valid) with -1/"" on non-GIF bytes.
+    */
+  def gifMeta(binCol: Column): Column = {
+    def byte(pos: Int) = conv(hex(substring(binCol, pos, 1)), 16, 10).cast("long")
+    def le(pos: Int, len: Int) =
+      (0 until len).map(i => byte(pos + i) * (1L << (8 * i)): Column).reduce(_ + _)
+    val isGif = hex(substring(binCol, 1, 4)) === lit("47494638") &&  // "GIF8"
+      (hex(substring(binCol, 5, 2)) === lit("3761") ||               // "7a"
+        hex(substring(binCol, 5, 2)) === lit("3961")) &&             // "9a"
+      length(binCol) >= 13
+    when(isGif, struct(
+      le(7, 2).as("width"),
+      le(9, 2).as("height"),
+      substring(binCol, 4, 3).cast("string").as("version"),
+      lit(true).as("valid")))
+      .otherwise(struct(lit(-1L).as("width"), lit(-1L).as("height"),
+        lit("").as("version"), lit(false).as("valid")))
+  }
+
+  /** REAL ISO-BMFF (MP4/MOV) top-level box inventory — the video sibling of
+    * [[jpegMeta]]'s marker walk: each box is `size:4 BE` + `type:4 ASCII`,
+    * size 1 ⇒ 64-bit largesize at +8, size 0 ⇒ box extends to EOF. The walk
+    * is again a bounded `aggregate` fold accumulating the box-type array —
+    * pure column expressions, no codec, scan-speed over 100 TB of video.
+    * A valid file must start with `ftyp` and its boxes must tile the blob
+    * exactly (`maxBoxes` cap; typical top level is 3–6 boxes).
+    * Returns struct (n_boxes, box_types, valid).
+    */
+  def mp4Boxes(binCol: Column, maxBoxes: Int = 16): Column = {
+    def byteAt(pos: Column): Column =
+      coalesce(conv(hex(binCol.substr(pos, lit(1))), 16, 10).cast("long"), lit(-1L))
+    def be(pos: Column, len: Int): Column =
+      (0 until len).map(i => byteAt(pos + i) * (1L << (8 * (len - 1 - i))): Column)
+        .reduce(_ + _)
+    val totalLen = length(binCol).cast("long")
+    def mk(pos: Column, types: Column, bad: Column) =
+      struct(pos.as("pos"), types.as("types"), bad.as("bad"))
+    val init = mk(lit(1L), array().cast("array<string>"), lit(false))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val types = acc.getField("types")
+        val sz = be(pos, 4)
+        val typ = binCol.substr(pos + 4, lit(4)).cast("string")
+        val effSize = when(sz === 1L, be(pos + 8, 8))
+          .when(sz === 0L, totalLen - pos + 1L)
+          .otherwise(sz)
+        val minHeader = when(sz === 1L, lit(16L)).otherwise(lit(8L))
+        val badState = mk(pos, types, lit(true))
+        when(acc.getField("bad") || pos > totalLen, acc)
+          .when(pos + 7L > totalLen, badState)            // header doesn't fit
+          .when(effSize < minHeader || pos + effSize - 1L > totalLen, badState)
+          .otherwise(mk(pos + effSize, concat(types, array(typ)), lit(false)))
+      })
+    val valid = !walked.getField("bad") &&
+      walked.getField("pos") === totalLen + 1L &&
+      size(walked.getField("types")) > 0 &&
+      element_at(walked.getField("types"), 1) === lit("ftyp")
+    when(valid, struct(
+      size(walked.getField("types")).cast("long").as("n_boxes"),
+      walked.getField("types").as("box_types"),
+      lit(true).as("valid")))
+      .otherwise(struct(lit(0L).as("n_boxes"),
+        array().cast("array<string>").as("box_types"),
+        lit(false).as("valid")))
+  }
+
   /** Deterministic frame-sample offsets for a video-shaped blob: k evenly
     * spaced byte offsets past the header. Pure column arithmetic — the
     * ranged-read pattern for real video.

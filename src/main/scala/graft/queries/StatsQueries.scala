@@ -1,7 +1,9 @@
 package graft.queries
 
+import graft.graph.Graphs
 import graft.stats.Profile
 import graft.util.{QueryPack, Tables}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Data-profiling coverage ([[graft.stats.Profile]]): key-skew audit,
@@ -23,7 +25,22 @@ object StatsQueries extends QueryPack {
     // asserting the sketch is within 5%): the q_approx_distinct pattern.
     "q_approx_quantiles" -> ((s, dir) =>
       Profile.approxQuantiles(Tables.documents(s, dir), "n_chars",
-        ps = Seq(0.5, 0.9, 0.99), accuracy = 10000, tol = 0.05))
+        ps = Seq(0.5, 0.9, 0.99), accuracy = 10000, tol = 0.05)),
+
+    // Triangle participation in the hash-sampled co-purchase graph
+    // (parts sharing an order; 30% vertex sample = colorful estimator).
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(Graphs.vertexSample(col("l_partkey"), 30))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      Graphs.triangleParticipation(Graphs.triangles(edges), 20)
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -60,6 +77,19 @@ object StatsQueries extends QueryPack {
       s"""SELECT CAST($p AS DOUBLE) AS p,
          |  round(quantile_cont(n_chars, $p), 6) AS exact_value,
          |  TRUE AS within_tol
-         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 30),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT ab.u, ab.v, bc.v AS w FROM e ab JOIN e bc ON ab.v = bc.u
+        |  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.u = ab.u AND ac.v = bc.v))
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+        |GROUP BY node ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin
   )
 }

@@ -255,6 +255,11 @@ object TextQueries extends QueryPack {
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Per-source KL divergence from the corpus term distribution —
+    // the domain-shift signal for mixture weighting.
+    "q_kl_source" -> ((s, dir) =>
+      TextAnalysis.sourceKl(Tables.documents(s, dir), "source", "text")),
+
     // TextRank keyword extraction: 3 PageRank rounds over the token
     // co-occurrence graph, top 20 terms.
     "q_textrank" -> ((s, dir) =>
@@ -600,6 +605,20 @@ object TextQueries extends QueryPack {
         |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 9)
         |      AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_kl_source" ->
+      """WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cst
+        |  FROM (SELECT source, unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY source),
+        |ct AS (SELECT term, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY term),
+        |n AS (SELECT CAST(SUM(cst) AS BIGINT) AS n FROM st)
+        |SELECT st.source, CAST(MAX(ns.ns) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(round((CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+        |    log2(CAST(st.cst * n.n AS DOUBLE) / CAST(ns.ns * ct.ct AS DOUBLE)), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS kl_bits
+        |FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN n
+        |GROUP BY st.source""".stripMargin,
 
     "q_textrank" ->
       """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents

@@ -384,6 +384,46 @@ object TextAnalysis {
         round(log2(col("n_tokens").cast("double")) -
           col("__s").cast("double") / col("n_tokens").cast("double"), 6).as("entropy"))
 
+  /** Per-group KL divergence of the group's term distribution from the
+    * corpus distribution — KL(P_g ‖ Q) = Σ_t P_g(t)·log2(P_g(t)/Q(t)) — the
+    * domain-shift / source-quality signal a mixture-weighted pretraining
+    * pipeline monitors per source. P_g(t) > 0 ⇒ Q(t) > 0, so every term is
+    * defined; the probability ratio is computed as one integer-product
+    * ratio (c_gt·n)/(n_g·c_t) — exact in doubles below 2^53 — so both
+    * engines see identical division inputs.
+    *
+    * Engine parity: per-term contributions are round(9)→DECIMAL and the
+    * output IS the exact decimal sum cast to double — no rounding after a
+    * division, which is the round-half coin-flip zone (see
+    * [[bigramPerplexity]]).
+    *
+    * Plan: ONE (group,term) count feeds all three marginals (persisted —
+    * the group totals, term totals and grand total are rollups of it, never
+    * re-touching the corpus); the grand total is a broadcast 1-row cross
+    * join; the only shuffles are the combinable groupBys.
+    */
+  def sourceKl(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val st = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("__cst"))
+      .persist()
+    val ns = st.groupBy(col(groupCol)).agg(sum(col("__cst")).cast("long").as("__ns"))
+    val ct = st.groupBy(col("term")).agg(sum(col("__cst")).cast("long").as("__ct"))
+    val nTot = st.agg(sum(col("__cst")).cast("long").as("__n"))
+    st.join(ns, groupCol)
+      .join(ct, "term")
+      .crossJoin(broadcast(nTot))
+      .select(col(groupCol), col("__ns"),
+        round((col("__cst").cast("double") / col("__ns").cast("double")) *
+          log2((col("__cst") * col("__n")).cast("double") /
+            (col("__ns") * col("__ct")).cast("double")), 9)
+          .cast("decimal(28,9)").as("__kl_t"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ns")).as("n_tokens"),
+        sum(col("__kl_t")).cast("double").as("kl_bits"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): PageRank
     * over the undirected token-adjacency graph, weighted by co-occurrence
     * count. `iters` synchronous rounds of

@@ -159,4 +159,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) == ((-1L, -1L, false)))
     assert(out(7L) == ((-1L, -1L, false)))
   }
+
+  test("gifMeta parses REAL GIF logical screen descriptor, little-endian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def le2(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val gif89 = ("GIF89a".getBytes("ASCII").toSeq ++ le2(320) ++ le2(200) ++
+      Seq[Byte](0xF7.toByte, 0, 0)).toArray
+    val gif87 = ("GIF87a".getBytes("ASCII").toSeq ++ le2(64) ++ le2(48) ++
+      Seq[Byte](0, 0, 0)).toArray
+    val notGif = "GIF90a0123456".getBytes("ASCII")
+    val out = Seq(1L -> gif89, 2L -> gif87, 3L -> notGif, 4L -> gif89.take(8))
+      .toDF("id", "bin")
+      .select(col("id"), Multimodal.gifMeta(col("bin")).as("m"))
+      .select("id", "m.width", "m.height", "m.version", "m.valid")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((320L, 200L, "89a", true)))
+    assert(out(2L) == ((64L, 48L, "87a", true)))
+    assert(out(3L) == ((-1L, -1L, "", false)))
+    assert(out(4L) == ((-1L, -1L, "", false)))
+  }
+
+  test("mp4Boxes walks REAL ISO-BMFF top-level boxes incl. 64-bit size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def be(v: Long, n: Int): Seq[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def box(typ: String, payload: Int): Seq[Byte] =
+      be(8L + payload, 4) ++ typ.getBytes("ASCII").toSeq ++ Seq.fill[Byte](payload)(7)
+    // 64-bit-size box: size=1, then largesize at +8 (16-byte header)
+    def bigBox(typ: String, payload: Int): Seq[Byte] =
+      be(1L, 4) ++ typ.getBytes("ASCII").toSeq ++ be(16L + payload, 8) ++
+        Seq.fill[Byte](payload)(9)
+    val good = (box("ftyp", 8) ++ box("moov", 32) ++ box("mdat", 100)).toArray
+    val withBig = (box("ftyp", 4) ++ bigBox("mdat", 24) ++ box("free", 0)).toArray
+    val noFtyp = (box("moov", 8) ++ box("mdat", 8)).toArray
+    val truncated = good.dropRight(5)
+    val junk = Array[Byte](1, 2, 3)
+    val out = Seq(1L -> good, 2L -> withBig, 3L -> noFtyp, 4L -> truncated, 5L -> junk)
+      .toDF("id", "bin")
+      .select(col("id"), Multimodal.mp4Boxes(col("bin")).as("m"))
+      .select("id", "m.n_boxes", "m.box_types", "m.valid")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toList, r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, List("ftyp", "moov", "mdat"), true)))
+    assert(out(2L) == ((3L, List("ftyp", "mdat", "free"), true)))
+    assert(out(3L) == ((0L, Nil, false)))
+    assert(out(4L) == ((0L, Nil, false)))
+    assert(out(5L) == ((0L, Nil, false)))
+  }
 }

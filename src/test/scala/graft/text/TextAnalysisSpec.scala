@@ -187,6 +187,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._3 < out(2L)._3)
   }
 
+  test("sourceKl: zero when a source matches the corpus mix, positive when skewed") {
+    // s1 and s2 have IDENTICAL term distributions -> corpus == each -> KL 0
+    val even = Seq((1L, "s1", "a b"), (2L, "s2", "a b")).toDF("doc_id", "source", "text")
+    val kl0 = TextAnalysis.sourceKl(even, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl0("s1") == 0.0 && kl0("s2") == 0.0)
+    val skew = Seq((1L, "s1", "a a a a"), (2L, "s2", "a b c d")).toDF("doc_id", "source", "text")
+    val kl = TextAnalysis.sourceKl(skew, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("s1") > 0.0 && kl("s2") > 0.0)
+    // s1 diverges more: all its mass sits on one term at 1.6x its corpus
+    // rate (1*log2(1.6) = 0.678) vs s2's mixed over/under-weights (0.420)
+    assert(kl("s1") > kl("s2"))
+  }
+
   test("textRank: hub term outranks leaves; every graph vertex is scored") {
     // star graph: "hub" adjacent to each leaf, leaves never adjacent;
     // trailing "hub" closes the walk so every leaf edge has weight 2
