@@ -27,6 +27,11 @@ object StatsQueries extends QueryPack {
       Profile.approxQuantiles(Tables.documents(s, dir), "n_chars",
         ps = Seq(0.5, 0.9, 0.99), accuracy = 10000, tol = 0.05)),
 
+    // Per-user OLS trend of value over event rank — drift monitoring.
+    "q_regression" -> ((s, dir) =>
+      Profile.groupRegression(Tables.events(s, dir), "user_id",
+        Seq(col("ts").asc, col("event_id").asc), "value")),
+
     // Triangle participation in the hash-sampled co-purchase graph
     // (parts sharing an order; 30% vertex sample = colorful estimator).
     "q_triangles" -> ((s, dir) => {
@@ -78,6 +83,25 @@ object StatsQueries extends QueryPack {
          |  round(quantile_cont(n_chars, $p), 6) AS exact_value,
          |  TRUE AS within_tol
          |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+
+    "q_regression" ->
+      """WITH x AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS x
+        |  FROM events),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(y) AS sy, SUM(x * y) AS sxy
+        |  FROM x GROUP BY user_id),
+        |d AS (SELECT user_id, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM a)
+        |SELECT user_id, n,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+        |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+        |    / nd, 6) AS intercept
+        |FROM d WHERE n >= 2 AND (nd * sxxd - sxd * sxd) > 0.0""".stripMargin,
 
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -88,4 +88,42 @@ object Profile {
             abs(col("col.__exact")) <= tol)
           .as("within_tol"))
   }
+
+  /** Per-group OLS trend: slope/intercept of y against the 1-based rank of
+    * each row inside its group (ordered by `orderCols`) — the "is this
+    * user's metric drifting" regression every monitoring pipeline runs.
+    * Using the rank as x (not a timestamp) makes every sum integer/decimal
+    * EXACT: Σx, Σx² are integers, Σy and Σxy run in DECIMAL, and only the
+    * final closed-form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) happens in
+    * doubles — identical IEEE ops on identical inputs in both engines, and
+    * the quotient's denominator is large (~n³/12) so round(6) sits nowhere
+    * near a systematic half boundary (contrast [[graft.text.TextAnalysis
+    * .bigramPerplexity]]'s small-n case).
+    * One window pass + one combinable groupBy. Groups with n < 2 or zero
+    * x-variance are dropped. Returns (key, n, slope, intercept).
+    */
+  def groupRegression(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                      yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val yd = col(yCol).cast("decimal(18,2)")
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val denom = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / denom
+    df.withColumn("__x", row_number().over(w).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__x")).cast("long").as("__sx"),
+        sum(col("__x") * col("__x")).cast("long").as("__sxx"),
+        sum(yd).as("__sy"),
+        sum(col("__x") * yd).as("__sxy"))
+      .filter(col("__n") >= 2L && denom > 0.0)
+      .select(col(keyCol), col("__n").as("n"),
+        round(slope, 6).as("slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"))
+  }
 }

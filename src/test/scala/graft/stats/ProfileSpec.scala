@@ -51,4 +51,20 @@ class ProfileSpec extends SparkSpec {
     assert(out.head._2 == 500.5) // R-7 interpolated median of 1..1000
     assert(out.forall(_._3))
   }
+
+  test("groupRegression recovers exact trends and drops degenerate groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows =
+      (1 to 10).map(i => ("up", i.toLong, 2.0 * i + 3.0)) ++      // y = 2x + 3
+        (1 to 10).map(i => ("flat", i.toLong, 7.5)) ++             // slope 0
+        Seq(("single", 1L, 4.0))                                   // n=1: dropped
+    val out = Profile.groupRegression(rows.toDF("k", "ord", "y"), "k",
+      Seq(col("ord").asc), "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("up", "flat"))
+    assert(out("up") == ((10L, 2.0, 3.0)))
+    assert(out("flat") == ((10L, 0.0, 7.5)))
+  }
 }
