@@ -54,10 +54,35 @@ object SimilarityQueries extends QueryPack {
     // hash-checked, and SimilaritySpec quantifies recall vs the exact pairs).
     "q_dedup_embedding_bucketed" -> ((s, dir) =>
       Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.45))
+        "embedding", threshold = 0.45)),
+
+    // Embedding-space drift: pairwise cosine between per-label centroids.
+    "q_centroid_sim" -> ((s, dir) =>
+      Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir),
+        "label", "embedding"))
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_centroid_sim" ->
+      """WITH c AS (SELECT label, i AS pos, embedding[i + 1] AS x
+        |  FROM (SELECT label, embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(20,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM c GROUP BY 1, 2),
+        |nrm AS (SELECT label,
+        |    sqrt(CAST(SUM(CAST(round(mu * mu, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM cent GROUP BY label),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(SUM(CAST(round(a.mu * b.mu, 12) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b,
+        |  round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM dots d JOIN nrm na ON d.label_a = na.label
+        |JOIN nrm nb ON d.label_b = nb.label""".stripMargin,
+
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine

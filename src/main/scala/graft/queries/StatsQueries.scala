@@ -27,6 +27,11 @@ object StatsQueries extends QueryPack {
       Profile.approxQuantiles(Tables.documents(s, dir), "n_chars",
         ps = Seq(0.5, 0.9, 0.99), accuracy = 10000, tol = 0.05)),
 
+    // Winsorization audit: per-type p05/p95 bounds and clip counts.
+    "q_winsorize" -> ((s, dir) =>
+      Profile.winsorizeStats(Tables.events(s, dir), "event_type", "value",
+        lo = 0.05, hi = 0.95)),
+
     // Per-user OLS trend of value over event rank — drift monitoring.
     "q_regression" -> ((s, dir) =>
       Profile.groupRegression(Tables.events(s, dir), "user_id",
@@ -83,6 +88,17 @@ object StatsQueries extends QueryPack {
          |  round(quantile_cont(n_chars, $p), 6) AS exact_value,
          |  TRUE AS within_tol
          |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+
+    "q_winsorize" ->
+      """WITH p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    quantile_cont(value, 0.05) AS plo, quantile_cont(value, 0.95) AS phi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, MAX(p.n) AS n,
+        |  round(MAX(p.plo), 6) AS p_lo, round(MAX(p.phi), 6) AS p_hi,
+        |  CAST(SUM(CASE WHEN e.value < p.plo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN e.value > p.phi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
+        |FROM events e JOIN p USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
 
     "q_regression" ->
       """WITH x AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS y,

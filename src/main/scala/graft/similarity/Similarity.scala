@@ -269,4 +269,45 @@ object Similarity {
         size(col(vecCol)).cast("long").as("dim"),
         round(sqrt(norm2(col(vecCol))), 6).as("l2_norm"),
         signBucket(col(vecCol)).as("bucket")): _*)
+
+  /** Pairwise cosine similarity between per-label centroid embeddings —
+    * the embedding-space drift monitor (are two sources/classes collapsing
+    * together? is a new batch drifting off its label's centroid?).
+    *
+    * Engine parity: float→DECIMAL(20,12) casts can never hit a round-half
+    * boundary (a dyadic float equal to X + 5·10⁻¹³ would need a 5¹² factor
+    * in its denominator), so the component sums are engine-exact; the mean
+    * is left UNROUNDED (cast-to-double ÷ count, identical IEEE); centroid
+    * products are round(12)→DECIMAL before the dot-product sum (their
+    * rational structure has a ~n²·10¹² denominator — no systematic halves);
+    * the final cosine rounds 6 after an irrational sqrt.
+    *
+    * Plan: one posexplode + one combinable groupBy(label, pos); norms and
+    * the pos-aligned pair join both read the persisted centroid table
+    * (labels × dims rows — trivially broadcastable); the raw vectors are
+    * scanned exactly once regardless of the label count.
+    */
+  def labelCentroidSimilarity(embeddings: DataFrame, labelCol: String,
+                              vecCol: String): DataFrame = {
+    val comp = embeddings.select(col(labelCol).as("lbl"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val cent = comp.groupBy(col("lbl"), col("pos"))
+      .agg((sum(col("x").cast("decimal(20,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("mu"))
+      .persist()
+    val norms = cent.groupBy(col("lbl"))
+      .agg(sqrt(sum(round(col("mu") * col("mu"), 12).cast("decimal(38,12)"))
+        .cast("double")).as("nrm"))
+    val dots = cent.as("a")
+      .join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.lbl") < col("b.lbl"))
+      .select(col("a.lbl").as("label_a"), col("b.lbl").as("label_b"),
+        round(col("a.mu") * col("b.mu"), 12).cast("decimal(38,12)").as("__pp"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("__pp")).cast("double").as("__dot"))
+    dots.join(norms.as("na"), col("label_a") === col("na.lbl"))
+      .join(norms.as("nb"), col("label_b") === col("nb.lbl"))
+      .select(col("label_a"), col("label_b"),
+        round(col("__dot") / (col("na.nrm") * col("nb.nrm")), 6).as("cosine"))
+  }
 }

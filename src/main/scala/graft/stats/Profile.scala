@@ -102,6 +102,33 @@ object Profile {
     * One window pass + one combinable groupBy. Groups with n < 2 or zero
     * x-variance are dropped. Returns (key, n, slope, intercept).
     */
+  /** Per-group winsorization audit: the lo/hi percentiles (exact R-7) and
+    * how many rows each clip bound would touch — the outlier-capping
+    * companion to [[groupRegression]]'s drift signal. The clip comparisons
+    * use the UNROUNDED percentile (identical IEEE interpolation in both
+    * engines); only the reported bounds are round(6).
+    * Plan: one agg for the per-group bounds (a handful of rows, broadcast),
+    * then one combinable counting agg over the joined fact — two scans of
+    * the group column, no window, no per-row sort.
+    */
+  def winsorizeStats(df: DataFrame, keyCol: String, valueCol: String,
+                     lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo < hi, s"need lo < hi, got $lo >= $hi")
+    val pct = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("__n"),
+      expr(s"percentile($valueCol, ${lo}D)").as("__plo"),
+      expr(s"percentile($valueCol, ${hi}D)").as("__phi"))
+    df.join(broadcast(pct), keyCol)
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        round(max(col("__plo")), 6).as("p_lo"),
+        round(max(col("__phi")), 6).as("p_hi"),
+        sum(when(col(valueCol) < col("__plo"), 1L).otherwise(0L))
+          .cast("long").as("n_clipped_lo"),
+        sum(when(col(valueCol) > col("__phi"), 1L).otherwise(0L))
+          .cast("long").as("n_clipped_hi"))
+  }
+
   def groupRegression(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                       yCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -93,4 +93,35 @@ class PlanHealthSpec extends SparkSpec {
     assert("EqualTo\\(event_type".r.findAllIn(p).size == 2,
       s"expected both sides pruned in:\n$p")
   }
+
+  test("q_bigram_ppl: the LM table joins broadcast — per-doc side never shuffles for the join") {
+    val p = plan("q_bigram_ppl")
+    assert(p.contains("BroadcastHashJoin"), s"LM join fell back to shuffle:\n$p")
+  }
+
+  test("q_kl_source: one corpus scan — marginals read the cached (group,term) counts") {
+    val p = plan("q_kl_source")
+    assert(p.contains("InMemoryTableScan"),
+      s"marginal rollups re-scan the corpus instead of the cached counts:\n$p")
+  }
+
+  test("q_triangles: no cartesian product; closing edge is a semi join") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), s"triangle join went cartesian:\n$p")
+    assert(p.contains("LeftSemi"), s"closing edge probe is not a semi join:\n$p")
+  }
+
+  test("q_anomaly / q_regression: exactly one shuffle — the user_id partitioning") {
+    Seq("q_anomaly", "q_regression").foreach { q =>
+      val n = "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+      assert(n == 1, s"$q has $n hash exchanges, expected 1")
+    }
+  }
+
+  test("q_textrank: iteration joins read the persisted edge table, top-k is TakeOrdered") {
+    val p = plan("q_textrank")
+    assert(p.contains("InMemoryTableScan"),
+      s"per-round joins rebuild the edge table from the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }

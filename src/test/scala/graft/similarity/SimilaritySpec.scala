@@ -75,4 +75,20 @@ class SimilaritySpec extends SparkSpec {
     assert(stats(0L) == (4L, 1.0))
     assert(math.abs(stats(4L)._2 - math.sqrt(2)) < 1e-6)
   }
+
+  test("labelCentroidSimilarity: aligned centroids -> 1, orthogonal -> 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(3.0f, 0.0f), 0),   // label 0 centroid = (2, 0)
+      (3L, Array(0.0f, 2.0f), 1),   // label 1 centroid = (0, 2): orthogonal
+      (4L, Array(0.0f, 2.0f), 1),
+      (5L, Array(4.0f, 0.0f), 2)    // label 2 centroid = (4, 0): aligned w/ 0
+    ).toDF("vec_id", "embedding", "label")
+    val sims = Similarity.labelCentroidSimilarity(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(sims((0, 1)) == 0.0)
+    assert(sims((0, 2)) == 1.0)
+    assert(sims((1, 2)) == 0.0)
+  }
 }

@@ -52,6 +52,18 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(_._3))
   }
 
+  test("winsorizeStats reports R-7 bounds and exact clip counts") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("k", "v")
+    val r = Profile.winsorizeStats(df, "k", "v", lo = 0.05, hi = 0.95).head()
+    assert(r.getAs[Long]("n") == 100L)
+    // R-7 on 1..100: p05 = 1 + 0.05*99 = 5.95; p95 = 1 + 0.95*99 = 95.05
+    assert(r.getAs[Double]("p_lo") == 5.95)
+    assert(r.getAs[Double]("p_hi") == 95.05)
+    assert(r.getAs[Long]("n_clipped_lo") == 5L)   // 1..5 < 5.95
+    assert(r.getAs[Long]("n_clipped_hi") == 5L)   // 96..100 > 95.05
+  }
+
   test("groupRegression recovers exact trends and drops degenerate groups") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
