@@ -66,6 +66,10 @@ object StreamQueries extends QueryPack {
       EventStreams.conversionFunnel(Tables.events(s, dir),
         from = "click", to = "purchase", horizon = "1 hour")),
 
+    // CUSUM level-shift alarms per user (kappa=10 slack, h=60 threshold).
+    "q_cusum" -> ((s, dir) =>
+      EventStreams.cusum(Tables.events(s, dir), kappa = 10.0, h = 60.0)),
+
     // Rolling z-score anomalies: each value scored against its user's
     // previous 20 events; |z| >= 2.5 flagged.
     "q_anomaly" -> ((s, dir) =>
@@ -110,6 +114,24 @@ object StreamQueries extends QueryPack {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_cusum" ->
+      """WITH o AS (SELECT user_id,
+        |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(list_reduce(
+        |    list_prepend([0.0, 0.0, 0.0], list_transform(vals, v -> [v, 0.0, 0.0])),
+        |    (a, b) -> CASE WHEN greatest(0.0, a[1] + (b[1] - mu - 10.0)) > 60.0
+        |        OR greatest(0.0, a[2] + (mu - 10.0 - b[1])) > 60.0
+        |      THEN [0.0, 0.0, a[3] + 1.0]
+        |      ELSE [greatest(0.0, a[1] + (b[1] - mu - 10.0)),
+        |            greatest(0.0, a[2] + (mu - 10.0 - b[1])), a[3]] END)[3] AS BIGINT)
+        |    AS n_alarms
+        |FROM o""".stripMargin,
 
     "q_anomaly" ->
       """WITH w AS (SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,

@@ -294,6 +294,42 @@ object EventStreams {
       events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Tabular CUSUM change detection (Page 1954): per user, the one-sided
+    * cumulative sums s⁺ ← max(0, s⁺ + (x − μ − κ)) and s⁻ ← max(0, s⁻ +
+    * (μ − κ − x)) accumulate sustained drift from the user's own mean;
+    * crossing `h` raises an alarm and resets the statistic. Complements
+    * [[anomalies]]: the z-gate catches single spikes, CUSUM catches slow
+    * level shifts no single point of which is anomalous.
+    *
+    * Same deterministic-fold contract as [[ewma]]: the per-key event list
+    * is sorted by (ts, event_id) and folded sequentially, so the result is
+    * partitioning-independent and bit-identical to the oracle's
+    * list_reduce. Only INTEGER outputs (alarm count) are emitted — the
+    * fold statistics themselves are small-denominator rationals that would
+    * hit the round-half coin flip if rounded (see BigramPerplexity).
+    * Returns (user_id, n_events, n_alarms).
+    */
+  def cusum(events: DataFrame, kappa: Double, h: Double): DataFrame = {
+    require(kappa >= 0 && h > 0, s"need kappa >= 0 and h > 0, got $kappa/$h")
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (sum(Num.dec2(col("value"))).cast("double") /
+          count(lit(1)).cast("double")).as("__mu"),
+        expr("transform(array_sort(collect_list(struct(ts, event_id, value))), e -> e.value)")
+          .as("__vals"))
+      .select(col("user_id"), col("n_events"),
+        expr(
+          s"""aggregate(__vals, array(0D, 0D, 0D), (acc, x) ->
+             |  CASE WHEN greatest(0D, acc[0] + (x - __mu - ${kappa}D)) > ${h}D
+             |         OR greatest(0D, acc[1] + (__mu - ${kappa}D - x)) > ${h}D
+             |    THEN array(0D, 0D, acc[2] + 1D)
+             |    ELSE array(greatest(0D, acc[0] + (x - __mu - ${kappa}D)),
+             |               greatest(0D, acc[1] + (__mu - ${kappa}D - x)),
+             |               acc[2])
+             |  END)[2]""".stripMargin).cast("long").as("n_alarms"))
+  }
+
   /** Rolling z-score anomaly detection: per user, each event's value is
     * scored against the mean/stddev of its previous `lookback` events
     * (current row excluded — the score is a true out-of-sample surprise),

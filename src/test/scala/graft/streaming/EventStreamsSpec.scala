@@ -280,6 +280,22 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusum alarms on a sustained level shift, stays quiet on noise") {
+    // user 1: 20 events at 10, then 20 at 30 (shift of +20, mean 20):
+    // post-shift drift (30-20-5)=5/event -> s+ crosses h=20 and re-crosses
+    // after each reset. user 2: constant 10 -> drift -(kappa) -> never alarms
+    def series(user: Long, vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (user * 1000 + i, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), user, "m", v)
+    }
+    val ev = (series(1L, Seq.fill(20)(10.0) ++ Seq.fill(20)(30.0)) ++
+      series(2L, Seq.fill(40)(10.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.cusum(ev, kappa = 5.0, h = 20.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == 40L && out(1L)._2 >= 2L) // shift alarms repeatedly
+    assert(out(2L) == ((40L, 0L)))                // flat series never alarms
+  }
+
   test("anomalies flags only the spike, scored out-of-sample") {
     // 20 calm events (alternating 10/12) then one spike per user; a second
     // user stays calm throughout — no row of theirs may be flagged
