@@ -239,6 +239,10 @@ object Multimodal {
         val badState = mk(pos, lit(-1L), lit(-1L), lit(false), lit(true))
         when(acc.getField("done") || acc.getField("bad"), keep)
           .when(m0 =!= 0xFFL || m1 < 0L || m1 === 0xD9L || m1 === 0x00L, badState)
+          // legal fill byte (ITU T.81 B.1.1.2: any number of 0xFF pad
+          // bytes may precede a marker) — consume one and re-read
+          .when(m1 === 0xFFL,
+            mk(pos + 1L, lit(-1L), lit(-1L), lit(false), lit(false)))
           .when(sof,
             // truncated SOF payload → substr past the end → -1 sentinel dims
             when(h < 0L || w < 0L, badState)

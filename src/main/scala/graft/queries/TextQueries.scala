@@ -584,7 +584,7 @@ object TextQueries extends QueryPack {
         |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
         |  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents)),
         |lm AS (SELECT bi.a, bi.b,
-        |    round((CAST(bi.n AS DOUBLE) + 0.5) / (CAST(ca.ca AS DOUBLE) + 0.5 * v.v), 6) AS p
+        |    (CAST(bi.n AS DOUBLE) + 0.5) / (CAST(ca.ca AS DOUBLE) + 0.5 * v.v) AS p
         |  FROM bi JOIN ca USING (a) CROSS JOIN v),
         |g AS (SELECT db.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |    CAST(SUM(CAST(round(-log2(lm.p), 6) AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS su
@@ -615,7 +615,8 @@ object TextQueries extends QueryPack {
         |n AS (SELECT CAST(SUM(cst) AS BIGINT) AS n FROM st)
         |SELECT st.source, CAST(MAX(ns.ns) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CAST(round((CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
-        |    log2(CAST(st.cst * n.n AS DOUBLE) / CAST(ns.ns * ct.ct AS DOUBLE)), 9)
+        |    log2(CAST(st.cst AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |      / (CAST(ns.ns AS DOUBLE) * CAST(ct.ct AS DOUBLE))), 9)
         |    AS DECIMAL(28,9))) AS DOUBLE) AS kl_bits
         |FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN n
         |GROUP BY st.source""".stripMargin,

@@ -290,35 +290,52 @@ object TextAnalysis {
   def bigramLm(docs: DataFrame, textCol: String, k: Double,
                topK: Int): DataFrame =
     bigramLmTable(docs, textCol, k)
+      .select(col("a"), col("b"), col("n"), col("p"))
       .orderBy(col("n").desc, col("a").asc, col("b").asc)
       .limit(topK)
 
+  /** Adjacent-token bigram rows (a, b) per document, with any caller
+    * columns carried through — the one positional-explode walk shared by
+    * [[bigramLmTable]], [[bigramPerplexity]] and [[textRank]] so the
+    * tokenization/bigram contract lives in exactly one place.
+    */
+  private def docBigrams(docs: DataFrame, textCol: String,
+                         carry: Seq[Column]): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(size(toks) >= 2)
+      .select(carry ++ Seq(toks.as("__t"),
+        explode(sequence(lit(0), size(toks) - lit(2))).as("__i")): _*)
+      .select(carry ++ Seq(expr("element_at(__t, __i + 1)").as("a"),
+        expr("element_at(__t, __i + 2)").as("b")): _*)
+  }
+
   /** The full (unlimited) smoothed bigram LM table — see [[bigramLm]] for
     * the formula and plan notes. Shared by the top-k view and the per-doc
-    * perplexity scorer.
+    * perplexity scorer. `p` is the round(6) display probability; `p_raw`
+    * is the unrounded quotient — surprisal math MUST use `p_raw`, since
+    * round(6) collapses rare-bigram probabilities to exactly 0.0 once the
+    * smoothed denominator passes ~2·10⁶·k (log2(0) = NULL would silently
+    * drop those bigrams from a sum).
     */
   def bigramLmTable(docs: DataFrame, textCol: String, k: Double): DataFrame = {
-    val toks = split(col(textCol), " ")
     // persisted: ca below derives from bi, and without materialization the
     // whole bigram aggregation re-runs for that branch (two corpus scans —
     // verified in the plan). The bigram table is tiny next to the corpus,
     // making this the opposite trade from spanDedup's two-scan choice.
-    val bi = docs
-      .filter(size(toks) >= 2)
-      .select(toks.as("__t"), explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
-      .select(expr("element_at(__t, __i + 1)").as("a"),
-        expr("element_at(__t, __i + 2)").as("b"))
+    val bi = docBigrams(docs, textCol, Nil)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n"))
       .persist()
     val ca = bi.groupBy(col("a")).agg(sum(col("n")).cast("long").as("__ca"))
     val v = docs.select(explode(split(col(textCol), " ")).as("term"))
       .agg(countDistinct(col("term")).cast("double").as("__v"))
+    val praw = (col("n").cast("double") + lit(k)) /
+      (col("__ca").cast("double") + lit(k) * col("__v"))
     bi.join(ca, "a")
       .crossJoin(broadcast(v))
       .select(col("a"), col("b"), col("n"),
-        round((col("n").cast("double") + lit(k)) /
-          (col("__ca").cast("double") + lit(k) * col("__v")), 6).as("p"))
+        round(praw, 6).as("p"), praw.as("p_raw"))
   }
 
   /** Per-document perplexity under the corpus-level add-k bigram LM — the
@@ -343,18 +360,14 @@ object TextAnalysis {
     */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        k: Double): DataFrame = {
-    val lm = bigramLmTable(docs, textCol, k).select(col("a"), col("b"), col("p"))
-    val toks = split(col(textCol), " ")
-    val docBi = docs
-      .filter(size(toks) >= 2)
-      .select(col(idCol), toks.as("__t"),
-        explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
-      .select(col(idCol), expr("element_at(__t, __i + 1)").as("a"),
-        expr("element_at(__t, __i + 2)").as("b"))
-    docBi.join(broadcast(lm), Seq("a", "b"))
+    // surprisal from p_raw, NOT the round(6) display p: rounding first
+    // would collapse rare-bigram probabilities below 5e-7 to log2(0)
+    val lm = bigramLmTable(docs, textCol, k).select(col("a"), col("b"), col("p_raw"))
+    docBigrams(docs, textCol, Seq(col(idCol)))
+      .join(broadcast(lm), Seq("a", "b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        sum(round(-log2(col("p")), 6).cast("decimal(28,6)")).as("__s"))
+        sum(round(-log2(col("p_raw")), 6).cast("decimal(28,6)")).as("__s"))
       .select(col(idCol), col("n_bigrams"),
         expr("(2 * CAST(__s * 1000000 AS BIGINT) + n_bigrams) DIV (2 * n_bigrams)")
           .cast("long").as("avg_nll_microbits"))
@@ -415,9 +428,12 @@ object TextAnalysis {
       .join(ct, "term")
       .crossJoin(broadcast(nTot))
       .select(col(groupCol), col("__ns"),
+        // each factor cast to double BEFORE multiplying: a long*long
+        // numerator overflows int64 (ANSI throw) once n reaches ~1e12
+        // tokens; double products are IEEE-identical in both engines
         round((col("__cst").cast("double") / col("__ns").cast("double")) *
-          log2((col("__cst") * col("__n")).cast("double") /
-            (col("__ns") * col("__ct")).cast("double")), 9)
+          log2(col("__cst").cast("double") * col("__n").cast("double") /
+            (col("__ns").cast("double") * col("__ct").cast("double"))), 9)
           .cast("decimal(28,9)").as("__kl_t"))
       .groupBy(col(groupCol))
       .agg(max(col("__ns")).as("n_tokens"),
@@ -444,12 +460,8 @@ object TextAnalysis {
   def textRank(docs: DataFrame, textCol: String, damping: Double = 0.85,
                teleport: Double = 0.15, iters: Int = 3, topK: Int = 20): DataFrame = {
     require(iters >= 1, s"textRank needs iters >= 1, got $iters")
-    val toks = split(col(textCol), " ")
-    val pairs = docs
-      .filter(size(toks) >= 2)
-      .select(toks.as("__t"), explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
-      .select(expr("element_at(__t, __i + 1)").as("x"),
-        expr("element_at(__t, __i + 2)").as("y"))
+    val pairs = docBigrams(docs, textCol, Nil)
+      .select(col("a").as("x"), col("b").as("y"))
       .filter(col("x") =!= col("y"))
     val und = pairs
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))

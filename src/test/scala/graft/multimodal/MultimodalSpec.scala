@@ -140,12 +140,15 @@ class MultimodalSpec extends SparkSpec {
     val baseline = (soi ++ app0 ++ dqt ++ sof(0xC0, 480, 640)).toArray
     val progressive = (soi ++ app0 ++ sof(0xC2, 1080, 1920)).toArray
     val withRst = (soi ++ Seq(0xFF.toByte, 0x01.toByte) ++ sof(0xC1, 7, 9)).toArray
+    // ITU T.81 B.1.1.2: fill bytes — extra 0xFF padding before a marker
+    val withFill = (soi ++ Seq(0xFF.toByte, 0xFF.toByte) ++ sof(0xC0, 33, 44)).toArray
     val eoiFirst = (soi ++ app0 ++ Seq(0xFF.toByte, 0xD9.toByte)).toArray
     val truncated = baseline.take(soi.length + app0.length + 3)
     val junk = Array[Byte](1, 2, 3, 4, 5, 6)
     val zeroLen = (soi ++ Seq(0xFF.toByte, 0xE1.toByte, 0.toByte, 0.toByte)).toArray
     val out = Seq(1L -> baseline, 2L -> progressive, 3L -> withRst,
-      4L -> eoiFirst, 5L -> truncated, 6L -> junk, 7L -> zeroLen)
+      4L -> eoiFirst, 5L -> truncated, 6L -> junk, 7L -> zeroLen,
+      8L -> withFill)
       .toDF("id", "bin")
       .select(col("id"), Multimodal.jpegMeta(col("bin")).as("m"))
       .select("id", "m.width", "m.height", "m.valid")
@@ -158,6 +161,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L) == ((-1L, -1L, false)))
     assert(out(6L) == ((-1L, -1L, false)))
     assert(out(7L) == ((-1L, -1L, false)))
+    assert(out(8L) == ((44L, 33L, true)))
   }
 
   test("gifMeta parses REAL GIF logical screen descriptor, little-endian") {
