@@ -66,6 +66,11 @@ object StreamQueries extends QueryPack {
       EventStreams.conversionFunnel(Tables.events(s, dir),
         from = "click", to = "purchase", horizon = "1 hour")),
 
+    // Recency-weighted engagement: exponentially decayed value sum per
+    // user (half-life ~ 7 days at lambda=0.1/day).
+    "q_decayed" -> ((s, dir) =>
+      EventStreams.decayedSum(Tables.events(s, dir), lambdaPerDay = 0.1)),
+
     // CUSUM level-shift alarms per user (kappa=10 slack, h=60 threshold).
     "q_cusum" -> ((s, dir) =>
       EventStreams.cusum(Tables.events(s, dir), kappa = 10.0, h = 60.0)),
@@ -114,6 +119,15 @@ object StreamQueries extends QueryPack {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_decayed" ->
+      """WITH m AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(value * exp(-0.1 *
+        |    (CAST(m.max_us - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |      / 86400000000.0)), 9) AS DECIMAL(28,9))) AS DOUBLE) AS decayed_sum
+        |FROM events CROSS JOIN m
+        |GROUP BY user_id""".stripMargin,
 
     "q_cusum" ->
       """WITH o AS (SELECT user_id,

@@ -255,6 +255,11 @@ object TextQueries extends QueryPack {
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
 
+    // OOV audit against the corpus top-30 vocabulary.
+    "q_oov" -> ((s, dir) =>
+      TextAnalysis.oovAudit(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 30)),
+
     // Per-source KL divergence from the corpus term distribution —
     // the domain-shift signal for mixture weighting.
     "q_kl_source" -> ((s, dir) =>
@@ -605,6 +610,15 @@ object TextQueries extends QueryPack {
         |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 9)
         |      AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+        |vocab AS (SELECT term FROM f ORDER BY n DESC, term ASC LIMIT 30)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q_kl_source" ->
       """WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cst

@@ -294,6 +294,31 @@ object EventStreams {
       events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Exponentially time-decayed sum per user: Σ value·e^(−λ·age_days),
+    * age measured in integer MICROSECONDS from the corpus max timestamp
+    * (exact in both engines — epoch subtraction never touches doubles)
+    * before one IEEE division + exp. The recency-weighted engagement
+    * score every ranking/abuse pipeline keeps. Per-row contributions are
+    * round(9)→DECIMAL before the sum (exp is irrational — no systematic
+    * round-half alignment), and the output is the exact decimal sum.
+    * Plan: 1-row broadcast of the max timestamp, then one combinable
+    * groupBy(user) — a single scan, no window.
+    */
+  def decayedSum(events: DataFrame, lambdaPerDay: Double): DataFrame = {
+    require(lambdaPerDay >= 0, s"need lambdaPerDay >= 0, got $lambdaPerDay")
+    val maxTs = events.agg(max(unix_micros(col("ts"))).as("__max_us"))
+    events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("__us"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        round(col("value") * exp(lit(-lambdaPerDay) *
+          ((col("__max_us") - col("__us")).cast("double") / lit(86400000000.0))), 9)
+          .cast("decimal(28,9)").as("__c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("__c")).cast("double").as("decayed_sum"))
+  }
+
   /** Tabular CUSUM change detection (Page 1954): per user, the one-sided
     * cumulative sums s⁺ ← max(0, s⁺ + (x − μ − κ)) and s⁻ ← max(0, s⁻ +
     * (μ − κ − x)) accumulate sustained drift from the user's own mean;

@@ -397,6 +397,31 @@ object TextAnalysis {
         round(log2(col("n_tokens").cast("double")) -
           col("__s").cast("double") / col("n_tokens").cast("double"), 6).as("entropy"))
 
+  /** Out-of-vocabulary audit: per-doc token and OOV counts against the
+    * corpus top-`vocabSize` vocabulary (deterministic (freq desc, term asc)
+    * cut — the stand-in for a fixed tokenizer vocab artifact, which a real
+    * deployment would broadcast from a file instead of deriving). High OOV
+    * rate flags transcoding junk, wrong-language docs, and tokenizer
+    * mismatch before training. INTEGER outputs only — the rate n_oov/n is
+    * a small-denominator rational (round-half coin-flip zone); consumers
+    * divide downstream at whatever precision they need.
+    * Plan: one aggregation for the vocab (broadcast), one left join + one
+    * combinable groupBy(doc) for the audit.
+    */
+  def oovAudit(docs: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+  }
+
   /** Per-group KL divergence of the group's term distribution from the
     * corpus distribution — KL(P_g ‖ Q) = Σ_t P_g(t)·log2(P_g(t)/Q(t)) — the
     * domain-shift / source-quality signal a mixture-weighted pretraining

@@ -280,6 +280,17 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decayedSum: lambda=0 equals the plain sum, decay discounts older events") {
+    val plain = EventStreams.decayedSum(rows, lambdaPerDay = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(plain(10L) == 7.0 && plain(11L) == 13.0)
+    val decayed = EventStreams.decayedSum(rows, lambdaPerDay = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // decayed strictly below the plain sum (all but the newest discounted)
+    assert(decayed(10L) < 7.0 && decayed(10L) > 0.0)
+    assert(decayed(11L) < 13.0 && decayed(11L) > 0.0)
+  }
+
   test("cusum alarms on a sustained level shift, stays quiet on noise") {
     // user 1: 20 events at 10, then 20 at 30 (shift of +20, mean 20):
     // post-shift drift (30-20-5)=5/event -> s+ crosses h=20 and re-crosses

@@ -187,6 +187,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._3 < out(2L)._3)
   }
 
+  test("oovAudit counts tokens outside the derived top-k vocab") {
+    // corpus freqs: a:4, b:3, c:1, d:1 -> top-2 vocab = {a, b}
+    val d = Seq((1L, "a a b c"), (2L, "a a b b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovAudit(d, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 1L)))  // c is OOV
+    assert(out(2L) == ((5L, 1L)))  // d is OOV
+  }
+
   test("sourceKl: zero when a source matches the corpus mix, positive when skewed") {
     // s1 and s2 have IDENTICAL term distributions -> corpus == each -> KL 0
     val even = Seq((1L, "s1", "a b"), (2L, "s2", "a b")).toDF("doc_id", "source", "text")
