@@ -319,17 +319,33 @@ object TextAnalysis {
     * drop those bigrams from a sum).
     */
   def bigramLmTable(docs: DataFrame, textCol: String, k: Double): DataFrame = {
-    // persisted: ca below derives from bi, and without materialization the
-    // whole bigram aggregation re-runs for that branch (two corpus scans —
-    // verified in the plan). The bigram table is tiny next to the corpus,
-    // making this the opposite trade from spanDedup's two-scan choice.
+    // persisted: ca inside lmFromBigrams derives from bi, and without
+    // materialization the whole bigram aggregation re-runs for that branch
+    // (two corpus scans — verified in the plan). The bigram table is tiny
+    // next to the corpus, the opposite trade from spanDedup's two-scan
+    // choice.
     val bi = docBigrams(docs, textCol, Nil)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n"))
       .persist()
-    val ca = bi.groupBy(col("a")).agg(sum(col("n")).cast("long").as("__ca"))
-    val v = docs.select(explode(split(col(textCol), " ")).as("term"))
+    lmFromBigrams(bi, unigramVocabSize(docs, textCol), k)
+  }
+
+  /** Corpus vocabulary size as a 1-row frame — the smoothing denominator's
+    * V. A separate unigram pass by definition (bigram endpoints miss
+    * single-token docs).
+    */
+  private def unigramVocabSize(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("term"))
       .agg(countDistinct(col("term")).cast("double").as("__v"))
+
+  /** Smoothing formula over a prebuilt (a, b, n) bigram-count table —
+    * shared by [[bigramLmTable]] and [[bigramPerplexity]] (which derives
+    * the counts from its already-persisted per-doc bigrams instead of
+    * re-scanning the corpus).
+    */
+  private def lmFromBigrams(bi: DataFrame, v: DataFrame, k: Double): DataFrame = {
+    val ca = bi.groupBy(col("a")).agg(sum(col("n")).cast("long").as("__ca"))
     val praw = (col("n").cast("double") + lit(k)) /
       (col("__ca").cast("double") + lit(k) * col("__v"))
     bi.join(ca, "a")
@@ -354,16 +370,23 @@ object TextAnalysis {
     * engine-exact. ppl = 2^mean is then a single IEEE pow on an identical
     * double.
     *
-    * Plan: the LM table is tiny (|vocab|² upper bound) and broadcast, so the
-    * per-doc side never shuffles — one explode, one broadcast-hash join, one
+    * Plan: the per-doc bigram table is computed ONCE and persisted; the
+    * LM's bigram counts are a rollup of it, so the corpus is scanned twice
+    * total (bigrams + the unigram vocab size), not three times. The LM is
+    * tiny (|vocab|² upper bound) and broadcast, so the per-doc side never
+    * shuffles for the join — one explode, one broadcast-hash join, one
     * map-side-combinable groupBy(doc).
     */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        k: Double): DataFrame = {
+    val docBi = docBigrams(docs, textCol, Seq(col(idCol))).persist()
+    val bi = docBi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
     // surprisal from p_raw, NOT the round(6) display p: rounding first
     // would collapse rare-bigram probabilities below 5e-7 to log2(0)
-    val lm = bigramLmTable(docs, textCol, k).select(col("a"), col("b"), col("p_raw"))
-    docBigrams(docs, textCol, Seq(col(idCol)))
+    val lm = lmFromBigrams(bi, unigramVocabSize(docs, textCol), k)
+      .select(col("a"), col("b"), col("p_raw"))
+    docBi
       .join(broadcast(lm), Seq("a", "b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
