@@ -255,6 +255,10 @@ object TextQueries extends QueryPack {
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Uniform-mixture token allocation per source (integer plan).
+    "q_mixture" -> ((s, dir) =>
+      Curation.mixturePlan(Tables.documents(s, dir), "source", "text")),
+
     // OOV audit against the corpus top-30 vocabulary.
     "q_oov" -> ((s, dir) =>
       TextAnalysis.oovAudit(Tables.documents(s, dir), "doc_id", "text",
@@ -610,6 +614,18 @@ object TextQueries extends QueryPack {
         |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 9)
         |      AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH ns AS (SELECT source,
+        |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS g FROM ns)
+        |SELECT ns.source, ns.n_tokens,
+        |  CAST(tot.t // tot.g AS BIGINT) AS target_tokens,
+        |  CAST(least(ns.n_tokens, tot.t // tot.g) AS BIGINT) AS planned_tokens,
+        |  CAST(greatest(0, tot.t // tot.g - ns.n_tokens) AS BIGINT) AS deficit_tokens
+        |FROM ns CROSS JOIN tot""".stripMargin,
 
     "q_oov" ->
       """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),

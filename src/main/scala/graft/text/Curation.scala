@@ -69,4 +69,27 @@ object Curation {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= tokenBudget)
   }
+
+  /** Mixture planning: how many tokens to draw per source to approach a
+    * uniform target mix — the allocation step before per-source sampling
+    * rates are applied. Everything is INTEGER arithmetic (target = total
+    * DIV n_sources, planned = min(available, target)), so the plan is
+    * engine-exact and free of rate-rounding ambiguity; deficits flag
+    * sources that cannot fill their share (the mass a weighting scheme
+    * must redistribute). One scan + one combinable groupBy + a 1-row
+    * broadcast of the totals.
+    */
+  def mixturePlan(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ns = docs
+      .select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).cast("long").as("n_tokens"))
+    val tot = ns.agg(sum(col("n_tokens")).cast("long").as("__tot"),
+      count(lit(1)).cast("long").as("__g"))
+    ns.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"),
+        expr("__tot DIV __g").cast("long").as("target_tokens"),
+        expr("least(n_tokens, __tot DIV __g)").cast("long").as("planned_tokens"),
+        expr("greatest(0L, __tot DIV __g - n_tokens)").cast("long").as("deficit_tokens"))
+  }
 }

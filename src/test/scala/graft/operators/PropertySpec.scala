@@ -155,4 +155,54 @@ class PropertySpec extends SparkSpec {
       assert(total == want)
     }
   }
+
+  test("triangles matches brute-force triple enumeration on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(3, 14)
+      m <- Gen.chooseNum(0, 30)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield edges.filter { case (a, b) => a != b }
+    samples(graphGen, 8).foreach { edges =>
+      val canon = graft.graph.Graphs.canonicalEdges(edges.toDF("a", "b"), "a", "b")
+      val got = graft.graph.Graphs.triangles(canon)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val vs = es.flatMap { case (a, b) => Set(a, b) }.toSeq.sorted
+      val want = (for {
+        u <- vs; v <- vs if u < v; w <- vs if v < w
+        if es((u, v)) && es((v, w)) && es((u, w))
+      } yield (u, v, w)).toSet
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
+  test("tokenEntropy bounded by [0, log2(n_types)] on random docs") {
+    val docGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 999L),
+      Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))))
+    samples(docGen, 5).foreach { docs =>
+      val rows = graft.text.TextAnalysis
+        .tokenEntropy(docs.distinctBy(_._1).toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+      rows.foreach { r =>
+        val (types, h) = (r.getLong(2), r.getDouble(3))
+        assert(h >= 0.0 && h <= math.log(types.toDouble) / math.log(2.0) + 1e-9,
+          s"entropy $h outside [0, log2($types)]")
+      }
+    }
+  }
+
+  test("cusum alarm counts are partitioning-independent") {
+    val evGen = Gen.listOfN(50, for {
+      id <- Gen.chooseNum(0L, 4999L)
+      u  <- Gen.chooseNum(0L, 3L)
+      v  <- Gen.chooseNum(0, 1000).map(_ / 10.0)
+    } yield (id, new java.sql.Timestamp(1700000000000L + id * 1000), u, "m", v))
+    samples(evGen, 5).foreach { evs =>
+      val df = evs.distinctBy(_._1).toDF("event_id", "ts", "user_id", "event_type", "value")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.streaming.EventStreams.cusum(d, kappa = 2.0, h = 10.0)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(run(df) == run(df.repartition(7)), s"evs=${evs.take(5)}...")
+    }
+  }
 }
