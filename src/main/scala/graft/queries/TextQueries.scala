@@ -259,6 +259,11 @@ object TextQueries extends QueryPack {
     "q_mixture" -> ((s, dir) =>
       Curation.mixturePlan(Tables.documents(s, dir), "source", "text")),
 
+    // Execute the mixture plan: hash-ordered docs until each source's
+    // planned budget fills.
+    "q_mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(Tables.documents(s, dir), "source", "doc_id", "text")),
+
     // OOV audit against the corpus top-30 vocabulary.
     "q_oov" -> ((s, dir) =>
       TextAnalysis.oovAudit(Tables.documents(s, dir), "doc_id", "text",
@@ -626,6 +631,25 @@ object TextQueries extends QueryPack {
         |  CAST(least(ns.n_tokens, tot.t // tot.g) AS BIGINT) AS planned_tokens,
         |  CAST(greatest(0, tot.t // tot.g - ns.n_tokens) AS BIGINT) AS deficit_tokens
         |FROM ns CROSS JOIN tot""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH ns AS (SELECT source,
+        |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS g FROM ns),
+        |plan AS (SELECT ns.source,
+        |    CAST(least(ns.n_tokens, tot.t // tot.g) AS BIGINT) AS planned_tokens
+        |  FROM ns CROSS JOIN tot),
+        |d AS (SELECT source, doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(len(str_split(text, ' '))) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |SELECT d.source, d.doc_id, d.n_tokens, d.cum_tokens
+        |FROM d JOIN plan USING (source)
+        |WHERE d.cum_tokens <= plan.planned_tokens""".stripMargin,
 
     "q_oov" ->
       """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),

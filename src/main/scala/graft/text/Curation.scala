@@ -79,6 +79,28 @@ object Curation {
     * must redistribute). One scan + one combinable groupBy + a 1-row
     * broadcast of the totals.
     */
+  /** Execute a [[mixturePlan]]: per source, take documents in
+    * deterministic md5-hash order until the planned token budget is
+    * filled. Hash order = an unbiased, reproducible shuffle (same idiom
+    * as stratified sampling — no rand()); the cumulative cutoff is exact
+    * integer arithmetic over a per-source sorted window. Returns the
+    * surviving (source, doc, n_tokens, cum_tokens) rows.
+    */
+  def mixtureSample(docs: DataFrame, groupCol: String, idCol: String,
+                    textCol: String): DataFrame = {
+    val plan = mixturePlan(docs, groupCol, textCol)
+      .select(col(groupCol), col("planned_tokens"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs
+      .select(col(groupCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(plan), groupCol)
+      .filter(col("cum_tokens") <= col("planned_tokens"))
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   def mixturePlan(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val ns = docs
       .select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("__n"))
