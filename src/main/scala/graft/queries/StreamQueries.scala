@@ -66,6 +66,12 @@ object StreamQueries extends QueryPack {
       EventStreams.conversionFunnel(Tables.events(s, dir),
         from = "click", to = "purchase", horizon = "1 hour")),
 
+    // Streaming-compatible z-score: each event vs its user's PREVIOUS
+    // tumbling day (closed-window stats join; ~2.5 events/user/day here).
+    "q_anomaly_windowed" -> ((s, dir) =>
+      EventStreams.anomaliesWindowed(Tables.events(s, dir),
+        minN = 5, zThreshold = 2.0, windowUnit = "day")),
+
     // Recency-weighted engagement: exponentially decayed value sum per
     // user (half-life ~ 7 days at lambda=0.1/day).
     "q_decayed" -> ((s, dir) =>
@@ -119,6 +125,25 @@ object StreamQueries extends QueryPack {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_anomaly_windowed" ->
+      """WITH s AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT user_id, h + INTERVAL 1 DAY AS scored_h,
+        |    s1 / CAST(n AS DOUBLE) AS mean,
+        |    (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS varr
+        |  FROM s WHERE n >= 5),
+        |z AS (SELECT e.event_id, e.user_id, CAST(e.value AS DOUBLE) AS value,
+        |    round(st.mean, 6) AS win_mean,
+        |    round((e.value - st.mean) / sqrt(st.varr), 6) AS z
+        |  FROM events e JOIN st ON e.user_id = st.user_id
+        |    AND date_trunc('day', CAST(e.ts AS TIMESTAMP)) = st.scored_h
+        |  WHERE st.varr > 0.0)
+        |SELECT event_id, user_id, value, win_mean, z FROM z WHERE abs(z) >= 2.0""".stripMargin,
 
     "q_decayed" ->
       """WITH m AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events)

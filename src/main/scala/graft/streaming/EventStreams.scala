@@ -294,6 +294,44 @@ object EventStreams {
       events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Windowed z-score anomalies — the STREAMING-compatible reformulation
+    * of [[anomalies]]: each event is scored against the mean/std of its
+    * user's PREVIOUS tumbling hour. Closed-window stats are static once
+    * the watermark passes, so under readStream this is a windowed agg
+    * (bounded state, watermark-evictable) stream-joined to the next
+    * window's events — no per-row ROWS frame, which Structured Streaming
+    * cannot incrementalize. Same decimal moment sums and IEEE closed form
+    * as [[anomalies]]; same out-of-sample contract (scores never include
+    * the scored event). Returns flagged (event_id, user_id, value,
+    * win_mean, z).
+    */
+  def anomaliesWindowed(events: DataFrame, minN: Int = 5,
+                        zThreshold: Double = 2.0,
+                        windowUnit: String = "day"): DataFrame = {
+    require(Set("hour", "day").contains(windowUnit), s"unsupported unit $windowUnit")
+    val vd = Num.dec2(col("value"))
+    val stats = events
+      .groupBy(col("user_id"), date_trunc(windowUnit, col("ts")).as("__h"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(vd).cast("double").as("__s1"),
+        sum(vd * vd).cast("double").as("__s2"))
+      .filter(col("__n") >= lit(minN.toLong))
+      .select(col("user_id"),
+        (col("__h") + expr(s"INTERVAL 1 $windowUnit")).as("__scored_h"),
+        (col("__s1") / col("__n").cast("double")).as("__mean"),
+        ((col("__s2") - col("__s1") * col("__s1") / col("__n").cast("double")) /
+          (col("__n").cast("double") - lit(1.0))).as("__varr"))
+      .filter(col("__varr") > lit(0.0))
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_trunc(windowUnit, col("ts")).as("__scored_h"))
+      .join(stats, Seq("user_id", "__scored_h"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("__mean"), 6).as("win_mean"),
+        round((col("value") - col("__mean")) / sqrt(col("__varr")), 6).as("z"))
+      .filter(abs(col("z")) >= lit(zThreshold))
+  }
+
   /** Exponentially time-decayed sum per user: Σ value·e^(−λ·age_days),
     * age measured in integer MICROSECONDS from the corpus max timestamp
     * (exact in both engines — epoch subtraction never touches doubles)

@@ -280,6 +280,22 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaliesWindowed scores against the previous hour only") {
+    // hour 0: 12 calm events (10/12 alternating); hour 1: calm + one spike.
+    // The spike is flagged against hour 0's stats; hour 0 events are never
+    // scored (no prior window), and the calm hour-1 events pass.
+    def ev(id: Long, min: Int, hr: Int, v: Double) =
+      (id, ts(f"2024-01-01 $hr%02d:$min%02d:00"), 1L, "m", v)
+    val rows = (1 to 12).map(i => ev(i, i, 0, if (i % 2 == 0) 12.0 else 10.0)) ++
+      Seq(ev(21, 5, 1, 11.0), ev(22, 10, 1, 99.0), ev(23, 15, 1, 10.0))
+    val out = EventStreams.anomaliesWindowed(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      minN = 10, zThreshold = 2.5, windowUnit = "hour")
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == Seq(22L))
+    assert(out.head._2 > 2.5)
+  }
+
   test("decayedSum: lambda=0 equals the plain sum, decay discounts older events") {
     val plain = EventStreams.decayedSum(rows, lambdaPerDay = 0.0)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
