@@ -1,26 +1,34 @@
 package graft.text
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
-/** Byte-pair-encoding merge learning (Sennrich et al., ACL 2016) — the
-  * tokenizer-training loop a pretraining pipeline runs before anything
-  * else touches the corpus.
+/** Byte-pair-encoding merge learning and replay (Sennrich et al., ACL
+  * 2016) — the tokenizer-training loop a pretraining pipeline runs before
+  * anything else touches the corpus.
   *
   * Scale shape: BPE statistics live on the WORD-FREQUENCY table, not the
-  * corpus — one corpus scan aggregates (word, freq), and every merge round
-  * then runs on that table (|vocab| rows, constant in corpus size). Each
-  * round is: one combinable pair-count aggregation, ONE collected row (the
-  * argmax pair — a scalar per round, the same driver-side footprint as a
-  * k-means centroid update), and one fold-rewrite projection. Symbol
-  * rewriting is a Column-API `aggregate` fold (greedy left-to-right,
-  * non-overlapping) — no UDF, no SQL string splicing.
+  * corpus — one corpus scan aggregates (word, freq), and every round then
+  * runs on that table (|vocab| rows, constant in corpus size). Lineage is
+  * cut each round with `localCheckpoint` (the [[graft.dedup.Dedup.clusters]]
+  * iterative-loop pattern) so the driver-side plan stays bounded no matter
+  * how many rounds run. Symbol rewriting is a Column-API `aggregate` fold —
+  * no UDF, no SQL string splicing, constant expression depth.
   */
 object Bpe {
+
+  /** Separator for pair-rank map keys; U+0001 cannot appear in
+    * space-delimited text tokens of this corpus. Override-by-fork if your
+    * corpus can contain it.
+    */
+  private val Sep = "\u0001"
 
   /** Learn `nMerges` merges from the corpus. Returns (rank, left, right,
     * merged, count) in merge order; stops early if no pair repeats.
     * Deterministic: the argmax pair tiebreaks (count desc, left, right).
+    * Per round: one combinable pair-count aggregation, ONE collected row
+    * (the argmax pair — a scalar per round, the same driver-side footprint
+    * as a k-means centroid update), and one fold-rewrite projection.
     */
   def learnMerges(spark: SparkSession, docs: DataFrame, textCol: String,
                   nMerges: Int): DataFrame = {
@@ -32,7 +40,7 @@ object Bpe {
       .groupBy(col("w"))
       .agg(count(lit(1)).cast("long").as("freq"))
       .select(split(col("w"), "").as("sym"), col("freq"))
-      .persist()
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
@@ -52,20 +60,12 @@ object Bpe {
       else {
         val Row(l: String, r: String, n: Long) = top(0)
         merges += ((rank, l, r, l + r, n))
-        // greedy left-to-right non-overlapping rewrite: if the last output
-        // symbol is `l` and the next input is `r`, fuse them — matches the
-        // reference BPE algorithm's single-pass merge
+        // localCheckpoint (eager) both materializes the round and CUTS
+        // lineage — without it the plan chains one rewrite per round and
+        // driver-side analysis goes quadratic (Dedup.clusters precedent)
         val next = cur
-          .select(aggregate(col("sym"), array().cast("array<string>"),
-            (out, x) => when(
-              size(out) > 0 &&
-                element_at(out, -1) === lit(l) && x === lit(r),
-              concat(slice(out, lit(1), size(out) - lit(1)),
-                array(lit(l + r))))
-              .otherwise(concat(out, array(x)))).as("sym"),
-            col("freq"))
-          .persist()
-        next.count()  // materialize before dropping the parent
+          .select(mergeFold(col("sym"), lit(l), lit(r)).as("sym"), col("freq"))
+          .localCheckpoint()
         cur.unpersist()
         cur = next
         rank += 1
@@ -75,26 +75,77 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "merged", "count")
   }
 
-  /** Tokenize text with a learned merge list: replay the merges in rank
-    * order over each word's characters — the same fold as training, so
-    * train-then-tokenize round-trips exactly. Merge lists are small
-    * (10k–100k entries) and ship to executors inside the plan.
-    * Returns (original columns..., tokens array).
+  /** Greedy left-to-right non-overlapping fuse of adjacent (l, r) symbol
+    * pairs — the reference BPE single-pass merge, as ONE `aggregate` fold
+    * (constant expression depth; `l`/`r` may be data columns).
     */
-  def tokenize(docs: DataFrame, textCol: String,
-               merges: Seq[(String, String)]): DataFrame = {
-    val word = col("__w")
-    val folded = merges.foldLeft(split(word, "")) { case (sym, (l, r)) =>
-      aggregate(sym, array().cast("array<string>"),
-        (out, x) => when(
-          size(out) > 0 && element_at(out, -1) === lit(l) && x === lit(r),
-          concat(slice(out, lit(1), size(out) - lit(1)), array(lit(l + r))))
-          .otherwise(concat(out, array(x))))
+  private def mergeFold(sym: Column, l: Column, r: Column): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (out, x) => when(
+        size(out) > 0 && element_at(out, -1) === l && x === r,
+        concat(slice(out, lit(1), size(out) - lit(1)),
+          array(concat(l, r))))
+        .otherwise(concat(out, array(x))))
+
+  /** Tokenize with a learned merge list — the standard BPE ENCODE loop:
+    * each round, every word finds its best-rank applicable pair (lookup in
+    * a rank map, no per-merge expression nesting) and fuses its
+    * occurrences; rounds bound by the longest word's length, INDEPENDENT
+    * of merge-list size (a 100k-entry list nests zero expressions — it is
+    * data in one map literal). Applying pairs in rank order this way
+    * reproduces training exactly, so train-then-tokenize round-trips.
+    *
+    * Work runs on the DISTINCT-word table and joins back, so corpus size
+    * only pays the explode + join; per-doc token order is preserved via
+    * the word position index. Returns (idCol, tokens).
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)], maxRounds: Int = 64): DataFrame = {
+    require(merges.nonEmpty, "empty merge list — nothing to apply")
+    val rankMap = map_from_arrays(
+      lit(merges.map { case (l, r) => l + Sep + r }.toArray),
+      lit(merges.indices.map(_.toLong).toArray))
+    val words = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__wpos", "__w")))
+      .filter(length(col("__w")) > 0)
+    var vocab = words.select(col("__w")).distinct()
+      .select(col("__w"), split(col("__w"), "").as("__sym"))
+      .localCheckpoint()
+    var round = 0
+    var active = true
+    while (active && round < maxRounds) {
+      // guard: for a fully-merged single-symbol word, sequence(0, -1)
+      // would be a DESCENDING [0, -1] and index past the array under ANSI
+      val pairKeys = when(size(col("__sym")) >= 2,
+        transform(sequence(lit(0), size(col("__sym")) - 2),
+          i => concat(element_at(col("__sym"), i + 1), lit(Sep),
+            element_at(col("__sym"), (i + 2).cast("int")))))
+        .otherwise(array().cast("array<string>"))
+      val stepped = vocab
+        .withColumn("__ranks", transform(pairKeys, k => element_at(rankMap, k)))
+        .withColumn("__best", array_min(filter(col("__ranks"), r => r.isNotNull)))
+        .withColumn("__bestKey",
+          element_at(pairKeys, array_position(col("__ranks"), col("__best")).cast("int")))
+        .withColumn("__sym",
+          when(col("__best").isNull, col("__sym"))
+            .otherwise(mergeFold(col("__sym"),
+              element_at(split(col("__bestKey"), Sep), 1),
+              element_at(split(col("__bestKey"), Sep), 2))))
+        .select(col("__w"), col("__sym"), col("__best").isNotNull.as("__changed"))
+        .localCheckpoint()
+      active = stepped.filter(col("__changed")).limit(1).count() > 0
+      val next = stepped.select(col("__w"), col("__sym")).localCheckpoint()
+      vocab.unpersist()
+      stepped.unpersist()
+      vocab = next
+      round += 1
     }
-    docs
-      .withColumn("__w", explode(split(col(textCol), " ")))
-      .filter(length(word) > 0)
-      .withColumn("tokens", folded)
-      .drop("__w")
+    val out = words
+      .join(vocab, "__w")
+      .groupBy(col(idCol))
+      .agg(flatten(expr("transform(array_sort(collect_list(struct(__wpos, __sym))), s -> s.__sym)"))
+        .as("tokens"))
+    vocab.unpersist()
+    out
   }
 }

@@ -70,15 +70,6 @@ object Curation {
       .filter(col("cum_tokens") <= tokenBudget)
   }
 
-  /** Mixture planning: how many tokens to draw per source to approach a
-    * uniform target mix — the allocation step before per-source sampling
-    * rates are applied. Everything is INTEGER arithmetic (target = total
-    * DIV n_sources, planned = min(available, target)), so the plan is
-    * engine-exact and free of rate-rounding ambiguity; deficits flag
-    * sources that cannot fill their share (the mass a weighting scheme
-    * must redistribute). One scan + one combinable groupBy + a 1-row
-    * broadcast of the totals.
-    */
   /** Execute a [[mixturePlan]]: per source, take documents in
     * deterministic md5-hash order until the planned token budget is
     * filled. Hash order = an unbiased, reproducible shuffle (same idiom
@@ -101,6 +92,15 @@ object Curation {
       .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Mixture planning: how many tokens to draw per source to approach a
+    * uniform target mix — the allocation step before per-source sampling
+    * rates are applied. Everything is INTEGER arithmetic (target = total
+    * DIV n_sources, planned = min(available, target)), so the plan is
+    * engine-exact and free of rate-rounding ambiguity; deficits flag
+    * sources that cannot fill their share (the mass a weighting scheme
+    * must redistribute). One scan + one combinable groupBy + a 1-row
+    * broadcast of the totals.
+    */
   def mixturePlan(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val ns = docs
       .select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("__n"))

@@ -19,26 +19,38 @@ class BpeSpec extends SparkSpec {
       (2, "ab", "ab", "abab", 2L)))
   }
 
-  test("tokenize replays learned merges and round-trips training words") {
+  test("tokenize replays learned merges per doc, order preserved") {
     val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("doc_id", "text")
     val learned = Bpe.learnMerges(spark, docs, "text", nMerges = 5)
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val toks = Bpe.tokenize(docs, "text", learned)
-      .select("tokens").collect().map(_.getSeq[String](0).toList).toSet
-    // abab -> one token after both merges; abc -> [ab, c]
-    assert(toks == Set(List("abab"), List("ab", "c")))
+    val toks = Bpe.tokenize(docs, "doc_id", "text", learned)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // per-doc token stream, word order preserved: abab -> [abab]; abc -> [ab, c]
+    assert(toks(1L) == List("abab", "ab", "c"))
+    assert(toks(2L) == List("abab"))
     // unseen word: only applicable merges fire, rest stay characters
-    val unseen = Bpe.tokenize(Seq((9L, "abba")).toDF("id", "text"), "text", learned)
-      .select("tokens").head().getSeq[String](0).toList
+    val unseen = Bpe.tokenize(Seq((9L, "abba")).toDF("id", "text"), "id", "text", learned)
+      .head().getSeq[String](1).toList
     assert(unseen == List("ab", "b", "a"))
   }
 
+  test("tokenize scales with merge-list size (no per-merge expression nesting)") {
+    // a 5000-entry merge list of irrelevant pairs plus the two real ones:
+    // tree depth must not grow with the list, only the map literal does
+    val docs = Seq((1L, "abab abc")).toDF("doc_id", "text")
+    val noise = (1 to 5000).map(i => (s"x$i", s"y$i"))
+    val merges = Seq(("a", "b"), ("ab", "ab")) ++ noise
+    val toks = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .head().getSeq[String](1).toList
+    assert(toks == List("abab", "ab", "c"))
+  }
+
   test("greedy fold merges left-to-right without overlap") {
-    // merging (a,a) over "aaaa" must give [aa, aa]; over "aaa" -> [aa, a]
+    // merging (a,a) over "aaaa" gives [aa, aa]; over "aaa" -> [aa, a];
+    // per-doc stream concatenates the three words in order
     val docs = Seq((1L, "aaaa aaaa aaa")).toDF("id", "text")
-    val out = Bpe.tokenize(docs, "text", Seq(("a", "a")))
-      .select("tokens").collect().map(_.getSeq[String](0).toList)
-    assert(out.count(_ == List("aa", "aa")) == 2)
-    assert(out.count(_ == List("aa", "a")) == 1)
+    val out = Bpe.tokenize(docs, "id", "text", Seq(("a", "a")))
+      .head().getSeq[String](1).toList
+    assert(out == List("aa", "aa", "aa", "aa", "aa", "a"))
   }
 }
