@@ -16,12 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - budget: highest-quality docs first until the cumulative token budget
   *    is spent — a running sum over (ttr desc, id).
   *
-  * Scale note on the budget stage: the global-order running sum runs over
-  * the FILTERED doc METADATA (id, n_tokens, ttr — three narrow columns),
-  * never the text, so the single-direction sort is over a tiny fraction of
-  * input bytes. At extreme candidate counts replace it with a two-phase
-  * quota (range-partition by ttr from a sampled histogram, spend the budget
-  * per range) — same semantics up to the boundary partition.
+  * Scale note on the budget stage: the running sum is a TWO-PHASE
+  * range-partitioned quota, never a global-order window. Rows are bucketed
+  * by an approx-percentile ttr histogram (monotone in the (ttr desc, id)
+  * sort order, so equal-ttr rows can never straddle a bucket), per-bucket
+  * token subtotals become broadcast cumulative offsets, buckets whose
+  * offset already exceeds the budget are pruned BEFORE the sort, and the
+  * within-bucket running sum + offset reproduces the global cumulative sum
+  * exactly (the [[TextAnalysis.packChunks]] partitioned-window idiom).
+  * Histogram accuracy only balances buckets — any boundaries give the
+  * byte-identical result.
   */
 object Curation {
 
@@ -64,10 +68,40 @@ object Curation {
       .join(language, idCol)
       .filter(col("pred_lang") === lang && col("ttr") >= minTtr)
       .select(col(idCol), col("n_tokens"), col("ttr"))
-    val w = Window.orderBy(col("ttr").desc, col(idCol).asc)
-    filtered
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // Phase 1: ttr histogram → range id. __rng = #boundaries above this ttr,
+    // a non-increasing function of ttr, so rng_A < rng_B ⟹ ttr_A > ttr_B
+    // strictly and equal-ttr rows share a bucket: bucket order refines the
+    // global (ttr desc, id asc) order. Combinable agg + 1-row broadcast.
+    val nRanges = 32
+    val probs = array((1 until nRanges).map(i => lit(i.toDouble / nRanges)): _*)
+    val bounds = filtered.agg(
+      percentile_approx(col("ttr"), probs, lit(1000)).as("__bounds"))
+    val ranged = filtered.crossJoin(broadcast(bounds))
+      .withColumn("__rng",
+        expr("size(filter(__bounds, b -> b > ttr))").cast("long"))
+      .drop("__bounds")
+    // Phase 2: per-range token subtotals → cumulative offsets (≤ nRanges
+    // rows; non-equi self-join instead of a global window so the suite-wide
+    // no-unpartitioned-WindowExec guard holds everywhere).
+    val perRange = ranged.groupBy(col("__rng"))
+      .agg(sum(col("n_tokens")).cast("long").as("__rng_tokens"))
+    val offsets = perRange.alias("a")
+      .join(broadcast(perRange.alias("b")),
+        col("b.__rng") < col("a.__rng"), "left")
+      .groupBy(col("a.__rng").as("__rng"))
+      .agg(coalesce(sum(col("b.__rng_tokens")), lit(0L)).as("__tokens_before"))
+    // Phase 3: prune ranges already past the budget (only the boundary
+    // range and earlier ever reach the sort), then the partitioned running
+    // sum + offset = the exact global cumulative sum.
+    val w = Window.partitionBy(col("__rng"))
+      .orderBy(col("ttr").desc, col(idCol).asc)
+    ranged
+      .join(broadcast(offsets), "__rng")
+      .filter(col("__tokens_before") <= tokenBudget)
+      .withColumn("cum_tokens",
+        col("__tokens_before") + sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= tokenBudget)
+      .select(col(idCol), col("n_tokens"), col("ttr"), col("cum_tokens"))
   }
 
   /** Execute a [[mixturePlan]]: per source, take documents in

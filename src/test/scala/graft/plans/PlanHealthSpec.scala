@@ -2,7 +2,10 @@ package graft.plans
 
 import graft.SparkSpec
 import graft.SparkEntry
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Plan-shape regression guard for flagship queries: the properties
   * ExplainAudit checks by eye, asserted so a future edit cannot silently
@@ -116,6 +119,51 @@ class PlanHealthSpec extends SparkSpec {
       val n = "Exchange hashpartitioning".r.findAllIn(plan(q)).size
       assert(n == 1, s"$q has $n hash exchanges, expected 1")
     }
+  }
+
+  /** Every WindowExec/WindowGroupLimitExec with an EMPTY partition spec in
+    * the plan tree — the "all rows through one partition" shape that
+    * serializes 100 TB through a single sort task. Recurses through AQE
+    * wrappers, cached-relation plans, and subqueries so nothing hides.
+    */
+  private def unpartitionedWindows(plan: SparkPlan): Seq[String] = {
+    val here = plan match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case p => p.children
+    }
+    here ++ (kids ++ plan.subqueries).flatMap(unpartitionedWindows)
+  }
+
+  test("detector canary: an unpartitioned window IS caught") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+      .withColumn("c", sum(col("b")).over(Window.orderBy(col("a"))))
+    assert(unpartitionedWindows(df.queryExecution.executedPlan).nonEmpty,
+      "detector failed to flag a known-unpartitioned window")
+  }
+
+  test("suite-wide: no query plan contains an unpartitioned window (100 TB guard)") {
+    // allowlisted: windows whose input is provably bounded to ~k rows
+    //  - q_vocab_zipf: global rank/cum_frac over the k-row top-k
+    //    (TakeOrdered LIMIT upstream, TextAnalysis.vocabStats:186)
+    //  - q_skew_audit: rank over the k-row post-limit heavy-hitter set
+    //    (Profile.skewAudit:28 — topk = counts.limit(k) feeds the window)
+    val allow = Set("q_vocab_zipf", "q_skew_audit")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap { q =>
+      val hits = unpartitionedWindows(
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+      if (hits.isEmpty) None else Some(s"$q: ${hits.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows (single-partition sort at scale):\n${offenders.mkString("\n")}")
   }
 
   test("q_textrank: iteration joins read the persisted edge table, top-k is TakeOrdered") {

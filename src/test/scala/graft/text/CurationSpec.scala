@@ -31,6 +31,42 @@ class CurationSpec extends SparkSpec {
     assert(nearDup == Set(1L, 3L))
   }
 
+  test("two-phase quota ≡ global-window reference on the documents fixture") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val fixture = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Curation.curate(spark, fixture, "doc_id", "text",
+      lang = "en", minTtr = 0.5, tokenBudget = 2500L)
+    // reference semantics: one global running sum over (ttr desc, id asc)
+    val w = Window.orderBy(col("ttr").desc, col("doc_id").asc)
+    val ref = out.select(col("doc_id"), col("n_tokens"), col("ttr"))
+      .unionByName(
+        // rebuild the full filtered set the budget stage consumed, via the
+        // same public stages, so the reference cutoff sees every candidate
+        graft.dedup.Dedup.exact(fixture, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+          .join(TextAnalysis.quality(fixture, "doc_id", "text", Lexicons.enStop), "doc_id")
+          .join(TextAnalysis.langId(spark, fixture, "doc_id", "text", Lexicons.langLexicon), "doc_id")
+          .filter(col("pred_lang") === "en" && col("ttr") >= 0.5)
+          .select(col("doc_id"), col("n_tokens"), col("ttr")))
+      .distinct()
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2500L)
+    val a = out.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = ref.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"two-phase diverged: ${a.size} vs ${b.size} rows")
+    assert(a.nonEmpty)
+  }
+
+  test("budget plan has no unpartitioned window (the 100 TB scale guard)") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Curation.curate(spark, fixture, "doc_id", "text",
+      lang = "en", minTtr = 0.5, tokenBudget = 2500L)
+      .queryExecution.executedPlan.toString
+    val bad = "Window \\[[^\\]]*\\], \\[\\]".r // windowExprs, [] partition spec
+    assert(bad.findFirstIn(p).isEmpty, s"unpartitioned Window in:\n$p")
+  }
+
   test("budget stage spends highest-ttr docs first and stops at the cap") {
     // doc 3 has the highest type-token ratio (all-distinct tokens); with a
     // budget that fits only it, the repeat-heavy docs are excluded
