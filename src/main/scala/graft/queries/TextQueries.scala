@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Curation, Lexicons, Spell, TextAnalysis}
+import graft.text.{Bpe, Curation, Lexicons, Spell, TextAnalysis}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -9,6 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * training-data-pipeline text ops) over `documents`.
   */
 object TextQueries extends QueryPack {
+
+  /** Fixed ranked merge list for `q_bpe_replay`, shared VERBATIM by the
+    * Spark query and the DuckDB oracle (the oracle SQL interpolates this
+    * val, so the two can never drift). Pairs cascade over the fixture
+    * vocabulary — (t,h)→(th,e) and (t,a)→(ta,b) only fire after their
+    * prerequisite merge — exercising multi-round rank interaction.
+    */
+  private val BpeMerges = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("e", "r"),
+    ("s", "t"), ("o", "r"), ("t", "a"), ("ta", "b"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenize + explode — the reference's `explode(arrays_zip(...))`
@@ -286,6 +296,17 @@ object TextQueries extends QueryPack {
     "q_curation" -> ((s, dir) =>
       Curation.curate(s, Tables.documents(s, dir), "doc_id", "text",
         lang = "en", minTtr = 0.5, tokenBudget = 2500L)),
+
+    // BPE merge REPLAY (Bpe.tokenize) with a fixed ranked merge list —
+    // the distributed encode loop oracle-gated end-to-end: per round every
+    // word fuses its best-rank applicable pair (greedy L2R non-overlap)
+    // until none applies. The list cascades ((t,h)→(th,e); (t,a)→(ta,b))
+    // so multi-round rank interaction is exercised, not just one pass.
+    "q_bpe_replay" -> ((s, dir) =>
+      Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text", BpeMerges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("toks"))),
 
     // Multimodal column plumbing: opaque bytes + typed metadata. The decode
     // step for real image/audio lives in graft.multimodal (stubbed); here the
@@ -733,6 +754,46 @@ object TextQueries extends QueryPack {
         |  CAST(SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id ASC) AS BIGINT) AS cum_tokens
         |  FROM f)
         |SELECT doc_id, n_tokens, ttr, cum_tokens FROM c WHERE cum_tokens <= 2500""".stripMargin,
+
+    // Symbol sequences ride as chr(1)-wrapped strings (⟨SEP⟩sym⟨SEP⟩ per
+    // symbol, so a pattern can never match across symbol boundaries and
+    // adjacent occurrences never share characters); one replace() = the
+    // greedy L2R non-overlapping fold; the recursive CTE = the per-word
+    // best-rank round loop, exactly Bpe.tokenize's semantics.
+    "q_bpe_replay" -> {
+      val vals = BpeMerges.zipWithIndex
+        .map { case ((l, r), i) => s"(${i + 1},'$l','$r')" }.mkString(",")
+      s"""WITH RECURSIVE merges(rank, l, r) AS (VALUES $vals),
+         |words AS (
+         |  SELECT doc_id, wpos, w FROM (
+         |    SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+         |      generate_subscripts(str_split(text, ' '), 1) AS wpos
+         |    FROM documents) WHERE length(w) > 0),
+         |vocab AS (SELECT DISTINCT w FROM words),
+         |enc(w, s) AS (
+         |  SELECT w, array_to_string(list_transform(str_split(w, ''),
+         |    c -> chr(1)||c||chr(1)), '') FROM vocab
+         |  UNION ALL
+         |  SELECT e.w, replace(e.s, chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1),
+         |      chr(1)||m.l||m.r||chr(1))
+         |  FROM (SELECT w, s,
+         |      (SELECT min(mm.rank) FROM merges mm
+         |        WHERE contains(s, chr(1)||mm.l||chr(1)||chr(1)||mm.r||chr(1))) AS br
+         |    FROM enc) e
+         |  JOIN merges m ON m.rank = e.br),
+         |fin AS (
+         |  SELECT w, s FROM enc e
+         |  WHERE NOT EXISTS (SELECT 1 FROM merges mm
+         |    WHERE contains(e.s, chr(1)||mm.l||chr(1)||chr(1)||mm.r||chr(1)))),
+         |toks AS (
+         |  SELECT w, trim(replace(s, chr(1)||chr(1), ' '), chr(1)) AS tok_str,
+         |    CAST(len(str_split(trim(replace(s, chr(1)||chr(1), ' '), chr(1)), ' ')) AS BIGINT) AS n
+         |  FROM fin)
+         |SELECT doc_id, CAST(sum(t.n) AS BIGINT) AS n_tokens,
+         |  string_agg(t.tok_str, ' ' ORDER BY wpos) AS toks
+         |FROM words JOIN toks t USING (w)
+         |GROUP BY doc_id""".stripMargin
+    },
 
     "q_approx_distinct" ->
       """WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS term FROM documents)

@@ -75,6 +75,65 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "merged", "count")
   }
 
+  /** Driver-side merge learning over the capped word-frequency table — the
+    * scale path for REAL merge counts. [[learnMerges]] is exact but runs
+    * one Spark job per merge (a 32k-merge train = 32k sequential jobs);
+    * here ONE Spark aggregation + TakeOrdered produces the top-`maxWords`
+    * (freq desc, word asc) word-frequency pairs — the bounded-vocabulary
+    * cap every production tokenizer trainer applies, since BPE statistics
+    * depend only on this table, never the corpus — and the merge loop then
+    * runs in memory over |vocab| rows. Identical statistics (per-position
+    * adjacent pair counts weighted by freq), identical tiebreak
+    * (count desc, left, right), identical `>= 2` stopping rule and greedy
+    * fold as [[learnMerges]], so with `maxWords >= |vocab|` the result is
+    * equal row-for-row (spec-asserted on the fixture). Returns
+    * (rank, left, right, merged, count) in merge order.
+    */
+  def learnMergesLocal(docs: DataFrame, textCol: String, nMerges: Int,
+                       maxWords: Int = 1 << 20): Seq[(Int, String, String, String, Long)] = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    var words: Array[(Array[String], Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(row => (row.getString(0).split("").filter(_.nonEmpty), row.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      val cands = counts.filter(_._2 >= 2L)
+      if (cands.isEmpty) done = true
+      else {
+        val ((l, r), n) = cands.minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
+        merges += ((rank, l, r, l + r, n))
+        words = words.map { case (syms, f) => (foldLocal(syms, l, r), f) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** In-memory twin of [[mergeFold]] — same greedy left-to-right
+    * non-overlapping fuse, over a driver-side symbol array.
+    */
+  private def foldLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (x <- syms) {
+      if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+      else out += x
+    }
+    out.toArray
+  }
+
   /** Greedy left-to-right non-overlapping fuse of adjacent (l, r) symbol
     * pairs — the reference BPE single-pass merge, as ONE `aggregate` fold
     * (constant expression depth; `l`/`r` may be data columns).

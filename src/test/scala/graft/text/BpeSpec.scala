@@ -19,6 +19,20 @@ class BpeSpec extends SparkSpec {
       (2, "ab", "ab", "abab", 2L)))
   }
 
+  test("sampled driver-side learning ≡ exact distributed learning on the fixture") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Bpe.learnMerges(spark, fixture, "text", nMerges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // maxWords ≥ |vocab| → same word-frequency table → identical merges
+    val sampled = Bpe.learnMergesLocal(fixture, "text", nMerges = 12)
+    assert(sampled == exact)
+    // a hard cap keeps the head of the merge list (freq-dominant words
+    // carry the top pairs) and never crashes — the 100 TB posture
+    val capped = Bpe.learnMergesLocal(fixture, "text", nMerges = 12, maxWords = 10)
+    assert(capped.nonEmpty && capped.head._1 == 1)
+  }
+
   test("tokenize replays learned merges per doc, order preserved") {
     val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("doc_id", "text")
     val learned = Bpe.learnMerges(spark, docs, "text", nMerges = 5)
