@@ -1,9 +1,10 @@
 package graft.queries
 
+import graft.multimodal.Multimodal
 import graft.text.{Bpe, Curation, Lexicons, Spell, TextAnalysis}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis coverage (reference NLP chain, SURVEY.md §2.9, plus the
   * training-data-pipeline text ops) over `documents`.
@@ -318,6 +319,67 @@ object TextQueries extends QueryPack {
         length(bin).cast("long").as("n_bytes"),
         sha2(bin, 256).as("digest"),
         md5(bin).as("checksum"))
+    }),
+
+    // REAL media-format parsers over synthesized REAL-format blobs: one
+    // JPEG/GIF/WAV/MP4/PNG wire-format blob per doc (format = doc_id % 5,
+    // dims/rates derived from doc_id), built as hex and unhex'd. ALL five
+    // parsers run on EVERY blob — the four wrong-format parsers must
+    // return invalid (no false positives), the right one must read the
+    // same fields the oracle extracts with its own endian byte arithmetic
+    // (incl. the JPEG marker walk and MP4 box walk as recursive CTEs).
+    "q_media_meta" -> ((s, dir) => {
+      def byteHex(c: Column, i: Int): Column =
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")
+      def be(c: Column, n: Int): Column =
+        concat((n - 1 to 0 by -1).map(byteHex(c, _)): _*)
+      def le(c: Column, n: Int): Column =
+        concat((0 until n).map(byteHex(c, _)): _*)
+      val id = col("doc_id").cast("long")
+      val w = id % 200 + 16
+      val h = id % 100 + 9
+      val ch = id % 2 + 1
+      val rate = (id % 4 + 1) * 8000
+      val bits = (id % 2 + 1) * 8
+      val bp = id % 2 + 1 // bytes per sample
+      val dlen = id % 16
+      val jpegHex = concat(
+        lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+        be(h, 2), be(w, 2), lit("03011100021101031101FFD9"))
+      val gifHex = concat(lit("474946383961"), le(w, 2), le(h, 2), lit("F70000"))
+      val wavHex = concat(lit("52494646"), le(dlen + 36, 4),
+        lit("57415645666D7420100000000100"), le(ch, 2), le(rate, 4),
+        le(rate * ch * bp, 4), le(ch * bp, 2), le(bits, 2),
+        lit("64617461"), le(dlen, 4), expr("repeat('00', CAST(doc_id % 16 AS INT))"))
+      val mp4Hex = concat(lit("000000106674797069736F6D00000000"),
+        lit("0000000866726565"), lit("000000006D646174"),
+        expr("repeat('00', CAST(doc_id % 32 AS INT))"))
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be(w, 4), be(h, 4), lit("080600000000000000"))
+      val blobHex = when(id % 5 === 0, jpegHex).when(id % 5 === 1, gifHex)
+        .when(id % 5 === 2, wavHex).when(id % 5 === 3, mp4Hex).otherwise(pngHex)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+        .select(col("doc_id"),
+          Multimodal.jpegMeta(col("blob")).as("jpeg"),
+          Multimodal.gifMeta(col("blob")).as("gif"),
+          Multimodal.wavMeta(col("blob")).as("wav"),
+          Multimodal.mp4Boxes(col("blob")).as("mp4"),
+          Multimodal.pngMeta(col("blob")).as("png"))
+        .select(col("doc_id"),
+          col("jpeg.width").as("jpeg_w"), col("jpeg.height").as("jpeg_h"),
+          col("jpeg.valid").as("jpeg_ok"),
+          col("gif.width").as("gif_w"), col("gif.height").as("gif_h"),
+          col("gif.version").as("gif_ver"), col("gif.valid").as("gif_ok"),
+          col("wav.n_channels").as("wav_ch"), col("wav.sample_rate").as("wav_rate"),
+          col("wav.bits_per_sample").as("wav_bits"), col("wav.pcm").as("wav_pcm"),
+          col("wav.valid").as("wav_ok"),
+          col("mp4.n_boxes").as("mp4_n"),
+          concat_ws(",", col("mp4.box_types")).as("mp4_types"),
+          col("mp4.valid").as("mp4_ok"),
+          col("png.width").as("png_w"), col("png.height").as("png_h"),
+          col("png.bit_depth").as("png_depth"), col("png.color_type").as("png_color"),
+          col("png.valid").as("png_ok"))
     })
   )
 
@@ -794,6 +856,161 @@ object TextQueries extends QueryPack {
          |FROM words JOIN toks t USING (w)
          |GROUP BY doc_id""".stripMargin
     },
+
+    "q_media_meta" ->
+      """WITH RECURSIVE
+        |gen AS (
+        |  SELECT doc_id, CAST(doc_id AS BIGINT) % 5 AS fmt,
+        |    CAST(doc_id AS BIGINT) % 200 + 16 AS w, CAST(doc_id AS BIGINT) % 100 + 9 AS h,
+        |    CAST(doc_id AS BIGINT) % 2 + 1 AS ch, (CAST(doc_id AS BIGINT) % 4 + 1) * 8000 AS rate,
+        |    (CAST(doc_id AS BIGINT) % 2 + 1) * 8 AS bits, CAST(doc_id AS BIGINT) % 2 + 1 AS bp,
+        |    CAST(doc_id AS BIGINT) % 16 AS dlen, CAST(doc_id AS BIGINT) % 32 AS mlen
+        |  FROM documents),
+        |blobs AS (
+        |  SELECT doc_id,
+        |    CASE fmt
+        |      WHEN 0 THEN 'FFD8FFE000104A46494600010100000100010000FFC0001108'
+        |        || printf('%04X', h) || printf('%04X', w) || '03011100021101031101FFD9'
+        |      WHEN 1 THEN '474946383961'
+        |        || printf('%02X%02X', w % 256, w // 256) || printf('%02X%02X', h % 256, h // 256) || 'F70000'
+        |      WHEN 2 THEN '52494646'
+        |        || printf('%02X%02X%02X%02X', (36 + dlen) % 256, ((36 + dlen) // 256) % 256, 0, 0)
+        |        || '57415645666D7420100000000100'
+        |        || printf('%02X%02X', ch % 256, (ch // 256) % 256)
+        |        || printf('%02X%02X%02X%02X', rate % 256, (rate // 256) % 256, (rate // 65536) % 256, (rate // 16777216) % 256)
+        |        || printf('%02X%02X%02X%02X', (rate*ch*bp) % 256, ((rate*ch*bp) // 256) % 256, ((rate*ch*bp) // 65536) % 256, ((rate*ch*bp) // 16777216) % 256)
+        |        || printf('%02X%02X', (ch*bp) % 256, ((ch*bp) // 256) % 256)
+        |        || printf('%02X%02X', bits % 256, (bits // 256) % 256)
+        |        || '64617461'
+        |        || printf('%02X%02X%02X%02X', dlen % 256, (dlen // 256) % 256, 0, 0)
+        |        || repeat('00', dlen)
+        |      WHEN 3 THEN '000000106674797069736F6D00000000' || '0000000866726565'
+        |        || '000000006D646174' || repeat('00', mlen)
+        |      ELSE '89504E470D0A1A0A0000000D49484452'
+        |        || printf('%08X', w) || printf('%08X', h) || '080600000000000000'
+        |    END AS s
+        |  FROM gen),
+        |jwalk(doc_id, s, i, pos, w, h, done, bad) AS (
+        |  SELECT doc_id, s, 0, CAST(3 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false, false FROM blobs
+        |  UNION ALL
+        |  SELECT doc_id, s, i + 1,
+        |    CASE WHEN done OR bad THEN pos
+        |         WHEN m0 <> 255 OR m1 < 0 OR m1 = 217 OR m1 = 0 THEN pos
+        |         WHEN m1 = 255 THEN pos + 1
+        |         WHEN sof THEN pos
+        |         WHEN standalone THEN pos + 2
+        |         WHEN seglen < 2 THEN pos
+        |         ELSE pos + 2 + seglen END,
+        |    CASE WHEN done OR bad THEN w
+        |         WHEN sof AND NOT (hh < 0 OR ww < 0) THEN ww ELSE -1 END,
+        |    CASE WHEN done OR bad THEN h
+        |         WHEN sof AND NOT (hh < 0 OR ww < 0) THEN hh ELSE -1 END,
+        |    CASE WHEN done OR bad THEN done
+        |         WHEN m0 <> 255 OR m1 < 0 OR m1 = 217 OR m1 = 0 THEN false
+        |         WHEN m1 = 255 THEN false
+        |         WHEN sof THEN NOT (hh < 0 OR ww < 0)
+        |         ELSE false END,
+        |    CASE WHEN done OR bad THEN bad
+        |         WHEN m0 <> 255 OR m1 < 0 OR m1 = 217 OR m1 = 0 THEN true
+        |         WHEN m1 = 255 THEN false
+        |         WHEN sof THEN (hh < 0 OR ww < 0)
+        |         WHEN standalone THEN false
+        |         WHEN seglen < 2 THEN true
+        |         ELSE false END
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN length(s) >= 2*pos THEN list_reduce(list_transform(string_split(substr(s, 2*pos - 1, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END AS m0,
+        |      CASE WHEN length(s) >= 2*(pos+1) THEN list_reduce(list_transform(string_split(substr(s, 2*pos + 1, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END AS m1,
+        |      (CASE WHEN length(s) >= 2*(pos+2) THEN list_reduce(list_transform(string_split(substr(s, 2*pos + 3, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END) * 256
+        |        + CASE WHEN length(s) >= 2*(pos+3) THEN list_reduce(list_transform(string_split(substr(s, 2*pos + 5, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END AS seglen,
+        |      (CASE WHEN length(s) >= 2*(pos+5) THEN list_reduce(list_transform(string_split(substr(s, 2*pos + 9, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END) * 256
+        |        + CASE WHEN length(s) >= 2*(pos+6) THEN list_reduce(list_transform(string_split(substr(s, 2*pos + 11, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END AS hh,
+        |      (CASE WHEN length(s) >= 2*(pos+7) THEN list_reduce(list_transform(string_split(substr(s, 2*pos + 13, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END) * 256
+        |        + CASE WHEN length(s) >= 2*(pos+8) THEN list_reduce(list_transform(string_split(substr(s, 2*pos + 15, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END AS ww,
+        |      m1 IN (192,193,194,195,197,198,199,201,202,203,205,206,207) AS sof,
+        |      (m1 = 1 OR (m1 BETWEEN 208 AND 215) OR m1 = 216) AS standalone
+        |    FROM jwalk) WHERE i < 24),
+        |jfin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(s, 1, 4) = 'FFD8' AND done AND NOT bad THEN w ELSE -1 END AS jpeg_w,
+        |    CASE WHEN substr(s, 1, 4) = 'FFD8' AND done AND NOT bad THEN h ELSE -1 END AS jpeg_h,
+        |    (substr(s, 1, 4) = 'FFD8' AND done AND NOT bad) AS jpeg_ok
+        |  FROM jwalk WHERE i = 24),
+        |mwalk(doc_id, s, i, pos, types, bad) AS (
+        |  SELECT doc_id, s, 0, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]), false FROM blobs
+        |  UNION ALL
+        |  SELECT doc_id, s, i + 1,
+        |    CASE WHEN bad OR pos > tot THEN pos
+        |         WHEN pos + 7 > tot THEN pos
+        |         WHEN effsz < minhdr OR pos + effsz - 1 > tot THEN pos
+        |         ELSE pos + effsz END,
+        |    CASE WHEN bad OR pos > tot THEN types
+        |         WHEN pos + 7 > tot THEN types
+        |         WHEN effsz < minhdr OR pos + effsz - 1 > tot THEN types
+        |         ELSE list_append(types, decode(unhex(substr(s, 2*(pos+4) - 1, 8)))) END,
+        |    CASE WHEN bad OR pos > tot THEN bad
+        |         WHEN pos + 7 > tot THEN true
+        |         WHEN effsz < minhdr OR pos + effsz - 1 > tot THEN true
+        |         ELSE false END
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN sz = 1 THEN
+        |        (SELECT sum(CASE WHEN length(s) >= 2*(pos+8+k) THEN list_reduce(list_transform(string_split(substr(s, 2*(pos+8+k) - 1, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END * power(256, 7 - k)::BIGINT) FROM range(0, 8) t(k))
+        |        WHEN sz = 0 THEN tot - pos + 1
+        |        ELSE sz END AS effsz,
+        |      CASE WHEN sz = 1 THEN 16 ELSE 8 END AS minhdr
+        |    FROM (
+        |      SELECT *, length(s) // 2 AS tot,
+        |        (SELECT sum(CASE WHEN length(s) >= 2*(pos+k) THEN list_reduce(list_transform(string_split(substr(s, 2*(pos+k) - 1, 2), ''), c -> instr('0123456789ABCDEF', c) - 1), (a, b) -> a*16 + b) ELSE -1 END * power(256, 3 - k)::BIGINT) FROM range(0, 4) t(k)) AS sz
+        |      FROM mwalk)) WHERE i < 16),
+        |mfin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ok THEN CAST(len(types) AS BIGINT) ELSE 0 END AS mp4_n,
+        |    CASE WHEN ok THEN array_to_string(types, ',') ELSE '' END AS mp4_types,
+        |    ok AS mp4_ok
+        |  FROM (
+        |    SELECT doc_id, types,
+        |      (NOT bad AND pos = length(s) // 2 + 1 AND len(types) > 0 AND types[1] = 'ftyp') AS ok
+        |    FROM mwalk WHERE i = 16)),
+        |fixed AS (
+        |  SELECT doc_id,
+        |    (substr(s,1,8) = '47494638' AND substr(s,9,4) IN ('3761','3961') AND length(s) >= 26) AS gif_ok,
+        |    CASE WHEN substr(s,1,8) = '47494638' AND substr(s,9,4) IN ('3761','3961') AND length(s) >= 26
+        |      THEN list_reduce(list_transform(string_split(substr(s,13,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)
+        |         + 256 * list_reduce(list_transform(string_split(substr(s,15,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)
+        |      ELSE -1 END AS gif_w,
+        |    CASE WHEN substr(s,1,8) = '47494638' AND substr(s,9,4) IN ('3761','3961') AND length(s) >= 26
+        |      THEN list_reduce(list_transform(string_split(substr(s,17,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)
+        |         + 256 * list_reduce(list_transform(string_split(substr(s,19,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)
+        |      ELSE -1 END AS gif_h,
+        |    CASE WHEN substr(s,1,8) = '47494638' AND substr(s,9,4) IN ('3761','3961') AND length(s) >= 26
+        |      THEN decode(unhex(substr(s,7,6))) ELSE '' END AS gif_ver,
+        |    (substr(s,1,8) = '52494646' AND substr(s,17,8) = '57415645' AND substr(s,25,8) = '666D7420' AND length(s) >= 72) AS wav_ok,
+        |    (substr(s,1,16) = '89504E470D0A1A0A' AND substr(s,25,8) = '49484452' AND length(s) >= 52) AS png_ok,
+        |    s
+        |  FROM blobs),
+        |wavpng AS (
+        |  SELECT doc_id, gif_ok, gif_w, gif_h, gif_ver, wav_ok, png_ok,
+        |    CASE WHEN wav_ok THEN CAST(list_reduce(list_transform(string_split(substr(s,45,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)
+        |         + 256 * list_reduce(list_transform(string_split(substr(s,47,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b) AS INTEGER) ELSE -1 END AS wav_ch,
+        |    CASE WHEN wav_ok THEN CAST((SELECT sum(list_reduce(list_transform(string_split(substr(s, 49 + 2*k, 2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b) * power(256, k)::BIGINT) FROM range(0, 4) t(k)) AS BIGINT) ELSE -1 END AS wav_rate,
+        |    CASE WHEN wav_ok THEN CAST(list_reduce(list_transform(string_split(substr(s,69,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)
+        |         + 256 * list_reduce(list_transform(string_split(substr(s,71,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b) AS INTEGER) ELSE -1 END AS wav_bits,
+        |    CASE WHEN wav_ok THEN (list_reduce(list_transform(string_split(substr(s,41,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)
+        |         + 256 * list_reduce(list_transform(string_split(substr(s,43,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b)) = 1 ELSE false END AS wav_pcm,
+        |    CASE WHEN png_ok THEN CAST((SELECT sum(list_reduce(list_transform(string_split(substr(s, 33 + 2*k, 2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b) * power(256, 3 - k)::BIGINT) FROM range(0, 4) t(k)) AS BIGINT) ELSE -1 END AS png_w,
+        |    CASE WHEN png_ok THEN CAST((SELECT sum(list_reduce(list_transform(string_split(substr(s, 41 + 2*k, 2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b) * power(256, 3 - k)::BIGINT) FROM range(0, 4) t(k)) AS BIGINT) ELSE -1 END AS png_h,
+        |    CASE WHEN png_ok THEN CAST(list_reduce(list_transform(string_split(substr(s,49,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b) AS INTEGER) ELSE -1 END AS png_depth,
+        |    CASE WHEN png_ok THEN CAST(list_reduce(list_transform(string_split(substr(s,51,2),''), c -> instr('0123456789ABCDEF', c)-1), (a,b) -> a*16+b) AS INTEGER) ELSE -1 END AS png_color
+        |  FROM fixed)
+        |SELECT f.doc_id,
+        |  j.jpeg_w, j.jpeg_h, j.jpeg_ok,
+        |  f.gif_w, f.gif_h, f.gif_ver, f.gif_ok,
+        |  f.wav_ch, f.wav_rate, f.wav_bits, f.wav_pcm, f.wav_ok,
+        |  m.mp4_n, m.mp4_types, m.mp4_ok,
+        |  f.png_w, f.png_h, f.png_depth, f.png_color, f.png_ok
+        |FROM wavpng f JOIN jfin j USING (doc_id) JOIN mfin m USING (doc_id)
+        |""".stripMargin,
 
     "q_approx_distinct" ->
       """WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS term FROM documents)
