@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.similarity.Similarity
 import graft.util.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Similarity-search coverage over `embeddings` (64-dim float vectors):
@@ -37,9 +38,14 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, nCentroids = 8)),
 
+    // All-pairs cosine is the LABELED BASELINE cross-check for the
+    // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
+    // stays constant-size as SF grows — the uncapped scale path is
+    // q_dedup_embedding_bucketed. Oracle applies the identical cap.
     "q_dedup_embedding" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45)),
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.45)),
 
     // Two full Lloyd iterations (assign → decimal-mean update → reassign),
     // k=8, hash-checked end-to-end — the oracle replays the identical
@@ -59,7 +65,26 @@ object SimilarityQueries extends QueryPack {
     // Embedding-space drift: pairwise cosine between per-label centroids.
     "q_centroid_sim" -> ((s, dir) =>
       Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir),
-        "label", "embedding"))
+        "label", "embedding")),
+
+    // MEASURED recall@10 of both ANN methods against the exact brute-force
+    // top-10 — the accuracy/cost tradeoff the operators' Scaladocs claim
+    // analytically, recorded as data: |approx ∩ exact| / k per method.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queryId = 0L, k = 10).select(col("vec_id"))
+      def recallOf(method: String, cand: DataFrame): DataFrame =
+        cand.select(col("vec_id")).join(truth, "vec_id")
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .select(lit(method).as("method"), col("hits"),
+            lit(10L).as("k"),
+            round(col("hits").cast("double") / 10.0, 6).as("recall"))
+      recallOf("lsh", Similarity.annTopK(e, "vec_id", "embedding",
+          queryId = 0L, k = 10))
+        .unionByName(recallOf("ivf", Similarity.ivfTopK(e, "vec_id", "embedding",
+          queryId = 0L, k = 10, nCentroids = 8)))
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -113,7 +138,8 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
+         |WHERE a.vec_id < 500 AND b.vec_id < 500
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
     "q_dedup_embedding_bucketed" ->
       s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
@@ -148,6 +174,36 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
          |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
          |  $bucketSql AS bucket
-         |FROM embeddings""".stripMargin
+         |FROM embeddings""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH truth AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
+         |  FROM embeddings, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
+         |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |lq AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
+         |lsh AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
+         |  FROM b JOIN lq USING (bucket) WHERE vec_id <> 0
+         |  ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sim AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |  FROM sim) WHERE rn = 1),
+         |iq AS (SELECT embedding AS qv, cluster FROM assigned WHERE vec_id = 0),
+         |ivf AS (SELECT vec_id FROM (
+         |  SELECT a.vec_id, ${cosSql("a.embedding", "qv")} AS cosine
+         |  FROM assigned a JOIN iq USING (cluster) WHERE a.vec_id <> 0
+         |  ORDER BY cosine DESC, vec_id ASC LIMIT 10))
+         |SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
+         |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM lsh JOIN truth USING (vec_id)
+         |UNION ALL
+         |SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
+         |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ivf JOIN truth USING (vec_id)""".stripMargin
   )
 }
