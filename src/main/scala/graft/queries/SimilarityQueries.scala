@@ -38,6 +38,12 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, nCentroids = 8)),
 
+    // Multi-probe repair for the single-bucket LSH miss mode q_ann_recall
+    // measures: probe the query bucket plus all 8 Hamming-1 buckets.
+    "q_ann_multiprobe" -> ((s, dir) =>
+      Similarity.annTopKMultiProbe(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryId = 0L, k = 5)),
+
     // All-pairs cosine is the LABELED BASELINE cross-check for the
     // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
     // stays constant-size as SF grows — the uncapped scale path is
@@ -82,6 +88,8 @@ object SimilarityQueries extends QueryPack {
             round(col("hits").cast("double") / 10.0, 6).as("recall"))
       recallOf("lsh", Similarity.annTopK(e, "vec_id", "embedding",
           queryId = 0L, k = 10))
+        .unionByName(recallOf("lsh_mp", Similarity.annTopKMultiProbe(e, "vec_id",
+          "embedding", queryId = 0L, k = 10)))
         .unionByName(recallOf("ivf", Similarity.ivfTopK(e, "vec_id", "embedding",
           queryId = 0L, k = 10, nCentroids = 8)))
     })
@@ -132,6 +140,15 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT embedding AS qv, cluster FROM assigned WHERE vec_id = 0)
          |SELECT a.vec_id, ${cosSql("a.embedding", "qv")} AS cosine
          |FROM assigned a JOIN q USING (cluster) WHERE a.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_ann_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
+         |probes AS (SELECT qv, xor(bucket, f) AS bucket
+         |  FROM q, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) t(f))
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
+         |FROM b JOIN probes USING (bucket) WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "q_dedup_embedding" ->
@@ -187,6 +204,12 @@ object SimilarityQueries extends QueryPack {
          |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
          |  FROM b JOIN lq USING (bucket) WHERE vec_id <> 0
          |  ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
+         |probes AS (SELECT qv, xor(bucket, f) AS bucket
+         |  FROM lq, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) t(f)),
+         |lshmp AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
+         |  FROM b JOIN probes USING (bucket) WHERE vec_id <> 0
+         |  ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
          |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
          |sim AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
          |  FROM embeddings e CROSS JOIN cents c),
@@ -201,6 +224,10 @@ object SimilarityQueries extends QueryPack {
          |SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
          |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
          |FROM lsh JOIN truth USING (vec_id)
+         |UNION ALL
+         |SELECT 'lsh_mp' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
+         |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM lshmp JOIN truth USING (vec_id)
          |UNION ALL
          |SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
          |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall

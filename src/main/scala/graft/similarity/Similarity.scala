@@ -92,6 +92,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe sign-LSH ANN: exact rerank over the query's bucket PLUS
+    * every bucket at Hamming distance 1 from it in sign-bit space — the
+    * standard recall repair for the single-bucket miss mode `q_ann_recall`
+    * measures (recall 0 when every true neighbor's sign pattern differs
+    * from the query's in ≥1 bit). Candidate cost grows to (dims+1)/2^dims
+    * of the corpus; the probe set is a broadcast exploded list, so the
+    * plan stays ONE equi-join — no fanout scan, no inequality join. Each
+    * vector lives in exactly one bucket and probe buckets are distinct,
+    * so candidates are produced once (no dedup step needed).
+    */
+  def annTopKMultiProbe(embeddings: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, k: Int, dims: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val bucketed = embeddings.withColumn("__bucket", signBucket(col(vecCol), dims))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("__bucket"))
+    val flips = lit(0) +: (0 until dims).map(i => lit(1 << i))
+    val probes = q
+      .select(col("__qv"), col("__bucket"), explode(array(flips: _*)).as("__flip"))
+      .select(col("__qv"), col("__bucket").bitwiseXOR(col("__flip")).as("__bucket"))
+    bucketed
+      .join(broadcast(probes), "__bucket")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nCentroids`
     * seed centroids (here: the first `nCentroids` vectors by id — a
     * deterministic stand-in for trained k-means centroids; swap in learned
