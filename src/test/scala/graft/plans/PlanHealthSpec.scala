@@ -172,4 +172,9 @@ class PlanHealthSpec extends SparkSpec {
       s"per-round joins rebuild the edge table from the corpus:\n$p")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q_media_meta: zero shuffles — five wire-format parsers ride the scan") {
+    val p = plan("q_media_meta")
+    assert(!p.contains("Exchange"), s"media parsing grew a shuffle:\n$p")
+  }
 }

@@ -37,6 +37,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ann == Set(1L))
   }
 
+  test("multi-probe ann ⊇ single-bucket ann; Hamming-1 buckets recover near misses") {
+    val single = Similarity.annTopK(vecs, "vec_id", "embedding", 0L, 10, dims = 4)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annTopKMultiProbe(vecs, "vec_id", "embedding", 0L, 10,
+      dims = 4).collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi))
+    // vec 4 (dims 0,1 positive) sits one sign bit from the query's bucket —
+    // invisible to the single probe, recovered by the Hamming-1 ring
+    assert(multi.contains(4L) && !single.contains(4L))
+  }
+
   test("bucketed near-dup pairs: precision exact, recall = same-bucket subset") {
     val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
