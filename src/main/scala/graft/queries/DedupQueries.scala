@@ -199,8 +199,10 @@ object DedupQueries extends QueryPack {
     * — shared verbatim by the label-propagation and alternating-star
     * engine paths (same contract, same fixpoint).
     */
-  // lazy: refers to simhashBandsCte, a val declared further down the body
-  private lazy val clustersOracle: String =
+  // lazy: refers to simhashBandsCte, a val declared further down the body.
+  // private[queries]: TextQueries composes the same closure into the
+  // q_curation_neardup oracle (cluster representatives as the keep set).
+  private[queries] lazy val clustersCtePrefix: String =
     simhashCte(recursive = true) + simhashBandsCte +
       """,
         |prs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
@@ -209,7 +211,11 @@ object DedupQueries extends QueryPack {
         |reach AS (SELECT u, v FROM e
         |  UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
         |minr AS (SELECT u, MIN(v) AS mv FROM reach GROUP BY u)
-        |SELECT d.doc_id,
+        |""".stripMargin
+
+  private lazy val clustersOracle: String =
+    clustersCtePrefix +
+      """SELECT d.doc_id,
         |  CAST(LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS BIGINT) AS rep,
         |  LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) = d.doc_id AS kept
         |FROM documents d LEFT JOIN minr m ON d.doc_id = m.u""".stripMargin

@@ -298,6 +298,15 @@ object TextQueries extends QueryPack {
       Curation.curate(s, Tables.documents(s, dir), "doc_id", "text",
         lang = "en", minTtr = 0.5, tokenBudget = 2500L)),
 
+    // The NEAR-dup curation entry point: survivors are the connected-
+    // component representatives of the SimHash near-dup graph (not just
+    // byte-identical dedup), then the same lang → quality → budget chain.
+    // The oracle composes the clusters transitive closure with the
+    // curation chain, so both curate entry points are hash-gated.
+    "q_curation_neardup" -> ((s, dir) =>
+      Curation.curateNearDup(s, Tables.documents(s, dir), "doc_id", "text",
+        lang = "en", minTtr = 0.5, tokenBudget = 2500L)),
+
     // BPE merge REPLAY (Bpe.tokenize) with a fixed ranked merge list —
     // the distributed encode loop oracle-gated end-to-end: per round every
     // word fuses its best-rank applicable pair (greedy L2R non-overlap)
@@ -816,6 +825,44 @@ object TextQueries extends QueryPack {
         |  CAST(SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id ASC) AS BIGINT) AS cum_tokens
         |  FROM f)
         |SELECT doc_id, n_tokens, ttr, cum_tokens FROM c WHERE cum_tokens <= 2500""".stripMargin,
+
+    // Same lang/quality/budget chain as q_curation, but the keep set is the
+    // SimHash connected-component representatives (DedupQueries' closure
+    // CTEs; curation's cumulative CTE renamed cum — the simhash prefix
+    // already defines a CTE named c).
+    "q_curation_neardup" -> (DedupQueries.clustersCtePrefix +
+      """, lex(term, lang) AS (VALUES
+        |  ('the','en'),('and','en'),('of','en'),('to','en'),('in','en'),
+        |  ('is','en'),('that','en'),('it','en'),('for','en'),('on','en'),
+        |  ('el','es'),('la','es'),('de','es'),('que','es'),('y','es'),
+        |  ('en','es'),('un','es'),('los','es'),('se','es'),('por','es'),
+        |  ('le','fr'),('et','fr'),('les','fr'),('des','fr'),('une','fr'),
+        |  ('du','fr'),('est','fr'),('pour','fr'),('dans','fr'),('ce','fr'),
+        |  ('der','de'),('die','de'),('und','de'),('das','de'),('von','de'),
+        |  ('zu','de'),('mit','de'),('den','de'),('ein','de'),('ist','de'),
+        |  ('的','zh'),('是','zh'),('在','zh'),('了','zh'),('我','zh'),
+        |  ('有','zh'),('和','zh'),('不','zh'),('人','zh'),('这','zh')),
+        |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(COUNT(DISTINCT term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr
+        |  FROM toks GROUP BY doc_id),
+        |m AS (SELECT t.doc_id, l.lang, COUNT(*) AS matches
+        |  FROM toks t JOIN lex l ON t.term = l.term GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY matches DESC, lang ASC) AS rn FROM m) WHERE rn = 1),
+        |lng AS (SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+        |  FROM documents d LEFT JOIN best b USING (doc_id)),
+        |keep AS (SELECT d.doc_id FROM documents d
+        |  LEFT JOIN minr mr ON d.doc_id = mr.u
+        |  WHERE LEAST(d.doc_id, COALESCE(mr.mv, d.doc_id)) = d.doc_id),
+        |f AS (SELECT q.doc_id, q.n_tokens, q.ttr
+        |  FROM q JOIN keep USING (doc_id) JOIN lng USING (doc_id)
+        |  WHERE pred_lang = 'en' AND ttr >= 0.5),
+        |cum AS (SELECT doc_id, n_tokens, ttr,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+        |  FROM f)
+        |SELECT doc_id, n_tokens, ttr, cum_tokens FROM cum WHERE cum_tokens <= 2500""".stripMargin),
 
     // Symbol sequences ride as chr(1)-wrapped strings (⟨SEP⟩sym⟨SEP⟩ per
     // symbol, so a pattern can never match across symbol boundaries and
