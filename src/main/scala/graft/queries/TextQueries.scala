@@ -275,6 +275,17 @@ object TextQueries extends QueryPack {
     "q_mixture_sample" -> ((s, dir) =>
       Curation.mixtureSample(Tables.documents(s, dir), "source", "doc_id", "text")),
 
+    // Non-uniform mixture: integer "parts" weights per source (here a
+    // deterministic function of the source name so every SF exercises the
+    // same ratios), broadcast as a dim table.
+    "q_mixture_weighted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val parts = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).as("parts"))
+      Curation.mixturePlanWeighted(docs, "source", "text", parts)
+    }),
+
     // OOV audit against the corpus top-30 vocabulary.
     "q_oov" -> ((s, dir) =>
       TextAnalysis.oovAudit(Tables.documents(s, dir), "doc_id", "text",
@@ -723,6 +734,21 @@ object TextQueries extends QueryPack {
         |  CAST(least(ns.n_tokens, tot.t // tot.g) AS BIGINT) AS planned_tokens,
         |  CAST(greatest(0, tot.t // tot.g - ns.n_tokens) AS BIGINT) AS deficit_tokens
         |FROM ns CROSS JOIN tot""".stripMargin,
+
+    "q_mixture_weighted" ->
+      """WITH ns AS (SELECT source,
+        |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |wp AS (SELECT source, n_tokens,
+        |    CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT) AS parts
+        |  FROM ns),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+        |    CAST(SUM(parts) AS BIGINT) AS p FROM wp)
+        |SELECT wp.source, wp.n_tokens, wp.parts,
+        |  CAST(tot.t * wp.parts // tot.p AS BIGINT) AS target_tokens,
+        |  CAST(least(wp.n_tokens, tot.t * wp.parts // tot.p) AS BIGINT) AS planned_tokens,
+        |  CAST(greatest(0, tot.t * wp.parts // tot.p - wp.n_tokens) AS BIGINT) AS deficit_tokens
+        |FROM wp CROSS JOIN tot""".stripMargin,
 
     "q_mixture_sample" ->
       """WITH ns AS (SELECT source,

@@ -135,6 +135,35 @@ object Curation {
     * must redistribute). One scan + one combinable groupBy + a 1-row
     * broadcast of the totals.
     */
+  /** Weighted mixture planning — [[mixturePlan]] with NON-uniform integer
+    * weights ("parts", the ratio notation mixing configs actually use):
+    * target_s = total · parts_s DIV Σparts. INTEGER arithmetic throughout,
+    * so the plan stays engine-exact — double weight fractions would make
+    * planned counts rounding-ambiguous across engines. `parts` is a small
+    * (groupCol, parts: long) dim table, broadcast; sources absent from it
+    * get parts = 0 (target 0 ⇒ excluded, zero deficit). Same plan shape
+    * as the uniform variant: one scan + one combinable groupBy + 1-row
+    * broadcast totals.
+    */
+  def mixturePlanWeighted(docs: DataFrame, groupCol: String, textCol: String,
+                          parts: DataFrame): DataFrame = {
+    val ns = docs
+      .select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).cast("long").as("n_tokens"))
+    val wp = ns
+      .join(broadcast(parts), Seq(groupCol), "left")
+      .select(col(groupCol), col("n_tokens"),
+        coalesce(col("parts"), lit(0L)).cast("long").as("parts"))
+    val tot = wp.agg(sum(col("n_tokens")).cast("long").as("__tot"),
+      sum(col("parts")).cast("long").as("__p"))
+    wp.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"), col("parts"),
+        expr("__tot * parts DIV __p").cast("long").as("target_tokens"),
+        expr("least(n_tokens, __tot * parts DIV __p)").cast("long").as("planned_tokens"),
+        expr("greatest(0L, __tot * parts DIV __p - n_tokens)").cast("long").as("deficit_tokens"))
+  }
+
   def mixturePlan(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val ns = docs
       .select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("__n"))
