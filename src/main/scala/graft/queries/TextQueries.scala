@@ -49,6 +49,14 @@ object TextQueries extends QueryPack {
       TextAnalysis.termCountMap(Tables.documents(s, dir), "doc_id", "text",
         minCount = 2L)),
 
+    // Model-based quality score: sigmoid(w0 + w·features) over the quality
+    // features — the fasttext-classifier stand-in after the rule gates.
+    // Fixed demo coefficients; a trained model's slot in unchanged.
+    "q_quality_model" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text",
+        Lexicons.enStop, w0 = -3.0, wTtr = 4.0, wMeanLen = 0.2,
+        wStop = -2.0, wLogTok = 0.3)),
+
     // Gopher-style rule-based quality gate (token bounds, mean token
     // length, stopword floor, repetition ceiling) as one shuffle-free
     // projection.
@@ -434,6 +442,27 @@ object TextQueries extends QueryPack {
         |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
         |  coalesce(b.matches, 0) AS matches
         |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
+
+    "q_quality_model" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(COUNT(DISTINCT term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr,
+        |  round(CAST(SUM(length(term)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tok_len,
+        |  round(CAST(SUM(CASE WHEN term IN ('the','a','an','and','of','to','in','is','that','it','for','on') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS stop_ratio
+        |FROM toks GROUP BY doc_id),
+        |z AS (SELECT doc_id, CAST(round(
+        |    CAST(-3.0 AS DECIMAL(20,6))
+        |    + CAST(4.0 AS DECIMAL(20,6)) * CAST(ttr AS DECIMAL(20,6))
+        |    + CAST(0.2 AS DECIMAL(20,6)) * CAST(mean_tok_len AS DECIMAL(20,6))
+        |    + CAST(-2.0 AS DECIMAL(20,6)) * CAST(stop_ratio AS DECIMAL(20,6))
+        |    + CAST(0.3 AS DECIMAL(20,6)) * CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(20,6)),
+        |  6) AS DOUBLE) AS logit
+        |FROM q)
+        |SELECT doc_id, logit,
+        |  round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+        |FROM z""".stripMargin,
 
     "q_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)

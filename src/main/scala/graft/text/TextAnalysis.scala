@@ -48,6 +48,40 @@ object TextAnalysis {
           count(lit(1)).cast("double"), 6).as("stop_ratio"))
   }
 
+  /** Model-based quality score — the linear-classifier stand-in for the
+    * fasttext-style quality filter a curation pipeline runs after the rule
+    * gates: p(keep) = sigmoid(w0 + w·features) over the [[quality]]
+    * features (ttr, mean token length, stopword ratio, log token count).
+    * Weights are caller-supplied (a trained model's coefficients slot in
+    * unchanged); the whole scorer is the [[quality]] aggregation plus one
+    * projection — no model server, no UDF, scan-speed at 100 TB.
+    *
+    * Engine parity: the linear combination runs in exact DECIMAL (weights
+    * quantized to 6 decimals, features are already round6 values) and is
+    * rounded in decimal space before the sigmoid — a plain double sum
+    * drifts by 1 ulp across engines exactly at half-up boundaries (the
+    * graft.util.Num decimal-routing rule). Both engines then exponentiate
+    * the identical logit.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], w0: Double, wTtr: Double,
+                   wMeanLen: Double, wStop: Double, wLogTok: Double): DataFrame = {
+    def dec(x: Double): Column =
+      lit(java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP))
+    def feat(c: Column): Column = c.cast("decimal(20,6)")
+    val z = round(dec(w0)
+      + dec(wTtr) * feat(col("ttr"))
+      + dec(wMeanLen) * feat(col("mean_tok_len"))
+      + dec(wStop) * feat(col("stop_ratio"))
+      + dec(wLogTok) * feat(round(log(col("n_tokens").cast("double")), 6)), 6)
+      .cast("double")
+    quality(docs, idCol, textCol, stopwords)
+      .withColumn("logit", z)
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(negate(col("logit")))), 6))
+      .select(col(idCol), col("logit"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+  }
+
   /** N-gram-lexicon language ID: score each document against small per-language
     * lexicons, pick the best-matching language (ties broken alphabetically),
     * fall back to "und" when nothing matches.
