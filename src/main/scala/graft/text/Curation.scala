@@ -68,40 +68,58 @@ object Curation {
       .join(language, idCol)
       .filter(col("pred_lang") === lang && col("ttr") >= minTtr)
       .select(col(idCol), col("n_tokens"), col("ttr"))
-    // Phase 1: ttr histogram → range id. __rng = #boundaries above this ttr,
-    // a non-increasing function of ttr, so rng_A < rng_B ⟹ ttr_A > ttr_B
-    // strictly and equal-ttr rows share a bucket: bucket order refines the
-    // global (ttr desc, id asc) order. Combinable agg + 1-row broadcast.
-    val nRanges = 32
+    budgetCutoff(filtered, idCol, tokCol = "n_tokens", ordCol = "ttr",
+      budget = tokenBudget)
+  }
+
+  /** Spend `budget` over `rows` in (ordCol DESC, idCol ASC) order: keep the
+    * maximal prefix whose running `tokCol` sum stays ≤ budget, with the
+    * exact global cumulative sum attached as `cum_tokens`. The standalone
+    * two-phase range-partitioned quota — the budget stage of [[curate]],
+    * public because "take the best items until the budget is spent" is its
+    * own recurring pipeline operator:
+    *
+    *  1. an approx-percentile histogram of `ordCol` assigns each row a
+    *     range id (= #boundaries above its value — non-increasing in
+    *     ordCol, so range order strictly refines the sort order and
+    *     equal-ordCol rows can never straddle a range);
+    *  2. per-range token subtotals become broadcast cumulative offsets
+    *     (non-equi self-join over ≤ nRanges rows — no global window
+    *     anywhere, the suite-wide plan guard holds);
+    *  3. ranges whose offset already exceeds the budget are pruned BEFORE
+    *     the sort, and the within-range partitioned running sum + offset
+    *     reproduces the global cumulative sum exactly.
+    *
+    * Histogram accuracy only balances the ranges; ANY boundaries give the
+    * byte-identical result (property-tested against the naive global
+    * window on random inputs incl. heavy ties).
+    */
+  def budgetCutoff(rows: DataFrame, idCol: String, tokCol: String,
+                   ordCol: String, budget: Long, nRanges: Int = 32): DataFrame = {
+    val outCols = rows.columns.map(col).toSeq :+ col("cum_tokens")
     val probs = array((1 until nRanges).map(i => lit(i.toDouble / nRanges)): _*)
-    val bounds = filtered.agg(
-      percentile_approx(col("ttr"), probs, lit(1000)).as("__bounds"))
-    val ranged = filtered.crossJoin(broadcast(bounds))
+    val bounds = rows.agg(
+      percentile_approx(col(ordCol), probs, lit(1000)).as("__bounds"))
+    val ranged = rows.crossJoin(broadcast(bounds))
       .withColumn("__rng",
-        expr("size(filter(__bounds, b -> b > ttr))").cast("long"))
+        expr(s"size(filter(__bounds, b -> b > $ordCol))").cast("long"))
       .drop("__bounds")
-    // Phase 2: per-range token subtotals → cumulative offsets (≤ nRanges
-    // rows; non-equi self-join instead of a global window so the suite-wide
-    // no-unpartitioned-WindowExec guard holds everywhere).
     val perRange = ranged.groupBy(col("__rng"))
-      .agg(sum(col("n_tokens")).cast("long").as("__rng_tokens"))
+      .agg(sum(col(tokCol)).cast("long").as("__rng_tokens"))
     val offsets = perRange.alias("a")
       .join(broadcast(perRange.alias("b")),
         col("b.__rng") < col("a.__rng"), "left")
       .groupBy(col("a.__rng").as("__rng"))
       .agg(coalesce(sum(col("b.__rng_tokens")), lit(0L)).as("__tokens_before"))
-    // Phase 3: prune ranges already past the budget (only the boundary
-    // range and earlier ever reach the sort), then the partitioned running
-    // sum + offset = the exact global cumulative sum.
     val w = Window.partitionBy(col("__rng"))
-      .orderBy(col("ttr").desc, col(idCol).asc)
+      .orderBy(col(ordCol).desc, col(idCol).asc)
     ranged
       .join(broadcast(offsets), "__rng")
-      .filter(col("__tokens_before") <= tokenBudget)
+      .filter(col("__tokens_before") <= budget)
       .withColumn("cum_tokens",
-        col("__tokens_before") + sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= tokenBudget)
-      .select(col(idCol), col("n_tokens"), col("ttr"), col("cum_tokens"))
+        col("__tokens_before") + sum(col(tokCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(outCols: _*)
   }
 
   /** Execute a [[mixturePlan]]: per source, take documents in

@@ -205,4 +205,30 @@ class PropertySpec extends SparkSpec {
       assert(run(df) == run(df.repartition(7)), s"evs=${evs.take(5)}...")
     }
   }
+
+  test("budgetCutoff ≡ naive global-order prefix, under heavy ties and any partitioning") {
+    // few distinct ord values (heavy ties AT range boundaries — the case a
+    // range-misassignment would corrupt), zero-token rows, varied budgets
+    val rowsGen = Gen.listOfN(80, for {
+      id  <- Gen.chooseNum(0L, 999L)
+      tok <- Gen.chooseNum(0L, 30L)
+      ord <- Gen.chooseNum(0, 6).map(_ / 6.0)
+    } yield (id, tok, ord))
+    val budgets = Seq(0L, 17L, 200L, 100000L)
+    samples(rowsGen, 6).zipWithIndex.foreach { case (raw, i) =>
+      val rows = raw.distinctBy(_._1)
+      val budget = budgets(i % budgets.length)
+      val df = rows.toDF("id", "n_tok", "ord").repartition(5)
+      val got = graft.text.Curation.budgetCutoff(df, "id", "n_tok", "ord", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1)
+      val expected = rows.sortBy { case (id, _, ord) => (-ord, id) }
+        .scanLeft((0L, 0L, 0.0, 0L)) { case ((_, _, _, cum), (id, tok, ord)) =>
+          (id, tok, ord, cum + tok)
+        }.drop(1)
+        .takeWhile(_._4 <= budget)
+        .sortBy(_._1)
+      assert(got.toSeq == expected, s"budget=$budget rows=${rows.take(5)}...")
+    }
+  }
 }
