@@ -61,15 +61,48 @@ object Curation {
                          minTtr: Double, tokenBudget: Long,
                          stopwords: Seq[String],
                          lexicon: Seq[(String, String)]): DataFrame = {
-    val quality = TextAnalysis.quality(docs, idCol, textCol, stopwords)
-    val language = TextAnalysis.langId(spark, docs, idCol, textCol, lexicon)
     val filtered = keep
-      .join(quality, idCol)
-      .join(language, idCol)
+      .join(qualityLangOnePass(docs, idCol, textCol, lexicon), idCol)
       .filter(col("pred_lang") === lang && col("ttr") >= minTtr)
       .select(col(idCol), col("n_tokens"), col("ttr"))
     budgetCutoff(filtered, idCol, tokCol = "n_tokens", ordCol = "ttr",
       budget = tokenBudget)
+  }
+
+  /** The quality (ttr) and language-ID stats curation needs, in ONE
+    * aggregation over ONE tokenize — composing the standalone
+    * [[TextAnalysis.quality]] + [[TextAnalysis.langId]] operators scans
+    * and explodes the corpus TWICE, a full extra pass over 100 TB of
+    * text. Per-language match counts become conditional sums over the
+    * broadcast-literal lexicon (a term listed under several languages
+    * counts for each, same as the join formulation); the argmax is an
+    * `array_max` over (matches, -langIndex) structs — max matches, ties
+    * to the alphabetically-first language, zero matches ⇒ 'und' —
+    * reproducing [[TextAnalysis.langId]]'s windowed-argmax contract
+    * without the window or the second scan.
+    */
+  private def qualityLangOnePass(docs: DataFrame, idCol: String, textCol: String,
+                                 lexicon: Seq[(String, String)]): DataFrame = {
+    val langs = lexicon.map(_._2).distinct.sorted
+    val terms = langs.map(l => l -> lexicon.filter(_._2 == l).map(_._1))
+    val matchSums = terms.map { case (l, ts) =>
+      sum(when(col("term").isin(ts: _*), 1L).otherwise(0L)).cast("long").as(s"__m_$l")
+    }
+    val best = array_max(array(terms.zipWithIndex.map { case ((l, _), i) =>
+      struct(col(s"__m_$l").as("m"), lit(-i).as("ni"))
+    }: _*))
+    val aggCols = Seq(
+      count(lit(1)).cast("long").as("n_tokens"),
+      round(countDistinct(col("term")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("ttr")) ++ matchSums
+    TextAnalysis.tokens(docs, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("__best", best)
+      .withColumn("pred_lang",
+        when(col("__best.m") === 0L, lit("und"))
+          .otherwise(element_at(lit(langs.toArray), (-col("__best.ni")).cast("int") + 1)))
+      .select(col(idCol), col("n_tokens"), col("ttr"), col("pred_lang"))
   }
 
   /** Spend `budget` over `rows` in (ordCol DESC, idCol ASC) order: keep the
