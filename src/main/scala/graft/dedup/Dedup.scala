@@ -44,6 +44,22 @@ object Dedup {
       .groupBy(col("signature"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("n_docs"))
 
+  /** INCREMENTAL exact dedup — the ingestion-time path (the
+    * [[graft.search.BM25Index.incremental]] sibling): survivors of a new
+    * batch against an existing signature store. A batch signature that
+    * already exists in the store is dropped entirely; within the batch the
+    * usual min-id representative wins. One combinable groupBy(signature)
+    * over the BATCH ONLY plus one anti-join against the store's signature
+    * column — the store (at 100 TB: billions of rows, but one narrow
+    * column, bucketed by signature on disk) is probed, never rescanned or
+    * regrouped per batch. Union the survivors' signatures back into the
+    * store to advance it.
+    */
+  def exactIncremental(store: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    exact(batch, idCol, textCol)
+      .join(store.select(col("signature")), Seq("signature"), "left_anti")
+
   /** Distinct word n-gram shingles per document: (doc, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")

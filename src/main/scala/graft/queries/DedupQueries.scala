@@ -40,6 +40,17 @@ object DedupQueries extends QueryPack {
       Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 500),
         "doc_id", "text", n = 3, threshold = 0.5)),
 
+    // Incremental ingestion: every 3rd doc arrives as the new batch, the
+    // rest were already indexed — batch survivors are signatures unseen in
+    // the store, min-id within the batch.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.exact(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .select(col("signature"))
+      Dedup.exactIncremental(store, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)),
@@ -132,6 +143,15 @@ object DedupQueries extends QueryPack {
         |  WHERE a.doc < 500 AND b.doc < 500
         |  GROUP BY a.doc, b.doc)
         |""".stripMargin + jaccardVerify),
+
+    "q_dedup_incremental" ->
+      """WITH store AS (SELECT DISTINCT md5(text) AS signature
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT md5(text) AS signature, MIN(doc_id) AS keep_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY md5(text))
+        |SELECT b.signature, b.keep_id, b.n_docs FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.signature = b.signature)""".stripMargin,
 
     "q_dedup_minhash" -> (shingleCte + minhashOracleCtes(None) + jaccardVerify),
 
