@@ -265,6 +265,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** INCREMENTAL near-dup dedup — [[exactIncremental]]'s SimHash sibling:
+    * a batch doc is dropped when its 32-bit SimHash is within `maxHamming`
+    * of ANY stored signature. Candidates come from the same pigeonhole
+    * byte-band equi-join as [[simHashPairs]], but batch bands probe STORE
+    * bands only — the store (one (doc, simhash) row per corpus doc; write
+    * it bucketed by the band byte) is never re-paired against itself, so
+    * per-batch cost is batch-sized, not corpus-sized. In-batch near-dups
+    * are the separate [[simHashPairs]]+[[clusters]] pass; this operator
+    * answers "is it new vs the corpus so far". Returns surviving
+    * (doc, simhash) rows — union them into the store to advance it.
+    */
+  def simHashIncremental(store: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    val sig = simHash(batch, idCol, textCol)
+    val batchBands = sig
+      .select(col("doc"), col("simhash"), explode(expr("sequence(0, 3)")).as("i"))
+      .withColumn("byte", expr("(simhash >> (8 * i)) & 255"))
+    val storeBands = store
+      .select(col("doc").as("__sdoc"), col("simhash").as("__sh"),
+        explode(expr("sequence(0, 3)")).as("i"))
+      .withColumn("byte", expr("(__sh >> (8 * i)) & 255"))
+    val dup = batchBands.join(storeBands, Seq("i", "byte"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("__sh"))) <= maxHamming)
+      .select(col("doc")).distinct()
+    sig.join(dup, Seq("doc"), "left_anti")
+  }
+
   /** Near-dup CLUSTER resolution: connected components over a pair list,
     * labeling every doc with the minimum doc id reachable through the
     * near-dup relation (its cluster representative). Pairwise dedup output

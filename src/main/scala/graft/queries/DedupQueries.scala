@@ -67,6 +67,15 @@ object DedupQueries extends QueryPack {
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Near-dup incremental ingestion: the batch (every 3rd doc) keeps only
+    // docs whose SimHash is > 3 bits from every stored signature.
+    "q_dedup_incr_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.simHash(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      Dedup.simHashIncremental(store, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", maxHamming = 3)
+    }),
+
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
@@ -166,6 +175,18 @@ object DedupQueries extends QueryPack {
       (shingleCte + minhashOracleCtes(Some(5L)) + jaccardVerify),
 
     "q_simhash" -> (simhashCte() + "SELECT doc, simhash FROM sig"),
+
+    "q_dedup_incr_simhash" -> (simhashCte() +
+      """, bsig AS (SELECT doc, simhash FROM sig WHERE doc % 3 = 0),
+        |ssig AS (SELECT doc AS sdoc, simhash AS sh FROM sig WHERE doc % 3 <> 0),
+        |bb AS (SELECT doc, simhash, i, (simhash >> (8 * i)) & 255 AS byte
+        |  FROM bsig, (VALUES (0), (1), (2), (3)) t(i)),
+        |sb AS (SELECT sdoc, sh, i, (sh >> (8 * i)) & 255 AS byte
+        |  FROM ssig, (VALUES (0), (1), (2), (3)) t(i)),
+        |dup AS (SELECT DISTINCT bb.doc FROM bb JOIN sb USING (i, byte)
+        |  WHERE bit_count(xor(bb.simhash, sb.sh)) <= 3)
+        |SELECT b.doc, b.simhash FROM bsig b
+        |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = b.doc)""".stripMargin),
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
