@@ -15,6 +15,47 @@ object SimilarityQueries extends QueryPack {
     (0 until 8).map(i =>
       s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
+  /** The 128 fixed ±1 SRP hyperplanes as a DuckDB VALUES literal — the SAME
+    * constants [[Similarity.srpPlane]] bakes into the Spark plan, so both
+    * engines project against bit-identical ±1 entries and every signature
+    * bit (a sign of a sequential double sum) is engine-exact.
+    */
+  private val planesSql: String =
+    (0 until Similarity.SrpBits).map { j =>
+      val vals = Similarity.srpPlane(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
+      s"($j, [$vals]::DOUBLE[])"
+    }.mkString("planes AS (SELECT * FROM (VALUES ", ", ", ") p(j, r))")
+
+  /** Shared signature CTEs: per-vector dot against each plane, then the
+    * 4 × 32-bit signature words (bits 0..31 per word — always positive, no
+    * two's-complement edge cases in either engine).
+    */
+  private val sigCtes: String =
+    s"""$planesSql,
+       |dots AS (SELECT e.vec_id, p.j,
+       |    list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), p.r),
+       |      x -> x[1] * x[2])) AS dot
+       |  FROM embeddings e CROSS JOIN planes p),
+       |sig AS (SELECT vec_id,
+       |    bit_or(CASE WHEN j < 32 AND dot > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS w0,
+       |    bit_or(CASE WHEN j BETWEEN 32 AND 63 AND dot > 0 THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END) AS w1,
+       |    bit_or(CASE WHEN j BETWEEN 64 AND 95 AND dot > 0 THEN (1::BIGINT << (j - 64)) ELSE 0::BIGINT END) AS w2,
+       |    bit_or(CASE WHEN j >= 96 AND dot > 0 THEN (1::BIGINT << (j - 96)) ELSE 0::BIGINT END) AS w3
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  private def hamSql(a: String, b: String): String =
+    (0 until 4).map(w => s"bit_count(xor($a.w$w, $b.qw$w))").mkString(" + ")
+
+  /** Single-query SRP top-k oracle at the given Hamming radius. */
+  private def srpTopKSql(radius: Int, k: Int): String =
+    s"""WITH $sigCtes,
+       |q AS (SELECT e.embedding AS qv, s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
+       |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id = 0)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id CROSS JOIN q
+       |WHERE e.vec_id <> 0 AND ${hamSql("s", "q")} <= $radius
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT $k""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""round(
        |  list_sum(list_transform(list_zip(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), x -> x[1] * x[2])) /
@@ -26,8 +67,10 @@ object SimilarityQueries extends QueryPack {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // SRP-LSH (Charikar sketch) at the default probe radius — the ANN path
+    // a user should actually call: avg recall@10 0.88/0.93 (sf0.01/0.1).
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5)),
 
     "q_embedding_stats" -> ((s, dir) =>
@@ -38,11 +81,11 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, nCentroids = 8)),
 
-    // Multi-probe repair for the single-bucket LSH miss mode q_ann_recall
-    // measures: probe the query bucket plus all 8 Hamming-1 buckets.
+    // Same sketch, wider Hamming ball — multi-probe generalized to a radius
+    // expansion (recall ≈ 0.99 at ~42% candidates; the recall/cost knob).
     "q_ann_multiprobe" -> ((s, dir) =>
-      Similarity.annTopKMultiProbe(Tables.embeddings(s, dir), "vec_id",
-        "embedding", queryId = 0L, k = 5)),
+      Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 5, radius = Similarity.SrpRadiusWide)),
 
     // All-pairs cosine is the LABELED BASELINE cross-check for the
     // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
@@ -73,25 +116,45 @@ object SimilarityQueries extends QueryPack {
       Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir),
         "label", "embedding")),
 
-    // MEASURED recall@10 of both ANN methods against the exact brute-force
-    // top-10 — the accuracy/cost tradeoff the operators' Scaladocs claim
-    // analytically, recorded as data: |approx ∩ exact| / k per method.
+    // MEASURED avg recall@10 of each ANN method against exact brute-force
+    // truth, averaged over 20 query vectors — single-query recall is luck
+    // (round 7's audit scored IVF 0.9 on query 0; the 20-query average is
+    // 0.47, while the SRP sketch holds 0.88+). One broadcast of the 20
+    // query signatures, one scored scan shared by truth and both radii.
     "q_ann_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        queryId = 0L, k = 10).select(col("vec_id"))
+      import org.apache.spark.sql.expressions.Window
+      val e = Similarity.srpSignature(Tables.embeddings(s, dir), "embedding")
+      val qs = e.filter(col("vec_id") < 20)
+        .select((col("vec_id").as("qid") +: col("embedding").as("__qv") +:
+          (0 until 4).map(w => col(s"__w$w").as(s"__qw$w"))): _*)
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"),
+          Similarity.srpHamming("__w", "__qw").as("__ham"))
+      def topPerQuery(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)))
+          .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      val truth = topPerQuery(scored)
       def recallOf(method: String, cand: DataFrame): DataFrame =
-        cand.select(col("vec_id")).join(truth, "vec_id")
+        cand.join(truth, Seq("qid", "vec_id"))
           .agg(count(lit(1)).cast("long").as("hits"))
           .select(lit(method).as("method"), col("hits"),
-            lit(10L).as("k"),
-            round(col("hits").cast("double") / 10.0, 6).as("recall"))
-      recallOf("lsh", Similarity.annTopK(e, "vec_id", "embedding",
-          queryId = 0L, k = 10))
-        .unionByName(recallOf("lsh_mp", Similarity.annTopKMultiProbe(e, "vec_id",
-          "embedding", queryId = 0L, k = 10)))
-        .unionByName(recallOf("ivf", Similarity.ivfTopK(e, "vec_id", "embedding",
-          queryId = 0L, k = 10, nCentroids = 8)))
+            lit(20L).as("n_queries"), lit(10L).as("k"),
+            round(col("hits").cast("double") / 200.0, 6).as("avg_recall"))
+      val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nCentroids = 8)
+      val iq = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"), col("cluster"))
+      val ivfCand = assigned.join(broadcast(iq), "cluster")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
+      recallOf("lsh", topPerQuery(scored.filter(col("__ham") <= Similarity.SrpRadius)))
+        .unionByName(recallOf("lsh_mp",
+          topPerQuery(scored.filter(col("__ham") <= Similarity.SrpRadiusWide))))
+        .unionByName(recallOf("ivf", topPerQuery(ivfCand)))
     })
   )
 
@@ -122,12 +185,7 @@ object SimilarityQueries extends QueryPack {
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 
-    "q_ann_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-         |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0)
-         |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
-         |FROM b JOIN q USING (bucket) WHERE vec_id <> 0
-         |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_ann_lsh" -> srpTopKSql(Similarity.SrpRadius, 5),
 
     "q_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
@@ -142,14 +200,7 @@ object SimilarityQueries extends QueryPack {
          |FROM assigned a JOIN q USING (cluster) WHERE a.vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
 
-    "q_ann_multiprobe" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-         |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
-         |probes AS (SELECT qv, xor(bucket, f) AS bucket
-         |  FROM q, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) t(f))
-         |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
-         |FROM b JOIN probes USING (bucket) WHERE vec_id <> 0
-         |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_ann_multiprobe" -> srpTopKSql(Similarity.SrpRadiusWide, 5),
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -193,44 +244,46 @@ object SimilarityQueries extends QueryPack {
          |  $bucketSql AS bucket
          |FROM embeddings""".stripMargin,
 
-    "q_ann_recall" ->
-      s"""WITH truth AS (SELECT vec_id FROM (
-         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
-         |  FROM embeddings, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-         |  WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
-         |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-         |lq AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
-         |lsh AS (SELECT vec_id FROM (
-         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
-         |  FROM b JOIN lq USING (bucket) WHERE vec_id <> 0
-         |  ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
-         |probes AS (SELECT qv, xor(bucket, f) AS bucket
-         |  FROM lq, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) t(f)),
-         |lshmp AS (SELECT vec_id FROM (
-         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
-         |  FROM b JOIN probes USING (bucket) WHERE vec_id <> 0
-         |  ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
+    "q_ann_recall" -> {
+      def method(name: String, cte: String): String =
+        s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
+           |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
+           |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id""".stripMargin
+      s"""WITH $sigCtes,
+         |qs AS (SELECT e.vec_id AS qid, e.embedding AS qv,
+         |    s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id < 20),
+         |scored AS (SELECT q.qid, e.vec_id,
+         |    ${cosSql("e.embedding", "q.qv")} AS cosine, ${hamSql("s", "q")} AS ham
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.qid),
+         |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10),
+         |lsh AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scored WHERE ham <= ${Similarity.SrpRadius}) WHERE rn <= 10),
+         |lshmp AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scored WHERE ham <= ${Similarity.SrpRadiusWide}) WHERE rn <= 10),
          |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
          |sim AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
          |  FROM embeddings e CROSS JOIN cents c),
          |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
          |  FROM sim) WHERE rn = 1),
-         |iq AS (SELECT embedding AS qv, cluster FROM assigned WHERE vec_id = 0),
-         |ivf AS (SELECT vec_id FROM (
-         |  SELECT a.vec_id, ${cosSql("a.embedding", "qv")} AS cosine
-         |  FROM assigned a JOIN iq USING (cluster) WHERE a.vec_id <> 0
-         |  ORDER BY cosine DESC, vec_id ASC LIMIT 10))
-         |SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
-         |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
-         |FROM lsh JOIN truth USING (vec_id)
+         |iq AS (SELECT vec_id AS qid, embedding AS qv, cluster FROM assigned WHERE vec_id < 20),
+         |ivfc AS (SELECT i.qid, a.vec_id, ${cosSql("a.embedding", "i.qv")} AS cosine
+         |  FROM assigned a JOIN iq i ON a.cluster = i.cluster AND a.vec_id <> i.qid),
+         |ivf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM ivfc) WHERE rn <= 10)
+         |${method("lsh", "lsh")}
          |UNION ALL
-         |SELECT 'lsh_mp' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
-         |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
-         |FROM lshmp JOIN truth USING (vec_id)
+         |${method("lsh_mp", "lshmp")}
          |UNION ALL
-         |SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k,
-         |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
-         |FROM ivf JOIN truth USING (vec_id)""".stripMargin
+         |${method("ivf", "ivf")}""".stripMargin
+    }
   )
 }

@@ -70,53 +70,126 @@ object Similarity {
     * dimensions. Pure comparisons — no float arithmetic, bit-exact.
     * Uses null-safe `get` (0-based): vectors shorter than `dims` contribute
     * 0 bits instead of failing under ANSI mode.
+    *
+    * Used for per-vector stats and the bucketed near-dup candidate join;
+    * for ANN retrieval use [[srpTopK]] — axis-aligned sign buckets carry no
+    * similarity guarantee (the round-7 recall audit measured recall@10 ≈ 0
+    * for bucket-equality ANN on this family).
     */
   def signBucket(vecCol: Column, dims: Int = 8): Column =
     (0 until dims).map { i =>
       when(get(vecCol, lit(i)) > lit(0.0f), lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
-  /** Approximate top-k: exact scoring restricted to the query's sign bucket. */
-  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, dims: Int = 8): DataFrame = {
-    GraftFunctions.register(embeddings.sparkSession)
-    val bucketed = embeddings.withColumn("__bucket", signBucket(col(vecCol), dims))
-    val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"), col("__bucket"))
-    bucketed
-      .join(broadcast(q), "__bucket")
-      .filter(col(idCol) =!= queryId)
-      .select(col(idCol),
-        round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+  // ---------------------------------------------------------------------
+  // SRP-LSH (signed random projections, Charikar 2002): the ANN scale path.
+  // ---------------------------------------------------------------------
+
+  /** Number of fixed random hyperplanes in the SRP sketch (4 × 32-bit words). */
+  val SrpBits = 128
+
+  /** Dimensionality the fixed hyperplanes are generated for. */
+  val SrpDims = 64
+
+  /** Default Hamming probe radius for [[srpTopK]] — tuned on the recall
+    * audit: avg recall@10 = 0.88 (sf0.01) / 0.93 (sf0.1) over 20 queries at
+    * ~24% candidate fraction on the near-isotropic test corpus.
+    */
+  val SrpRadius = 58
+
+  /** Wide ("multi-probe") radius: avg recall@10 ≈ 0.99 at ~42% candidates —
+    * the recall/cost knob turned toward recall.
+    */
+  val SrpRadiusWide = 62
+
+  /** Deterministic ±1 hyperplane entry for flat index `s` — a 3-round
+    * multiply–xorshift mix over 31-bit state (all intermediates < 2⁶³, so
+    * the identical arithmetic is expressible in any SQL engine's BIGINT).
+    *
+    * Why this and not an LCG: round 7 shipped sign buckets whose measured
+    * recall was ~0, and the diagnosis was NOT the LSH family but entry
+    * correlation — consecutive seeds through a single LCG step leave the
+    * ±1 matrix rank-deficient (observed: true neighbors at Hamming 90/128
+    * when E[H] = 128·θ/π ≈ 50, an 7σ impossibility under independent
+    * planes). The 3-round mix restores the Charikar bound empirically:
+    * corpus Hamming std 7.4 vs the iid-theory 5.7.
+    */
+  private def srpSign(s: Long): Float = {
+    val m = 1L << 31
+    var v = s + 1
+    v = (v * 2654435761L) % m; v ^= v >> 16
+    v = (v * 2246822519L) % m; v ^= v >> 13
+    v = (v * 3266489917L) % m; v ^= v >> 16
+    if ((v & 1L) == 1L) 1.0f else -1.0f
   }
 
-  /** Multi-probe sign-LSH ANN: exact rerank over the query's bucket PLUS
-    * every bucket at Hamming distance 1 from it in sign-bit space — the
-    * standard recall repair for the single-bucket miss mode `q_ann_recall`
-    * measures (recall 0 when every true neighbor's sign pattern differs
-    * from the query's in ≥1 bit). Candidate cost grows to (dims+1)/2^dims
-    * of the corpus; the probe set is a broadcast exploded list, so the
-    * plan stays ONE equi-join — no fanout scan, no inequality join. Each
-    * vector lives in exactly one bucket and probe buckets are distinct,
-    * so candidates are produced once (no dedup step needed).
+  /** Hyperplane `j` as a ±1 float vector (deterministic, fixed seed). */
+  def srpPlane(j: Int, dims: Int = SrpDims): Array[Float] =
+    Array.tabulate(dims)(i => srpSign(j.toLong * dims + i))
+
+  /** SQL literal for hyperplane `j` as a float array — interpolated into
+    * both the Spark plan and the DuckDB oracle so the two engines project
+    * against bit-identical constants.
     */
-  def annTopKMultiProbe(embeddings: DataFrame, idCol: String, vecCol: String,
-                        queryId: Long, k: Int, dims: Int = 8): DataFrame = {
+  private def planeFloatArraySql(j: Int): String =
+    srpPlane(j).map(v => if (v > 0) "1.0D" else "-1.0D")
+      .mkString("CAST(array(", ",", ") AS ARRAY<FLOAT>)")
+
+  /** One 32-bit signature word: bit b set iff dot(vec, plane[word*32+b]) > 0.
+    * Each dot is the codegen'd [[graft.expressions.FloatVecDot]] against a
+    * ±1 literal — products are exact sign flips, and the sequential double
+    * sum is bit-identical to the oracle's list_sum, so the sign (and hence
+    * every signature bit) is engine-exact. Bits live in 0..31 per word:
+    * values stay positive, no two's-complement edge cases in either engine.
+    */
+  def srpWord(vecCol: String, word: Int): Column =
+    (0 until 32).map { b =>
+      val j = word * 32 + b
+      when(expr(s"graft_dot($vecCol, ${planeFloatArraySql(j)})") > lit(0.0),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Attach the 128-bit SRP signature as four bigint words `w0..w3`.
+    * At 100 TB this is the column you persist once next to the embedding:
+    * 32 bytes/row vs 256 for the raw vector, and every subsequent query
+    * filters on the sketch before touching the vectors.
+    */
+  def srpSignature(embeddings: DataFrame, vecCol: String): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val bucketed = embeddings.withColumn("__bucket", signBucket(col(vecCol), dims))
-    val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"), col("__bucket"))
-    val flips = lit(0) +: (0 until dims).map(i => lit(1 << i))
-    val probes = q
-      .select(col("__qv"), col("__bucket"), explode(array(flips: _*)).as("__flip"))
-      .select(col("__qv"), col("__bucket").bitwiseXOR(col("__flip")).as("__bucket"))
-    bucketed
-      .join(broadcast(probes), "__bucket")
-      .filter(col(idCol) =!= queryId)
-      .select(col(idCol),
-        round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
+    (0 until 4).foldLeft(embeddings) { (df, w) =>
+      df.withColumn(s"__w$w", srpWord(vecCol, w))
+    }
+  }
+
+  /** Hamming distance between two 4-word signatures — `bit_count(xor)` per
+    * word, pure integer codegen.
+    */
+  def srpHamming(aPrefix: String, bPrefix: String): Column =
+    (0 until 4).map(w => expr(s"bit_count($aPrefix$w ^ $bPrefix$w)")).reduce(_ + _)
+
+  /** SRP-LSH approximate top-k: candidates are every vector whose 128-bit
+    * sketch lies within Hamming `radius` of the query's, reranked exactly.
+    * E[Hamming] = SrpBits·θ/π (Charikar), so the radius is a direct angular
+    * cutoff; probing a Hamming ball generalizes bucket multi-probe — on a
+    * corpus whose true neighbors sit at θ ≈ 68–75° (this one), exact-bucket
+    * matching of ANY bit subset has vanishing collision probability, while
+    * the radius scan keeps avg recall@10 ≥ 0.88 at ~24% candidate fraction
+    * (measured by `q_ann_recall` over 20 queries, both SFs).
+    *
+    * Scale shape: one broadcast of the query signature, one scan that reads
+    * (id, w0..w3) — 4 xor+popcount per row, no shuffle — and exact cosine
+    * only on survivors, then TakeOrdered. The sketch column also bands into
+    * a partition key (any word = a 32-bit band) when the table is written
+    * bucketed; the predicate itself needs no index.
+    */
+  def srpTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, radius: Int = SrpRadius): DataFrame = {
+    val sigs = srpSignature(embeddings, vecCol)
+    val q = sigs.filter(col(idCol) === queryId)
+      .select((col(vecCol).as("__qv") +: (0 until 4).map(w => col(s"__w$w").as(s"__qw$w"))): _*)
+    sigs.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId && srpHamming("__w", "__qw") <= radius)
+      .select(col(idCol), round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }

@@ -29,23 +29,53 @@ class SimilaritySpec extends SparkSpec {
     assert(order == Seq(1L, 4L, 2L, 3L))
   }
 
-  test("ann restricts candidates to the query's sign bucket") {
-    val ann = Similarity.annTopK(vecs, "vec_id", "embedding", 0L, 10, dims = 4)
-      .collect().map(_.getLong(0)).toSet
-    // bucket(query)=bit0 → ids 1 (identical) and 4 (bit0|bit1 differs!) —
-    // vec 4 has dims 0 and 1 positive → different bucket; only vec 1 shares.
-    assert(ann == Set(1L))
+  // deterministic 64-dim fixtures for the SRP sketch (planes are fixed for
+  // SrpDims=64): a base direction, its copy, its negation, and a vector
+  // orthogonal to it (disjoint support)
+  private lazy val srpVecs = {
+    val base = Array.tabulate(64)(i =>
+      if (i < 32) math.sin(i + 1).toFloat else 0.0f)
+    val ortho = Array.tabulate(64)(i =>
+      if (i >= 32) math.cos(i + 1).toFloat else 0.0f)
+    Seq(
+      (0L, base),
+      (1L, base.clone()),          // identical: Hamming 0
+      (2L, base.map(-_)),          // antipodal: every plane sign flips
+      (3L, ortho)                  // orthogonal: Hamming ≈ SrpBits/2
+    ).toDF("vec_id", "embedding")
   }
 
-  test("multi-probe ann ⊇ single-bucket ann; Hamming-1 buckets recover near misses") {
-    val single = Similarity.annTopK(vecs, "vec_id", "embedding", 0L, 10, dims = 4)
-      .collect().map(_.getLong(0)).toSet
-    val multi = Similarity.annTopKMultiProbe(vecs, "vec_id", "embedding", 0L, 10,
-      dims = 4).collect().map(_.getLong(0)).toSet
-    assert(single.subsetOf(multi))
-    // vec 4 (dims 0,1 positive) sits one sign bit from the query's bucket —
-    // invisible to the single probe, recovered by the Hamming-1 ring
-    assert(multi.contains(4L) && !single.contains(4L))
+  test("srp sketch Hamming estimates angle: 0 for identical, SrpBits for antipodal, ~half for orthogonal") {
+    val sigs = Similarity.srpSignature(srpVecs, "embedding")
+    val ham = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.vec_id") === 0L)
+      .select(col("b.vec_id"),
+        (0 until 4).map(w =>
+          expr(s"bit_count(a.__w$w ^ b.__w$w)")).reduce(_ + _).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ham(1L) == 0)
+    assert(ham(2L) == Similarity.SrpBits)
+    // E[H] = 128·(π/2)/π = 64 for orthogonal vectors; allow ±4σ (σ≈5.7)
+    assert(ham(3L) > 40 && ham(3L) < 88, s"orthogonal Hamming was ${ham(3L)}")
+  }
+
+  test("srpTopK: radius 0 finds the identical vector only; full radius = brute force") {
+    val exactOnly = Similarity.srpTopK(srpVecs, "vec_id", "embedding", 0L, 10,
+      radius = 0).collect().map(_.getLong(0)).toSet
+    assert(exactOnly == Set(1L))
+    val all = Similarity.srpTopK(srpVecs, "vec_id", "embedding", 0L, 10,
+      radius = Similarity.SrpBits).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(srpVecs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == brute)
+  }
+
+  test("srpTopK: wider radius candidates are a superset (monotone recall knob)") {
+    val narrow = Similarity.srpTopK(srpVecs, "vec_id", "embedding", 0L, 10,
+      radius = Similarity.SrpRadius).collect().map(_.getLong(0)).toSet
+    val wide = Similarity.srpTopK(srpVecs, "vec_id", "embedding", 0L, 10,
+      radius = Similarity.SrpRadiusWide).collect().map(_.getLong(0)).toSet
+    assert(narrow.subsetOf(wide))
   }
 
   test("bucketed near-dup pairs: precision exact, recall = same-bucket subset") {
