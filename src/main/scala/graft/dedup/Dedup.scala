@@ -279,6 +279,13 @@ object Dedup {
   def simHashIncremental(store: DataFrame, batch: DataFrame,
                          idCol: String, textCol: String,
                          maxHamming: Int = 3): DataFrame = {
+    // the 4-byte-band pigeonhole only GUARANTEES candidate generation for
+    // hamming <= 3 (4 bands, so <=3 flipped bits leave one band intact);
+    // beyond that the stated "within maxHamming of ANY stored signature"
+    // contract silently loses recall — reject rather than under-deliver
+    require(maxHamming <= 3,
+      s"simHashIncremental guarantees recall only for maxHamming <= 3 " +
+        s"(got $maxHamming); use more/narrower bands for larger radii")
     val sig = simHash(batch, idCol, textCol)
     val batchBands = sig
       .select(col("doc"), col("simhash"), explode(expr("sequence(0, 3)")).as("i"))

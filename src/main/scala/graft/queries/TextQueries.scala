@@ -288,9 +288,13 @@ object TextQueries extends QueryPack {
     // same ratios), broadcast as a dim table.
     "q_mixture_weighted" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // try_cast + coalesce(0): a source not shaped like 'srcN' gets
+      // parts = 0 (excluded) on BOTH engines instead of a NULL that the
+      // Spark side coalesces but the oracle would propagate
       val parts = docs.select(col("source")).distinct()
         .select(col("source"),
-          (expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).as("parts"))
+          coalesce(expr("TRY_CAST(substring(source, 4) AS BIGINT)") % 4 + 1,
+            lit(0L)).as("parts"))
       Curation.mixturePlanWeighted(docs, "source", "text", parts)
     }),
 
@@ -769,7 +773,7 @@ object TextQueries extends QueryPack {
         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |wp AS (SELECT source, n_tokens,
-        |    CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT) AS parts
+        |    CAST(coalesce(TRY_CAST(substr(source, 4) AS BIGINT) % 4 + 1, 0) AS BIGINT) AS parts
         |  FROM ns),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
         |    CAST(SUM(parts) AS BIGINT) AS p FROM wp)

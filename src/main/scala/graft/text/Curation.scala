@@ -31,11 +31,9 @@ object Curation {
 
   def curate(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
              lang: String, minTtr: Double, tokenBudget: Long,
-             stopwords: Seq[String] = Lexicons.enStop,
              lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame = {
     val keep = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
-    curateFrom(spark, docs, keep, idCol, textCol, lang, minTtr, tokenBudget,
-      stopwords, lexicon)
+    curateFrom(spark, docs, keep, idCol, textCol, lang, minTtr, tokenBudget, lexicon)
   }
 
   /** [[curate]] with NEAR-dup cluster dedup instead of exact: survivors are
@@ -47,19 +45,16 @@ object Curation {
   def curateNearDup(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, lang: String, minTtr: Double,
                     tokenBudget: Long,
-                    stopwords: Seq[String] = Lexicons.enStop,
                     lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame = {
     val keep = Dedup.clusters(docs, idCol,
         Dedup.simHashPairs(docs, idCol, textCol, maxHamming = 3))
       .filter(col("kept")).select(col(idCol))
-    curateFrom(spark, docs, keep, idCol, textCol, lang, minTtr, tokenBudget,
-      stopwords, lexicon)
+    curateFrom(spark, docs, keep, idCol, textCol, lang, minTtr, tokenBudget, lexicon)
   }
 
   private def curateFrom(spark: SparkSession, docs: DataFrame, keep: DataFrame,
                          idCol: String, textCol: String, lang: String,
                          minTtr: Double, tokenBudget: Long,
-                         stopwords: Seq[String],
                          lexicon: Seq[(String, String)]): DataFrame = {
     val filtered = keep
       .join(qualityLangOnePass(docs, idCol, textCol, lexicon), idCol)
@@ -133,9 +128,11 @@ object Curation {
     val probs = array((1 until nRanges).map(i => lit(i.toDouble / nRanges)): _*)
     val bounds = rows.agg(
       percentile_approx(col(ordCol), probs, lit(1000)).as("__bounds"))
+    // Column-API lambda (not string interpolation) so ordCol names that
+    // need quoting or collide with SQL keywords still resolve correctly
     val ranged = rows.crossJoin(broadcast(bounds))
       .withColumn("__rng",
-        expr(s"size(filter(__bounds, b -> b > $ordCol))").cast("long"))
+        size(filter(col("__bounds"), b => b > col(ordCol))).cast("long"))
       .drop("__bounds")
     val perRange = ranged.groupBy(col("__rng"))
       .agg(sum(col(tokCol)).cast("long").as("__rng_tokens"))
@@ -159,20 +156,51 @@ object Curation {
     * deterministic md5-hash order until the planned token budget is
     * filled. Hash order = an unbiased, reproducible shuffle (same idiom
     * as stratified sampling — no rand()); the cumulative cutoff is exact
-    * integer arithmetic over a per-source sorted window. Returns the
-    * surviving (source, doc, n_tokens, cum_tokens) rows.
+    * integer arithmetic. Returns the surviving
+    * (source, doc, n_tokens, cum_tokens) rows.
+    *
+    * Scale shape: the per-source running sum is the [[budgetCutoff]]
+    * two-phase range-partitioned quota, NOT a per-source global window —
+    * with ~10 sources at 100 TB a `Window.partitionBy(source)` funnels the
+    * whole corpus through 10 window partitions, the exact skew
+    * `budgetCutoff` was built to kill. Here the range id needs no
+    * histogram pass: md5 is uniform by construction, so the first hash
+    * byte buckets rows into `nRanges` equal ranges, and lowercase-hex
+    * lexicographic order refines (prefix-byte, full-hash) order, so
+    * equal-range rows can never straddle a boundary. Per-(source, range)
+    * subtotals become cumulative offsets (a window over the ≤
+    * sources×nRanges aggregate rows, not the corpus), ranges whose offset
+    * already exceeds the source's plan are pruned BEFORE the sort, and
+    * within-range running sum + offset reproduces the per-source
+    * cumulative sum exactly (property-tested against the naive window).
     */
   def mixtureSample(docs: DataFrame, groupCol: String, idCol: String,
-                    textCol: String): DataFrame = {
+                    textCol: String, nRanges: Int = 32): DataFrame = {
+    require(nRanges >= 1 && nRanges <= 256,
+      "nRanges must be in [1, 256] (ranges come from the first hash byte)")
     val plan = mixturePlan(docs, groupCol, textCol)
       .select(col(groupCol), col("planned_tokens"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    docs
+    val toks = docs
       .select(col(groupCol), col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__rng",
+        expr(s"CAST(conv(substring(__h, 1, 2), 16, 10) AS BIGINT) * $nRanges DIV 256"))
+    val offsets = toks.groupBy(col(groupCol), col("__rng"))
+      .agg(sum(col("n_tokens")).cast("long").as("__rt"))
+      .withColumn("__tokens_before", coalesce(
+        sum(col("__rt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__rng").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__rng"), col("__tokens_before"))
+    val w = Window.partitionBy(col(groupCol), col("__rng"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    toks
+      .join(broadcast(offsets), Seq(groupCol, "__rng"))
       .join(broadcast(plan), groupCol)
+      .filter(col("__tokens_before") <= col("planned_tokens"))
+      .withColumn("cum_tokens",
+        col("__tokens_before") + sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= col("planned_tokens"))
       .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }

@@ -231,4 +231,38 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq == expected, s"budget=$budget rows=${rows.take(5)}...")
     }
   }
+
+  test("mixtureSample ≡ naive per-source global-window prefix (any nRanges, any partitioning)") {
+    val docGen = Gen.listOfN(60, for {
+      id  <- Gen.chooseNum(0L, 999L)
+      src <- Gen.oneOf("src1", "src2", "src3")
+      n   <- Gen.chooseNum(1, 8)
+    } yield (id, src, (1 to n).map(k => s"t$k").mkString(" ")))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    samples(docGen, 5).zipWithIndex.foreach { case (raw, i) =>
+      val rows = raw.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "source", "text").repartition(5)
+      val nRanges = Seq(1, 4, 32, 256)(i % 4)
+      val got = graft.text.Curation.mixtureSample(df, "source", "doc_id", "text",
+          nRanges = nRanges)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // reference semantics: per source, one global (md5 asc, id asc)
+      // running sum cut at the uniform-plan budget
+      val total = rows.map(_._3.split(" ").length.toLong).sum
+      val target = total / rows.map(_._2).distinct.length
+      val expected = rows.groupBy(_._2).flatMap { case (src, ds) =>
+        val planned = math.min(ds.map(_._3.split(" ").length.toLong).sum, target)
+        var cum = 0L
+        ds.sortBy(d => (md5hex(d._1.toString), d._1)).flatMap { d =>
+          val n = d._3.split(" ").length.toLong
+          cum += n
+          if (cum <= planned) Some((src, d._1, n, cum)) else None
+        }
+      }.toSet
+      assert(got == expected, s"nRanges=$nRanges rows=${rows.take(5)}...")
+    }
+  }
 }

@@ -49,6 +49,35 @@ class PlanHealthSpec extends SparkSpec {
     assert(!p.contains("Window"), "assignment regressed to a windowed argmax")
   }
 
+  test("q_mixture_sample: corpus running sum is range-partitioned, never per-source-only") {
+    val exec = SparkEntry.queries("q_mixture_sample")(spark, sf)
+      .queryExecution.executedPlan
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match { case w: WindowExec => Seq(w); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+        case _ => p.children
+      }
+      here ++ (kids ++ p.subqueries).flatMap(windows)
+    }
+    val ws = windows(exec)
+    assert(ws.nonEmpty, "expected window operators in the quota plan")
+    // the corpus-facing cumulative sum must partition by (source, __rng);
+    // a window partitioned by source alone may only run over the tiny
+    // per-range aggregate (i.e. its subtree must contain an aggregation)
+    ws.foreach { w =>
+      if (w.partitionSpec.size < 2) {
+        val aggBelow = w.collectLeaves().nonEmpty &&
+          w.toString.contains("HashAggregate")
+        assert(aggBelow,
+          s"per-source window over raw rows (no range pre-prune):\n$w")
+      }
+    }
+    assert(ws.exists(_.partitionSpec.size >= 2),
+      "no range-partitioned running sum found — quota regressed to a per-source window")
+  }
+
   test("q_window_dedup: rank-limit pushed below the shuffle (WindowGroupLimit)") {
     val p = plan("q_window_dedup")
     assert(p.contains("WindowGroupLimit"))
