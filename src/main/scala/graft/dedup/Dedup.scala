@@ -247,8 +247,16 @@ object Dedup {
     * pigeonhole guarantee.)
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sig = simHash(docs, idCol, textCol).persist()
+                   maxHamming: Int = 3): DataFrame =
+    simHashPairsFromSig(simHash(docs, idCol, textCol).persist(), maxHamming)
+
+  /** [[simHashPairs]] over an EXISTING (doc, simhash) signature table —
+    * the serving split: five of the suite's queries consume the same
+    * near-dup graph, and a production pipeline persists the signatures
+    * once ([[SimHashStore]]) instead of re-hashing the corpus per
+    * consumer.
+    */
+  def simHashPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = sig.select(col("doc"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("i"))
       .withColumn("byte", expr("(simhash >> (8 * i)) & 255"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SimHashStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions.{col, levenshtein}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -76,8 +76,11 @@ object DedupQueries extends QueryPack {
         "doc_id", "text", maxHamming = 3)
     }),
 
+    // Pairs mined from the PERSISTED signature store (build-once split,
+    // like the BM25 serving index) — four suite queries consume this same
+    // near-dup graph, and none of them re-hashes the corpus.
     "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.simHashPairsFromSig(SimHashStore.ensureBuilt(s, dir),
         maxHamming = 3)),
 
     // Edit-distance verification layered on the LSH candidates: the exact
@@ -102,7 +105,7 @@ object DedupQueries extends QueryPack {
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.clusters(docs, "doc_id",
-        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
+        Dedup.simHashPairsFromSig(SimHashStore.ensureBuilt(s, dir), maxHamming = 3))
     }),
 
     // Same contract and oracle as q_dedup_clusters, computed by the
@@ -112,7 +115,7 @@ object DedupQueries extends QueryPack {
     "q_dedup_clusters_ls" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.clustersAlternating(docs, "doc_id",
-        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
+        Dedup.simHashPairsFromSig(SimHashStore.ensureBuilt(s, dir), maxHamming = 3))
     }),
 
     // Span-level dedup audit: per doc, the fraction of its distinct 8-token
@@ -123,11 +126,9 @@ object DedupQueries extends QueryPack {
 
     // Degree distribution of the SimHash near-dup graph — the pre-cluster
     // skew audit (power-law tail ⇒ large-star/guardrail territory).
-    "q_dedup_degree" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+    "q_dedup_degree" -> ((s, dir) =>
       Dedup.degreeDistribution(
-        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
-    }),
+        Dedup.simHashPairsFromSig(SimHashStore.ensureBuilt(s, dir), maxHamming = 3))),
 
     // Benchmark decontamination: every 50th doc plays the eval set; the
     // rest of the corpus is swept for 5-gram overlap with it.

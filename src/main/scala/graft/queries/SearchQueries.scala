@@ -45,6 +45,47 @@ object SearchQueries extends QueryPack {
   private val bm25Cte = "WITH " + bm25FieldCte("text", "") + ",\n" +
     "top10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n"
 
+  /** Derived field for the UAX-analyzer query: every 10th doc gains a URL,
+    * an @mention and a possessive — the token shapes the whitespace
+    * analyzer shatters and UAX29URLEmailTokenizer keeps whole. Both engines
+    * derive it identically, so the scoring is hash-checkable.
+    */
+  private val UaxSuffix =
+    " spark's docs at https://spark.apache.org/docs by @user1"
+  private val UaxFieldSql =
+    s"text || CASE WHEN doc_id % 10 = 0 THEN ' ${UaxSuffix.trim.replace("'", "''")}' ELSE '' END"
+  private val UaxQueryTerms: Seq[String] =
+    Seq("https://spark.apache.org/docs", "@user1", "spark")
+
+  /** UAX-analyzer BM25 CTE chain: [[bm25FieldCte]] with
+    * [[graft.search.BM25.UaxPattern]] tokenization (regexp_extract_all is
+    * RE2 in DuckDB, leftmost-first like Java regex on this
+    * lookaround-free alternation) and the ClassicFilter possessive strip.
+    */
+  private def bm25UaxCte(fieldSql: String): String = {
+    // same pattern constant the Spark plan uses; SQL-quote apostrophes
+    val pat = graft.search.BM25.UaxPattern.replace("'", "''")
+    val termList = graft.search.BM25.analyzeUax(UaxQueryTerms)
+      .map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    raw"""toks AS (SELECT doc, regexp_replace(raw, '''s$$', '') AS term FROM (
+         |    SELECT doc_id AS doc, unnest(regexp_extract_all(lower($fieldSql), '$pat', 1)) AS raw
+         |    FROM documents) WHERE length(raw) > 0),
+         |dl AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks GROUP BY doc),
+         |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl),
+         |tf AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+         |  WHERE term IN ($termList) GROUP BY doc, term),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT t.doc, round(SUM(
+         |    ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
+         |    (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)))
+         |  ), 6) AS score
+         |  FROM tf t JOIN dfreq d USING (term) JOIN dl USING (doc)
+         |  CROSS JOIN corpus c
+         |  GROUP BY t.doc)""".stripMargin
+  }
+
   /** The stand-in OCR field for the multi-field oracle: a deterministic
     * derivation both engines can compute (every 20th doc "contains an image
     * whose OCR text matches the query"; all others carry their lang tag).
@@ -60,6 +101,16 @@ object SearchQueries extends QueryPack {
     // ad-hoc path (tokenizes the corpus; right for one-off queries).
     "q_keyword_bm25" -> ((s, dir) =>
       BM25.scoreTopK(Tables.documents(s, dir), "doc_id", "text", QueryTerms, k = 10)),
+
+    // Lucene-analyzer parity (`SolrFieldType.java:39-45`): the UAX#29-style
+    // tokenizer keeps URLs/@mentions whole and folds possessives, so a
+    // query FOR a URL matches only docs carrying it as one token.
+    "q_keyword_uax" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("uax_text",
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0, lit(UaxSuffix)).otherwise(lit(""))))
+      BM25.scoreTopKUax(docs, "doc_id", "uax_text", UaxQueryTerms, k = 10)
+    }),
 
     // Same query served from the persistent index (`SolrIndexer.java:47-59`
     // — Solr never re-analyzes per query). Build-once-if-absent, then every
@@ -123,6 +174,10 @@ object SearchQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_keyword_bm25" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    "q_keyword_uax" -> ("WITH " + bm25UaxCte(UaxFieldSql) +
+      ",\ntop10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n" +
+      "SELECT doc, score FROM top10"),
 
     // Serving path must produce the SAME ranking as the ad-hoc path.
     "q_keyword_bm25_served" -> (bm25Cte + "SELECT doc, score FROM top10"),

@@ -327,8 +327,10 @@ object TextQueries extends QueryPack {
     // The oracle composes the clusters transitive closure with the
     // curation chain, so both curate entry points are hash-gated.
     "q_curation_neardup" -> ((s, dir) =>
-      Curation.curateNearDup(s, Tables.documents(s, dir), "doc_id", "text",
-        lang = "en", minTtr = 0.5, tokenBudget = 2500L)),
+      Curation.curateNearDupPairs(s, Tables.documents(s, dir),
+        graft.dedup.Dedup.simHashPairsFromSig(
+          graft.dedup.SimHashStore.ensureBuilt(s, dir), maxHamming = 3),
+        "doc_id", "text", lang = "en", minTtr = 0.5, tokenBudget = 2500L)),
 
     // BPE merge REPLAY (Bpe.tokenize) with a fixed ranked merge list —
     // the distributed encode loop oracle-gated end-to-end: per round every

@@ -69,6 +69,46 @@ object BM25 {
     queryTerms.map(_.toLowerCase.replaceAll("[^a-z0-9]", ""))
       .filter(_.nonEmpty).distinct
 
+  /** UAX#29-flavored token pattern — the reference indexes with Lucene's
+    * ClassicTokenizer / UAX29URLEmailTokenizer
+    * (`SolrTemplates/SolrFieldType.java:39-45`), under which URLs, emails
+    * and @mentions/#hashtags survive as SINGLE tokens — exactly the shapes
+    * a Twitter corpus is full of and the whitespace analyzer shatters.
+    * Re-expressed as a leftmost-first regex alternation (public Unicode
+    * UAX#29 word-boundary spec + Lucene's URL/email extension):
+    * URL | email | mention/hashtag | word (interior apostrophes kept,
+    * trailing possessive 's stripped afterwards = ClassicFilter).
+    * RE2-compatible (no lookaround/backreferences) so the DuckDB oracle
+    * runs the byte-identical pattern.
+    */
+  val UaxPattern: String =
+    "(https?://[^\\s]+" +
+      "|[a-z0-9._%+-]+@[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?" +
+      "|[@#][a-z0-9_]+" +
+      "|[a-z0-9]+(?:'[a-z0-9]+)*)"
+
+  /** [[tokens]] with the UAX#29-style analyzer — selectable per field via
+    * [[scoreAllUax]]/[[scoreTopKUax]].
+    */
+  def tokensUax(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(regexp_extract_all(lower(col(textCol)), lit(UaxPattern), lit(1)))
+          .as("__raw"))
+      .select(col("doc"), regexp_replace(col("__raw"), "'s$", "").as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Query-side UAX analyzer: lowercase, keep the first UAX token of each
+    * input term (so "https://spark.apache.org/docs" stays whole), strip the
+    * possessive — mirroring [[tokensUax]] exactly.
+    */
+  def analyzeUax(queryTerms: Seq[String]): Seq[String] = {
+    val p = java.util.regex.Pattern.compile(UaxPattern)
+    queryTerms.map(_.toLowerCase).flatMap { t =>
+      val m = p.matcher(t)
+      if (m.find()) Some(m.group(1).replaceAll("'s$", "")) else None
+    }.filter(_.nonEmpty).distinct
+  }
+
   /** Lucene's BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)). */
   def idfExpr(n: Column, df: Column): Column =
     log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
@@ -83,14 +123,24 @@ object BM25 {
     * this field only — per-field stats, as Lucene keeps them.
     */
   def scoreAll(docs: DataFrame, idCol: String, textCol: String,
-               queryTerms: Seq[String]): DataFrame = {
-    val terms = analyze(queryTerms)
+               queryTerms: Seq[String]): DataFrame =
+    scoreAllTokens(tokens(docs, idCol, textCol), analyze(queryTerms))
+
+  /** [[scoreAll]] under the UAX#29-style analyzer — URLs/emails/@mentions
+    * match as single terms, possessives fold onto their stem.
+    */
+  def scoreAllUax(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String]): DataFrame =
+    scoreAllTokens(tokensUax(docs, idCol, textCol), analyzeUax(queryTerms))
+
+  /** Shared scoring core over an analyzed (doc, term) token stream.
+    * ONE tokenize pass + ONE groupBy(doc): the doc length and every
+    * query-term tf come out of the same aggregation as conditional
+    * counts, then unpivot to (doc, term, tf). Halves the scan/shuffle of
+    * the separate doc-length + tf formulation.
+    */
+  private def scoreAllTokens(toks: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "no query terms survive analysis")
-    // ONE tokenize pass + ONE groupBy(doc): the doc length and every
-    // query-term tf come out of the same aggregation as conditional
-    // counts, then unpivot to (doc, term, tf). Halves the scan/shuffle of
-    // the separate doc-length + tf formulation.
-    val toks = tokens(docs, idCol, textCol)
     val termAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1).otherwise(0)).cast("double").as(s"__tf_$i")
     }
@@ -99,8 +149,13 @@ object BM25 {
     val corpus = wide.agg(
       count(lit(1)).cast("double").as("n"),
       (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
+    // UAX terms may carry quotes/backslashes — escape for the stack()
+    // literal (the classic analyzer's [a-z0-9]-only terms pass unchanged)
     val stackArgs = terms.zipWithIndex
-      .map { case (t, i) => s"'$t', __tf_$i" }.mkString(", ")
+      .map { case (t, i) =>
+        val esc = t.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$esc', __tf_$i"
+      }.mkString(", ")
     val tf = wide.select(col("doc"), col("len"),
         expr(s"stack(${terms.size}, $stackArgs) AS (term, tf)"))
       .filter(col("tf") > 0)
@@ -121,6 +176,13 @@ object BM25 {
   def scoreTopK(docs: DataFrame, idCol: String, textCol: String,
                 queryTerms: Seq[String], k: Int): DataFrame =
     scoreAll(docs, idCol, textCol, queryTerms)
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+
+  /** [[scoreTopK]] under the UAX#29-style analyzer. */
+  def scoreTopKUax(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], k: Int): DataFrame =
+    scoreAllUax(docs, idCol, textCol, queryTerms)
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
 

@@ -1,6 +1,6 @@
 package graft.search
 
-import graft.util.Tables
+import graft.util.{Stamp, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -207,37 +207,16 @@ object BM25Index {
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
-  /** Cheap staleness stamp for a source parquet dir: (name, size, mtime) of
-    * every file — filesystem metadata only, no data scan. A regenerated
-    * corpus at the same path changes the stamp and forces a rebuild.
-    */
-  private def sourceStamp(sfDir: String): String = {
-    val dir = Paths.get(sfDir, "documents.parquet")
-    val files =
-      if (Files.isDirectory(dir)) {
-        val s = Files.list(dir)
-        try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
-        finally s.close()
-      } else Seq(dir)
-    files.filter(Files.exists(_)).sortBy(_.getFileName.toString)
-      .map(p => s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-      .mkString("\n")
-  }
-
   /** Build-if-absent-or-stale for a testdata documents corpus; returns the
     * index dir. Freshness = the stored source stamp matches the corpus
     * files' current metadata (not a bare _SUCCESS check).
     */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
     val dest = defaultDir(sfDir)
-    val stampFile = Paths.get(dest, "source_stamp.txt")
-    val stamp = sourceStamp(sfDir)
-    val fresh = isBuilt(dest) && Files.exists(stampFile) &&
-      Files.readString(stampFile) == stamp
-    if (!fresh) {
+    val stamp = Stamp.sourceStamp(sfDir)
+    if (!(isBuilt(dest) && Stamp.isFresh(dest, stamp))) {
       build(Tables.documents(spark, sfDir), "doc_id", "text", dest)
-      Files.createDirectories(stampFile.getParent)
-      Files.writeString(stampFile, stamp)
+      Stamp.write(dest, stamp)
     }
     dest
   }
@@ -250,10 +229,8 @@ object BM25Index {
     */
   def ensureBuiltIncremental(spark: SparkSession, sfDir: String): String = {
     val dest = defaultDir(sfDir) + "__incr"
-    val stampFile = Paths.get(dest, "source_stamp.txt")
-    val stamp = sourceStamp(sfDir)
-    val fresh = isBuilt(dest) && Files.exists(stampFile) &&
-      Files.readString(stampFile) == stamp &&
+    val stamp = Stamp.sourceStamp(sfDir)
+    val fresh = isBuilt(dest) && Stamp.isFresh(dest, stamp) &&
       Files.isDirectory(Paths.get(dest, "segments"))
     if (!fresh) {
       deleteRecursively(Paths.get(dest))
@@ -261,8 +238,7 @@ object BM25Index {
       build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", dest)
       appendSegment(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
         dest, "seg-00001")
-      Files.createDirectories(stampFile.getParent)
-      Files.writeString(stampFile, stamp)
+      Stamp.write(dest, stamp)
     }
     dest
   }

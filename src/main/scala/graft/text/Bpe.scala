@@ -26,12 +26,37 @@ object Bpe {
   /** Learn `nMerges` merges from the corpus. Returns (rank, left, right,
     * merged, count) in merge order; stops early if no pair repeats.
     * Deterministic: the argmax pair tiebreaks (count desc, left, right).
-    * Per round: one combinable pair-count aggregation, ONE collected row
-    * (the argmax pair — a scalar per round, the same driver-side footprint
-    * as a k-means centroid update), and one fold-rewrite projection.
+    *
+    * BATCHED (round 8): instead of one Spark job per merge, each round
+    * collects the top-`batchTopK` pair counts and accepts the maximal
+    * ranked prefix that is provably what strict sequential BPE would pick,
+    * then applies the whole batch in ONE fold-rewrite projection. The
+    * acceptance proof obligations, checked driver-side per candidate:
+    *
+    *  1. pairwise symbol-disjoint with every earlier accepted pair — a
+    *     disjoint merge cannot change this pair's count, so its collected
+    *     count stays exact through the batch;
+    *  2. the merged string is NOT an existing symbol (tracked alphabet =
+    *     initial chars + merges so far) — otherwise the merge would ADD
+    *     occurrences to existing pairs containing that symbol and a
+    *     skipped pair's count could grow past a later accepted one;
+    *  3. every accepted count (after the first — the collected argmax is
+    *     sequentially correct unconditionally) is STRICTLY greater than
+    *     every non-accepted count (first overlapping pair, first excluded
+    *     pair, and the truncation floor) — decreased overlapping pairs
+    *     stay ≤ their original count and brand-new pairs are bounded by
+    *     the original count of some existing pair sharing a merged
+    *     symbol, both < the accepted batch, so no tiebreak ambiguity.
+    *
+    * On Zipf-shaped corpora the top counts are mostly distinct and
+    * disjoint, so batches run tens of merges per job instead of one —
+    * jobs drop from O(merges) to O(merges / batch). Worst case (plateau
+    * of tied or chained pairs) degrades gracefully to the exact
+    * one-merge-per-round loop. Equality with [[learnMergesLocal]] is
+    * spec-asserted on the fixture.
     */
   def learnMerges(spark: SparkSession, docs: DataFrame, textCol: String,
-                  nMerges: Int): DataFrame = {
+                  nMerges: Int, batchTopK: Int = 256): DataFrame = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
     import spark.implicits._
     var cur = docs
@@ -41,6 +66,11 @@ object Bpe {
       .agg(count(lit(1)).cast("long").as("freq"))
       .select(split(col("w"), "").as("sym"), col("freq"))
       .localCheckpoint()
+    // the symbol alphabet: initial characters now, plus every merged
+    // string as it is created — guard #2 needs exact membership
+    val alphabet = scala.collection.mutable.HashSet.empty[String]
+    alphabet ++= cur.select(explode(col("sym")).as("s")).distinct()
+      .collect().map(_.getString(0))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
@@ -54,21 +84,50 @@ object Bpe {
         .agg(sum(col("freq")).cast("long").as("n"))
         .filter(col("n") >= 2L)  // a pair seen once compresses nothing
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1)
+        .limit(batchTopK)
         .collect()
       if (top.isEmpty) done = true
       else {
-        val Row(l: String, r: String, n: Long) = top(0)
-        merges += ((rank, l, r, l + r, n))
+        // counts of pairs beyond the collected window are ≤ the floor
+        val floor = if (top.length == batchTopK) top.last.getLong(2) else 1L
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val usedSyms = scala.collection.mutable.HashSet.empty[String]
+        var boundary = floor
+        var stop = false
+        for (row <- top if !stop) {
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          val disjoint = !usedSyms.contains(l) && !usedSyms.contains(r)
+          val freshSymbol = !alphabet.contains(l + r)
+          if (accepted.size >= nMerges - rank + 1 ||
+              !disjoint || (!freshSymbol && accepted.nonEmpty)) {
+            stop = true
+            boundary = math.max(boundary, n)
+          } else {
+            accepted += ((l, r, n))
+            usedSyms += l += r
+            if (!freshSymbol) stop = true // argmax alone is safe; later ones aren't
+          }
+        }
+        // guard #3: the batch must sit strictly above every competitor;
+        // the argmax itself (head) is always sequentially correct
+        while (accepted.size > 1 && accepted.last._3 <= boundary)
+          accepted.remove(accepted.size - 1)
+        accepted.foreach { case (l, r, n) =>
+          merges += ((rank, l, r, l + r, n))
+          alphabet += (l + r)
+          rank += 1
+        }
         // localCheckpoint (eager) both materializes the round and CUTS
         // lineage — without it the plan chains one rewrite per round and
         // driver-side analysis goes quadratic (Dedup.clusters precedent)
+        val folded = accepted.foldLeft(col("sym")) { case (c, (l, r, _)) =>
+          mergeFold(c, lit(l), lit(r))
+        }
         val next = cur
-          .select(mergeFold(col("sym"), lit(l), lit(r)).as("sym"), col("freq"))
+          .select(folded.as("sym"), col("freq"))
           .localCheckpoint()
         cur.unpersist()
         cur = next
-        rank += 1
       }
     }
     cur.unpersist()

@@ -45,9 +45,21 @@ object Curation {
   def curateNearDup(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, lang: String, minTtr: Double,
                     tokenBudget: Long,
-                    lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame = {
-    val keep = Dedup.clusters(docs, idCol,
-        Dedup.simHashPairs(docs, idCol, textCol, maxHamming = 3))
+                    lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame =
+    curateNearDupPairs(spark, docs,
+      Dedup.simHashPairs(docs, idCol, textCol, maxHamming = 3),
+      idCol, textCol, lang, minTtr, tokenBudget, lexicon)
+
+  /** [[curateNearDup]] with a PRECOMPUTED near-dup pair list (e.g. mined
+    * from the persisted [[graft.dedup.SimHashStore]] signatures) — the
+    * serving split: the pipeline that already maintains a signature store
+    * should not re-hash the corpus to curate from it.
+    */
+  def curateNearDupPairs(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
+                         idCol: String, textCol: String, lang: String,
+                         minTtr: Double, tokenBudget: Long,
+                         lexicon: Seq[(String, String)] = Lexicons.langLexicon): DataFrame = {
+    val keep = Dedup.clusters(docs, idCol, pairs)
       .filter(col("kept")).select(col(idCol))
     curateFrom(spark, docs, keep, idCol, textCol, lang, minTtr, tokenBudget, lexicon)
   }

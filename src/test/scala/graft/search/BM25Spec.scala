@@ -31,6 +31,35 @@ class BM25Spec extends SparkSpec {
     assert(normalized == plain)
   }
 
+  test("uax tokenizer: URLs/emails/@mentions stay whole, possessives fold") {
+    val d = Seq(
+      (1L, "read https://spark.apache.org/docs and mail dev@spark.apache.org"),
+      (2L, "ping @alice about #scaling and spark's optimizer"),
+      (3L, "o'neill wrote spark docs")
+    ).toDF("doc_id", "text")
+    val toks = BM25.tokensUax(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = toks.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    assert(byDoc(1L).contains("https://spark.apache.org/docs"))
+    assert(byDoc(1L).contains("dev@spark.apache.org"))
+    assert(byDoc(2L) == Seq("ping", "@alice", "about", "#scaling", "and", "spark", "optimizer"))
+    assert(byDoc(3L).contains("o'neill")) // interior apostrophe kept
+  }
+
+  test("uax analyzer: a URL query matches only docs carrying the whole URL token") {
+    val d = Seq(
+      (1L, "see https://spark.apache.org/docs today"),
+      (2L, "spark apache org docs words split apart"), // shattered pieces only
+      (3L, "nothing at all")
+    ).toDF("doc_id", "text")
+    val hits = BM25.scoreTopKUax(d, "doc_id", "text",
+        Seq("https://spark.apache.org/docs"), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L))
+    // query analysis folds the possessive like the doc side
+    assert(BM25.analyzeUax(Seq("Spark's")) == Seq("spark"))
+  }
+
   test("scores are deterministic across runs") {
     val a = BM25.scoreTopK(docs, "doc_id", "text", Seq("spark", "query"), 5)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq

@@ -33,6 +33,19 @@ class BpeSpec extends SparkSpec {
     assert(capped.nonEmpty && capped.head._1 == 1)
   }
 
+  test("batched learning ≡ one-merge-per-round learning for any batch width") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // batchTopK = 1 degenerates to the strict sequential loop (the floor
+    // equals the argmax count, so guard #3 trims every batch to one)
+    val strict = Bpe.learnMerges(spark, fixture, "text", nMerges = 10, batchTopK = 1)
+      .collect().map(_.toSeq).toSeq
+    Seq(4, 256).foreach { w =>
+      val batched = Bpe.learnMerges(spark, fixture, "text", nMerges = 10, batchTopK = w)
+        .collect().map(_.toSeq).toSeq
+      assert(batched == strict, s"batchTopK=$w diverged from sequential BPE")
+    }
+  }
+
   test("tokenize replays learned merges per doc, order preserved") {
     val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("doc_id", "text")
     val learned = Bpe.learnMerges(spark, docs, "text", nMerges = 5)
