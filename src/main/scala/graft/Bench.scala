@@ -35,6 +35,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed page-cache warm of every source file: without it the first
+    // run after any other process's IO measures disk, the second measures
+    // cache, and two back-to-back totals of identical code diverge >15%
+    // (observed round 8). Raw byte streams — no Spark schema involvement.
+    locally {
+      val buf = new Array[Byte](1 << 20)
+      def slurp(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(slurp)
+        else {
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () }
+          catch { case _: java.io.IOException => () }
+          finally in.close()
+        }
+      slurp(new java.io.File(sfDir))
+    }
+
     Seq("q_join_star", "q_tokenize").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -143,11 +143,32 @@ object SimilarityQueries extends QueryPack {
           .select(lit(method).as("method"), col("hits"),
             lit(20L).as("n_queries"), lit(10L).as("k"),
             round(col("hits").cast("double") / 200.0, 6).as("avg_recall"))
-      val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id",
-        "embedding", nCentroids = 8)
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nCentroids = 8)
       val iq = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("__qv"), col("cluster"))
       val ivfCand = assigned.join(broadcast(iq), "cluster")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
+      // IVF multi-probe (nprobe = 3): rank all 8 centroids per query, scan
+      // the top 3 clusters — the classic IVF recall knob, measured here
+      // next to the sketch paths
+      val centsArr = emb.filter(col("vec_id") < 8)
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv")))
+          .as("__cents"))
+      val probes3 = emb.filter(col("vec_id") < 20)
+        .crossJoin(broadcast(centsArr))
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"), explode(expr(
+          """transform(__cents, c -> struct(
+            |  round(graft_dot(embedding, c.cv) /
+            |    (sqrt(graft_dot(embedding, embedding)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
+            |  c.cid AS cid))""".stripMargin)).as("__p"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("__p.sim").desc, col("__p.cid").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("__qv"), col("__p.cid").as("cluster"))
+      val ivfMpCand = assigned.join(broadcast(probes3), "cluster")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
@@ -155,6 +176,7 @@ object SimilarityQueries extends QueryPack {
         .unionByName(recallOf("lsh_mp",
           topPerQuery(scored.filter(col("__ham") <= Similarity.SrpRadiusWide))))
         .unionByName(recallOf("ivf", topPerQuery(ivfCand)))
+        .unionByName(recallOf("ivf_mp", topPerQuery(ivfMpCand)))
     })
   )
 
@@ -278,12 +300,22 @@ object SimilarityQueries extends QueryPack {
          |  FROM assigned a JOIN iq i ON a.cluster = i.cluster AND a.vec_id <> i.qid),
          |ivf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
-         |  FROM ivfc) WHERE rn <= 10)
+         |  FROM ivfc) WHERE rn <= 10),
+         |probes3 AS (SELECT qid, qv, cid FROM (SELECT vec_id AS qid, embedding AS qv, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |  FROM sim WHERE vec_id < 20) WHERE rn <= 3),
+         |ivfmpc AS (SELECT p.qid, a.vec_id, ${cosSql("a.embedding", "p.qv")} AS cosine
+         |  FROM assigned a JOIN probes3 p ON a.cluster = p.cid AND a.vec_id <> p.qid),
+         |ivfmp AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM ivfmpc) WHERE rn <= 10)
          |${method("lsh", "lsh")}
          |UNION ALL
          |${method("lsh_mp", "lshmp")}
          |UNION ALL
-         |${method("ivf", "ivf")}""".stripMargin
+         |${method("ivf", "ivf")}
+         |UNION ALL
+         |${method("ivf_mp", "ivfmp")}""".stripMargin
     }
   )
 }

@@ -231,14 +231,44 @@ object Similarity {
       .drop("__cents", "__best")
   }
 
-  /** ANN query via IVF clusters: exact rerank within the query's cluster. */
+  /** ANN query via IVF clusters: exact rerank within the query's `nprobe`
+    * closest clusters (nprobe = 1 scans only the query's own cluster — the
+    * classic IVF recall/cost knob; each +1 adds ~1/nCentroids of the
+    * corpus). Measured on this corpus (q_ann_recall, 20-query average):
+    * nprobe 1 → 0.47/0.53, nprobe 3 → 0.72/0.70 at ~37% candidates —
+    * honestly dominated by the [[srpTopK]] sketch (0.88+ at ~24%) because
+    * 8 seed centroids carve a near-isotropic space too coarsely; IVF wins
+    * when the corpus actually clusters.
+    */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nCentroids: Int = 8): DataFrame = {
+              queryId: Long, k: Int, nCentroids: Int = 8,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "ivfTopK needs nprobe >= 1")
     val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
-    val q = assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"), col("cluster"))
+    val probes =
+      if (nprobe == 1)
+        assigned.filter(col(idCol) === queryId)
+          .select(col(vecCol).as("__qv"), col("cluster"))
+      else {
+        // rank ALL centroids for the query (the assignment only keeps the
+        // argmax) and probe the top nprobe — ties to the smallest cid,
+        // matching ivfAssign's tiebreak
+        val centsArr = embeddings.filter(col(idCol) < nCentroids)
+          .agg(collect_list(struct(col(idCol).as("cid"), col(vecCol).as("cv")))
+            .as("__cents"))
+        embeddings.filter(col(idCol) === queryId)
+          .crossJoin(broadcast(centsArr))
+          .select(col(vecCol).as("__qv"), explode(expr(
+            s"""transform(__cents, c -> struct(
+               |  round(graft_dot($vecCol, c.cv) /
+               |    (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
+               |  c.cid AS cid))""".stripMargin)).as("__p"))
+          .orderBy(col("__p.sim").desc, col("__p.cid").asc)
+          .limit(nprobe)
+          .select(col("__qv"), col("__p.cid").as("cluster"))
+      }
     assigned
-      .join(broadcast(q), "cluster")
+      .join(broadcast(probes), "cluster")
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)

@@ -94,6 +94,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!bucketed.exists(p => p._1 == 0L && p._2 == 4L))
   }
 
+  test("ivf nprobe: probing more clusters is a candidate superset; full probe = brute force") {
+    // centroids = vecs 0..2; vec 3 orthogonal, vec 4 between 0 and 1
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f)),
+      (4L, Array(0.8f, 0.6f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def ids(nprobe: Int) =
+      Similarity.ivfTopK(pts, "vec_id", "embedding", queryId = 0L, k = 5,
+        nCentroids = 3, nprobe = nprobe).collect().map(_.getLong(0)).toSet
+    val single = ids(1)
+    val double = ids(2)
+    assert(single.subsetOf(double))
+    // vec 3 assigns to centroid 1 (cos .8 vs .6) — invisible at nprobe=1
+    // from query 0's cluster, found once cluster 1 is probed
+    assert(!single.contains(3L) && double.contains(3L))
+    val full = Similarity.ivfTopK(pts, "vec_id", "embedding", 0L, 5,
+      nCentroids = 3, nprobe = 3).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(pts, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+  }
+
   test("kmeans separates two obvious direction clusters and refines centroids") {
     // ids 0,1 seed the two clusters; 2,3 near axis-x, 4,5 near axis-y
     val pts = Seq(
