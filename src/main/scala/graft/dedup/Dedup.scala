@@ -195,6 +195,15 @@ object Dedup {
     * (band, band-signature), then verify candidates with true Jaccard.
     *
     * With rowsPerBand=2 and 6 bands, P(candidate | j=0.9) ≈ 0.99995.
+    *
+    * Scale guidance (round-8 sweep, SCALE.md §3): at FIXED band width the
+    * random-pair collision rate is constant in corpus size, so candidate
+    * pairs grow quadratically — the sf1 point measured ~18× cost per 10×
+    * docs at r=2. rows-per-band is the corpus-size knob: grow r with
+    * log N (r=4 by ~10⁷ docs) to hold the candidate budget, and engage
+    * `maxShingleDf` (the guarded configuration, 3.6×/decade measured)
+    * against boilerplate-shingle skew. The suite keeps r=2 because the
+    * oracle pins the full recall curve these parameters define.
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
@@ -239,12 +248,20 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found without
-    * an all-pairs scan: split the 32-bit hash into 4 bytes; by pigeonhole,
-    * any pair within hamming ≤ 3 shares at least one identical byte, so
-    * candidates come from a self-join on (byte-index, byte-value) and only
-    * candidates pay the popcount verification. (For maxHamming > 3 the
-    * byte banding is a heuristic recall bound — widen the bands to keep the
+    * an all-pairs scan: split the 64-bit hash into 4 sixteen-bit bands; by
+    * pigeonhole, any pair within hamming ≤ 3 shares at least one identical
+    * band, so candidates come from a self-join on (band-index, band-value)
+    * and only candidates pay the popcount verification. (For maxHamming > 3
+    * the banding is a heuristic recall bound — widen the bands to keep the
     * pigeonhole guarantee.)
+    *
+    * Why 16-bit bands over a 64-bit hash (round-8 scale sweep finding):
+    * with a 32-bit hash and 8-bit bands, two UNRELATED docs share a band
+    * with probability ~4/256 — constant in corpus size — so candidate
+    * pairs grow as N²/64 and the 10× sf1 sweep measured 25× growth in
+    * this operator. 16-bit bands put the random-collision rate at 4/65536:
+    * the same sweep point drops to ~linear, and at larger corpora the
+    * signature/band width is the knob that keeps it there.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
@@ -259,11 +276,11 @@ object Dedup {
   def simHashPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = sig.select(col("doc"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("i"))
-      .withColumn("byte", expr("(simhash >> (8 * i)) & 255"))
+      .withColumn("band", expr("(simhash >> (16 * i)) & 65535"))
     val cands = bands.select(col("doc").as("doc_a"), col("simhash").as("ha"),
-        col("i"), col("byte"))
+        col("i"), col("band"))
       .join(bands.select(col("doc").as("doc_b"), col("simhash").as("hb"),
-        col("i"), col("byte")), Seq("i", "byte"))
+        col("i"), col("band")), Seq("i", "band"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
       .distinct()
@@ -274,7 +291,7 @@ object Dedup {
   }
 
   /** INCREMENTAL near-dup dedup — [[exactIncremental]]'s SimHash sibling:
-    * a batch doc is dropped when its 32-bit SimHash is within `maxHamming`
+    * a batch doc is dropped when its 64-bit SimHash is within `maxHamming`
     * of ANY stored signature. Candidates come from the same pigeonhole
     * byte-band equi-join as [[simHashPairs]], but batch bands probe STORE
     * bands only — the store (one (doc, simhash) row per corpus doc; write
@@ -287,7 +304,7 @@ object Dedup {
   def simHashIncremental(store: DataFrame, batch: DataFrame,
                          idCol: String, textCol: String,
                          maxHamming: Int = 3): DataFrame = {
-    // the 4-byte-band pigeonhole only GUARANTEES candidate generation for
+    // the 4-band pigeonhole only GUARANTEES candidate generation for
     // hamming <= 3 (4 bands, so <=3 flipped bits leave one band intact);
     // beyond that the stated "within maxHamming of ANY stored signature"
     // contract silently loses recall — reject rather than under-deliver
@@ -297,12 +314,12 @@ object Dedup {
     val sig = simHash(batch, idCol, textCol)
     val batchBands = sig
       .select(col("doc"), col("simhash"), explode(expr("sequence(0, 3)")).as("i"))
-      .withColumn("byte", expr("(simhash >> (8 * i)) & 255"))
+      .withColumn("band", expr("(simhash >> (16 * i)) & 65535"))
     val storeBands = store
       .select(col("doc").as("__sdoc"), col("simhash").as("__sh"),
         explode(expr("sequence(0, 3)")).as("i"))
-      .withColumn("byte", expr("(__sh >> (8 * i)) & 255"))
-    val dup = batchBands.join(storeBands, Seq("i", "byte"))
+      .withColumn("band", expr("(__sh >> (16 * i)) & 65535"))
+    val dup = batchBands.join(storeBands, Seq("i", "band"))
       .filter(bit_count(col("simhash").bitwiseXOR(col("__sh"))) <= maxHamming)
       .select(col("doc")).distinct()
     sig.join(dup, Seq("doc"), "left_anti")
@@ -562,7 +579,12 @@ object Dedup {
       .groupBy(col("u")).agg(count(lit(1)).cast("long").as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_docs"))
 
-  /** 32-bit SimHash over token counts with an engine-independent bit source:
+  /** Number of signature bits — 64 (16 md5 hex digits). Band width is
+    * SimHashBits / 4; both sides of every oracle derive from this shape.
+    */
+  val SimHashBits = 64
+
+  /** 64-bit SimHash over token counts with an engine-independent bit source:
     * bit b of a token's hash = bit (b mod 4) of hex digit (b div 4) of
     * md5(token). Integer arithmetic end-to-end — bit-exact everywhere.
     *
@@ -578,7 +600,7 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .withColumn("h", md5(col("term")))
-    val aggs = (0 until 32).map { b =>
+    val aggs = (0 until SimHashBits).map { b =>
       val hexPos = b / 4 + 1 // 1-based hex digit of md5(term)
       val shift = b % 4
       sum(expr(
@@ -588,8 +610,10 @@ object Dedup {
     toks.groupBy(col("doc"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc"),
-        (0 until 32).map { b =>
-          when(col(s"__s_$b") > 0, expr(s"CAST(1 AS BIGINT) << $b")).otherwise(lit(0L))
+        (0 until SimHashBits).map { b =>
+          // 1L << 63 = Long.MinValue — intended: bit 63 is the sign bit of
+          // the packed signature; sums of distinct powers stay representable
+          when(col(s"__s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _).cast("long").as("simhash"))
   }
 }

@@ -84,7 +84,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   * call before using `expr("graft_dot(a, b)")`.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp", exprs =>
+        SrpSignatureWords(exprs.head, graft.similarity.Similarity.srpPlanes),
+      "scala_udf")
+  }
 }

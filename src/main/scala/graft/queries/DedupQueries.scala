@@ -180,11 +180,11 @@ object DedupQueries extends QueryPack {
     "q_dedup_incr_simhash" -> (simhashCte() +
       """, bsig AS (SELECT doc, simhash FROM sig WHERE doc % 3 = 0),
         |ssig AS (SELECT doc AS sdoc, simhash AS sh FROM sig WHERE doc % 3 <> 0),
-        |bb AS (SELECT doc, simhash, i, (simhash >> (8 * i)) & 255 AS byte
+        |bb AS (SELECT doc, simhash, i, (simhash >> (16 * i)) & 65535 AS band
         |  FROM bsig, (VALUES (0), (1), (2), (3)) t(i)),
-        |sb AS (SELECT sdoc, sh, i, (sh >> (8 * i)) & 255 AS byte
+        |sb AS (SELECT sdoc, sh, i, (sh >> (16 * i)) & 65535 AS band
         |  FROM ssig, (VALUES (0), (1), (2), (3)) t(i)),
-        |dup AS (SELECT DISTINCT bb.doc FROM bb JOIN sb USING (i, byte)
+        |dup AS (SELECT DISTINCT bb.doc FROM bb JOIN sb USING (i, band)
         |  WHERE bit_count(xor(bb.simhash, sb.sh)) <= 3)
         |SELECT b.doc, b.simhash FROM bsig b
         |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = b.doc)""".stripMargin),
@@ -306,11 +306,11 @@ object DedupQueries extends QueryPack {
     * appended after [[simhashCte]] by both the pairs and clusters oracles.
     */
   private val simhashBandsCte: String =
-    """, bands AS (SELECT doc, simhash, t.i, (simhash >> (8 * t.i)) & 255 AS byte
+    """, bands AS (SELECT doc, simhash, t.i, (simhash >> (16 * t.i)) & 65535 AS band
       |  FROM sig CROSS JOIN range(0, 4) AS t(i)),
       |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
       |    a.simhash AS ha, b.simhash AS hb
-      |  FROM bands a JOIN bands b ON a.i = b.i AND a.byte = b.byte AND a.doc < b.doc)""".stripMargin
+      |  FROM bands a JOIN bands b ON a.i = b.i AND a.band = b.band AND a.doc < b.doc)""".stripMargin
 
   /** Shared SimHash CTE producing sig(doc, simhash) — mirrors
     * [[graft.dedup.Dedup.simHash]] value-for-value. `recursive = true`
@@ -322,13 +322,15 @@ object DedupQueries extends QueryPack {
     """tc AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS cnt, md5(term) AS h
       |  FROM (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS term FROM documents)
       |  GROUP BY doc, term),
-      |bits AS (SELECT doc, cnt, h, unnest(range(0, 32)) AS b FROM tc),
+      |bits AS (SELECT doc, cnt, h, unnest(range(0, 64)) AS b FROM tc),
       |v AS (SELECT doc, b, cnt,
       |  CAST(strpos('0123456789abcdef', substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1 AS BIGINT) AS hexv
       |  FROM bits),
       |c AS (SELECT doc, b, SUM(cnt * (((hexv >> (b % 4)) & 1) * 2 - 1)) AS s
       |  FROM v GROUP BY doc, b),
-      |sig AS (SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |sig AS (SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (CASE WHEN b = 63
+      |    THEN CAST(-9223372036854775808 AS BIGINT) ELSE (CAST(1 AS BIGINT) << b) END)
+      |  ELSE 0 END) AS BIGINT) AS simhash
       |  FROM c GROUP BY doc)
       |""".stripMargin
 }

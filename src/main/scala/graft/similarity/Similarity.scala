@@ -127,38 +127,31 @@ object Similarity {
   def srpPlane(j: Int, dims: Int = SrpDims): Array[Float] =
     Array.tabulate(dims)(i => srpSign(j.toLong * dims + i))
 
-  /** SQL literal for hyperplane `j` as a float array — interpolated into
-    * both the Spark plan and the DuckDB oracle so the two engines project
-    * against bit-identical constants.
+  /** The full fixed plane matrix — the constant baked into the codegen'd
+    * [[graft.expressions.SrpSignatureWords]] AND interpolated into the
+    * DuckDB oracle, so both engines project against identical ±1 entries.
     */
-  private def planeFloatArraySql(j: Int): String =
-    srpPlane(j).map(v => if (v > 0) "1.0D" else "-1.0D")
-      .mkString("CAST(array(", ",", ") AS ARRAY<FLOAT>)")
+  lazy val srpPlanes: Array[Array[Float]] =
+    Array.tabulate(SrpBits)(j => srpPlane(j))
 
-  /** One 32-bit signature word: bit b set iff dot(vec, plane[word*32+b]) > 0.
-    * Each dot is the codegen'd [[graft.expressions.FloatVecDot]] against a
-    * ±1 literal — products are exact sign flips, and the sequential double
-    * sum is bit-identical to the oracle's list_sum, so the sign (and hence
-    * every signature bit) is engine-exact. Bits live in 0..31 per word:
-    * values stay positive, no two's-complement edge cases in either engine.
-    */
-  def srpWord(vecCol: String, word: Int): Column =
-    (0 until 32).map { b =>
-      val j = word * 32 + b
-      when(expr(s"graft_dot($vecCol, ${planeFloatArraySql(j)})") > lit(0.0),
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-
-  /** Attach the 128-bit SRP signature as four bigint words `w0..w3`.
+  /** Attach the 128-bit SRP signature as four bigint words `w0..w3`,
+    * computed by the single codegen'd `graft_srp` expression (the stacked
+    * 128×`graft_dot` form exceeded whole-stage codegen's limits and fell
+    * back to interpreted eval — ~20× slower at the sf1 sweep point; bit
+    * semantics identical, see [[graft.expressions.SrpSignatureWords]]).
+    * Bits live in 0..31 per word: values stay positive, no
+    * two's-complement edge cases in either engine.
+    *
     * At 100 TB this is the column you persist once next to the embedding:
     * 32 bytes/row vs 256 for the raw vector, and every subsequent query
     * filters on the sketch before touching the vectors.
     */
   def srpSignature(embeddings: DataFrame, vecCol: String): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    (0 until 4).foldLeft(embeddings) { (df, w) =>
-      df.withColumn(s"__w$w", srpWord(vecCol, w))
-    }
+    (0 until 4).foldLeft(
+      embeddings.withColumn("__srp", expr(s"graft_srp($vecCol)"))) { (df, w) =>
+      df.withColumn(s"__w$w", element_at(col("__srp"), w + 1))
+    }.drop("__srp")
   }
 
   /** Hamming distance between two 4-word signatures — `bit_count(xor)` per

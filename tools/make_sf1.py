@@ -47,7 +47,7 @@ COPY (
       array_to_string(
         list_transform(str_split(d.text, ' '), (t, i) ->
           CASE WHEN hash(d.doc_id * 1000003 + k.k * 8191 + i) % 10 < 3
-               THEN v.terms[1 + hash(d.doc_id * 31 + k.k * 7 + i) % v.v]
+               THEN v.terms[CAST(1 + hash(d.doc_id * 31 + k.k * 7 + i) % v.v AS BIGINT)]
                ELSE t END), ' ')
     END AS text,
     d.lang, d.source, d.n_chars
