@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.similarity.Similarity
+import graft.similarity.{Similarity, SrpStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -86,6 +86,13 @@ object SimilarityQueries extends QueryPack {
     "q_ann_multiprobe" -> ((s, dir) =>
       Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, radius = Similarity.SrpRadiusWide)),
+
+    // The SERVED ANN path: identical ranking from the persisted sketch
+    // store (the BM25Index / SimHashStore build-once split) — the sketch
+    // parquet is scanned for the Hamming filter, vectors join in only for
+    // the survivors' exact rerank. Same oracle as q_ann_lsh.
+    "q_ann_lsh_served" -> ((s, dir) =>
+      SrpStore.topK(s, dir, queryId = 0L, k = 5)),
 
     // All-pairs cosine is the LABELED BASELINE cross-check for the
     // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
@@ -208,6 +215,9 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_ann_lsh" -> srpTopKSql(Similarity.SrpRadius, 5),
+
+    // Served path must reproduce the ad-hoc ranking exactly.
+    "q_ann_lsh_served" -> srpTopKSql(Similarity.SrpRadius, 5),
 
     "q_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.dedup.Dedup
 import graft.search.Collections
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, Row}
@@ -60,6 +61,66 @@ object StreamSinks {
         }
         val next = Paths.get(dest, s"v$batchId")
         Collections.upsertLatest(existing, batch, idCol, versionCol)
+          .write.mode("overwrite").parquet(next.toString)
+        val tmp = Paths.get(dest, "current.tmp")
+        Files.deleteIfExists(tmp)
+        Files.createSymbolicLink(tmp, next.toAbsolutePath)
+        Files.move(tmp, Paths.get(dest, "current"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming near-dup ingestion filter — [[Dedup.simHashIncremental]] as
+    * a `foreachBatch` pipeline over a versioned signature store (the
+    * streaming face of [[graft.dedup.SimHashStore]]): each micro-batch
+    * keeps only docs whose 64-bit SimHash is more than `maxHamming` bits
+    * from EVERY signature accepted so far, survivors' signatures advance
+    * the store, and `<dest>/current` always points at a complete snapshot.
+    *
+    * Versioning/replay semantics are [[keyedUpsertSink]]'s: batch N reads
+    * the highest complete `v<k>` with k < N (never the symlink), so a
+    * crash-replayed batch rebuilds `v<N>` from the same input. In-batch
+    * near-dups are intentionally NOT resolved here (the operator's
+    * documented contract — that is the separate pairs+clusters pass);
+    * this sink answers "is it new vs the corpus so far" at ingest time.
+    * Survivor signatures for batch N land in `kept_v<N>` for downstream
+    * consumers. At 100 TB the store is the bucketed-by-band signature
+    * table; the per-batch probe cost is batch-sized, never corpus-sized.
+    */
+  def nearDupFilterSink(stream: DataFrame, idCol: String, textCol: String,
+                        dest: String, checkpoint: String,
+                        maxHamming: Int = 3): StreamingQuery = {
+    Files.createDirectories(Paths.get(dest))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val versionRe = "^v(\\d+)$".r
+        val listing = Files.list(Paths.get(dest))
+        val prev =
+          try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .flatMap(p => p.getFileName.toString match {
+              case versionRe(k)
+                if k.toLong < batchId &&
+                  Files.exists(p.resolve("_SUCCESS")) => Some(k.toLong)
+              case _ => None
+            }).sorted.lastOption
+          finally listing.close()
+        val store = prev match {
+          case Some(k) => spark.read.parquet(s"$dest/v$k")
+          case None =>
+            import org.apache.spark.sql.types._
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("doc", LongType),
+                StructField("simhash", LongType))))
+        }
+        val survivors = Dedup.simHashIncremental(store, batch, idCol, textCol,
+          maxHamming)
+        survivors.write.mode("overwrite").parquet(s"$dest/kept_v$batchId")
+        val next = Paths.get(dest, s"v$batchId")
+        store.unionByName(spark.read.parquet(s"$dest/kept_v$batchId"))
           .write.mode("overwrite").parquet(next.toString)
         val tmp = Paths.get(dest, "current.tmp")
         Files.deleteIfExists(tmp)

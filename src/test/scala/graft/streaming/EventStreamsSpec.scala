@@ -254,6 +254,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupFilterSink: stream dedup against the advancing signature store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely unrelated corpus of database engine query planner words"
+    val q = graft.streaming.StreamSinks.nearDupFilterSink(stream, "doc_id", "text",
+      s"$dir/store", s"$dir/ckpt")
+    try {
+      mem.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1's text (hamming 0 -> dropped);
+      // doc 4 is new material (kept)
+      mem.addData((3L, base), (4L, s"$other with fresh additional vocabulary"))
+      q.processAllAvailable()
+      val store = spark.read.parquet(s"$dir/store/current")
+        .collect().map(_.getLong(0)).toSet
+      assert(store == Set(1L, 2L, 4L), s"store was $store")
+      val kept1 = spark.read.parquet(s"$dir/store/kept_v1")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(4L), s"batch-2 survivors were $kept1")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
