@@ -108,12 +108,16 @@ object Multimodal {
     }(encoder)
   }
 
-  /** OCR seam — the reference's only multimodal op
-    * (`SolrIndexer.java:115-129`: Tesseract `doOCR` over each tweet's
-    * fetched media, output indexed as `tweetMediaText`). The stub emits
-    * deterministic fake text from the decoded header; a real build binds
-    * tess4j/tesseract here. Same one-context-per-partition shape as
-    * [[decodeMeta]]. Feeds
+  /** OCR — the reference's only multimodal op (`SolrIndexer.java:115-129`:
+    * Tesseract `doOCR` over each tweet's fetched media, output indexed as
+    * `tweetMediaText`). For PNG media this is now REAL end-to-end: the
+    * blob is decoded by the pure-JVM [[PngCodec]] and read by the
+    * [[GlyphOcr]] template matcher — no stub in the path. Blobs in the
+    * synthetic `GFT!` header format keep the deterministic stub text, and
+    * anything unreadable yields "" (corrupt media never fails the job).
+    * Same one-context-per-partition `mapPartitions` shape as
+    * [[decodeMeta]] — a heavier model (Tesseract) would be opened once per
+    * partition in the same seam. Feeds
     * [[graft.search.Collections.tweetsWithMediaText]].
     */
   def ocrText(df: DataFrame, binCol: String, outCol: String = "media_text"): DataFrame = {
@@ -121,10 +125,15 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
-      // OCR context (a Tesseract instance) would be opened here, once
+      // OCR context (font templates / a Tesseract instance) opened once
       rows.map { r =>
-        val m = StubCodec.decode(r.getAs[Array[Byte]](binIdx))
-        val txt = if (m.valid) s"stub ocr ${m.format} ${m.width} ${m.height}" else ""
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val txt = PngCodec.decode(bytes) match {
+          case Some(img) => GlyphOcr.recognize(img)
+          case None =>
+            val m = StubCodec.decode(bytes)
+            if (m.valid) s"stub ocr ${m.format} ${m.width} ${m.height}" else ""
+        }
         Row.fromSeq(r.toSeq :+ txt)
       }
     }(encoder)
