@@ -1,0 +1,127 @@
+package graft.search
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The HTTP layer over [[Serving]] — the reference's three REST endpoints
+  * (`Ranking Model/src/main/java/api/Handler.java:33-161`, Spring
+  * `@RestController` under `/api/search` with `@CrossOrigin("*")`) served
+  * from the JDK's built-in `com.sun.net.httpserver` — zero extra
+  * dependencies, which is the point: the engine's serving story ends at a
+  * real port, not at a DataFrame of envelopes.
+  *
+  * Request → envelope mapping is the reference's exactly:
+  *  - `GET /api/search/query?query=…`  → keyword BM25 top-10
+  *  - `GET /api/search/hashtag?tag=…`  → hashtag exact match, id-ordered
+  *  - `GET /api/search/user?id=…`      → one user + newest-first timeline
+  * All three return HTTP 200 with the status embedded in the JSON body
+  * (`status_code` 200/500) — the reference controller never maps errors
+  * to HTTP status either (`Handler.java:66-71`).
+  *
+  * Scale note: each request runs ONE driver-side action over a serving
+  * query whose result is already capped (10/1000 rows) — the per-request
+  * cost is the query, never the corpus. For production QPS the same
+  * routes would read the prebuilt [[BM25Index]] postings store (the
+  * `q_keyword_bm25_served` path) instead of scoring ad hoc; both route
+  * sets are constructible here.
+  */
+object HttpServing {
+
+  private val ErrorJson = """{"status_code":500,"message":"Internal Server Error"}"""
+
+  /** A route: decoded query params → the response JSON string. */
+  type Route = Map[String, String] => String
+
+  /** Start an HTTP server on `port` (0 = any free port; read it back from
+    * `server.getAddress.getPort`). Each route's body runs on a worker
+    * thread; exceptions become the reference's error envelope.
+    */
+  def start(port: Int, routes: Map[String, Route]): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    routes.foreach { case (path, route) =>
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val body =
+            try route(parseQuery(ex.getRequestURI.getRawQuery))
+            catch { case NonFatal(_) => ErrorJson }
+          val bytes = body.getBytes(UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          // reference: @CrossOrigin("*") — the Angular UI is a separate origin
+          ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
+      })
+    }
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    server
+  }
+
+  /** The reference's three endpoints over a (tweets, users) collection
+    * pair, wired to [[Collections]] queries and [[Serving]] envelopes.
+    */
+  def referenceRoutes(tweets: DataFrame, users: DataFrame): Map[String, Route] = Map(
+    // Handler.java:33-74 — free-text query, BM25 top-10, best first
+    "/api/search/query" -> { params =>
+      val terms = params.getOrElse("query", "")
+        .toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (terms.isEmpty) ErrorJson
+      else {
+        val results = Collections.keywordSearch(tweets, users, terms, k = 10)
+        Serving.searchResponse(results, negate(col("score")),
+          userCols = Seq("userName", "userScreenName"),
+          tweetCols = Seq("tweet_id", "tweetText", "score"))
+          .head().getString(0)
+      }
+    },
+    // Handler.java:76-117 — hashtag exact match, id order, cap 1000
+    "/api/search/hashtag" -> { params =>
+      params.get("tag").filter(_.nonEmpty) match {
+        case None => ErrorJson
+        case Some(tag) =>
+          val results = Collections.hashtagSearch(tweets, tag)
+            .join(users.withColumnRenamed("id", "uid"),
+              col("userID") === col("uid"), "left")
+          Serving.searchResponse(results, col("id").cast("long"),
+            userCols = Seq("userName", "userScreenName"),
+            tweetCols = Seq("id", "tweetText"))
+            .head().getString(0)
+      }
+    },
+    // Handler.java:119-161 — resolve user (`SolrRanker.java:131`:
+    // userName:<id>), then newest-first timeline, cap 1000
+    "/api/search/user" -> { params =>
+      params.get("id").filter(_.nonEmpty) match {
+        case None => ErrorJson
+        case Some(id) =>
+          val results = Collections.userTimeline(tweets, users, id)
+          val rows = Serving.timelineResponse(results,
+            negate(col("tweet_id").cast("long")),
+            userCols = Seq("userScreenName"),
+            tweetCols = Seq("tweet_id", "tweetText", "tweetDateTime"))
+            .collect()
+          // unknown user → empty result set → reference returns the
+          // error envelope (its user lookup throws on no results)
+          if (rows.isEmpty) ErrorJson else rows.head.getString(0)
+      }
+    })
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).toSeq.flatMap(_.split('&')).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          Some(URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8"))
+        case Array(k) if k.nonEmpty => Some(URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap
+}

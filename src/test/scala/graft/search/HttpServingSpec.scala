@@ -1,0 +1,93 @@
+package graft.search
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end HTTP serving: real server on a real port, driven with the
+  * JDK HTTP client, responses checked against the reference envelope
+  * contract (Handler.java paths/params, Report Table 4 shapes).
+  */
+class HttpServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tweets = Seq(
+    ("11", "7", "spark is hiring engineers", Seq("jobs"), "2021-03-01T10:00:00Z"),
+    ("12", "7", "query engines are fast", Seq("perf"), "2021-03-02T10:00:00Z"),
+    ("13", "8", "hello world", Seq("jobs"), "2021-03-03T10:00:00Z")
+  ).toDF("id", "userID", "tweetText", "tweetHashtags", "tweetDateTime")
+
+  private lazy val users = Seq(
+    ("7", "ada", "Ada L"), ("8", "bob", "Bob D")
+  ).toDF("id", "userScreenName", "userName")
+
+  private def withServer(f: Int => Unit): Unit = {
+    val server = HttpServing.start(0, HttpServing.referenceRoutes(tweets, users))
+    try f(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, pathAndQuery: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$pathAndQuery")).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def json(body: String, path: String): String = {
+    val row = Seq(body).toDF("j")
+      .select(get_json_object(col("j"), path)).head()
+    if (row.isNullAt(0)) null else row.getString(0)
+  }
+
+  test("GET /api/search/query serves the keyword envelope over HTTP") {
+    withServer { port =>
+      val resp = get(port, "/api/search/query?query=spark%20engines")
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").get() == "application/json")
+      assert(resp.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
+      val body = resp.body()
+      assert(json(body, "$.status_code") == "200")
+      assert(json(body, "$.message") == "Success")
+      assert(json(body, "$.count") == "2")
+      // both hits mention a term; best-ranked first
+      assert(Set("11", "12").contains(json(body, "$.data[0].tweet.tweet_id")))
+      assert(json(body, "$.data[0].user.userScreenName") == "ada")
+    }
+  }
+
+  test("GET /api/search/hashtag serves id-ordered matches") {
+    withServer { port =>
+      val body = get(port, "/api/search/hashtag?tag=jobs").body()
+      assert(json(body, "$.count") == "2")
+      assert(json(body, "$.data[0].tweet.id") == "11")
+      assert(json(body, "$.data[1].tweet.id") == "13")
+      assert(json(body, "$.data[1].user.userScreenName") == "bob")
+    }
+  }
+
+  test("GET /api/search/user serves one user plus newest-first timeline") {
+    withServer { port =>
+      val body = get(port, "/api/search/user?id=ada").body()
+      assert(json(body, "$.user.userScreenName") == "ada")
+      assert(json(body, "$.count") == "2")
+      assert(json(body, "$.tweets[0].tweet_id") == "12") // newest first
+      assert(json(body, "$.tweets[1].tweet_id") == "11")
+      assert(json(body, "$.status_code") == "200")
+    }
+  }
+
+  test("missing params and unknown users return the error envelope, HTTP 200") {
+    withServer { port =>
+      // the reference embeds errors in the body and always answers 200
+      val noQ = get(port, "/api/search/query")
+      assert(noQ.statusCode() == 200)
+      assert(json(noQ.body(), "$.status_code") == "500")
+      assert(json(noQ.body(), "$.message") == "Internal Server Error")
+      val noUser = get(port, "/api/search/user?id=nobody")
+      assert(json(noUser.body(), "$.status_code") == "500")
+    }
+  }
+}
