@@ -62,6 +62,31 @@ object SimilarityQueries extends QueryPack {
        |  (sqrt(list_sum(list_transform(CAST($a AS DOUBLE[]), x -> x * x))) *
        |   sqrt(list_sum(list_transform(CAST($b AS DOUBLE[]), x -> x * x)))), 6)""".stripMargin
 
+  /** Deterministic 2-iteration k=8 Lloyd CTE chain ending at `a2`
+    * (vec_id, v, cluster, s) — shared by the q_kmeans and q_semdedup
+    * oracles so both replay the identical iteration. cosSql's
+    * CAST(x AS DOUBLE[]) is a no-op here (emb.v is already DOUBLE[]) —
+    * the shared helper keeps the formula single-sourced.
+    */
+  private lazy val kmeansCtes: String = {
+    def assignCte(out: String, centsCte: String): String =
+      s"""s_$out AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
+         |  FROM emb e CROSS JOIN $centsCte c),
+         |$out AS (SELECT vec_id, v, cluster, s FROM (
+         |  SELECT vec_id, v, cid AS cluster, s, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cid ASC) AS rn FROM s_$out) WHERE rn = 1)""".stripMargin
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM emb
+       |  ORDER BY vec_id ASC LIMIT 8),
+       |${assignCte("a1", "c0")},
+       |u1 AS (SELECT cluster AS cid, pos,
+       |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM (SELECT cluster, v, unnest(range(1, len(v) + 1)) AS pos FROM a1)
+       |  GROUP BY cluster, pos),
+       |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
+       |${assignCte("a2", "c1")}""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -117,6 +142,13 @@ object SimilarityQueries extends QueryPack {
     "q_dedup_embedding_bucketed" -> ((s, dir) =>
       Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.45)),
+
+    // SemDeDup: k-means clusters bound the near-dup pair generation, then
+    // lowest-id-wins pruning inside each cluster — the published semantic-
+    // dedup recipe, hash-checked end-to-end (clustering AND pruning).
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.45)),
 
     // Embedding-space drift: pairwise cosine between per-label centroids.
     "q_centroid_sim" -> ((s, dir) =>
@@ -248,27 +280,17 @@ object SimilarityQueries extends QueryPack {
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
-    "q_kmeans" -> {
-      // cosSql's CAST(x AS DOUBLE[]) is a no-op here (emb.v is already
-      // DOUBLE[]) — the shared helper keeps the formula single-sourced
-      def assignCte(out: String, centsCte: String): String =
-        s"""s_$out AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
-           |  FROM emb e CROSS JOIN $centsCte c),
-           |$out AS (SELECT vec_id, v, cluster, s FROM (
-           |  SELECT vec_id, v, cid AS cluster, s, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY s DESC, cid ASC) AS rn FROM s_$out) WHERE rn = 1)""".stripMargin
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM emb
-         |  ORDER BY vec_id ASC LIMIT 8),
-         |${assignCte("a1", "c0")},
-         |u1 AS (SELECT cluster AS cid, pos,
-         |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS m
-         |  FROM (SELECT cluster, v, unnest(range(1, len(v) + 1)) AS pos FROM a1)
-         |  GROUP BY cluster, pos),
-         |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
-         |${assignCte("a2", "c1")}
-         |SELECT vec_id, cluster, s AS centroid_sim FROM a2""".stripMargin
-    },
+    "q_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, s AS centroid_sim FROM a2""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH $kmeansCtes,
+         |dup AS (SELECT DISTINCT b.vec_id
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.45)
+         |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+         |FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
 
     "q_embedding_stats" ->
       s"""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,

@@ -384,6 +384,39 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * semantic dedup by clustering the embedding space ([[kmeansAssign]])
+    * and dropping, within each cluster, every vector whose cosine to a
+    * LOWER-id cluster-mate reaches `threshold`. The clustering is what
+    * makes the quadratic step tractable: candidate pairs come from an
+    * equi-join on the cluster id — per-cluster-bounded work after one
+    * shuffle on cluster, never a corpus-wide cross join (the published
+    * method's own scaling argument; at 100 TB, k grows with the corpus so
+    * cluster size stays bounded). Deterministic keep rule (lowest id per
+    * near-dup neighbourhood survives) instead of the paper's random
+    * representative, so results are engine-reproducible.
+    * Returns one row per vector: (idCol, cluster, kept).
+    */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, threshold: Double): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val assigned = kmeansAssign(embeddings, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+    val withVec = embeddings.select(col(idCol), col(vecCol))
+      .join(assigned, Seq(idCol))
+    val a = withVec.select(col("cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__va"))
+    val b = withVec.select(col("cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(round(cosineFast("__va", "__vb"), 6) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("__drop").isNull.as("kept"))
+  }
+
   /** Per-vector stats: dimension, L2 norm, sign bucket, plus any
     * caller-selected passthrough columns.
     */

@@ -80,6 +80,27 @@ class CollectionsSpec extends SparkSpec {
     assert(single.isEmpty, "fixture invariant: no tweet text matches these terms")
   }
 
+  test("REAL OCR: PNG media -> decode -> recognize -> index field -> search") {
+    // The full reference enrichment loop (SolrIndexer.java:115-129) with
+    // nothing stubbed: render term-bearing PNGs, attach to tweet 2, run
+    // the real decoder + matcher, merge into tweetMediaText, search.
+    import graft.multimodal.{GlyphOcr, Multimodal}
+    val media = Seq(
+      ("2", GlyphOcr.renderPng("ZEBRA UNICORN")),
+      ("2", GlyphOcr.renderPng("BANNER 99")),
+      ("9", Array[Byte](9, 9, 9)) // corrupt media must index as ""
+    ).toDF("id", "media")
+    val mediaText = Multimodal.ocrText(media, "media").select("id", "media_text")
+    val withMedia = Collections.tweetsWithMediaText(processed, mediaText)
+    val t2 = withMedia.filter(col("id") === "2").head().getAs[String]("tweetMediaText")
+    assert(t2.contains("ZEBRA UNICORN") && t2.contains("BANNER 99"))
+    assert(withMedia.filter(col("id") === "9").head()
+      .getAs[String]("tweetMediaText") == "")
+    val hits = Collections.keywordSearchMultiField(withMedia, usersC,
+      Seq("zebra", "unicorn"), 5).collect().map(_.getAs[String]("tweet_id")).toSet
+    assert(hits == Set("2"), "text recovered by real OCR must be searchable")
+  }
+
   test("hashtag search matches the array exactly") {
     val hits = Collections.hashtagSearch(tweetsC, "hiring")
       .select("id").collect().map(_.getString(0)).toSet

@@ -134,6 +134,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._3 > 0.9))
   }
 
+  test("semDedup drops higher-id near-dups within clusters, keeps across") {
+    // two direction clusters; 2 duplicates 0 (same cluster, cosine ~1),
+    // 5 duplicates 1; 3 and 4 are distinct enough to survive
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)), (3L, Array(0.8f, 0.6f)),
+      (1L, Array(0.0f, 1.0f)), (5L, Array(0.001f, 1.0f)), (4L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(pts, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 6)
+    assert(out(0L) && out(1L), "lowest id of each near-dup pair survives")
+    assert(!out(2L) && !out(5L), "higher-id near-dups are dropped")
+    assert(out(3L) && out(4L), "sub-threshold cluster-mates survive")
+  }
+
   test("vector stats: norms and buckets") {
     val stats = Similarity.vectorStats(vecs, "vec_id", "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") ->
