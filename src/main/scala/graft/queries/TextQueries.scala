@@ -298,6 +298,19 @@ object TextQueries extends QueryPack {
       Curation.mixturePlanWeighted(docs, "source", "text", parts)
     }),
 
+    // α=0.5 mixture: sqrt-weighted parts (the multilingual up-weighting
+    // rule), integer allocation — sqrt is correctly rounded IEEE so the
+    // plan is engine-exact.
+    "q_mixture_alpha" -> ((s, dir) =>
+      Curation.mixturePlanAlpha(Tables.documents(s, dir), "source", "text")),
+
+    // Deterministic source-interleaved ordering (the pre-packing "global
+    // shuffle"): per-source hash rank + hash key = the global sort order,
+    // no unpartitioned window anywhere.
+    "q_interleave" -> ((s, dir) =>
+      Curation.interleaveOrder(Tables.documents(s, dir), "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("intl_rank"), col("intl_key"))),
+
     // OOV audit against the corpus top-30 vocabulary.
     "q_oov" -> ((s, dir) =>
       TextAnalysis.oovAudit(Tables.documents(s, dir), "doc_id", "text",
@@ -784,6 +797,28 @@ object TextQueries extends QueryPack {
         |  CAST(least(wp.n_tokens, tot.t * wp.parts // tot.p) AS BIGINT) AS planned_tokens,
         |  CAST(greatest(0, tot.t * wp.parts // tot.p - wp.n_tokens) AS BIGINT) AS deficit_tokens
         |FROM wp CROSS JOIN tot""".stripMargin,
+
+    "q_mixture_alpha" ->
+      """WITH ns AS (SELECT source,
+        |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |wp AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS parts
+        |  FROM ns),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+        |    CAST(SUM(parts) AS BIGINT) AS p FROM wp)
+        |SELECT wp.source, wp.n_tokens, wp.parts,
+        |  CAST(tot.t * wp.parts // tot.p AS BIGINT) AS target_tokens,
+        |  CAST(least(wp.n_tokens, tot.t * wp.parts // tot.p) AS BIGINT) AS planned_tokens,
+        |  CAST(greatest(0, tot.t * wp.parts // tot.p - wp.n_tokens) AS BIGINT) AS deficit_tokens
+        |FROM wp CROSS JOIN tot""".stripMargin,
+
+    "q_interleave" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS intl_rank,
+        |  md5(CAST(doc_id AS VARCHAR)) AS intl_key
+        |FROM documents""".stripMargin,
 
     "q_mixture_sample" ->
       """WITH ns AS (SELECT source,

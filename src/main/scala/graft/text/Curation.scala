@@ -255,6 +255,56 @@ object Curation {
         expr("greatest(0L, __tot * parts DIV __p - n_tokens)").cast("long").as("deficit_tokens"))
   }
 
+  /** α-weighted mixture plan at α = 1/2 — the multilingual sampling rule
+    * (sample ∝ n^α with α < 1 to up-weight low-resource sources; α = 0.5
+    * is the canonical choice in public multilingual-pretraining recipes).
+    * parts_s = floor(sqrt(n_tokens_s)): IEEE-754 sqrt is correctly
+    * rounded, so the integer parts — and therefore the whole integer
+    * allocation — stay engine-exact. A general-α variant would route
+    * through pow(), whose last-ulp behaviour differs across libm
+    * implementations; that cross-engine ambiguity is why the shipped knob
+    * is the exactly-computable α = 1/2. Same output shape and integer
+    * allocation as [[mixturePlanWeighted]], one scan + one groupBy +
+    * 1-row broadcast totals.
+    */
+  def mixturePlanAlpha(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ns = docs
+      .select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).cast("long").as("n_tokens"))
+    val wp = ns.select(col(groupCol), col("n_tokens"),
+      floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("parts"))
+    val tot = wp.agg(sum(col("n_tokens")).cast("long").as("__tot"),
+      sum(col("parts")).cast("long").as("__p"))
+    wp.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"), col("parts"),
+        expr("__tot * parts DIV __p").cast("long").as("target_tokens"),
+        expr("least(n_tokens, __tot * parts DIV __p)").cast("long").as("planned_tokens"),
+        expr("greatest(0L, __tot * parts DIV __p - n_tokens)").cast("long").as("deficit_tokens"))
+  }
+
+  /** Deterministic source-interleaved global ordering — the "global
+    * shuffle" a pretraining pipeline runs before sequence packing, as rank
+    * algebra instead of `ORDER BY rand()`: each doc is ranked inside its
+    * source by a content-hash key (PARTITIONED window — scales; the
+    * suite-wide no-unpartitioned-window guard holds), and the global order
+    * is the lexicographic (intl_rank, intl_key) sort — consecutive
+    * positions rotate across sources, so no training batch sees a long
+    * single-source run. Reproducible by construction: same input, same
+    * order, under any partitioning (md5 key, id tiebreak). The global
+    * POSITION is deliberately left as the two sort keys rather than a
+    * materialized row number — numbering globally would be exactly the
+    * single-partition sort this operator exists to avoid; a distributed
+    * sort on the keys realizes the order at write time.
+    */
+  def interleaveOrder(docs: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("intl_key").asc, col(idCol).asc)
+    docs
+      .withColumn("intl_key", md5(col(idCol).cast("string")))
+      .withColumn("intl_rank", row_number().over(w).cast("long"))
+  }
+
   def mixturePlan(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val ns = docs
       .select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("__n"))

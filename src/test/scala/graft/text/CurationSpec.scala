@@ -75,4 +75,39 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(3L))
   }
+
+  test("alpha mixture up-weights the small source vs proportional") {
+    // big source: 100 tokens, small: 4 → proportional share 4/104; sqrt
+    // parts 10 vs 2 → alpha share 2/12. The small source's target fraction
+    // must rise under alpha-weighting (the multilingual up-weighting rule).
+    val mix = Seq(
+      (1L, "big", Array.fill(100)("t").mkString(" ")),
+      (2L, "small", Array.fill(4)("t").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val plan = Curation.mixturePlanAlpha(mix, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(plan("big") == ((10L, 104L * 10L / 12L)))
+    assert(plan("small")._1 == 2L)
+    val smallShare = plan("small")._2.toDouble / 104
+    assert(smallShare > 4.0 / 104, "alpha must lift the small source's target")
+  }
+
+  test("interleave order rotates across sources, deterministic rank per source") {
+    val mix = (1L to 30L).map(i => (i, s"src${i % 3}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.interleaveOrder(mix, "source", "doc_id")
+      .orderBy($"intl_rank".asc, $"intl_key".asc)
+      .select("source", "intl_rank").collect().map(r => (r.getString(0), r.getLong(1)))
+    // global (rank, key) order visits every source once per rank round
+    out.grouped(3).zipWithIndex.foreach { case (round, i) =>
+      assert(round.map(_._1).toSet == Set("src0", "src1", "src2"),
+        s"rank round $i must hold one doc of each source: ${round.mkString(",")}")
+      assert(round.forall(_._2 == i + 1L))
+    }
+    // reproducible: same input, same order
+    val again = Curation.interleaveOrder(mix.repartition(7), "source", "doc_id")
+      .orderBy($"intl_rank".asc, $"intl_key".asc)
+      .select("source", "intl_rank").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
