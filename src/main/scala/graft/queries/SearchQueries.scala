@@ -17,21 +17,28 @@ object SearchQueries extends QueryPack {
     */
   val QueryTerms: Seq[String] = Seq("spark", "query")
 
+  /** Phrase for the quoted-phrase query — present at every SF of the
+    * synthetic corpus (24-312 matching docs).
+    */
+  val PhraseTerms: Seq[String] = Seq("hash", "join")
+
   /** Per-field BM25 CTE chain for the oracle SQL (DuckDB), mirroring
     * [[graft.search.BM25.scoreAll]] shape for shape over an arbitrary field
     * expression; CTE names carry `sfx` so two fields can coexist in one
     * query (the multi-field oracle).
     */
-  private def bm25FieldCte(fieldSql: String, sfx: String): String =
+  private def bm25FieldCte(fieldSql: String, sfx: String,
+                           from: String = "documents",
+                           terms: Seq[String] = QueryTerms): String =
     raw"""toks$sfx AS (SELECT doc, term FROM (
          |    SELECT doc_id AS doc, unnest(string_split_regex(
          |      regexp_replace(lower($fieldSql), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
-         |    FROM documents) WHERE length(term) > 0),
+         |    FROM $from) WHERE length(term) > 0),
          |dl$sfx AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks$sfx GROUP BY doc),
          |corpus$sfx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
          |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl$sfx),
          |tf$sfx AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks$sfx
-         |  WHERE term IN ('spark', 'query') GROUP BY doc, term),
+         |  WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc, term),
          |dfreq$sfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf$sfx GROUP BY term),
          |scored$sfx AS (
          |  SELECT t.doc, round(SUM(
@@ -101,6 +108,22 @@ object SearchQueries extends QueryPack {
     // ad-hoc path (tokenizes the corpus; right for one-off queries).
     "q_keyword_bm25" -> ((s, dir) =>
       BM25.scoreTopK(Tables.documents(s, dir), "doc_id", "text", QueryTerms, k = 10)),
+
+    // Quoted-phrase query (Solr's `"..."` semantics): consecutive-token
+    // containment on the analyzed stream, then BM25 over the match set.
+    "q_keyword_phrase" -> ((s, dir) =>
+      BM25.scoreTopKPhrase(Tables.documents(s, dir), "doc_id", "text",
+        PhraseTerms, k = 10)),
+
+    // Solr-style facet counts over the keyword result set
+    // (facet.field=lang,source) — group counts per facet value.
+    "q_facets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hits = docs.join(
+        BM25.scoreAll(docs, "doc_id", "text", QueryTerms)
+          .select(col("doc").as("doc_id")), "doc_id")
+      graft.search.Collections.facets(hits, Seq("lang", "source"))
+    }),
 
     // Lucene-analyzer parity (`SolrFieldType.java:39-45`): the UAX#29-style
     // tokenizer keeps URLs/@mentions whole and folds possessives, so a
@@ -174,6 +197,28 @@ object SearchQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_keyword_bm25" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    "q_keyword_phrase" -> {
+      // same analyzer normalization as the Spark predicate: lower, strip
+      // non-alphanumerics, collapse whitespace, space-padded containment
+      val docs0 =
+        raw"""docs0 AS (SELECT doc_id, text FROM documents
+             |  WHERE (' ' || regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g') || ' ')
+             |    LIKE '% ${PhraseTerms.mkString(" ")} %')""".stripMargin
+      "WITH " + docs0 + ",\n" +
+        bm25FieldCte("text", "", from = "docs0", terms = PhraseTerms) + ",\n" +
+        "top10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n" +
+        "SELECT doc, score FROM top10"
+    },
+
+    "q_facets" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |hits AS (SELECT d.* FROM documents d JOIN scored s ON d.doc_id = s.doc)
+      |SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
+      |  CAST(COUNT(*) AS BIGINT) AS n FROM hits GROUP BY lang
+      |UNION ALL
+      |SELECT 'source' AS facet, CAST(source AS VARCHAR) AS value,
+      |  CAST(COUNT(*) AS BIGINT) AS n FROM hits GROUP BY source""".stripMargin),
 
     "q_keyword_uax" -> ("WITH " + bm25UaxCte(UaxFieldSql) +
       ",\ntop10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n" +

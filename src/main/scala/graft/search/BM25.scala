@@ -179,6 +179,33 @@ object BM25 {
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
 
+  /** Docs whose ANALYZED token stream contains `phrase` consecutively —
+    * Solr/Lucene's quoted-phrase match. The probe is the analyzer
+    * normalization (lower, strip non-alphanumerics, collapse whitespace)
+    * plus a space-padded substring Contains: semantically "consecutive
+    * analyzed tokens", executed as one codegen'd predicate that rides the
+    * scan — no positional self-join, no shuffle. (A positions index would
+    * serve high-QPS phrase queries; for analytics the scan-speed predicate
+    * is the right 100 TB shape.)
+    */
+  def phraseMatches(docs: DataFrame, textCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val needle = phrase.map(_.toLowerCase).mkString(" ")
+    val norm = regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " ")
+    docs.filter(concat(lit(" "), norm, lit(" ")).contains(s" $needle "))
+  }
+
+  /** Quoted-phrase query: phrase containment filter, then BM25 over the
+    * phrase terms with statistics on the match set (the phrase-filtered
+    * corpus — documented choice; Lucene scores phrases from positional
+    * postings against full-corpus stats, which needs the positions index
+    * above).
+    */
+  def scoreTopKPhrase(docs: DataFrame, idCol: String, textCol: String,
+                      phrase: Seq[String], k: Int): DataFrame =
+    scoreTopK(phraseMatches(docs, textCol, phrase), idCol, textCol, phrase, k)
+
   /** [[scoreTopK]] under the UAX#29-style analyzer. */
   def scoreTopKUax(docs: DataFrame, idCol: String, textCol: String,
                    queryTerms: Seq[String], k: Int): DataFrame =

@@ -146,6 +146,24 @@ object Collections {
         col("userName"), col("userScreenName"))
   }
 
+  /** Solr-style facet counts over a result set (`facet=true&facet.field=…`
+    * — the Solr capability the reference's stack exposes even though its
+    * UI doesn't call it): for each requested field, the distinct values
+    * with their result-set counts. One combinable groupBy per field over
+    * the (already filtered/capped) result relation, unioned — partial
+    * aggregation map-side, so each facet costs one light exchange however
+    * large the underlying corpus was before filtering.
+    */
+  def facets(results: DataFrame, fields: Seq[String], minCount: Long = 1L): DataFrame = {
+    require(fields.nonEmpty, "at least one facet field")
+    fields.map { f =>
+      results.groupBy(col(f).cast("string").as("value"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(f).as("facet"), col("value"), col("n"))
+    }.reduce(_.unionByName(_))
+      .filter(col("n") >= minCount)
+  }
+
   /** Multi-field keyword search — the reference's actual query
     * (`SolrRanker.java:76`: `tweetText:<q> OR tweetMediaText:<q>`): per-field
     * BM25 summed, so a tweet whose text is image-only (terms appear only in

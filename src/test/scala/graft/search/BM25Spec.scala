@@ -144,4 +144,31 @@ class BM25Spec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!single.contains(2L))
   }
+
+  test("phrase match is consecutive analyzed tokens, punctuation-robust") {
+    val docs = Seq(
+      (1L, "we use Hash, JOIN! daily"),     // punctuation strips -> matches
+      (2L, "hash x join"),                  // interrupted -> no match
+      (3L, "join hash"),                    // wrong order -> no match
+      (4L, "rehash joint"),                 // substring of tokens -> no match
+      (5L, "a hash  join b")                // double space collapses -> matches
+    ).toDF("doc_id", "text")
+    val ids = BM25.phraseMatches(docs, "text", Seq("hash", "join"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 5L))
+    val ranked = BM25.scoreTopKPhrase(docs, "doc_id", "text",
+      Seq("hash", "join"), 10).collect().map(_.getLong(0)).toSet
+    assert(ranked == Set(1L, 5L))
+  }
+
+  test("facets count field values over the result set only") {
+    val hits = Seq(
+      (1L, "en", "srcA"), (2L, "en", "srcB"), (3L, "de", "srcA")
+    ).toDF("doc_id", "lang", "source")
+    val f = Collections.facets(hits, Seq("lang", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(f(("lang", "en")) == 2L && f(("lang", "de")) == 1L)
+    assert(f(("source", "srcA")) == 2L && f(("source", "srcB")) == 1L)
+    assert(f.size == 4)
+  }
 }
