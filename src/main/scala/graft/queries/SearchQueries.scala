@@ -109,6 +109,12 @@ object SearchQueries extends QueryPack {
     "q_keyword_bm25" -> ((s, dir) =>
       BM25.scoreTopK(Tables.documents(s, dir), "doc_id", "text", QueryTerms, k = 10)),
 
+    // More-Like-This (Solr MLT): doc 0's top-8 tf-idf terms as the query,
+    // BM25 top-10 over the rest of the corpus.
+    "q_more_like_this" -> ((s, dir) =>
+      BM25.moreLikeThis(Tables.documents(s, dir), "doc_id", "text",
+        seedId = 0L, nTerms = 8, k = 10)),
+
     // Quoted-phrase query (Solr's `"..."` semantics): consecutive-token
     // containment on the analyzed stream, then BM25 over the match set.
     "q_keyword_phrase" -> ((s, dir) =>
@@ -197,6 +203,31 @@ object SearchQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_keyword_bm25" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    "q_more_like_this" ->
+      raw"""WITH toks AS (SELECT doc, term FROM (
+           |    SELECT doc_id AS doc, unnest(string_split_regex(
+           |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
+           |    FROM documents) WHERE length(term) > 0),
+           |tfall AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           |  FROM toks GROUP BY doc, term),
+           |dl AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks GROUP BY doc),
+           |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl),
+           |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfall GROUP BY term),
+           |seedterms AS (SELECT t.term
+           |  FROM tfall t JOIN dfreq d USING (term) CROSS JOIN corpus c
+           |  WHERE t.doc = 0
+           |  ORDER BY round(t.tf * ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)), 6) DESC,
+           |    t.term ASC LIMIT 8),
+           |scored AS (SELECT t.doc, round(SUM(
+           |    ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
+           |    (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)))
+           |  ), 6) AS score
+           |  FROM tfall t JOIN seedterms USING (term) JOIN dfreq d USING (term)
+           |  JOIN dl USING (doc) CROSS JOIN corpus c
+           |  WHERE t.doc <> 0 GROUP BY t.doc)
+           |SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin,
 
     "q_keyword_phrase" -> {
       // same analyzer normalization as the Spark predicate: lower, strip

@@ -179,6 +179,51 @@ object BM25 {
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
 
+  /** More-Like-This — Solr's MLT handler as one plan: the seed doc's most
+    * interesting terms (top `nTerms` by tf·idf within the seed,
+    * deterministic term tiebreak) become the query, and the corpus is
+    * BM25-ranked on them with the seed excluded. The term set is DATA — a
+    * broadcast `nTerms`-row frame feeding a term equi-join — so nothing
+    * collects to the driver and the chain stays one lazy plan. One
+    * tokenize pass feeds tf, doc-length, df, seed-term selection, and the
+    * final scoring; at scale tf/df/dl are exactly the [[BM25Index]]
+    * postings tables, so the served variant is a three-join over the
+    * prebuilt index.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   seedId: Long, nTerms: Int, k: Int,
+                   minDf: Double = 1.0): DataFrame = {
+    require(nTerms > 0 && k > 0, "nTerms and k must be positive")
+    val toks = tokens(docs, idCol, textCol).persist()
+    val dl = toks.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("len"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
+    val tfAll = toks.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tfAll.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    // Solr MLT's mlt.mindf: terms too rare in the corpus are noise, not
+    // signal — excluded from the interesting-term budget
+    val seedTerms = tfAll.filter(col("doc") === seedId)
+      .join(dfreq, "term")
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(corpus))
+      .withColumn("tfidf", round(col("tf") * idfExpr(col("n"), col("df")), 6))
+      .orderBy(col("tfidf").desc, col("term").asc)
+      .limit(nTerms)
+      .select(col("term"))
+    tfAll.join(broadcast(seedTerms), "term")
+      .filter(col("doc") =!= seedId)
+      .join(dfreq, "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc"))
+      .agg(round(sum(idfExpr(col("n"), col("df")) *
+        tfNormExpr(col("tf"), col("len"), col("avglen"))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
   /** Docs whose ANALYZED token stream contains `phrase` consecutively —
     * Solr/Lucene's quoted-phrase match. The probe is the analyzer
     * normalization (lower, strip non-alphanumerics, collapse whitespace)

@@ -161,6 +161,22 @@ class BM25Spec extends SparkSpec {
     assert(ranked == Set(1L, 5L))
   }
 
+  test("more-like-this ranks the seed's near-twin first, excludes the seed") {
+    val docs = Seq(
+      (0L, "solar panels power the grid with clean energy output"),
+      (1L, "solar panels and clean energy power output rising"), // near-twin
+      (2L, "clean kitchens and solar cookers"),                  // partial overlap
+      (3L, "completely unrelated words about databases")
+    ).toDF("doc_id", "text")
+    // minDf=2 (Solr's mlt.mindf): df=1 noise terms ("the", "grid", "with")
+    // would otherwise crowd the interesting-term budget
+    val out = BM25.moreLikeThis(docs, "doc_id", "text", seedId = 0L,
+      nTerms = 6, k = 10, minDf = 2.0).collect().map(_.getLong(0))
+    assert(!out.contains(0L), "seed must be excluded")
+    assert(out.head == 1L, "near-twin must rank first")
+    assert(out.contains(2L) && !out.contains(3L))
+  }
+
   test("facets count field values over the result set only") {
     val hits = Seq(
       (1L, "en", "srcA"), (2L, "en", "srcB"), (3L, "de", "srcA")
