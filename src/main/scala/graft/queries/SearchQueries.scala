@@ -109,6 +109,23 @@ object SearchQueries extends QueryPack {
     "q_keyword_bm25" -> ((s, dir) =>
       BM25.scoreTopK(Tables.documents(s, dir), "doc_id", "text", QueryTerms, k = 10)),
 
+    // Solr highlighting: snippet around the first query-term hit, over the
+    // keyword top-10 (snippet assembly scales with the result cap).
+    "q_highlight" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val top = BM25.scoreTopK(docs, "doc_id", "text", QueryTerms, k = 10)
+        .select(col("doc").as("doc_id"), col("score"))
+      graft.search.Collections.highlight(
+        top.join(docs.select("doc_id", "text"), "doc_id"),
+        "text", "spark", window = 30)
+        .select(col("doc_id"), col("score"), col("snippet"))
+    }),
+
+    // Solr suggester: prefix autocomplete over the corpus vocabulary.
+    "q_suggest" -> ((s, dir) =>
+      graft.search.Collections.suggest(Tables.documents(s, dir),
+        "doc_id", "text", prefix = "s", k = 10)),
+
     // More-Like-This (Solr MLT): doc 0's top-8 tf-idf terms as the query,
     // BM25 top-10 over the rest of the corpus.
     "q_more_like_this" -> ((s, dir) =>
@@ -203,6 +220,23 @@ object SearchQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_keyword_bm25" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    "q_highlight" -> (bm25Cte +
+      raw"""SELECT t.doc AS doc_id, t.score,
+           |  CASE WHEN strpos(lower(d.text), 'spark') = 0 THEN ''
+           |    ELSE substr(d.text,
+           |      greatest(1, strpos(lower(d.text), 'spark') - 30), 65)
+           |  END AS snippet
+           |FROM top10 t JOIN documents d ON d.doc_id = t.doc""".stripMargin),
+
+    "q_suggest" ->
+      raw"""WITH toks AS (SELECT DISTINCT doc, term FROM (
+           |    SELECT doc_id AS doc, unnest(string_split_regex(
+           |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
+           |    FROM documents) WHERE length(term) > 0)
+           |SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks
+           |WHERE term LIKE 's%'
+           |GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
 
     "q_more_like_this" ->
       raw"""WITH toks AS (SELECT doc, term FROM (

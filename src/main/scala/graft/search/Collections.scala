@@ -146,6 +146,37 @@ object Collections {
         col("userName"), col("userScreenName"))
   }
 
+  /** Solr-style highlighting: a ±`window`-character snippet around the
+    * FIRST occurrence of `term` in `textCol` (case-insensitive), empty
+    * when absent. Pure substring arithmetic — a codegen'd projection over
+    * the (already capped) result set, the cheap half of Lucene's
+    * highlighter (the expensive half, best-fragment scoring, needs term
+    * positions — the same positions index the phrase query notes).
+    */
+  def highlight(results: DataFrame, textCol: String, term: String,
+                window: Int = 30, outCol: String = "snippet"): DataFrame = {
+    val pos = locate(term.toLowerCase, lower(col(textCol))) // 1-based, 0 = absent
+    val start = greatest(lit(1), pos - window)
+    results.withColumn(outCol,
+      when(pos === 0, lit(""))
+        .otherwise(col(textCol).substr(start, lit(window * 2 + term.length))))
+  }
+
+  /** Solr suggester (prefix autocomplete): top-k corpus terms starting
+    * with `prefix`, by document frequency then term. One groupBy over the
+    * prefix-filtered token stream — the filter rides the scan, the agg is
+    * combinable, the result is k rows.
+    */
+  def suggest(tweets: DataFrame, idCol: String, textCol: String,
+              prefix: String, k: Int = 10): DataFrame =
+    BM25.tokens(tweets, idCol, textCol)
+      .filter(col("term").startsWith(prefix.toLowerCase))
+      .distinct() // df = docs containing the term, not raw occurrences
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+
   /** Solr-style facet counts over a result set (`facet=true&facet.field=…`
     * — the Solr capability the reference's stack exposes even though its
     * UI doesn't call it): for each requested field, the distinct values

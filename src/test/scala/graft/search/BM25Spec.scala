@@ -177,6 +177,30 @@ class BM25Spec extends SparkSpec {
     assert(out.contains(2L) && !out.contains(3L))
   }
 
+  test("highlight snippets the first hit, case-insensitive, empty when absent") {
+    val rows = Seq(
+      (1L, "x" * 50 + " Spark rules " + "y" * 50),
+      (2L, "no match here"),
+      (3L, "spark at the start")
+    ).toDF("doc_id", "text")
+    val snip = Collections.highlight(rows, "text", "spark", window = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(snip(1L).contains("Spark") && snip(1L).length <= 25)
+    assert(snip(2L) == "")
+    assert(snip(3L).startsWith("spark")) // window clamps at string start
+  }
+
+  test("suggest ranks prefix completions by document frequency") {
+    val rows = Seq(
+      (1L, "spark sort spark"), (2L, "sort scan"), (3L, "sort table")
+    ).toDF("doc_id", "text")
+    val out = Collections.suggest(rows, "doc_id", "text", "s", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == (("sort", 3L)))
+    // df counts docs, not occurrences: "spark" appears twice in ONE doc
+    assert(out.contains(("spark", 1L)) && out.contains(("scan", 1L)))
+  }
+
   test("facets count field values over the result set only") {
     val hits = Seq(
       (1L, "en", "srcA"), (2L, "en", "srcB"), (3L, "de", "srcA")
