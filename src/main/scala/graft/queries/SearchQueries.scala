@@ -148,6 +148,67 @@ object SearchQueries extends QueryPack {
       graft.search.Collections.facets(hits, Seq("lang", "source"))
     }),
 
+    // Same phrase query served from the POSITIONS index — no corpus
+    // re-tokenize; reads only the bucket/term-pruned positional postings.
+    // Must reproduce the ad-hoc phrase ranking exactly (same oracle).
+    "q_keyword_phrase_served" -> ((s, dir) =>
+      BM25Index.topKPhrase(s, BM25Index.ensureBuilt(s, dir), PhraseTerms, k = 10)),
+
+    // Suggester served from the persisted vocabulary (termstats) — the
+    // ad-hoc q_suggest tokenizes the corpus per call; this reads the
+    // corpus-metadata-sized term table only. Same oracle.
+    "q_suggest_served" -> ((s, dir) =>
+      BM25Index.suggest(s, BM25Index.ensureBuilt(s, dir), prefix = "s", k = 10)),
+
+    // Solr spellcheck component ("did you mean"): corpus-vocabulary terms
+    // within edit distance 2 of the typo, ranked distance → df → term.
+    "q_spell_didyoumean" -> ((s, dir) => {
+      val vocab = graft.search.BM25.tokens(Tables.documents(s, dir), "doc_id", "text")
+        .distinct()
+        .groupBy(col("term")).agg(Num.cnt.as("df"))
+      graft.search.Collections.didYouMean(vocab, input = "sot", maxDist = 2, k = 5)
+    }),
+
+    // Solr result grouping (group.field=source, group.limit=2): top-2 docs
+    // per source over the keyword match set, with per-group numFound.
+    "q_group_collapse" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hits = BM25.scoreAll(docs, "doc_id", "text", QueryTerms)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      graft.search.Collections.groupCollapse(hits, "source",
+          Seq(col("score").desc, col("doc").asc), perGroup = 2)
+        .select(col("source"), col("doc"), col("score"),
+          col("rank_in_group"), col("group_size"))
+    }),
+
+    // Solr range facet (facet.range=n_chars, gap=100) over the keyword
+    // match set.
+    "q_facet_range" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hits = docs.join(
+        BM25.scoreAll(docs, "doc_id", "text", QueryTerms)
+          .select(col("doc").as("doc_id")), "doc_id")
+      graft.search.Collections.facetRange(hits, "n_chars", gap = 100L)
+    }),
+
+    // Solr pivot facet (facet.pivot=lang,source) over the keyword match set.
+    "q_facet_pivot" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hits = docs.join(
+        BM25.scoreAll(docs, "doc_id", "text", QueryTerms)
+          .select(col("doc").as("doc_id")), "doc_id")
+      graft.search.Collections.facetPivot(hits, "lang", "source")
+    }),
+
+    // Solr stats component (stats.field=n_chars) over the keyword match set.
+    "q_stats_field" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hits = docs.join(
+        BM25.scoreAll(docs, "doc_id", "text", QueryTerms)
+          .select(col("doc").as("doc_id")), "doc_id")
+      graft.search.Collections.statsField(hits, "n_chars")
+    }),
+
     // Lucene-analyzer parity (`SolrFieldType.java:39-45`): the UAX#29-style
     // tokenizer keeps URLs/@mentions whole and folds possessives, so a
     // query FOR a URL matches only docs carrying it as one token.
@@ -181,6 +242,27 @@ object SearchQueries extends QueryPack {
         when(col("doc_id") % 20 === 0, lit("spark query ocr")).otherwise(col("lang")))
       BM25.scoreTopKFields(docs, "doc_id", Seq("text", "media_text"), QueryTerms, k = 10)
     }),
+
+    // edismax qf boosts (`qf=text^2 media_text^1`): per-field BM25 scaled
+    // by its boost before the OR-sum — text hits outrank equal media hits.
+    "q_keyword_boosted_fields" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("media_text",
+        when(col("doc_id") % 20 === 0, lit("spark query ocr")).otherwise(col("lang")))
+      BM25.scoreTopKFieldsBoosted(docs, "doc_id",
+        Seq("text" -> 2.0, "media_text" -> 1.0), QueryTerms, k = 10)
+    }),
+
+    // edismax additive function boost (`bf=ln(1+n_chars/100)`): relevance
+    // plus a document-quality signal, computed only for matching docs.
+    "q_keyword_boost_fn" -> ((s, dir) =>
+      BM25.scoreTopKBoosted(Tables.documents(s, dir), "doc_id", "text",
+        QueryTerms, log(lit(1.0) + col("n_chars") / lit(100.0)), k = 10)),
+
+    // Solr filter query (`fq=lang:en`): restricts results WITHOUT touching
+    // scoring — df/N/avglen stay corpus-wide, unlike the phrase query.
+    "q_keyword_fq" -> ((s, dir) =>
+      BM25.scoreTopKFiltered(Tables.documents(s, dir), "doc_id", "text",
+        QueryTerms, col("lang") === "en", k = 10)),
 
     // …then joined to its "users" side — the reference resolves each result
     // tweet's author with N+1 Solr point lookups (`SolrRanker.java:58-64`);
@@ -277,6 +359,74 @@ object SearchQueries extends QueryPack {
         "SELECT doc, score FROM top10"
     },
 
+    // The positions-index path must reproduce the ad-hoc phrase ranking.
+    "q_keyword_phrase_served" -> {
+      val docs0 =
+        raw"""docs0 AS (SELECT doc_id, text FROM documents
+             |  WHERE (' ' || regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g') || ' ')
+             |    LIKE '% ${PhraseTerms.mkString(" ")} %')""".stripMargin
+      "WITH " + docs0 + ",\n" +
+        bm25FieldCte("text", "", from = "docs0", terms = PhraseTerms) + ",\n" +
+        "top10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n" +
+        "SELECT doc, score FROM top10"
+    },
+
+    // The vocabulary-table path must reproduce the ad-hoc suggester.
+    "q_suggest_served" ->
+      raw"""WITH toks AS (SELECT DISTINCT doc, term FROM (
+           |    SELECT doc_id AS doc, unnest(string_split_regex(
+           |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
+           |    FROM documents) WHERE length(term) > 0)
+           |SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks
+           |WHERE term LIKE 's%'
+           |GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
+
+    "q_spell_didyoumean" ->
+      raw"""WITH toks AS (SELECT DISTINCT doc, term FROM (
+           |    SELECT doc_id AS doc, unnest(string_split_regex(
+           |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
+           |    FROM documents) WHERE length(term) > 0),
+           |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term)
+           |SELECT term, df, CAST(levenshtein('sot', term) AS BIGINT) AS dist
+           |FROM vocab
+           |WHERE levenshtein('sot', term) BETWEEN 1 AND 2
+           |ORDER BY dist ASC, df DESC, term ASC LIMIT 5""".stripMargin,
+
+    "q_group_collapse" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |hits AS (SELECT d.source, s.doc, s.score
+      |  FROM scored s JOIN documents d ON d.doc_id = s.doc),
+      |g AS (SELECT source, doc, score,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc ASC) AS BIGINT) AS rank_in_group,
+      |  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS group_size
+      |  FROM hits)
+      |SELECT source, doc, score, rank_in_group, group_size
+      |FROM g WHERE rank_in_group <= 2""".stripMargin),
+
+    "q_facet_range" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |hits AS (SELECT d.* FROM documents d JOIN scored s ON d.doc_id = s.doc)
+      |SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_facet_pivot" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |hits AS (SELECT d.* FROM documents d JOIN scored s ON d.doc_id = s.doc)
+      |SELECT CAST(lang AS VARCHAR) AS value, CAST(source AS VARCHAR) AS sub_value,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM hits GROUP BY 1, 2""".stripMargin),
+
+    "q_stats_field" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |hits AS (SELECT d.* FROM documents d JOIN scored s ON d.doc_id = s.doc)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum,
+      |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean,
+      |  round(sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+      |    - CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1)), 6) AS stddev
+      |FROM hits""".stripMargin),
+
     "q_facets" -> ("WITH " + bm25FieldCte("text", "") + raw""",
       |hits AS (SELECT d.* FROM documents d JOIN scored s ON d.doc_id = s.doc)
       |SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
@@ -302,6 +452,26 @@ object SearchQueries extends QueryPack {
           |  round(coalesce(a.score, 0) + coalesce(b.score, 0), 6) AS score
           |  FROM scored_t a FULL JOIN scored_m b ON a.doc = b.doc)
           |SELECT doc, score FROM comb ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin),
+
+    "q_keyword_boosted_fields" ->
+      ("WITH " + bm25FieldCte("text", "_t") + ",\n" +
+        bm25FieldCte(MediaFieldSql, "_m") + ",\n" +
+        """comb AS (SELECT coalesce(a.doc, b.doc) AS doc,
+          |  round(coalesce(a.score, 0) * 2.0 + coalesce(b.score, 0), 6) AS score
+          |  FROM scored_t a FULL JOIN scored_m b ON a.doc = b.doc)
+          |SELECT doc, score FROM comb ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin),
+
+    "q_keyword_boost_fn" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |boosted AS (SELECT s.doc,
+      |  round(s.score + ln(1.0 + d.n_chars / 100.0), 6) AS score
+      |  FROM scored s JOIN documents d ON d.doc_id = s.doc)
+      |SELECT doc, score FROM boosted ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin),
+
+    "q_keyword_fq" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |filtered AS (SELECT s.doc, s.score
+      |  FROM scored s JOIN documents d ON d.doc_id = s.doc
+      |  WHERE d.lang = 'en')
+      |SELECT doc, score FROM filtered ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin),
 
     "q_keyword_join_source" -> (bm25Cte +
       """, src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs,

@@ -41,6 +41,19 @@ object BM25 {
           .as("term"))
       .filter(length(col("term")) > 0)
 
+  /** [[tokens]] with the token's ordinal in the analyzed stream:
+    * (doc, pos, term), pos 0-based over the post-filter stream (empty
+    * tokens from leading/doubled separators never consume a position, so
+    * "adjacent" always means pos+1). This is the per-token view Lucene's
+    * positional postings are built from.
+    */
+  def tokensWithPos(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        posexplode(filter(
+          split(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+"),
+          t => length(t) > 0)))
+      .toDF("doc", "pos", "term")
+
   /** Full postings relation (doc, term, tf) — the precomputed "inverted
     * index" for a serving deployment: persist/bucket it by term and reuse
     * across many queries, exactly as Solr reuses its index. For a single
@@ -266,9 +279,24 @@ object BM25 {
     * per-field [[scoreAll]], full-outer join on doc, missing field = 0.
     */
   def scoreTopKFields(docs: DataFrame, idCol: String, textCols: Seq[String],
-                      queryTerms: Seq[String], k: Int): DataFrame = {
-    require(textCols.nonEmpty, "at least one field")
-    val combined = textCols.map(f => scoreAll(docs, idCol, f, queryTerms))
+                      queryTerms: Seq[String], k: Int): DataFrame =
+    scoreTopKFieldsBoosted(docs, idCol, textCols.map(_ -> 1.0), queryTerms, k)
+
+  /** [[scoreTopKFields]] with per-field boosts — Solr/edismax's
+    * `qf=tweetText^2 tweetMediaText^1`: each field's BM25 subscore is
+    * multiplied by its boost before the OR-sum, exactly Lucene's
+    * BoostQuery-around-per-field-query composition. Boost application is
+    * one multiply per (doc, field) pair that matched — plan shape is
+    * unchanged from the unboosted query.
+    */
+  def scoreTopKFieldsBoosted(docs: DataFrame, idCol: String,
+                             fieldBoosts: Seq[(String, Double)],
+                             queryTerms: Seq[String], k: Int): DataFrame = {
+    require(fieldBoosts.nonEmpty, "at least one field")
+    val combined = fieldBoosts.map { case (f, boost) =>
+        scoreAll(docs, idCol, f, queryTerms)
+          .select(col("doc"), (col("score") * lit(boost)).as("score"))
+      }
       .reduce { (a, b) =>
         a.select(col("doc"), col("score").as("__sa"))
           .join(b.select(col("doc"), col("score").as("__sb")), Seq("doc"), "full_outer")
@@ -279,4 +307,33 @@ object BM25 {
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
   }
+
+  /** Solr function-query boosting (`bf=<additive boost>` on the edismax
+    * handler): final score = BM25 + f(doc fields), with f supplied as a
+    * Column over `docs`' columns. The boost is a codegen'd projection on
+    * the match set — it never touches non-matching docs (Lucene evaluates
+    * the ValueSource only for candidate docs the same way). Deterministic
+    * as long as `boost` is (round-6 applied after the sum).
+    */
+  def scoreTopKBoosted(docs: DataFrame, idCol: String, textCol: String,
+                       queryTerms: Seq[String], boost: Column, k: Int): DataFrame =
+    scoreAll(docs, idCol, textCol, queryTerms)
+      .join(docs.select(col(idCol).as("doc"), boost.as("__bf")), "doc")
+      .select(col("doc"), round(col("score") + col("__bf"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+
+  /** Solr filter query (`fq=` alongside `q=`): the filter restricts the
+    * RESULT SET but does not participate in scoring — BM25 statistics
+    * (df, N, avglen) stay corpus-wide, exactly Solr's q/fq split (an fq is
+    * a cached bitset intersected post-scoring). Contrast
+    * [[scoreTopKPhrase]], where the phrase IS the query and stats follow
+    * the match set.
+    */
+  def scoreTopKFiltered(docs: DataFrame, idCol: String, textCol: String,
+                        queryTerms: Seq[String], fq: Column, k: Int): DataFrame =
+    scoreAll(docs, idCol, textCol, queryTerms)
+      .join(docs.filter(fq).select(col(idCol).as("doc")), "doc")
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
 }

@@ -15,10 +15,14 @@ import java.nio.file.{Files, Paths}
   *
   * Layout under one index directory:
   * {{{
-  *   postings/tb=<0..15>/   (doc, term, tf, len)  sorted by (term, doc)
-  *   termstats/tb=<0..15>/  (term, df)            sorted by term
-  *   corpus/                (n, avglen)           one row
+  *   postings/tb=<0..15>/   (doc, term, tf, positions, len)  sorted by (term, doc)
+  *   termstats/tb=<0..15>/  (term, df)                       sorted by term
+  *   corpus/                (n, avglen)                      one row
   * }}}
+  *
+  * `positions` is the sorted token-ordinal list of the term within the doc
+  * (Lucene's positional postings) — what serves quoted-phrase queries
+  * ([[topKPhrase]]) without re-tokenizing any document.
   *
   * `len` (doc length) is denormalized onto postings — Lucene stores per-doc
   * field norms alongside postings the same way — so serving needs NO
@@ -62,7 +66,16 @@ object BM25Index {
     * division's rounding error per segment.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dest: String): Unit = {
-    val post = BM25.postings(docs, idCol, textCol).persist()
+    // positional postings (Lucene stores positions alongside tf the same
+    // way): tf and the sorted position list come out of ONE aggregation
+    // over the positional token stream, so adding positions costs no extra
+    // corpus pass. sort_array fixes collect_list's partition-order
+    // nondeterminism.
+    val post = BM25.tokensWithPos(docs, idCol, textCol)
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .persist()
     try {
       val lens = post.groupBy(col("doc")).agg(sum(col("tf")).as("len"))
       post.join(lens, "doc")
@@ -203,7 +216,7 @@ object BM25Index {
     */
   def defaultDir(sfDir: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/bm25-index-v2")
+      s"${sys.props("user.dir")}/target/bm25-index-v3")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -257,6 +270,82 @@ object BM25Index {
     * bit-identical to [[BM25.scoreTopK]] (same idf/tfNorm/rounding over the
     * same tf/len/df/N values).
     */
+  /** Served quoted-phrase top-k — the positions-index path the ad-hoc
+    * [[BM25.scoreTopKPhrase]] documents as "what a high-QPS deployment
+    * would run": no document is re-tokenized; the whole query reads only
+    * the bucket/term-pruned positional postings of the phrase's terms.
+    *
+    * Shape: per distinct phrase term, the pruned postings slice gives
+    * (doc, tf, positions, len); an inner join on doc keeps docs containing
+    * ALL terms; adjacency is a fold of
+    * `array_intersect(transform(cand, p -> p+1), pos_next)` over the
+    * phrase's slots (repeated terms reuse the same positions array, which
+    * is exactly right — a token cannot occupy two slots at once). Scoring
+    * reproduces the ad-hoc path bit-for-bit: statistics over the MATCH SET
+    * (N = matches, df = N since every match contains every phrase term,
+    * len/avglen from the denormalized doc lengths) — so the same DuckDB
+    * oracle gates both paths.
+    *
+    * Works over base + segments unmodified: a doc lives in exactly one
+    * part (the append contract), so its tf/positions/len rows are
+    * self-consistent, and the match-set stats are computed from the joined
+    * result, not per-part.
+    */
+  def topKPhrase(spark: SparkSession, dest: String, phrase: Seq[String],
+                 k: Int): DataFrame = {
+    val ordered = phrase.map(_.toLowerCase.replaceAll("[^a-z0-9]", ""))
+      .filter(_.nonEmpty)
+    require(ordered.nonEmpty, "no phrase terms survive analysis")
+    val terms = ordered.distinct
+    val tbs = terms.map(termBucket).distinct
+    val parts = partDirs(dest)
+    val post = parts.map(p => spark.read.parquet(s"$p/postings")
+        .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+      .reduce(_.unionAll(_))
+    val slot = terms.zipWithIndex.toMap
+    val joined = terms.zipWithIndex.map { case (t, i) =>
+        val keep = Seq(col("doc")) ++ (if (i == 0) Seq(col("len")) else Nil) ++
+          Seq(col("tf").as(s"__tf_$i"), col("positions").as(s"__pos_$i"))
+        post.filter(col("term") === t).select(keep: _*)
+      }.reduce(_.join(_, "doc"))
+    val adjacency = ordered.tail.foldLeft(col(s"__pos_${slot(ordered.head)}")) {
+      (cand, t) => array_intersect(transform(cand, p => p + 1), col(s"__pos_${slot(t)}"))
+    }
+    val matches = joined.filter(size(adjacency) > 0)
+    val corpus = matches.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))
+    matches.crossJoin(broadcast(corpus))
+      .select(col("doc"), round(terms.indices.map(i =>
+          BM25.idfExpr(col("n"), col("n")) *
+            BM25.tfNormExpr(col(s"__tf_$i"), col("len"), col("avglen")))
+        .reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
+  /** Served suggester: prefix autocomplete over the PERSISTED vocabulary —
+    * the termstats table IS the suggester artifact (term, df), corpus-
+    * metadata-sized, so the ad-hoc path's full corpus tokenize
+    * ([[Collections.suggest]]) never runs at query time. The prefix
+    * predicate cannot prune crc32 term buckets (hash buckets don't
+    * preserve prefixes) but it pushes to parquet as StringStartsWith and
+    * the within-bucket term sort gives row-group min/max pruning — the
+    * same two-level story as [[topK]], minus the directory cut. df is
+    * summed across segments (a term's df is additive over disjoint
+    * doc sets).
+    */
+  def suggest(spark: SparkSession, dest: String, prefix: String,
+              k: Int): DataFrame = {
+    val parts = partDirs(dest)
+    parts.map(p => spark.read.parquet(s"$p/termstats"))
+      .reduce(_.unionAll(_))
+      .filter(col("term").startsWith(prefix.toLowerCase))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
   def topK(spark: SparkSession, dest: String, queryTerms: Seq[String],
            k: Int): DataFrame = {
     val terms = BM25.analyze(queryTerms)

@@ -1,8 +1,9 @@
 package graft.search
 
 import graft.operators.Relational
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** The reference's two Solr collections (`users`, `tweets` —
   * `Ranking Model/src/main/java/Main/SolrSetup.java:76-83,119-130`,
@@ -193,6 +194,101 @@ object Collections {
         .select(lit(f).as("facet"), col("value"), col("n"))
     }.reduce(_.unionByName(_))
       .filter(col("n") >= minCount)
+  }
+
+  /** Solr spellcheck component ("did you mean"): the vocabulary terms
+    * within Levenshtein `maxDist` of the (analyzed) input, ranked the way
+    * Solr's DirectSolrSpellChecker ranks collations — distance first, then
+    * document frequency, then term. `vocab` is (term, df): the ad-hoc
+    * corpus aggregation for a one-off, or the persisted
+    * [[BM25Index]] termstats table for serving — vocabulary is
+    * corpus-METADATA-sized (≪ corpus), so the exact-distance scan over it
+    * is the right shape at 100 TB; the length-band prefilter is a necessary
+    * condition of the distance bound, rides the scan, and never changes the
+    * result. Distance-0 (the input itself is a known term) is excluded —
+    * a spellchecker suggests alternatives, not the input.
+    */
+  def didYouMean(vocab: DataFrame, input: String, maxDist: Int = 2,
+                 k: Int = 5): DataFrame = {
+    val q = input.toLowerCase.replaceAll("[^a-z0-9]", "")
+    require(q.nonEmpty, "input term is empty after analysis")
+    require(maxDist >= 1, "maxDist must be >= 1")
+    vocab
+      .filter(abs(length(col("term")) - lit(q.length)) <= maxDist)
+      .withColumn("dist", levenshtein(lit(q), col("term")).cast("long"))
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Solr result grouping / field collapsing (`group=true&group.field=…&
+    * group.limit=n`): the top `perGroup` rows per `groupField` value under
+    * `order`, each row carrying its in-group rank and the group's total
+    * match count (Solr's per-group numFound). One partitioned window over
+    * the (already filtered) result relation — the partition key is the
+    * group field, so no unpartitioned-window scale hazard; at 100 TB this
+    * is a shuffle on the group key followed by a per-group top-n, which AQE
+    * handles skew on.
+    */
+  def groupCollapse(results: DataFrame, groupField: String, order: Seq[Column],
+                    perGroup: Int): DataFrame = {
+    require(perGroup >= 1, "perGroup must be >= 1")
+    val part = Window.partitionBy(col(groupField))
+    results
+      .withColumn("rank_in_group",
+        row_number().over(part.orderBy(order: _*)).cast("long"))
+      .withColumn("group_size", count(lit(1)).over(part).cast("long"))
+      .filter(col("rank_in_group") <= perGroup)
+  }
+
+  /** Solr range facet (`facet.range=<field>&facet.range.gap=<gap>`): counts
+    * per fixed-width bucket of a numeric field over the result set. Buckets
+    * with no hits are omitted (they carry no information and materializing
+    * the empty range is a driver-side concern). Combinable groupBy — one
+    * light exchange regardless of corpus size.
+    */
+  def facetRange(results: DataFrame, field: String, gap: Long): DataFrame = {
+    require(gap >= 1, "gap must be >= 1")
+    results
+      .groupBy((floor(col(field) / gap) * gap).cast("long").as("bucket_start"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("bucket_start").asc)
+  }
+
+  /** Solr pivot facet (`facet.pivot=f1,f2`): nested value counts — for each
+    * value of `f1`, the counts of each `f2` value within it. Flattened to
+    * (value, sub_value, n) rows: the hierarchy is the (value, sub_value)
+    * ordering, and a single groupBy over both keys computes every nested
+    * count at once (Solr walks the pivot tree; relationally it is just a
+    * two-key aggregation).
+    */
+  def facetPivot(results: DataFrame, f1: String, f2: String): DataFrame =
+    results
+      .groupBy(col(f1).cast("string").as("value"),
+        col(f2).cast("string").as("sub_value"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Solr stats component (`stats=true&stats.field=<field>`) over an
+    * integer field: count / min / max / sum / mean / sample stddev of the
+    * result set. Sums are exact BIGINT aggregates, so mean and stddev are
+    * each ONE IEEE expression over exact integers — deterministic under
+    * any partitioning, and bit-identical to an oracle computing the same
+    * closed form (a streaming Welford stddev would not be).
+    */
+  def statsField(results: DataFrame, field: String): DataFrame = {
+    val f = col(field).cast("long")
+    results.agg(
+        count(lit(1)).cast("long").as("n"),
+        min(f).as("min"),
+        max(f).as("max"),
+        sum(f).as("sum"),
+        sum(f * f).as("__sumsq"))
+      .select(col("n"), col("min"), col("max"), col("sum"),
+        round(col("sum").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt(
+          (col("__sumsq").cast("double") -
+            col("sum").cast("double") * col("sum").cast("double") / col("n")) /
+            (col("n") - 1)), 6).as("stddev"))
   }
 
   /** Multi-field keyword search — the reference's actual query

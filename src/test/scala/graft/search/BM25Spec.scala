@@ -1,6 +1,7 @@
 package graft.search
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{lit, log}
 
 class BM25Spec extends SparkSpec {
   import spark.implicits._
@@ -210,5 +211,122 @@ class BM25Spec extends SparkSpec {
     assert(f(("lang", "en")) == 2L && f(("lang", "de")) == 1L)
     assert(f(("source", "srcA")) == 2L && f(("source", "srcB")) == 1L)
     assert(f.size == 4)
+  }
+
+  test("served phrase query equals the ad-hoc phrase ranking, scores bit-equal") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25pos").toString
+    BM25Index.build(docs, "doc_id", "text", dest)
+    val adhoc = BM25.scoreTopKPhrase(docs, "doc_id", "text",
+        Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val served = BM25Index.topKPhrase(spark, dest, Seq("spark", "query"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(served == adhoc && served.nonEmpty)
+  }
+
+  test("positions index: adjacency respects order and repeated terms") {
+    val d = Seq(
+      (1L, "spark spark spark filler"), // "spark spark" matches
+      (2L, "spark query spark query"),  // "spark spark" does NOT
+      (3L, "query spark only once"),
+      (4L, "we run Spark, Query! daily") // punctuation strips -> "spark query"
+    ).toDF("doc_id", "text")
+    val dest = java.nio.file.Files.createTempDirectory("bm25pos2").toString
+    BM25Index.build(d, "doc_id", "text", dest)
+    def ids(phrase: Seq[String]): Set[Long] =
+      BM25Index.topKPhrase(spark, dest, phrase, 10)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(Seq("spark", "spark")) == Set(1L))
+    assert(ids(Seq("spark", "query")) == Set(2L, 4L))
+    assert(ids(Seq("query", "spark")) == Set(2L, 3L)) // order matters
+  }
+
+  test("served suggester equals the ad-hoc suggester, and across segments") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25sug").toString
+    BM25Index.build(docs.filter("doc_id <= 3"), "doc_id", "text", dest)
+    BM25Index.appendSegment(docs.filter("doc_id > 3"), "doc_id", "text",
+      dest, "seg-00001")
+    val adhoc = Collections.suggest(docs, "doc_id", "text", "s", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val served = BM25Index.suggest(spark, dest, "s", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(served == adhoc && served.nonEmpty)
+  }
+
+  test("didYouMean ranks distance first, then df; never echoes the input") {
+    val vocab = Seq(
+      ("sort", 50L), ("slow", 90L), ("row", 80L), ("sot", 10L), ("spark", 70L)
+    ).toDF("term", "df")
+    val out = Collections.didYouMean(vocab, "sot", maxDist = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // "sot" itself (dist 0) excluded; "sort" dist 1 beats higher-df dist-2
+    assert(out.head == (("sort", 50L, 1L)))
+    assert(out.map(_._1).toSet == Set("sort", "slow", "row"))
+    assert(!out.map(_._1).contains("sot"))
+    // dist-2 ties break by df desc
+    assert(out.drop(1).map(_._1) == Seq("slow", "row"))
+  }
+
+  test("groupCollapse keeps top-n per group with per-group numFound") {
+    val hits = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 8.0), ("a", 3L, 7.0),
+      ("b", 4L, 5.0)
+    ).toDF("source", "doc", "score")
+    val out = Collections.groupCollapse(hits, "source",
+        Seq($"score".desc, $"doc".asc), perGroup = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup("a").map(_._2).toSet == Set(1L, 2L)) // doc 3 collapsed
+    assert(byGroup("a").forall(_._4 == 3L))             // numFound keeps the full count
+    assert(byGroup("b").toSeq == Seq(("b", 4L, 1L, 1L)))
+  }
+
+  test("facetRange buckets by fixed gap; facetPivot nests two fields") {
+    val hits = Seq(
+      (1L, 49L, "en", "srcA"), (2L, 50L, "en", "srcA"),
+      (3L, 149L, "en", "srcB"), (4L, 260L, "de", "srcA")
+    ).toDF("doc_id", "n_chars", "lang", "source")
+    val rng = Collections.facetRange(hits, "n_chars", gap = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(rng == Seq(0L -> 1L, 50L -> 1L, 100L -> 1L, 250L -> 1L))
+    val piv = Collections.facetPivot(hits, "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(piv(("en", "srcA")) == 2L && piv(("en", "srcB")) == 1L &&
+      piv(("de", "srcA")) == 1L && piv.size == 3)
+  }
+
+  test("field boosts scale per-field subscores; bf adds; fq never rescores") {
+    val mm = Seq(
+      (1L, "spark query engine", "", 100L),
+      (2L, "nothing here", "spark query ocr", 100L),   // media-only match
+      (3L, "spark query stuff", "", 500L)
+    ).toDF("doc_id", "text", "media_text", "n_chars")
+    // qf=text^2: text matches must gain vs the unboosted ranking
+    val unb = BM25.scoreTopKFields(mm, "doc_id", Seq("text", "media_text"),
+      Seq("spark", "query"), 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bst = BM25.scoreTopKFieldsBoosted(mm, "doc_id",
+      Seq("text" -> 2.0, "media_text" -> 1.0),
+      Seq("spark", "query"), 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bst(1L) > unb(1L) && math.abs(bst(2L) - unb(2L)) < 1e-9)
+    // bf: additive boost reorders equal-relevance docs by the boost field
+    val boosted = BM25.scoreTopKBoosted(mm, "doc_id", "text",
+      Seq("spark", "query"), log(lit(1.0) + $"n_chars" / lit(100.0)), 3)
+      .collect().map(_.getLong(0))
+    assert(boosted.take(2).contains(3L)) // the 500-char doc gains most
+    // fq: scores must equal the unfiltered query's scores for surviving docs
+    val all = BM25.scoreTopK(mm, "doc_id", "text", Seq("spark", "query"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fq = BM25.scoreTopKFiltered(mm, "doc_id", "text",
+      Seq("spark", "query"), $"n_chars" === 500L, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(fq == Seq(3L -> all(3L))) // filtered out ≠ rescored
+  }
+
+  test("statsField computes exact-integer stats with closed-form stddev") {
+    val hits = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars")
+    val r = Collections.statsField(hits, "n_chars").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 10L && r.getLong(2) == 30L)
+    assert(r.getLong(3) == 60L && r.getDouble(4) == 20.0)
+    assert(r.getDouble(5) == 10.0) // sqrt(((100+400+900) - 3600/3) / 2) = 10
   }
 }
