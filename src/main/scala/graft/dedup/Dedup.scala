@@ -473,6 +473,56 @@ object Dedup {
         coalesce(col("shared_frac"), lit(0.0)).as("shared_frac"))
   }
 
+  /** C4-style boilerplate removal, re-based from lines onto disjoint
+    * n-token blocks (the corpus carries no newline structure — reference
+    * text is single-line, `Spark/Tweets_preprocessing.py` normalizes to
+    * one line per tweet). A block whose exact text occurs in >= `minDf`
+    * DISTINCT docs is boilerplate; removal drops the block wholesale, and
+    * the sub-block tail (< n tokens) is always kept — too short to match
+    * reliably, exactly as C4 keeps short lines.
+    *
+    * Unlike [[spanDedup]] (overlapping spans, audit only), this computes
+    * the REMOVAL arithmetic: disjoint blocks mean no interval-merge step,
+    * so kept tokens = n_tokens - n * n_removed exactly.
+    *
+    * Plan shape: one block explode, one distinct, one map-side-combinable
+    * groupBy(block) for document frequency, one block-keyed join reusing
+    * that partitioning, one groupBy(doc). Linear in corpus token count —
+    * no all-pairs, no window — so it survives 100 TB.
+    */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDf: Long = 2L): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // one row per positional block occurrence (NOT distinct — a doc
+    // repeating a hot block twice loses both copies)
+    val blocks = docs
+      .filter(col(textCol).isNotNull && size(toks) >= n)
+      .select(col(idCol).as("doc"), toks.as("__toks"),
+        explode(sequence(lit(0), (size(toks) / n).cast("int") - 1)).as("i"))
+      .select(col("doc"),
+        concat_ws(" ", slice(col("__toks"), col("i") * n + 1, lit(n))).as("block"))
+    // document frequency counts DOCS, not occurrences
+    val hot = blocks.distinct()
+      .groupBy(col("block")).agg(count(lit(1)).cast("long").as("__df"))
+      .filter(col("__df") >= minDf)
+    val perDoc = blocks
+      .join(hot.select(col("block"), lit(true).as("__hot")), Seq("block"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(when(col("__hot"), 1L).otherwise(0L)).cast("long").as("n_removed"))
+    docs
+      .select(col(idCol).as("doc"),
+        when(col(textCol).isNotNull, size(toks)).otherwise(lit(0))
+          .cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        col("n_tokens"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - lit(n.toLong) * coalesce(col("n_removed"), lit(0L)))
+          .as("n_kept_tokens"))
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the published alternative to [[clusters]]'s label

@@ -70,6 +70,20 @@ object Relational {
   def page(df: DataFrame, order: Seq[Column], skip: Int, limit: Int): DataFrame =
     df.orderBy(order: _*).offset(skip).limit(limit)
 
+  /** Keyset (cursor) page: the rows strictly after `after` in `key` order.
+    * The scalable form of deep pagination — [[page]]'s OFFSET makes every
+    * executor's TakeOrdered heap carry `skip + limit` rows and the driver
+    * discard `skip` of them, so page 10,000 of a 100 TB result costs
+    * O(skip). Here the cursor is a plain comparison predicate, so it is
+    * pushed into the scan (`PushedFilters: [GreaterThan(key, after)]` —
+    * min/max row-group stats skip everything before the cursor) and each
+    * page costs O(limit) regardless of depth. `key` must be unique (or the
+    * caller composes a struct-ordered compound cursor) or rows sharing the
+    * boundary value are skipped.
+    */
+  def keysetPage(df: DataFrame, key: Column, after: Column, limit: Int): DataFrame =
+    df.filter(key > after).orderBy(key.asc).limit(limit)
+
   /** As-of join: for each left row, the single latest right row with
     * rightTime <= leftTime within the same key — the time-series join Spark
     * lacks natively (SURVEY.md §2.3 notes its absence in both Spark's and

@@ -370,6 +370,14 @@ object CoreQueries extends QueryPack {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // Keyset (cursor) pagination — the deep-paging shape q_pagination's
+    // OFFSET cannot scale to: the cursor predicate reaches the parquet
+    // scan (PushedFilters), so page depth costs nothing.
+    "q_keyset_page" -> ((s, dir) => {
+      Relational.keysetPage(Tables.orders(s, dir), col("o_orderkey"), lit(500L), limit = 20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
     // The reference's one SQL entry point (`Word_cloud_evaluation.ipynb`
     // cell 4): CREATE TEMPORARY VIEW ... USING parquet, then SELECT.
     "q_sql_view" -> ((s, dir) => {
@@ -680,6 +688,10 @@ object CoreQueries extends QueryPack {
     "q_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC LIMIT 20 OFFSET 100""".stripMargin,
+
+    "q_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > 500 ORDER BY o_orderkey ASC LIMIT 20""".stripMargin,
 
     "q_sql_view" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 300",

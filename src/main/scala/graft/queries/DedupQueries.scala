@@ -124,6 +124,13 @@ object DedupQueries extends QueryPack {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8)),
 
+    // C4-style boilerplate removal over disjoint 8-token blocks: per doc,
+    // how many blocks are corpus-duplicated (df >= 2) and the exact token
+    // count surviving removal.
+    "q_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateRemove(Tables.documents(s, dir), "doc_id", "text",
+        n = 8, minDf = 2L)),
+
     // Degree distribution of the SimHash near-dup graph — the pre-cluster
     // skew audit (power-law tail ⇒ large-star/guardrail territory).
     "q_dedup_degree" -> ((s, dir) =>
@@ -234,6 +241,24 @@ object DedupQueries extends QueryPack {
         |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
         |  COALESCE(p.shared_frac, 0.0) AS shared_frac
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= 8),
+        |b AS (SELECT doc_id, toks, unnest(range(0, len(toks) // 8)) AS i FROM t),
+        |blk AS (SELECT doc_id AS doc, array_to_string(toks[i*8+1:i*8+8], ' ') AS block FROM b),
+        |hot AS (SELECT block FROM (SELECT DISTINCT doc, block FROM blk)
+        |  GROUP BY block HAVING COUNT(*) >= 2),
+        |per AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CASE WHEN block IN (SELECT block FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |  FROM blk GROUP BY doc)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN d.text IS NULL THEN 0 ELSE len(str_split(d.text, ' ')) END AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+        |  CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(CASE WHEN d.text IS NULL THEN 0 ELSE len(str_split(d.text, ' ')) END
+        |    - 8 * COALESCE(p.n_removed, 0) AS BIGINT) AS n_kept_tokens
         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc""".stripMargin
   )
 

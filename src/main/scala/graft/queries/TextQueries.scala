@@ -32,6 +32,11 @@ object TextQueries extends QueryPack {
       TextAnalysis.trending(Tables.documents(s, dir), "doc_id", "text",
         Lexicons.enStop, k = 20)),
 
+    // Exact heavy hitters (count > N/30) via per-partition Misra–Gries
+    // sketch + exact candidate recount — sketch-order-independent output.
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), "doc_id", "text", k = 30)),
+
     // Language ID via lexicon scoring.
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(s, Tables.documents(s, dir), "doc_id", "text",
@@ -439,6 +444,13 @@ object TextQueries extends QueryPack {
         |SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks
         |WHERE term NOT IN ('the','a','an','and','of','to','in','is','that','it','for','on')
         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS term FROM documents
+        |  WHERE text IS NOT NULL),
+        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks, tot
+        |GROUP BY term, tot.n HAVING COUNT(*) * 30 > tot.n""".stripMargin,
 
     "q_lang_id" ->
       """WITH lex(term, lang) AS (VALUES

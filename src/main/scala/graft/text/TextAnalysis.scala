@@ -691,6 +691,57 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n"))
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
+
+  /** Exact heavy hitters (terms with count > N/k) via the two-pass
+    * sketch-then-verify pattern: pass 1 runs a Misra–Gries summary of
+    * capacity k inside each partition (per-partition imperative state —
+    * the legitimate mapPartitions case) and unions the surviving
+    * candidates; pass 2 recounts ONLY the candidates exactly and applies
+    * the threshold.
+    *
+    * Correctness is sketch-order-independent: MG(k) can undercount an item
+    * by at most n_p/k within a partition, so any term with global count
+    * > N/k survives at least one partition's summary — the candidate union
+    * is a guaranteed superset, and the exact recount makes the final set
+    * identical to the brute-force GROUP BY answer no matter how partitions
+    * split.
+    *
+    * Scale story vs a straight groupBy: the only full-corpus shuffle-free
+    * pass is the sketch (bounded k entries per partition, collected as
+    * ≤ partitions × k strings); the recount shuffles only tokens matching
+    * the broadcast candidate set. On a 100 TB corpus with a web-scale
+    * vocabulary the straight groupBy shuffles every distinct term;
+    * this shuffles only the ~k hot ones.
+    */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokens(docs, idCol, textCol)
+      .filter(col("term").isNotNull)
+      .select(col("term")).as[String]
+    val candidates = toks.mapPartitions { it =>
+      val summary = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        summary.get(t) match {
+          case Some(c) => summary.update(t, c + 1)
+          case None if summary.size < k => summary.update(t, 1L)
+          case None =>
+            // decrement-all step; amortized O(1) per input token
+            val dead = summary.iterator.collect { case (s, 1L) => s }.toList
+            summary.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(summary.remove)
+        }
+      }
+      summary.keysIterator
+    }.distinct().toDF("term")
+    val total = toks.count()
+    toks.toDF("term")
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("n") * k > total)
+  }
 }
 
 /** Shared lexicons (public stopword lists, abbreviated). */

@@ -138,6 +138,27 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("boilerplateRemove: hot blocks removed wholesale, tails always kept") {
+    // n=4 blocks; "a b c d" appears in docs 10 and 11 → boilerplate at
+    // minDf=2. Doc 12's single block is unique. Doc 13 is sub-block (kept
+    // whole). Doc 14 repeats the hot block twice → loses both copies.
+    val corpus = Seq(
+      (10L, "a b c d e f g h tail"),   // block1 hot, block2 unique, 1 tail tok
+      (11L, "a b c d x y z w"),        // block1 hot, block2 unique
+      (12L, "p q r s t"),              // unique block + tail
+      (13L, "u v"),                    // shorter than n: no blocks
+      (14L, "a b c d a b c d")         // hot block twice
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemove(corpus, "doc_id", "text", n = 4, minDf = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(10L) == ((9L, 2L, 1L, 5L)))
+    assert(out(11L) == ((8L, 2L, 1L, 4L)))
+    assert(out(12L) == ((5L, 1L, 0L, 5L)))
+    assert(out(13L) == ((2L, 0L, 0L, 2L)))
+    assert(out(14L) == ((8L, 2L, 2L, 0L)))
+  }
+
   test("clusters: hitting the iteration cap before convergence fails loud") {
     // a 16-node chain cannot reach its label fixpoint AND verify it in a
     // single round — with maxIter=1 the loop must exit via the cap and

@@ -32,6 +32,23 @@ class RelationalSpec extends SparkSpec {
     assert(page == Seq(80.0, 75.0))
   }
 
+  test("keysetPage continues exactly where the previous page ended") {
+    val rows = (1L to 50L).map(i => (i, s"r$i")).toDF("id", "v")
+    val p1 = Relational.keysetPage(rows, col("id"), lit(0L), limit = 20)
+      .collect().map(_.getLong(0)).toSeq
+    val cursor = p1.last
+    val p2 = Relational.keysetPage(rows, col("id"), lit(cursor), limit = 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(p1 == (1L to 20L) && p2 == (21L to 40L))
+    // the scale contract: a plain pushable filter, never an OFFSET (the
+    // optimized plan folds the filter into a LocalRelation for in-memory
+    // data — PlanHealthSpec asserts PushedFilters on the parquet-backed
+    // q_keyset_page; here we assert the shape pre-folding)
+    val plan = Relational.keysetPage(rows, col("id"), lit(cursor), limit = 20)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("Filter") && !plan.toLowerCase.contains("offset"))
+  }
+
   test("rangeJoinBucketed: inclusive start, exclusive end, cross-bucket intervals") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val points = Seq(

@@ -33,6 +33,13 @@ class PlanHealthSpec extends SparkSpec {
       s"scan reads ${s.schema.fields.length} columns: ${s.schema.fieldNames.mkString(",")}")
   }
 
+  test("q_keyset_page: cursor pushed to the scan, top-k not a global sort") {
+    val s = scan("q_keyset_page")
+    assert(s.metadata("PushedFilters").contains("GreaterThan(o_orderkey,500)"),
+      s"cursor predicate not pushed: ${s.metadata("PushedFilters")}")
+    assert(plan("q_keyset_page").contains("TakeOrderedAndProject"))
+  }
+
   test("q_join_star: dimensions broadcast, no sort-merge join") {
     val p = plan("q_join_star")
     assert(p.contains("BroadcastHashJoin"))

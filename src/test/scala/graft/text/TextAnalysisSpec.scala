@@ -223,4 +223,23 @@ class TextAnalysisSpec extends SparkSpec {
     // leaves are symmetric under the graph — identical scores
     assert(ranked.filter(_._1 != "hub").map(_._2).distinct.size == 1)
   }
+
+  test("heavyHitters: exact answer despite a sketch capacity below vocab size") {
+    // vocab 26 >> k=4, skew: 'hot' 40×, 'warm' 12×, singletons elsewhere.
+    // Spread over 8 partitions so per-partition Misra-Gries must evict.
+    val words = Seq.fill(40)("hot") ++ Seq.fill(12)("warm") ++
+      ('a' to 'z').map(_.toString)
+    val corpus = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .repartition(8)
+    val k = 4
+    val out = TextAnalysis.heavyHitters(corpus, "doc_id", "text", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute-force truth: count > N/k = 78/4 = 19.5 → only 'hot'
+    assert(out == Map("hot" -> 40L))
+    // and with a looser threshold 'warm' (12 > 78/8=9.75) joins the set
+    val out8 = TextAnalysis.heavyHitters(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out8 == Map("hot" -> 40L, "warm" -> 12L))
+  }
 }
