@@ -60,6 +60,62 @@ object Dedup {
     exact(batch, idCol, textCol)
       .join(store.select(col("signature")), Seq("signature"), "left_anti")
 
+  /** Per-group duplication observability — the dashboard number a curation
+    * pipeline watches per source/shard: docs, distinct signatures, and the
+    * duplicate rate. One combinable groupBy; null-text docs count toward
+    * n_docs but carry no signature (md5(null) is null, count distinct
+    * ignores it), so dup_rate measures only signed content.
+    */
+  def dupRateByGroup(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(md5(col(textCol))).cast("long").as("n_unique"),
+        count(col(textCol)).cast("long").as("n_signed"))
+      .select(col(groupCol), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") /
+          col("n_signed"), 6).as("dup_rate"))
+
+  /** [[exactIncremental]] with a Bloom-filter pre-prune — the shape the
+    * store-probe takes when the store is billions of signatures and the
+    * batch is mostly NEW content: a bloom built once over the store (and
+    * maintained alongside it; here rebuilt per call for self-containment)
+    * answers "definitely not in store" for the typical batch row, so the
+    * store-side anti-join shuffles only the bloom-positive sliver (true
+    * dups + the false-positive rate) instead of the whole batch.
+    *
+    * The result is EXACTLY [[exactIncremental]]'s: bloom negatives are
+    * guaranteed-new (no false negatives), positives are re-checked by the
+    * exact anti-join, so false positives cost a probe, never an answer.
+    *
+    * Spark-native end to end: `bloom_filter_agg` builds the filter as an
+    * aggregate (one scan, one 1-row result), and the probe is Spark's own
+    * `BloomFilterMightContain` codegen expression (registered by
+    * [[graft.expressions.GraftFunctions]]) over a foldable binary literal
+    * — the same machinery InjectRuntimeFilter uses for runtime join
+    * filters, driven explicitly.
+    */
+  def exactIncrementalBloom(store: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            expectedItems: Long = 1L << 20,
+                            numBits: Long = 1L << 23): DataFrame = {
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    val bloom = store
+      .agg(expr(s"graft_bloom_agg(xxhash64(signature), " +
+        s"CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))"))
+      .head().getAs[Array[Byte]](0)
+    val batchSigs = exact(batch, idCol, textCol)
+    if (bloom == null) batchSigs // empty store: everything survives
+    else {
+      val maybe = call_function("graft_bloom_contains",
+        lit(bloom), xxhash64(col("signature")))
+      val marked = batchSigs.withColumn("__maybe", maybe)
+      marked.filter(!col("__maybe"))
+        .unionByName(marked.filter(col("__maybe"))
+          .join(store.select(col("signature")), Seq("signature"), "left_anti"))
+        .drop("__maybe")
+    }
+  }
+
   /** Distinct word n-gram shingles per document: (doc, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")

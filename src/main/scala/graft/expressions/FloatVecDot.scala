@@ -91,5 +91,24 @@ object GraftFunctions {
       "graft_srp", exprs =>
         SrpSignatureWords(exprs.head, graft.similarity.Similarity.srpPlanes),
       "scala_udf")
+    // Spark ships BloomFilterMightContain for its own runtime join filters
+    // but never registers it as a SQL function; exposing it keeps bloom
+    // probes inside codegen (vs a deserialize-per-executor UDF). The bloom
+    // side must be a foldable binary (we pass a lit() of the
+    // bloom_filter_agg result); the value side must be xxhash64-hashed,
+    // matching what bloom_filter_agg inserted.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1)),
+      "scala_udf")
+    // Sibling aggregate: builds the filter BloomFilterMightContain probes.
+    // Registered in Spark's INTERNAL registry only (runtime-filter
+    // machinery), so expose it under an engine name.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2), 0, 0),
+      "scala_udf")
   }
 }

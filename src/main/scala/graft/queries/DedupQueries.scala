@@ -51,6 +51,16 @@ object DedupQueries extends QueryPack {
         "doc_id", "text")
     }),
 
+    // Same contract as q_dedup_incremental, probed through a bloom_filter_agg
+    // pre-prune — the store-side join sees only the bloom-positive sliver.
+    "q_dedup_incr_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.exact(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .select(col("signature"))
+      Dedup.exactIncrementalBloom(store, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)),
@@ -124,6 +134,11 @@ object DedupQueries extends QueryPack {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8)),
 
+    // Per-source duplication dashboard: docs / distinct signatures /
+    // duplicate rate, one combinable groupBy.
+    "q_dedup_by_source" -> ((s, dir) =>
+      Dedup.dupRateByGroup(Tables.documents(s, dir), "source", "text")),
+
     // C4-style boilerplate removal over disjoint 8-token blocks: per doc,
     // how many blocks are corpus-duplicated (df >= 2) and the exact token
     // count surviving removal.
@@ -162,6 +177,17 @@ object DedupQueries extends QueryPack {
         |""".stripMargin + jaccardVerify),
 
     "q_dedup_incremental" ->
+      """WITH store AS (SELECT DISTINCT md5(text) AS signature
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT md5(text) AS signature, MIN(doc_id) AS keep_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY md5(text))
+        |SELECT b.signature, b.keep_id, b.n_docs FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.signature = b.signature)""".stripMargin,
+
+    // Bloom pre-prune changes the plan, never the answer — same oracle as
+    // the plain incremental path.
+    "q_dedup_incr_bloom" ->
       """WITH store AS (SELECT DISTINCT md5(text) AS signature
         |  FROM documents WHERE doc_id % 3 <> 0),
         |b AS (SELECT md5(text) AS signature, MIN(doc_id) AS keep_id,
@@ -242,6 +268,13 @@ object DedupQueries extends QueryPack {
         |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
         |  COALESCE(p.shared_frac, 0.0) AS shared_frac
         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc""".stripMargin,
+
+    "q_dedup_by_source" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |    / COUNT(text), 6) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_boilerplate" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents

@@ -102,6 +102,11 @@ object SimilarityQueries extends QueryPack {
       Similarity.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding",
         extraCols = Seq("label"))),
 
+    // Int8 symmetric quantization audit — per-vector reconstruction error
+    // for the serving-side compression decision. Pure projection.
+    "q_embedding_quant" -> ((s, dir) =>
+      Similarity.quantizeAudit(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, nCentroids = 8)),
@@ -297,6 +302,18 @@ object SimilarityQueries extends QueryPack {
          |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
          |  $bucketSql AS bucket
          |FROM embeddings""".stripMargin,
+
+    "q_embedding_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |err AS (SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+        |         ELSE list_transform(e, x -> x - round(x / scale) * scale) END AS d,
+        |    len(e) AS n FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max(list_transform(d, x -> abs(x))), 6) AS max_abs_err,
+        |  round(list_sum(list_transform(d, x -> x * x)) / n, 6) AS mse
+        |FROM err""".stripMargin,
 
     "q_ann_recall" -> {
       def method(name: String, cte: String): String =

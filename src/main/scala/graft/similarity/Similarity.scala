@@ -428,6 +428,30 @@ object Similarity {
         round(sqrt(norm2(col(vecCol))), 6).as("l2_norm"),
         signBucket(col(vecCol)).as("bucket")): _*)
 
+  /** Symmetric int8 quantization audit — the serving-side compression
+    * every large vector store applies (scale = max|x|/127, q = round(x/s),
+    * dequant x̂ = q·s), reported as per-vector reconstruction error so a
+    * pipeline can gate "quantize or keep fp32" per source/label.
+    *
+    * Pure projection over the embedding column — zero shuffles, rides the
+    * scan at any corpus size. All arithmetic is double (elements cast
+    * before any divide) and the outputs round(6), the suite's float-parity
+    * contract with the DuckDB oracle. The all-zero vector quantizes to
+    * itself: scale 0, zero error (guarded — x/0 would be NaN).
+    */
+  def quantizeAudit(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val err = when(scale === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => x - round(x / scale) * scale))
+    embeddings.select(
+      col(idCol),
+      round(scale, 6).as("scale"),
+      round(array_max(transform(err, e => abs(e))), 6).as("max_abs_err"),
+      round(aggregate(err, lit(0.0), (a, e) => a + e * e) / size(col(vecCol)), 6)
+        .as("mse"))
+  }
+
   /** Pairwise cosine similarity between per-label centroid embeddings —
     * the embedding-space drift monitor (are two sources/classes collapsing
     * together? is a new batch drifting off its label's centroid?).

@@ -138,6 +138,35 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("exactIncrementalBloom: identical answer to the plain incremental path") {
+    val store = Dedup.exact(docs.filter($"doc_id" <= 2), "doc_id", "text")
+      .select($"signature")
+    val batch = docs.filter($"doc_id" >= 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = key(Dedup.exactIncremental(store, batch, "doc_id", "text"))
+    val bloom = key(Dedup.exactIncrementalBloom(store, batch, "doc_id", "text"))
+    assert(bloom == plain)
+    // doc 4 duplicates stored doc 1 → dropped; doc 3 is new → kept
+    assert(plain.map(_._2) == Set(3L))
+    // empty store: everything survives, no bloom built
+    val empty = Seq.empty[String].toDF("signature")
+    assert(key(Dedup.exactIncrementalBloom(empty, batch, "doc_id", "text"))
+      .map(_._2) == Set(3L, 4L))
+  }
+
+  test("dupRateByGroup: per-group docs, uniques, rate; null text uncounted in rate") {
+    val corpus = Seq(
+      (1L, "aaa", "s1"), (2L, "aaa", "s1"), (3L, "bbb", "s1"),
+      (4L, "ccc", "s2"), (5L, null.asInstanceOf[String], "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupRateByGroup(corpus, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("s1") == ((3L, 2L, 0.333333)))
+    assert(out("s2") == ((2L, 1L, 0.0)))
+  }
+
   test("boilerplateRemove: hot blocks removed wholesale, tails always kept") {
     // n=4 blocks; "a b c d" appears in docs 10 and 11 → boilerplate at
     // minDf=2. Doc 12's single block is unique. Doc 13 is sub-block (kept

@@ -173,4 +173,25 @@ class SimilaritySpec extends SparkSpec {
     assert(sims((0, 2)) == 1.0)
     assert(sims((1, 2)) == 0.0)
   }
+
+  test("quantizeAudit: error bounded by scale/2, zero vector exact") {
+    val emb = Seq(
+      (1L, Array(1.27f, -0.635f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),      // all-zero: scale 0 guard
+      (3L, Array(127.0f, -127.0f, 63.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeAudit(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // scale = max|x|/127: vec1 → 0.01, vec3 → 1.0
+    assert(out(1L)._1 == 0.01)
+    assert(out(2L) == ((0.0, 0.0, 0.0)))
+    assert(out(3L)._1 == 1.0)
+    // int8 round-off is at most half a quantization step
+    out.values.foreach { case (scale, maxErr, mse) =>
+      assert(maxErr <= scale / 2 + 1e-9 && mse <= maxErr * maxErr + 1e-9)
+    }
+    // 127.0 with scale 1.0 reconstructs exactly
+    assert(out(3L)._2 <= 0.5)
+  }
 }
