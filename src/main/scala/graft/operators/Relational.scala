@@ -87,7 +87,9 @@ object Relational {
   /** As-of join: for each left row, the single latest right row with
     * rightTime <= leftTime within the same key — the time-series join Spark
     * lacks natively (SURVEY.md §2.3 notes its absence in both Spark's and
-    * the reference's surface).
+    * the reference's surface). `forward = true` flips the direction: the
+    * single EARLIEST right row with rightTime >= leftTime (the
+    * "next-event" lookup, e.g. purchase → next support contact).
     *
     * Composed Spark-first (preference (a) of the custom-operator ladder)
     * via union + windowed last-value: tag both sides, sort each key by
@@ -104,7 +106,8 @@ object Relational {
     * up front — a naive window partition would have matched them.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-               leftCols: Seq[String], rightPayload: String): DataFrame = {
+               leftCols: Seq[String], rightPayload: String,
+               forward: Boolean = false): DataFrame = {
     val l = left.select(
       col(key), col(time), lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"),
@@ -115,8 +118,11 @@ object Relational {
         col(key), col(time), lit(0).as("__side"),
         lit(null).cast(l.schema("__l").dataType).as("__l"),
         col(rightPayload).as("__r"))
+    // forward (earliest right with rightTime >= leftTime) is backward on
+    // reversed time: same one-shuffle window, descending order
+    val timeOrd = if (forward) col(time).desc else col(time).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(timeOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

@@ -187,6 +187,22 @@ object CoreQueries extends QueryPack {
         leftCols = Seq("event_id", "value"), rightPayload = "click_id")
     }),
 
+    // Forward as-of: each purchase matched to the user's NEXT click at or
+    // after it — same one-shuffle window plan on reversed time.
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = Relational.dedupKeepFirst(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        key = Seq(col("user_id"), col("ts")),
+        order = Seq(col("event_id").desc))
+        .withColumnRenamed("event_id", "click_id")
+      Relational.asofJoin(purchases, clicks, "user_id", "ts",
+        leftCols = Seq("event_id", "value"), rightPayload = "click_id",
+        forward = true)
+    }),
+
     // ------------------------------------------------------------------
     // Window functions (SURVEY §2.5). Keep-latest-per-key: the reference's
     // sort+drop_duplicates (`Tweets_preprocessing.py:156-157`) and HashMap
@@ -567,6 +583,14 @@ object CoreQueries extends QueryPack {
         |      WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.user_id, p.ts, p.event_id, p.value, c.click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q_asof_fwd" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.ts, p.event_id, p.value, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
 
     "q_window_dedup" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (

@@ -249,6 +249,23 @@ object TextQueries extends QueryPack {
           md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"))
     }),
 
+    // Checksum-verified card-number detection: a deterministic 16-digit
+    // candidate is injected per doc (the corpus carries no digits), the
+    // regex finds it, and Luhn verification separates real card shapes
+    // from arbitrary digit runs — the anti-over-redaction step.
+    "q_pii_luhn" -> ((s, dir) => {
+      val card = concat(
+        lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"), 15, "0"),
+        (col("doc_id") % 10).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), concat_ws(" ", col("text"), card).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit("\\b\\d{16}\\b")).cast("long").as("n_candidates"),
+          TextAnalysis.luhnMod(regexp_extract(col("t"), "\\b(\\d{16})\\b", 1))
+            .cast("long").as("luhn_mod"))
+        .withColumn("luhn_valid", col("luhn_mod") === 0L)
+    }),
+
     // Deterministic content-hash train/val/test split — reproducible across
     // engines/partitionings, unlike rand()-based randomSplit.
     "q_sample_split" -> ((s, dir) =>
@@ -721,6 +738,24 @@ object TextQueries extends QueryPack {
         |  md5(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
         |    '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
         |FROM aug""".stripMargin,
+
+    "q_pii_luhn" ->
+      """WITH aug AS (SELECT doc_id, concat_ws(' ', text,
+        |    lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')
+        |      || CAST(doc_id % 10 AS VARCHAR)) AS t FROM documents),
+        |c AS (SELECT doc_id, t, str_split(regexp_extract(t, '\b(\d{16})\b', 1), '') AS ds
+        |  FROM aug),
+        |m AS (SELECT doc_id, t,
+        |    CAST(list_sum(list_transform(range(1, len(ds) + 1), i ->
+        |      CASE WHEN (len(ds) - i + 1) % 2 = 0 THEN
+        |        CASE WHEN CAST(ds[i] AS INT) * 2 > 9 THEN CAST(ds[i] AS INT) * 2 - 9
+        |             ELSE CAST(ds[i] AS INT) * 2 END
+        |      ELSE CAST(ds[i] AS INT) END)) % 10 AS BIGINT) AS luhn_mod
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '\b\d{16}\b')) AS BIGINT) AS n_candidates,
+        |  luhn_mod, (luhn_mod = 0) AS luhn_valid
+        |FROM m""".stripMargin,
 
     "q_sample_split" ->
       """SELECT doc_id,

@@ -692,6 +692,26 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** Luhn checksum residue of a digit-string column (0 = valid). The
+    * verification step a PII pipeline runs AFTER the 13–19-digit regex:
+    * checksum-verifying candidates is what separates card numbers from
+    * order ids and timestamps, cutting false-positive redactions by ~10×
+    * (only 1 in 10 random digit runs passes Luhn). Pure HOF arithmetic —
+    * codegen'd, zero shuffle, no UDF.
+    */
+  def luhnMod(digits: Column): Column = {
+    val ds = filter(split(digits, ""), c => c =!= "")
+    val n = size(ds)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = element_at(ds, i).cast("int")
+      // double every second digit counted from the RIGHT (r = n - i + 1)
+      val doubled = when((n - i + 1) % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + doubled
+    })
+    total % 10
+  }
+
   /** Exact heavy hitters (terms with count > N/k) via the two-pass
     * sketch-then-verify pattern: pass 1 runs a Misra–Gries summary of
     * capacity k inside each partition (per-partition imperative state —

@@ -68,6 +68,19 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set("on_start", "inside", "inside2"))
   }
 
+  test("asofJoin forward picks the earliest right row at or after each left time") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 3L, 102L))
+      .toDF("key", "t", "quote")
+    val out = Relational.asofJoin(trades, quotes, "key", "t",
+      leftCols = Seq("trade"), rightPayload = "quote", forward = true)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    // t1 at 10 matches the equal-time quote (>=); t2 at 20 has nothing
+    // after it; t3 at 5 sees no quote at or after
+    assert(out == Map("t1" -> Some(100L), "t2" -> None, "t3" -> None))
+  }
+
   test("asofJoin picks the latest right row at or before each left time") {
     val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
       .toDF("key", "t", "trade")

@@ -224,6 +224,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ranked.filter(_._1 != "hub").map(_._2).distinct.size == 1)
   }
 
+  test("luhnMod: known-valid card shapes score 0, corrupted ones do not") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("4532015112830366", true),  // textbook-valid 16-digit
+      ("4532015112830367", false), // last digit corrupted
+      ("79927398713", true),       // the classic odd-length Luhn example
+      ("79927398710", false)
+    ).toDF("card", "expected")
+    val out = cases.select(col("expected"),
+        (TextAnalysis.luhnMod(col("card")) === 0).as("valid"))
+      .collect().map(r => r.getBoolean(0) == r.getBoolean(1))
+    assert(out.forall(identity))
+  }
+
   test("heavyHitters: exact answer despite a sketch capacity below vocab size") {
     // vocab 26 >> k=4, skew: 'hot' 40×, 'warm' 12×, singletons elsewhere.
     // Spread over 8 partitions so per-partition Misra-Gries must evict.
