@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.expressions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -427,6 +428,95 @@ object Similarity {
         size(col(vecCol)).cast("long").as("dim"),
         round(sqrt(norm2(col(vecCol))), 6).as("l2_norm"),
         signBucket(col(vecCol)).as("bucket")): _*)
+
+  /** Product-quantization top-k (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): vectors are split into `m` subvectors,
+    * each subspace gets its own tiny k-means codebook (`ksub` centroids,
+    * deterministic first-`ksub`-by-id seeds + one Lloyd round — the same
+    * oracle-replayable recipe as [[kmeansAssign]]), and every vector is
+    * stored as `m` small codes. Query scoring is ADC (asymmetric distance
+    * computation): ONE `m × ksub` lookup table of subspace dot products,
+    * then each candidate costs m table lookups instead of a d-dim float
+    * scan — at 100 TB the scored pass reads m bytes/vector (codes) plus a
+    * broadcast LUT, not 4d bytes/vector of raw floats, which is the whole
+    * point of PQ. The top `rerank` ADC candidates are re-ranked exactly
+    * against the raw vectors (the standard two-stage recipe), so the final
+    * ordering is exact over the candidate set.
+    *
+    * Engine parity: subspace distances and LUT entries round(6); the
+    * across-subspace sums go through DECIMAL(38,12) (4 exact addends —
+    * order-independent), so the whole chain is hash-checkable in DuckDB.
+    * Approximate cosine uses the codebook reconstruction norm
+    * sqrt(Σ_s ||c_s||²) — deterministic, no per-vector raw access.
+    */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, m: Int = 4, ksub: Int = 4,
+             rerank: Int = 20): DataFrame = {
+    require(m >= 1 && ksub >= 1 && rerank >= k, "pqTopK: bad parameters")
+    val withVd = embeddings.select(col(idCol).cast("long").as("vid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val dim = withVd.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val sd = dim / m
+    val subs = withVd
+      .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("vid"), col("s"),
+        slice(col("v"), col("s") * sd + 1, lit(sd)).as("sv"))
+    // assignment: per (vector, subspace) argmin L2² over the codebook —
+    // broadcast join + partitioned-window argmin, ties to smallest code
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vid"), col("s"))
+        .orderBy(col("__d").asc, col("cid").asc)
+      subs.join(broadcast(cents), "s")
+        .withColumn("__d", round(expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vid"), col("s"), col("cid"), col("sv"))
+    }
+    val seeds = subs
+      .join(broadcast(withVd.orderBy(col("vid").asc).limit(ksub)
+        .select(col("vid").as("cid"))), subs("vid") === col("cid"))
+      .select(col("s"), col("cid"), col("sv").as("cv"))
+    val c1 = assign(seeds)
+      .select(col("s"), col("cid"), posexplode(col("sv")))
+      .groupBy(col("s"), col("cid"), col("pos"))
+      .agg(sum(col("col").cast("decimal(38,12)")).as("__sum"),
+        count(lit(1)).cast("long").as("__n"))
+      .withColumn("m", round(col("__sum").cast("double") / col("__n"), 6))
+      .groupBy(col("s"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), e -> e.m)").as("cv"))
+    val codes = assign(c1).select(col("vid"), col("s"), col("cid"))
+    // ADC lookup table: m × ksub subspace dot products against the query
+    val qsubs = subs.filter(col("vid") === queryId)
+      .select(col("s").as("qs"), col("sv").as("qsv"))
+    val lut = c1.join(broadcast(qsubs), c1("s") === col("qs"))
+      .select(col("s"), col("cid"),
+        round(expr("aggregate(zip_with(cv, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+          .as("pdot"),
+        round(expr("aggregate(cv, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2"))
+    val qn = withVd.filter(col("vid") === queryId)
+      .select(sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        col("v").as("qv"))
+    val cands = codes.join(broadcast(lut), Seq("s", "cid"))
+      .groupBy(col("vid"))
+      .agg(sum(col("pdot").cast("decimal(38,12)")).cast("double").as("__adc"),
+        sum(col("pnorm2").cast("decimal(38,12)")).cast("double").as("__apx2"))
+      .crossJoin(broadcast(qn.select(col("qnorm"))))
+      .filter(col("vid") =!= queryId)
+      .select(col("vid"),
+        round(col("__adc") / (col("qnorm") * sqrt(col("__apx2"))), 6).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vid").asc)
+      .limit(rerank)
+    cands.join(withVd, "vid")
+      .crossJoin(broadcast(qn.select(col("qv"))))
+      .select(col("vid").as(idCol), col("adc_cosine"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Symmetric int8 quantization audit — the serving-side compression
     * every large vector store applies (scale = max|x|/127, q = round(x/s),

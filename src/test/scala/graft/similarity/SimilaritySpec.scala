@@ -174,6 +174,30 @@ class SimilaritySpec extends SparkSpec {
     assert(sims((1, 2)) == 0.0)
   }
 
+  test("pqTopK: re-ranked results carry exact cosines and recover the true top-k") {
+    // 3 tight clusters in 8-dim space; query vec 0 sits in cluster A, so
+    // its true neighbors are the other A members
+    def v(base: Float, d: Int) = Array.tabulate(8)(i => base + 0.01f * i + 0.001f * d)
+    val emb = (
+      (0L to 4L).map(i => (i, v(1.0f, i.toInt))) ++      // cluster A
+      (5L to 9L).map(i => (i, v(-1.0f, i.toInt))) ++     // cluster B
+      (10L to 14L).map(i => (i, v(0.3f, i.toInt)))       // cluster C
+    ).toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 4, m = 2, ksub = 3, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the exact re-rank stage must reproduce brute-force cosines exactly
+    pq.foreach { case (id, _, cos) =>
+      exact.get(id).foreach(e => assert(e == cos, s"vec $id: $cos != $e")) }
+    // and with rerank covering half the corpus, recall@4 is complete
+    assert(pq.map(_._1).toSet == exact.keySet)
+    // ADC approximation stays in cosine range
+    pq.foreach { case (_, adc, _) => assert(adc >= -1.000001 && adc <= 1.000001) }
+  }
+
   test("quantizeAudit: error bounded by scale/2, zero vector exact") {
     val emb = Seq(
       (1L, Array(1.27f, -0.635f, 0.1f, 0.0f)),
