@@ -132,6 +132,34 @@ object Relational {
         col("__asof").as(rightPayload): _*)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval construction from a
+    * change history: per key, consecutive same-value changes collapse to
+    * one row, each surviving change opens an interval closed by the next
+    * one, and the last interval per key is current. The lakehouse dimension
+    * pattern: the history table is append-only and this derives the
+    * queryable validity view.
+    *
+    * (ts) must be unique per key — pre-dedup with [[dedupKeepFirst]]
+    * otherwise. Two window functions over ONE (key, ts) sort — lag for the
+    * collapse, lead for the close — and Spark plans consecutive windows on
+    * the same partitioning as a single shuffle + sort, so the whole
+    * operator costs one key-partitioned exchange at any scale.
+    */
+  def scd2(history: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc)
+    history
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      // first row detected via lag(ts) (ts is non-null), NOT lag(value) —
+      // a null previous VALUE must still collapse null→null runs; the
+      // null-safe inequality keeps transitions through NULL honest
+      .withColumn("__first", lag(col(ts), 1).over(w).isNull)
+      .filter(col("__first") || !(col(value) <=> col("__prev")))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(value),
+        col(ts).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Bucketized interval join: match left rows (key, ts) to right intervals
     * (key, [start, end)) — the range join Spark would otherwise plan as a
     * broadcast-nested-loop. Each right interval is exploded into the coarse

@@ -187,6 +187,17 @@ object CoreQueries extends QueryPack {
         leftCols = Seq("event_id", "value"), rightPayload = "click_id")
     }),
 
+    // SCD2 dimension build: per user, event_type change history → validity
+    // intervals (consecutive same-value runs collapsed, last row current).
+    "q_scd2" -> ((s, dir) => {
+      val ev = Relational.dedupKeepFirst(
+        Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id")),
+        key = Seq(col("user_id"), col("ts")),
+        order = Seq(col("event_id").desc)).drop("event_id")
+      Relational.scd2(ev, "user_id", "ts", "event_type")
+    }),
+
     // Forward as-of: each purchase matched to the user's NEXT click at or
     // after it — same one-shuffle window plan on reversed time.
     "q_asof_fwd" -> ((s, dir) => {
@@ -583,6 +594,20 @@ object CoreQueries extends QueryPack {
         |      WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.user_id, p.ts, p.event_id, p.value, c.click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q_scd2" ->
+      """WITH h AS (SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+        |  FROM events GROUP BY user_id, ts),
+        |m AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    (lag(ts) OVER w IS NULL) AS first
+        |  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |k AS (SELECT user_id, ts, event_type FROM m
+        |  WHERE first OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC)""".stripMargin,
 
     "q_asof_fwd" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events

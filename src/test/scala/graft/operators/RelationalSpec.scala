@@ -32,6 +32,28 @@ class RelationalSpec extends SparkSpec {
     assert(page == Seq(80.0, 75.0))
   }
 
+  test("scd2: collapses same-value runs, closes intervals, flags current") {
+    val hist = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "bronze"),  // run collapses
+      (1L, 30L, "gold"), (1L, 40L, "bronze"),    // value may recur later
+      (2L, 5L, "silver")
+    ).toDF("user_id", "ts", "tier")
+    val out = Relational.scd2(hist, "user_id", "ts", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4)))
+    val byUser = out.groupBy(_._1)
+    assert(byUser(1L).sortBy(_._3).toSeq == Seq(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "gold", 30L, Some(40L), false),
+      (1L, "bronze", 40L, None, true)))
+    assert(byUser(2L).toSeq == Seq((2L, "silver", 5L, None, true)))
+    // null-run collapse: null→null is not a change
+    val nulls = Seq((3L, 1L, null.asInstanceOf[String]),
+      (3L, 2L, null.asInstanceOf[String]), (3L, 3L, "x"))
+      .toDF("user_id", "ts", "tier")
+    assert(Relational.scd2(nulls, "user_id", "ts", "tier").count() == 2)
+  }
+
   test("keysetPage continues exactly where the previous page ended") {
     val rows = (1L to 50L).map(i => (i, s"r$i")).toDF("id", "v")
     val p1 = Relational.keysetPage(rows, col("id"), lit(0L), limit = 20)
