@@ -254,6 +254,21 @@ object Relational {
   private def hashBucket100(idCol: String): Column = expr(
     s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
 
+  /** Per-ROW weighted sampling — [[stratifiedSample]]'s continuous
+    * generalization (DCLM-style soft quality filtering): each row survives
+    * with probability `num/den`, decided by the same md5 content-hash so
+    * the draw is reproducible across runs, engines and repartitions. The
+    * keep test is pure integer arithmetic (cross-multiplied against a
+    * 2^20-granularity hash bucket — no float thresholds to drift between
+    * engines). `num` must be integer-valued in [0, den]. Zero shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, num: Column, den: Long): DataFrame = {
+    require(den > 0, "weightedSample: den must be positive")
+    val h = expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) " +
+      s"AS BIGINT) % 1048576")
+    df.filter(h * lit(den) < num.cast("long") * lit(1048576L))
+  }
+
   /** Deterministic train/val/test split by CONTENT HASH of the id — the
     * reproducible-split primitive every training pipeline needs. Unlike
     * `df.randomSplit`/`rand()` (seed- and partitioning-dependent), the

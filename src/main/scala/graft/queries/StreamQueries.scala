@@ -87,6 +87,11 @@ object StreamQueries extends QueryPack {
       EventStreams.anomalies(Tables.events(s, dir),
         lookback = 20, minN = 10, zThreshold = 2.5)),
 
+    // Robust MAD outliers per event_type — the median-based twin of
+    // q_anomaly's z-score (outlier-poisoning-proof threshold).
+    "q_anomaly_mad" -> ((s, dir) =>
+      EventStreams.madOutliers(Tables.events(s, dir), k = 3.0)),
+
     // Streaming-dedup semantics in batch: latest event per user
     // (`dropDuplicates` + watermark in the streaming variant).
     "q_event_latest" -> ((s, dir) =>
@@ -171,6 +176,19 @@ object StreamQueries extends QueryPack {
         |            greatest(0.0, a[2] + (mu - 10.0 - b[1])), a[3]] END)[3] AS BIGINT)
         |    AS n_alarms
         |FROM o""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  round(d.med, 6) AS med, round(m2.mad, 6) AS mad
+        |FROM dev d JOIN mad m2 USING (event_type)
+        |WHERE d.ad > 3.0 * 1.4826 * m2.mad""".stripMargin,
 
     "q_anomaly" ->
       """WITH w AS (SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,

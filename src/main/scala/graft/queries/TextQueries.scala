@@ -281,6 +281,14 @@ object TextQueries extends QueryPack {
         "doc_id", "lang",
         rates = Map("en" -> 40, "zh" -> 80), defaultPct = 25)),
 
+    // Continuous weighted sampling: survival probability n_chars/800
+    // (capped at 1) — soft quality filtering, hash-deterministic, integer
+    // keep test, zero shuffle.
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.operators.Relational.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", least(col("n_chars"), lit(800L)), den = 800L)),
+
     // Smoothed bigram LM table: P(b|a) with add-0.5 smoothing, top 50.
     "q_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(Tables.documents(s, dir), "text",
@@ -770,6 +778,13 @@ object TextQueries extends QueryPack {
         |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
         |  FROM documents)
         |WHERE h < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 80 ELSE 25 END""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars
+        |FROM (SELECT doc_id, n_chars,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS h
+        |  FROM documents)
+        |WHERE h * 800 < least(n_chars, 800) * 1048576""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents

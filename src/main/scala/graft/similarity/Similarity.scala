@@ -1,7 +1,6 @@
 package graft.similarity
 
 import graft.expressions.GraftFunctions
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -463,16 +462,19 @@ object Similarity {
       .select(col("vid"), col("s"),
         slice(col("v"), col("s") * sd + 1, lit(sd)).as("sv"))
     // assignment: per (vector, subspace) argmin L2² over the codebook —
-    // broadcast join + partitioned-window argmin, ties to smallest code
+    // ONE broadcast of the collected codebook and an array_min over
+    // (dist, cid) structs, so encoding is a pure projection (no shuffle,
+    // no window; lexicographic struct order = the d-then-cid tiebreak)
     def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vid"), col("s"))
-        .orderBy(col("__d").asc, col("cid").asc)
-      subs.join(broadcast(cents), "s")
-        .withColumn("__d", round(expr(
-          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 6))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("vid"), col("s"), col("cid"), col("sv"))
+      val centsArr = cents
+        .agg(collect_list(struct(col("s").as("cs"), col("cid"), col("cv"))).as("__cents"))
+      subs.crossJoin(broadcast(centsArr))
+        .withColumn("__best", expr(
+          """array_min(transform(filter(__cents, c -> c.cs = s), c -> struct(
+            |  round(aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
+            |    0D, (a, x) -> a + x), 6) AS d,
+            |  c.cid AS cid)))""".stripMargin))
+        .select(col("vid"), col("s"), col("__best.cid").as("cid"), col("sv"))
     }
     val seeds = subs
       .join(broadcast(withVd.orderBy(col("vid").asc).limit(ksub)

@@ -435,4 +435,29 @@ object EventStreams {
         round((col("value") - col("__mean")) / sqrt(col("__varr")), 6).as("z"))
       .filter(abs(col("z")) >= lit(zThreshold))
   }
+
+  /** MAD (median-absolute-deviation) outliers per event_type — the ROBUST
+    * twin of [[anomalies]]' z-score: medians shrug off the very outliers a
+    * mean/stddev gate lets poison its own threshold (one 10⁶-valued event
+    * inflates σ enough to hide every real anomaly; it moves the median not
+    * at all). Flag |x − med| > k · 1.4826 · MAD, the consistent-σ scaling.
+    *
+    * Two exact `percentile` aggregations on the event_type key (a handful
+    * of groups — the per-group sort is the honest cost of exact medians;
+    * swap percentile_approx in when ±ε is acceptable at 100 TB) and two
+    * broadcast joins back. Threshold compares UNROUNDED doubles in both
+    * engines; reported med/mad round(6) per the parity contract.
+    */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("__med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("__ad", abs(col("value") - col("__med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("__ad") > lit(k) * lit(1.4826) * col("__mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("__med"), 6).as("med"), round(col("__mad"), 6).as("mad"))
+  }
 }

@@ -32,6 +32,26 @@ class RelationalSpec extends SparkSpec {
     assert(page == Seq(80.0, 75.0))
   }
 
+  test("weightedSample: deterministic, monotone in weight, exact at the ends") {
+    val rows = (1L to 2000L).map(i => (i, i % 100)).toDF("id", "w")
+    def kept(num: org.apache.spark.sql.Column, den: Long) =
+      Relational.weightedSample(rows, "id", num, den).collect().map(_.getLong(0)).toSet
+    val all = kept(lit(100L), 100L)
+    val none = kept(lit(0L), 100L)
+    assert(all.size == 2000 && none.isEmpty)
+    // repartitioning cannot change the draw
+    val half = kept(lit(50L), 100L)
+    val halfRepart = Relational.weightedSample(rows.repartition(7), "id", lit(50L), 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(half == halfRepart)
+    // survival rate tracks the weight (50% ± a few points at n=2000)
+    assert(math.abs(half.size / 2000.0 - 0.5) < 0.05)
+    // per-row weights: heavier rows survive more often
+    val weighted = Relational.weightedSample(rows, "id", col("w"), 100L)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(weighted.count(_ >= 50) > weighted.count(_ < 50))
+  }
+
   test("scd2: collapses same-value runs, closes intervals, flags current") {
     val hist = Seq(
       (1L, 10L, "bronze"), (1L, 20L, "bronze"),  // run collapses

@@ -362,4 +362,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(121L))       // only user 1's spike
     assert(out.head._2 > 2.5)                      // z well above threshold
   }
+
+  test("madOutliers: median threshold survives the poisoning that breaks stddev") {
+    import spark.implicits._
+    // 20 values near 10 plus FOUR enormous spikes: together the spikes
+    // inflate a stddev gate enough to mask themselves (z ≈ 2.0 each,
+    // under a 2.5 bar) but leave the median untouched, so MAD flags
+    // exactly the spikes
+    val ev = ((1L to 20L).map(i => (i, "a", 10.0 + (i % 3))) ++
+      (96L to 99L).map(i => (i, "a", 9000.0 + i)))
+      .toDF("event_id", "event_type", "value")
+    val mad = EventStreams.madOutliers(ev, k = 3.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(mad == Set(96L, 97L, 98L, 99L))
+    // the z-score twin at the same data: global mean/stddev sees none
+    val mean = ev.agg(org.apache.spark.sql.functions.avg("value")).head().getDouble(0)
+    val std = ev.agg(org.apache.spark.sql.functions.stddev("value")).head().getDouble(0)
+    assert(math.abs((9099.0 - mean) / std) < 2.5)
+  }
 }
