@@ -254,6 +254,22 @@ object Relational {
   private def hashBucket100(idCol: String): Column = expr(
     s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
 
+  /** Right-to-be-forgotten audit: for each target table, how many rows a
+    * key-purge would delete — the pre-flight report a GDPR deletion job
+    * emits before the anti-join rewrite runs. Each target is (name, table,
+    * keys-to-forget, join columns); FK cascades are expressed by passing a
+    * derived key frame (e.g. the order ids of forgotten customers) as that
+    * table's keys. Per table: one semi join (broadcast when the key list
+    * is small — the usual case) + a count; results union into one report.
+    * The deletion itself is the same plan with `left_anti` writing back.
+    */
+  def purgeAudit(targets: Seq[(String, DataFrame, DataFrame, Seq[String])]): DataFrame =
+    targets.map { case (name, df, keys, cols) =>
+      df.join(keys, cols, "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+        .select(lit(name).as("tbl"), col("n_rows"))
+    }.reduce(_ unionByName _)
+
   /** Per-ROW weighted sampling — [[stratifiedSample]]'s continuous
     * generalization (DCLM-style soft quality filtering): each row survives
     * with probability `num/den`, decided by the same md5 content-hash so

@@ -187,6 +187,23 @@ object CoreQueries extends QueryPack {
         leftCols = Seq("event_id", "value"), rightPayload = "click_id")
     }),
 
+    // GDPR purge pre-flight: rows each table would lose when forgetting
+    // customers with custkey % 131 = 0 — lineitem cascades through orders.
+    "q_purge_audit" -> ((s, dir) => {
+      val forget = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 131 === 0).select(col("c_custkey"))
+      val orderKeys = Tables.orders(s, dir)
+        .join(forget.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"), "left_semi")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Relational.purgeAudit(Seq(
+        ("customer", Tables.customer(s, dir),
+          forget, Seq("c_custkey")),
+        ("orders", Tables.orders(s, dir),
+          forget.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey")),
+        ("lineitem", Tables.lineitem(s, dir), orderKeys, Seq("l_orderkey"))))
+    }),
+
     // SCD2 dimension build: per user, event_type change history → validity
     // intervals (consecutive same-value runs collapsed, last row current).
     "q_scd2" -> ((s, dir) => {
@@ -594,6 +611,16 @@ object CoreQueries extends QueryPack {
         |      WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.user_id, p.ts, p.event_id, p.value, c.click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q_purge_audit" ->
+      """SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM customer WHERE c_custkey % 131 = 0
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+        |WHERE o_custkey % 131 = 0
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey % 131 = 0)""".stripMargin,
 
     "q_scd2" ->
       """WITH h AS (SELECT user_id, ts, arg_max(event_type, event_id) AS event_type

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.search.{BM25, BM25Index}
+import graft.search.{BM25, BM25Index, Collections}
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -108,6 +108,16 @@ object SearchQueries extends QueryPack {
     // ad-hoc path (tokenizes the corpus; right for one-off queries).
     "q_keyword_bm25" -> ((s, dir) =>
       BM25.scoreTopK(Tables.documents(s, dir), "doc_id", "text", QueryTerms, k = 10)),
+
+    // Solr QueryElevation: docs 42 and 7 pinned above the organic BM25
+    // ranking (42 first, per the elevate.xml order), non-matching pins
+    // admitted at score 0.
+    "q_elevate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Collections.elevate(docs.select(col("doc_id").as("doc")),
+        BM25.scoreAll(docs, "doc_id", "text", QueryTerms),
+        "doc", pinned = Seq(42L, 7L), k = 10)
+    }),
 
     // Solr highlighting: snippet around the first query-term hit, over the
     // keyword top-10 (snippet assembly scales with the result cap).
@@ -302,6 +312,13 @@ object SearchQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_keyword_bm25" -> (bm25Cte + "SELECT doc, score FROM top10"),
+
+    "q_elevate" -> ("WITH " + bm25FieldCte("text", "") + """,
+      |pinned AS (SELECT d.doc_id AS doc, coalesce(s.score, 0.0) AS score,
+      |    CASE d.doc_id WHEN 42 THEN 0 WHEN 7 THEN 1 ELSE 2147483647 END AS pin
+      |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc)
+      |SELECT doc, score, (pin < 2147483647) AS elevated FROM pinned
+      |ORDER BY pin ASC, score DESC, doc ASC LIMIT 10""".stripMargin),
 
     "q_highlight" -> (bm25Cte +
       raw"""SELECT t.doc AS doc_id, t.score,

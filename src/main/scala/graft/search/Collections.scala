@@ -307,4 +307,27 @@ object Collections {
       .select(col("doc").as("tweet_id"), col("score"), col("tweetText"),
         col("tweetMediaText"), col("userName"), col("userScreenName"))
   }
+
+  /** Solr QueryElevation component: editorially pinned docs rank first (in
+    * the configured order, like elevate.xml), the organic ranking fills the
+    * rest, and pinned docs that didn't match the query are included anyway
+    * with a zero score — exactly Solr's forceElevation behavior. The pin
+    * list is a when-chain constant in the plan (it IS configuration, not
+    * data), so elevation costs one projection over the scored set plus the
+    * corpus left-join that admits non-matching pinned docs; the final cap
+    * is still TakeOrderedAndProject.
+    */
+  def elevate(corpusIds: DataFrame, scored: DataFrame, docCol: String,
+              pinned: Seq[Long], k: Int): DataFrame = {
+    val unpinned = lit(Int.MaxValue)
+    val pinRank = pinned.zipWithIndex.foldLeft(lit(Int.MaxValue)) {
+      case (acc, (id, i)) => when(col(docCol) === lit(id), lit(i)).otherwise(acc)
+    }
+    corpusIds.join(scored, Seq(docCol), "left")
+      .select(col(docCol), coalesce(col("score"), lit(0.0)).as("score"),
+        pinRank.as("__pin"))
+      .orderBy(col("__pin").asc, col("score").desc, col(docCol).asc)
+      .limit(k)
+      .select(col(docCol), col("score"), (col("__pin") < unpinned).as("elevated"))
+  }
 }

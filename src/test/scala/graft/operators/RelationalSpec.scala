@@ -32,6 +32,20 @@ class RelationalSpec extends SparkSpec {
     assert(page == Seq(80.0, 75.0))
   }
 
+  test("purgeAudit: per-table delete counts with FK cascade via derived keys") {
+    val users = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("uid", "name")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("oid", "uid")
+    val items = Seq((10L, "x"), (10L, "y"), (12L, "z")).toDF("oid", "sku")
+    val forget = Seq(1L).toDF("uid")
+    val cascade = orders.join(forget, Seq("uid"), "left_semi").select("oid")
+    val out = Relational.purgeAudit(Seq(
+      ("users", users, forget, Seq("uid")),
+      ("orders", orders, forget, Seq("uid")),
+      ("items", items, cascade, Seq("oid"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("users" -> 1L, "orders" -> 2L, "items" -> 2L))
+  }
+
   test("weightedSample: deterministic, monotone in weight, exact at the ends") {
     val rows = (1L to 2000L).map(i => (i, i % 100)).toDF("id", "w")
     def kept(num: org.apache.spark.sql.Column, den: Long) =

@@ -113,4 +113,18 @@ class CollectionsSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("tweet_id")).toSeq == Seq("1"))
     assert(rows.head.getAs[String]("userScreenName") == "acme")
   }
+
+  test("elevate: pins rank first in elevate.xml order, non-matching pin admitted at 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 6L).toDF("doc")
+    val scored = Seq((1L, 5.0), (2L, 4.0), (3L, 3.0)).toDF("doc", "score")
+    // doc 6 never matched the query; doc 3 did — both pinned, 6 first
+    val out = graft.search.Collections.elevate(corpus, scored, "doc",
+      pinned = Seq(6L, 3L), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (6L, 0.0, true), (3L, 3.0, true),   // pins, configured order
+      (1L, 5.0, false), (2L, 4.0, false))) // organic fill by score
+  }
 }
