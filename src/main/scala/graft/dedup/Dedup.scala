@@ -448,7 +448,7 @@ object Dedup {
     // first round and every doc fall through as its own singleton rep.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prev = labelSum(labels)
     var it = 0
     var converged = false
@@ -617,7 +617,7 @@ object Dedup {
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head
+          lit(0).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
     var prev = checksum(edges)
