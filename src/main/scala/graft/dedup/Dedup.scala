@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -721,5 +722,60 @@ object Dedup {
           // the packed signature; sums of distinct powers stay representable
           when(col(s"__s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  /** Cross-document maximal shared token spans — substring-level dedup:
+    * find every maximal run of ≥ `minSpan` consecutive tokens two documents
+    * share, the unit the "train-on-it-once" dedup literature targets
+    * (shared boilerplate, quoted passages, licensed blocks) where document-
+    * level MinHash ([[minHashLsh]]) and line-level [[spanDedup]] both miss.
+    *
+    * Method: anchor n-grams + diagonal run collapse. Each doc emits its
+    * n-gram at every position; an equi-join on the gram (NOT all pairs —
+    * cost is Σ_gram matches², i.e. proportional to actually-shared content)
+    * yields (docA, docB, posA, posB) anchor hits; hits on one shared span
+    * all lie on the same diagonal `posA - posB`, so grouping by diagonal
+    * and collapsing consecutive-posA runs with the gaps-and-islands
+    * `pos - row_number` trick rebuilds each maximal span exactly once:
+    * span length = run length + n - 1.
+    *
+    * Scale: the join key should be the gram's 64-bit hash banded by prefix
+    * (the MinHash-LSH layout) so postings co-partition; stop-gram removal
+    * (drop grams with document frequency above a cap) bounds the per-gram
+    * match blowup exactly like the LSH band-size guard. The window is
+    * partitioned by (docA, docB, diagonal) — never global.
+    *
+    * Returns (doc_a, doc_b, start_a, start_b, span_tokens).
+    */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, minSpan: Int): DataFrame = {
+    require(minSpan >= n, s"minSpan $minSpan must be >= gram size $n")
+    val toks = docs
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = toks
+      .select(col("doc"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("pos"))
+      .select(col("doc"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n))).as("gram"))
+    val hits = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct()
+    val w = Window
+      .partitionBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("__diag"))
+      .orderBy(col("pa"))
+    hits
+      .withColumn("__isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("__diag"),
+        col("__isl"))
+      .agg(min(col("pa")).cast("long").as("start_a"),
+        min(col("pb")).cast("long").as("start_b"),
+        (count(lit(1)) + (n - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_tokens"))
   }
 }

@@ -67,4 +67,60 @@ object Graphs {
       .agg(count(lit(1)).cast("long").as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("node").asc)
       .limit(k)
+
+  /** Fixed-iteration damped PageRank over a directed edge list `(u, v)` —
+    * centrality for the co-occurrence / near-dup graphs the pipeline already
+    * builds (domain authority for curation weighting, hub detection in the
+    * duplicate graph).
+    *
+    * Each iteration is the standard power step
+    * `r' = (1-d)/N + d·(Σ_in r/outdeg + danglingMass/N)`, kept entirely
+    * in-plan: N and the dangling mass are 1-row aggregates broadcast with
+    * `crossJoin(broadcast(...))` (the k-means-update idiom — no driver
+    * collect). A fixed iteration count (not convergence-tested) keeps the
+    * result deterministic and oracle-replayable as unrolled SQL.
+    *
+    * Scale: per iteration one shuffle on the edge join key + one on the
+    * destination groupBy — the same cost shape as connected components
+    * ([[graft.dedup.Dedup]]); ranks are O(V) and edges are never
+    * materialized beyond the join. For many iterations at 100 TB,
+    * checkpoint `ranks` every few rounds to cut lineage (the CC pattern).
+    */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    // Lineage truncation is load-bearing, exactly as in the CC loop
+    // ([[graft.dedup.Dedup.clusters]]): each round consumes `ranks` TWICE
+    // (contrib join + dangling aggregate), so without a checkpoint the plan
+    // tree doubles per round — 2^iters evaluations of the caller's edge
+    // construction. The lazy localCheckpoint caches each table's RDD on
+    // first computation, so every round costs one bounded shuffle pass and
+    // the static tables (nodes / outdeg / edge weights) are built once.
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().localCheckpoint(false)
+    val nn = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
+    val outdeg = e.groupBy(col("u"))
+      .agg(count(lit(1)).cast("double").as("deg")).localCheckpoint(false)
+    // Edge weight 1/outdeg precomputed once; reused every iteration.
+    val ew = e.join(outdeg, "u")
+      .select(col("u"), col("v"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(false)
+    var ranks = nodes.crossJoin(nn)
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
+      val r = ranks.localCheckpoint(false)
+      val contrib = ew.join(r, ew("u") === r("node"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("rank") * col("w")).as("contrib"))
+      val dangling = broadcast(
+        r.join(outdeg, r("node") === outdeg("u"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass")))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dangling).crossJoin(nn)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n_nodes") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("dangling_mass") / col("n_nodes"))).as("rank"))
+    }
+    ranks
+  }
 }

@@ -53,6 +53,36 @@ object Relational {
       .drop("__rn")
   }
 
+  /** MERGE-style CDC apply: fold a change stream into a snapshot with
+    * last-writer-wins semantics per key — the lakehouse upsert/delete
+    * maintenance pass (`MERGE INTO` / Debezium-feed apply) expressed as one
+    * keyed reduction instead of a join-per-change-batch.
+    *
+    * `snapshot` rows are tagged `op = 'S'`; `changes` must already carry
+    * `opCol` (`deleteOp` rows tombstone the key, anything else upserts).
+    * Both sides must share the remaining schema. The winner per key is
+    * picked by `order` (latest-first; include a unique tiebreaker), then
+    * tombstones are dropped. A key whose latest row is a delete therefore
+    * vanishes; a key untouched by `changes` survives with its snapshot row
+    * (still tagged `'S'`, which audits provenance for free).
+    *
+    * Scale: one shuffle on `key` — the same cost as reading the snapshot
+    * through any compaction pass. With the snapshot stored bucketed by the
+    * key ([[graft.sources.Sinks.bucketedTable]]) and changes re-bucketed on
+    * ingest, the window runs shuffle-free per bucket. This is exactly how
+    * the keyed index sink ([[graft.search.Collections]]) applies upserts;
+    * here it is exposed as the general snapshot+changelog operator with
+    * delete semantics.
+    */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame, key: Seq[String],
+               order: Seq[Column], opCol: String = "op",
+               deleteOp: String = "D"): DataFrame = {
+    val tagged = snapshot.withColumn(opCol, lit("S"))
+    val merged = tagged.unionByName(changes.select(tagged.columns.map(col): _*))
+    dedupKeepFirst(merged, key.map(col), order)
+      .filter(col(opCol) =!= deleteOp)
+  }
+
   /** Top-k per group (reference: Solr `rows=N` per query shape,
     * `SolrRanker.java:77,104,145`). `order` must totally order rows within a
     * group for deterministic results.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.layout.ZOrder
 import graft.operators.Relational
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
@@ -518,6 +519,38 @@ object CoreQueries extends QueryPack {
       Tables.documents(s, dir)
         .filter(lower(col("text")).rlike("(spark|stream) (query|filter|join)"))
         .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // MERGE-style CDC apply: snapshot = latest state per user before
+    // Jan 16; changes = the later events, errors acting as tombstones.
+    // Last writer wins per user; surviving rows keep their provenance op.
+    "q_cdc_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val snapshot = Relational.dedupKeepFirst(
+          ev.filter(col("ts") < cut), Seq(col("user_id")),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val changes = ev.filter(col("ts") >= cut)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      Relational.cdcApply(snapshot, changes, Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("op"), col("event_id"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    // Z-order vs 1-D clustering: file-skipping audit for a 2-D box
+    // predicate (customer 100–300 × order-date 1996) over 64 files.
+    // Morton layout bounds BOTH dims per file; each linear layout prunes
+    // only its own dim.
+    "q_zorder" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").cast("long").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("dy"))
+      ZOrder.skippingAudit(o, "ck", "dy", nFiles = 64,
+        xLo = 100, xHi = 300, yLo = 1461, yHi = 1825)
     })
   )
 
@@ -826,6 +859,52 @@ object CoreQueries extends QueryPack {
 
     "q_regex_filter" ->
       """SELECT doc_id, source, n_chars FROM documents
-        |WHERE regexp_matches(lower(text), '(spark|stream) (query|filter|join)')""".stripMargin
+        |WHERE regexp_matches(lower(text), '(spark|stream) (query|filter|join)')""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT user_id, ts, event_id, value, 'S' AS op FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16')
+        |  WHERE rn = 1),
+        |chg AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        |merged AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+        |win AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM merged)
+        |SELECT user_id, op, event_id, round(value, 6) AS value
+        |FROM win WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_zorder" -> {
+      val nf = 64
+      val (xLo, xHi, yLo, yHi) = (100, 300, 1461, 1825)
+      s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ${ZOrder.morton2Sql("x", "y")} AS z FROM base),
+         |ext AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1,
+         |    min(z) AS z0, max(z) AS z1 FROM z),
+         |st AS (
+         |  SELECT 'zorder' AS layout, (z - z0) * $nf // (z1 - z0 + 1) AS f, x, y FROM z, ext
+         |  UNION ALL
+         |  SELECT 'linear_x', (x - x0) * $nf // (x1 - x0 + 1), x, y FROM z, ext
+         |  UNION ALL
+         |  SELECT 'linear_y', (y - y0) * $nf // (y1 - y0 + 1), x, y FROM z, ext),
+         |files AS (SELECT layout, f, count(*) AS n_rows,
+         |    sum(CASE WHEN x BETWEEN $xLo AND $xHi AND y BETWEEN $yLo AND $yHi
+         |      THEN 1 ELSE 0 END) AS n_match,
+         |    min(x) AS fx0, max(x) AS fx1, min(y) AS fy0, max(y) AS fy1
+         |  FROM st GROUP BY layout, f)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS total_files,
+         |  CAST(sum(CASE WHEN fx0 <= $xHi AND fx1 >= $xLo AND fy0 <= $yHi AND fy1 >= $yLo
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |  CAST(sum(CASE WHEN fx0 <= $xHi AND fx1 >= $xLo AND fy0 <= $yHi AND fy1 >= $yLo
+         |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(n_match) AS BIGINT) AS rows_matching
+         |FROM files GROUP BY layout""".stripMargin
+    }
   )
 }

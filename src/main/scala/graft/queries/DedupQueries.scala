@@ -134,6 +134,14 @@ object DedupQueries extends QueryPack {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8)),
 
+    // Cross-doc maximal shared token spans (substring-level dedup):
+    // 5-gram anchors + diagonal run collapse, spans >= 10 tokens. Capped
+    // input like q_dedup_jaccard so the gram-collision join stays bounded
+    // as SF grows; the uncapped scale path hashes + bands the grams.
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.sharedSpans(Tables.documents(s, dir).filter(col("doc_id") < 2000),
+        "doc_id", "text", n = 5, minSpan = 10)),
+
     // Per-source duplication dashboard: docs / distinct signatures /
     // duplicate rate, one combinable groupBy.
     "q_dedup_by_source" -> ((s, dir) =>
@@ -268,6 +276,24 @@ object DedupQueries extends QueryPack {
         |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
         |  COALESCE(p.shared_frac, 0.0) AS shared_frac
         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id < 2000 AND len(str_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+5], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i FROM t)),
+        |hits AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.pos AS pa, b.pos AS pb
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+        |      ORDER BY pa) AS isl
+        |  FROM hits)
+        |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+        |  CAST(min(pb) AS BIGINT) AS start_b,
+        |  CAST(count(*) + 4 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_a, doc_b, pa - pb, isl
+        |HAVING count(*) + 4 >= 10""".stripMargin,
 
     "q_dedup_by_source" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.graph.Graphs
 import graft.stats.Profile
 import graft.util.{QueryPack, Tables}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Data-profiling coverage ([[graft.stats.Profile]]): key-skew audit,
@@ -50,8 +50,62 @@ object StatsQueries extends QueryPack {
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
       Graphs.triangleParticipation(Graphs.triangles(edges), 20)
+    }),
+
+    // PageRank centrality over the same co-purchase graph (undirected →
+    // each canonical edge in both directions), 5 damped power iterations,
+    // top-20 parts. Oracle = the identical unrolled recurrence in SQL.
+    "q_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(Graphs.vertexSample(col("l_partkey"), 30))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val ce = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+      Graphs.pagerank(edges, iters = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
     })
   )
+
+  /** Unrolled PageRank oracle: the same per-iteration recurrence as
+    * [[Graphs.pagerank]] — weights precomputed as 1/outdeg so both engines
+    * run the identical float ops (sum of rank·w, never rank/deg).
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 30),
+        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+        |ew AS (SELECT e.u, e.v, CAST(1 AS DOUBLE) / d.deg AS w
+        |  FROM e JOIN outdeg d ON e.u = d.u),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT ew.v AS node, sum(r.rank * ew.w) AS contrib
+         |  FROM ew JOIN r${k - 1} r ON ew.u = r.node GROUP BY ew.v),
+         |dg$k AS (SELECT COALESCE(sum(r.rank), CAST(0 AS DOUBLE)) AS m
+         |  FROM r${k - 1} r LEFT JOIN outdeg d ON r.node = d.u WHERE d.u IS NULL),
+         |r$k AS (SELECT n.node,
+         |    (1 - $d) / nn.n + $d * (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + dg.m / nn.n) AS rank
+         |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node, dg$k dg, nn)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, round(rank, 6) AS rank FROM r$iters" +
+      "\nORDER BY rank DESC, node ASC LIMIT 20"
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_skew_audit" ->
@@ -130,6 +184,8 @@ object StatsQueries extends QueryPack {
         |  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.u = ab.u AND ac.v = bc.v))
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM (SELECT unnest([u, v, w]) AS node FROM tri)
-        |GROUP BY node ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin
+        |GROUP BY node ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin,
+
+    "q_pagerank" -> pagerankOracleSql(5)
   )
 }

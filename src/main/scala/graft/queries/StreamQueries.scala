@@ -99,7 +99,12 @@ object StreamQueries extends QueryPack {
         Tables.events(s, dir),
         key = Seq(col("user_id")),
         order = Seq(col("ts").desc, col("event_id").desc))
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))),
+
+    // Daily resample + LOCF gap fill for a hash-sampled user slice —
+    // time-series regularization onto a uniform grid.
+    "q_gapfill" -> ((s, dir) =>
+      EventStreams.gapFillDaily(Tables.events(s, dir), userMod = 13))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -263,6 +268,22 @@ object StreamQueries extends QueryPack {
       """SELECT user_id, event_id, ts, event_type FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+        |  FROM events WHERE user_id % 13 = 0 GROUP BY user_id, CAST(ts AS DATE)),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.day, d.v
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day,
+        |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day), 6) AS day_value,
+        |  v IS NULL AS filled
+        |FROM j""".stripMargin
   )
 }

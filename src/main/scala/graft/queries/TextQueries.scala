@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.multimodal.Multimodal
-import graft.text.{Bpe, Curation, Lexicons, Spell, TextAnalysis}
+import graft.text.{Bpe, Curation, Dsir, Lexicons, Spell, TextAnalysis}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -457,7 +457,15 @@ object TextQueries extends QueryPack {
           col("png.width").as("png_w"), col("png.height").as("png_h"),
           col("png.bit_depth").as("png_depth"), col("png.color_type").as("png_color"),
           col("png.valid").as("png_ok"))
-    })
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): top-20 docs whose
+    // hashed-bigram features look most like the English target slice vs
+    // the raw pool — reference-corpus-relative curation.
+    "q_dsir" -> ((s, dir) =>
+      Dsir.selectTopK(Tables.documents(s, dir), "doc_id", "text",
+          targetPred = col("lang") === "en", buckets = 4096, k = 20)
+        .select(col("doc").as("doc_id"), col("n_features"), col("dsir_score")))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -1227,6 +1235,28 @@ object TextQueries extends QueryPack {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS digest, md5(text) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt, str_split(text, ' ') AS toks
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 2),
+        |f AS (SELECT doc_id, tgt,
+        |    CAST(concat('0x', substring(md5(toks[i+1] || ' ' || toks[i+2]), 1, 15))
+        |      AS BIGINT) % 4096 AS feat
+        |  FROM (SELECT doc_id, tgt, toks, unnest(range(0, len(toks) - 1)) AS i FROM t)),
+        |model AS (SELECT feat, CAST(count(*) AS BIGINT) AS cnt_raw,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+        |  FROM f GROUP BY feat),
+        |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_raw,
+        |    CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt FROM model),
+        |w AS (SELECT feat,
+        |    ln(CAST(cnt_tgt + 1 AS DOUBLE) / CAST(tot_tgt + 4096 AS DOUBLE))
+        |      - ln(CAST(cnt_raw + 1 AS DOUBLE) / CAST(tot_raw + 4096 AS DOUBLE)) AS lw
+        |  FROM model, tot),
+        |d AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |    round(sum(w.lw), 6) AS dsir_score
+        |  FROM f JOIN w ON f.feat = w.feat GROUP BY f.doc_id)
+        |SELECT doc_id, n_features, dsir_score
+        |FROM d ORDER BY dsir_score DESC, doc_id ASC LIMIT 20""".stripMargin
   )
 }

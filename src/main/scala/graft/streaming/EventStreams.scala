@@ -204,6 +204,39 @@ object EventStreams {
       .agg(count(lit(1)).cast("long").as("n_users"))
   }
 
+  /** Per-key daily resample with LOCF gap fill (last observation carried
+    * forward): aggregate `value` to (key, day), expand each key to its full
+    * min..max day range via `sequence`, and fill the empty days with the
+    * most recent observed day's value — the standard time-series
+    * regularization step before any fixed-step model (forecasting, EWMA on
+    * a uniform grid, day-over-day deltas).
+    *
+    * Plan: one combinable groupBy to (key, day), one tiny groupBy for the
+    * per-key span, one `explode(sequence(...))` over the span (output is
+    * O(keys × days), the caller's intended densified grid — never wider
+    * than the calendar), a key-partitioned left join back, and the LOCF
+    * window `last(value, ignoreNulls)` partitioned BY KEY — no global
+    * window anywhere. All three key-wise stages co-partition on the same
+    * key, so AQE collapses them onto one exchange.
+    *
+    * Returns (user_id, day, day_value round6, filled) — `filled` marks
+    * carried rows so downstream quality checks can weight them.
+    */
+  def gapFillDaily(events: DataFrame, userMod: Int): DataFrame = {
+    val daily = events.filter(col("user_id") % userMod === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("__v"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        round(last(col("__v"), ignoreNulls = true).over(w), 6).as("day_value"),
+        col("__v").isNull.as("filled"))
+  }
+
   /** Per-key EWMA (exponentially weighted moving average) of `valueCol`,
     * events ordered by (ts, event_id): a deterministic sequential fold —
     * ewma ← α·x + (1−α)·ewma, seeded with the first value. The fold runs

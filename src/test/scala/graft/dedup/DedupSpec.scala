@@ -222,4 +222,28 @@ class DedupSpec extends SparkSpec {
     val ham = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
     assert(ham <= 20, s"hamming distance $ham too large for near-dups")
   }
+
+  test("sharedSpans recovers maximal shared runs with exact offsets") {
+    val spanDocs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y a b c d e f g h i j z"), // shares a..j (10 toks) at 0 vs 2
+      (3L, "p q r s a b c d e f t u")    // shares a..f (6 toks) at 0 vs 4
+    ).toDF("doc_id", "text")
+    // strict threshold: only the 10-token run qualifies, and it is
+    // reported ONCE as a maximal span, not as its 6 constituent grams
+    val strict = Dedup.sharedSpans(spanDocs, "doc_id", "text", n = 5, minSpan = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(strict == Set((1L, 2L, 0L, 2L, 10L)))
+    // relaxed threshold: the 6-token runs of both other pairs surface too
+    val relaxed = Dedup.sharedSpans(spanDocs, "doc_id", "text", n = 5, minSpan = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(relaxed == Set(
+      (1L, 2L, 0L, 2L, 10L),
+      (1L, 3L, 0L, 4L, 6L),
+      (2L, 3L, 2L, 4L, 6L)))
+  }
 }

@@ -44,4 +44,27 @@ class GraphsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept1.subsetOf(kept50))
   }
+
+  test("pagerank matches a local power iteration and conserves mass") {
+    // 1→2→3→1 cycle, 4→1 feeder, 5 dangling (in-edge only)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 5L))
+    val d = 0.85
+    val iters = 5
+    // local reference: same recurrence, plain Scala
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var ref = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      val contrib = es.groupBy(_._2).view
+        .mapValues(_.map(e => ref(e._1) / outdeg(e._1)).sum).toMap
+      val dangling = nodes.filterNot(outdeg.contains).map(ref).sum
+      ref = nodes.map(n => n -> ((1 - d) / nodes.size +
+        d * (contrib.getOrElse(n, 0.0) + dangling / nodes.size))).toMap
+    }
+    val got = Graphs.pagerank(es.toDF("u", "v"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == ref.keySet)
+    nodes.foreach(n => assert(math.abs(got(n) - ref(n)) < 1e-12, s"node $n"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass must be conserved")
+  }
 }

@@ -209,4 +209,27 @@ class RelationalSpec extends SparkSpec {
     assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) == 1000 - counts("train"))
     assert(counts.keySet == Set("train", "val", "test"))
   }
+
+  test("cdcApply: latest change wins, deletes tombstone, snapshot survives untouched keys") {
+    val snapshot = Seq((1L, 1, 10.0), (2L, 1, 20.0), (3L, 1, 30.0), (5L, 5, 50.0))
+      .toDF("key", "seq", "value")
+    val changes = Seq(
+      (1L, 2, 11.0, "U"),  // upsert over snapshot
+      (2L, 2, 0.0, "D"),   // tombstone
+      (4L, 2, 40.0, "U"),  // brand-new key, two versions
+      (4L, 3, 41.0, "U"),
+      (5L, 3, 49.0, "U")   // LATE change, older than the snapshot row
+    ).toDF("key", "seq", "value", "op")
+    val out = Relational.cdcApply(snapshot, changes, Seq("key"),
+        order = Seq(col("seq").desc))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(out == Map(
+      1L -> ((2, 11.0, "U")),  // change beat snapshot
+      3L -> ((1, 30.0, "S")),  // untouched, provenance preserved
+      4L -> ((3, 41.0, "U")),  // latest of the two change versions
+      5L -> ((5, 50.0, "S"))   // snapshot beat the stale change
+    ))                          // key 2: tombstoned away
+  }
 }

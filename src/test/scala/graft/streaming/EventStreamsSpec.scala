@@ -380,4 +380,24 @@ class EventStreamsSpec extends SparkSpec {
     val std = ev.agg(org.apache.spark.sql.functions.stddev("value")).head().getDouble(0)
     assert(math.abs((9099.0 - mean) / std) < 2.5)
   }
+
+  test("gapFillDaily: LOCF fills interior gaps on the per-key daily grid") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 0.4), // two events same day → summed
+      (1L, ts("2024-01-01 17:00:00"), 0.6),
+      (1L, ts("2024-01-04 12:00:00"), 4.0), // days 2-3 are gaps
+      (2L, ts("2024-02-10 00:00:00"), 7.0)  // single-day key: no fill rows
+    ).toDF("user_id", "ts", "value")
+    val out = EventStreams.gapFillDaily(ev, userMod = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", 1.0, false),
+      (1L, "2024-01-02", 1.0, true),  // carried forward
+      (1L, "2024-01-03", 1.0, true),
+      (1L, "2024-01-04", 4.0, false),
+      (2L, "2024-02-10", 7.0, false)))
+  }
 }
