@@ -304,6 +304,39 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** [[contamination]] behind a bloom pre-filter on the eval shingles —
+    * the [[exactIncrementalBloom]] pattern applied to decontamination.
+    * The plain path broadcasts the full eval shingle STRING set; here the
+    * broadcastable artifact is the bloom's bit array (orders of magnitude
+    * smaller than the strings), and the corpus side is pruned to the
+    * bloom-positive sliver BEFORE any join, so the equi-join shuffles
+    * O(matches + false positives) shingle rows instead of every corpus
+    * shingle. False positives are killed by the exact confirm join —
+    * same answer, same oracle, always.
+    */
+  def contaminationBloom(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5,
+                         expectedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val ev = shingles(evalDocs, idCol, textCol, n)
+      .select(col("shingle")).distinct().persist()
+    val bloom = ev
+      .agg(expr(s"graft_bloom_agg(xxhash64(shingle), " +
+        s"CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))"))
+      .head().getAs[Array[Byte]](0)
+    val corpus = shingles(docs, idCol, textCol, n)
+    if (bloom == null) corpus.filter(lit(false)) // empty eval set: no overlap
+        .groupBy(col("doc")).agg(count(lit(1)).cast("long").as("n_shared"))
+    else
+      corpus
+        .filter(call_function("graft_bloom_contains",
+          lit(bloom), xxhash64(col("shingle"))))
+        .join(ev, "shingle") // exact confirm: FPs cost a probe, never an answer
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found without
     * an all-pairs scan: split the 64-bit hash into 4 sixteen-bit bands; by
     * pigeonhole, any pair within hamming ≤ 3 shares at least one identical

@@ -53,6 +53,25 @@ object Relational {
       .drop("__rn")
   }
 
+  /** [[dedupKeepFirst]] on the composite key (parentKey ++ runKey), planned
+    * on the PARENT partitioning alone: one window partitioned by
+    * `parentKey` ordered by (runKey, order…) keeps the first row of each
+    * runKey run — lag-based run detection instead of a per-composite-key
+    * row_number. Same answer, but when the next operator windows on
+    * `parentKey` (SCD2 collapse, as-of, LOCF) it REUSES this exchange; the
+    * composite-key formulation partitions on (parent, run) and forces a
+    * second shuffle back to the parent key. Use when a parent-keyed
+    * operator consumes the deduped rows; plain [[dedupKeepFirst]]
+    * otherwise (it spreads composite keys over more reducers).
+    */
+  def dedupKeepFirstRuns(df: DataFrame, parentKey: Seq[Column], runKey: Column,
+                         order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(parentKey: _*).orderBy(runKey.asc +: order: _*)
+    df.withColumn("__prev_rk", lag(runKey, 1).over(w))
+      .filter(!(runKey <=> col("__prev_rk")))
+      .drop("__prev_rk")
+  }
+
   /** MERGE-style CDC apply: fold a change stream into a snapshot with
     * last-writer-wins semantics per key — the lakehouse upsert/delete
     * maintenance pass (`MERGE INTO` / Debezium-feed apply) expressed as one

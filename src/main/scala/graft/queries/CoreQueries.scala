@@ -208,10 +208,13 @@ object CoreQueries extends QueryPack {
     // SCD2 dimension build: per user, event_type change history → validity
     // intervals (consecutive same-value runs collapsed, last row current).
     "q_scd2" -> ((s, dir) => {
-      val ev = Relational.dedupKeepFirst(
+      // run-aligned dedup: same answer as dedupKeepFirst on (user_id, ts),
+      // but planned on user_id alone so scd2's windows reuse the exchange
+      // (PlanHealthSpec asserts the whole chain is ONE hash exchange)
+      val ev = Relational.dedupKeepFirstRuns(
         Tables.events(s, dir).select(col("user_id"), col("ts"),
           col("event_type"), col("event_id")),
-        key = Seq(col("user_id"), col("ts")),
+        parentKey = Seq(col("user_id")), runKey = col("ts"),
         order = Seq(col("event_id").desc)).drop("event_id")
       Relational.scd2(ev, "user_id", "ts", "event_type")
     }),

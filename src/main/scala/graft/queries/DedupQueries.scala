@@ -20,6 +20,21 @@ object DedupQueries extends QueryPack {
       |sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc)
       |""".stripMargin
 
+  /** Shared by q_contamination and q_contamination_bloom — the bloom is a
+    * plan optimization with an exact confirm join, so both paths must land
+    * on the identical overlap counts.
+    */
+  private val contaminationOracle =
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+      |  WHERE len(str_split(text, ' ')) >= 5),
+      |idx AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i FROM t),
+      |sh5 AS (SELECT DISTINCT doc_id AS doc, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM idx),
+      |ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc % 50 = 0)
+      |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM sh5 JOIN ev USING (shingle)
+      |WHERE doc % 50 <> 0
+      |GROUP BY doc""".stripMargin
+
   private val jaccardVerify =
     """SELECT i.doc_a, i.doc_b,
       |  round(CAST(i.inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - i.inter AS DOUBLE), 6) AS jacc
@@ -64,6 +79,16 @@ object DedupQueries extends QueryPack {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)),
+
+    // The PRODUCTION banding for large corpora (SCALE.md §3): rowsPerBand=4
+    // (3 bands of 4) — per-band random-collision probability drops from
+    // ~1/p² to ~1/p⁴, which is what holds the candidate-pair budget
+    // ~linear as N grows (r=2's fixed band width measured ~18×/decade at
+    // sf1). Own oracle with the r=4 parameters pinned, so the scale
+    // configuration is a tested path, not a documented knob.
+    "q_dedup_minhash_r4" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)),
 
     // Same LSH with the frequent-shingle guardrail engaged (df cap 5 —
     // low enough to bite on this corpus): signatures come from df-capped
@@ -168,6 +193,17 @@ object DedupQueries extends QueryPack {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 5)
+    }),
+
+    // Same sweep behind the bloom pre-filter: corpus shingles pruned to the
+    // bloom-positive sliver before the join. Plan changes, answer doesn't —
+    // same oracle as q_contamination.
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
     })
   )
 
@@ -206,6 +242,9 @@ object DedupQueries extends QueryPack {
 
     "q_dedup_minhash" -> (shingleCte + minhashOracleCtes(None) + jaccardVerify),
 
+    "q_dedup_minhash_r4" ->
+      (shingleCte + minhashOracleCtes(None, rowsPerBand = 4) + jaccardVerify),
+
     "q_edit_distance" -> (shingleCte + minhashOracleCtes(None) +
       ", jv AS (" + jaccardVerify + ")\n" +
       """SELECT jv.doc_a, jv.doc_b, jv.jacc,
@@ -230,16 +269,10 @@ object DedupQueries extends QueryPack {
         |SELECT b.doc, b.simhash FROM bsig b
         |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = b.doc)""".stripMargin),
 
-    "q_contamination" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-        |  WHERE len(str_split(text, ' ')) >= 5),
-        |idx AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i FROM t),
-        |sh5 AS (SELECT DISTINCT doc_id AS doc, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM idx),
-        |ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc % 50 = 0)
-        |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_shared
-        |FROM sh5 JOIN ev USING (shingle)
-        |WHERE doc % 50 <> 0
-        |GROUP BY doc""".stripMargin,
+    "q_contamination" -> contaminationOracle,
+
+    // Bloom pre-prune changes the plan, never the answer.
+    "q_contamination_bloom" -> contaminationOracle,
 
     "q_simhash_pairs" -> (simhashCte() + simhashBandsCte +
       """
@@ -353,14 +386,14 @@ object DedupQueries extends QueryPack {
     * shingles (mirroring `maxShingleDf`); verification always uses the
     * full sets.
     */
-  private def minhashOracleCtes(capDf: Option[Long]): String = {
+  private def minhashOracleCtes(capDf: Option[Long], rowsPerBand: Int = 2): String = {
     val p = graft.dedup.Dedup.MinHashP
     val mins = (0 until 12).map(i =>
       s"MIN(((${2 * i + 1} * hm + ${12345L * i}) % $p)) AS mh_$i").mkString(",\n    ")
-    val bandSelects = (0 until 6).map { b =>
-      val c0 = s"CAST(mh_${2 * b} AS VARCHAR)"
-      val c1 = s"CAST(mh_${2 * b + 1} AS VARCHAR)"
-      s"SELECT doc, $b AS band, md5(concat($c0, '|', $c1)) AS bsig FROM sig"
+    val bandSelects = (0 until 12 / rowsPerBand).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS VARCHAR)")
+      s"SELECT doc, $b AS band, md5(concat(${cols.mkString(", '|', ")})) AS bsig FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     val capCte = capDf.fold("")(c =>
       s""", shc AS (SELECT sh.doc, sh.shingle FROM sh

@@ -52,6 +52,35 @@ object SearchQueries extends QueryPack {
   private val bm25Cte = "WITH " + bm25FieldCte("text", "") + ",\n" +
     "top10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n"
 
+  /** MLT oracle — shared by the ad-hoc (`q_more_like_this`) and
+    * index-served (`q_mlt_served`) paths: both must converge to the same
+    * seed-term selection and BM25 ranking.
+    */
+  private val mltOracle: String =
+    raw"""WITH toks AS (SELECT doc, term FROM (
+         |    SELECT doc_id AS doc, unnest(string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
+         |    FROM documents) WHERE length(term) > 0),
+         |tfall AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM toks GROUP BY doc, term),
+         |dl AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks GROUP BY doc),
+         |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfall GROUP BY term),
+         |seedterms AS (SELECT t.term
+         |  FROM tfall t JOIN dfreq d USING (term) CROSS JOIN corpus c
+         |  WHERE t.doc = 0
+         |  ORDER BY round(t.tf * ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)), 6) DESC,
+         |    t.term ASC LIMIT 8),
+         |scored AS (SELECT t.doc, round(SUM(
+         |    ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
+         |    (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)))
+         |  ), 6) AS score
+         |  FROM tfall t JOIN seedterms USING (term) JOIN dfreq d USING (term)
+         |  JOIN dl USING (doc) CROSS JOIN corpus c
+         |  WHERE t.doc <> 0 GROUP BY t.doc)
+         |SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin
+
   /** Derived field for the UAX-analyzer query: every 10th doc gains a URL,
     * an @mention and a possessive — the token shapes the whitespace
     * analyzer shatters and UAX29URLEmailTokenizer keeps whole. Both engines
@@ -140,6 +169,13 @@ object SearchQueries extends QueryPack {
     // BM25 top-10 over the rest of the corpus.
     "q_more_like_this" -> ((s, dir) =>
       BM25.moreLikeThis(Tables.documents(s, dir), "doc_id", "text",
+        seedId = 0L, nTerms = 8, k = 10)),
+
+    // Same MLT served from the prebuilt index — seed terms from the seed's
+    // postings, df from termstats, no corpus re-tokenize. Must reproduce
+    // the ad-hoc MLT ranking exactly (same oracle).
+    "q_mlt_served" -> ((s, dir) =>
+      BM25Index.moreLikeThis(s, BM25Index.ensureBuilt(s, dir),
         seedId = 0L, nTerms = 8, k = 10)),
 
     // Quoted-phrase query (Solr's `"..."` semantics): consecutive-token
@@ -337,30 +373,11 @@ object SearchQueries extends QueryPack {
            |WHERE term LIKE 's%'
            |GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
 
-    "q_more_like_this" ->
-      raw"""WITH toks AS (SELECT doc, term FROM (
-           |    SELECT doc_id AS doc, unnest(string_split_regex(
-           |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+')) AS term
-           |    FROM documents) WHERE length(term) > 0),
-           |tfall AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf
-           |  FROM toks GROUP BY doc, term),
-           |dl AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toks GROUP BY doc),
-           |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-           |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl),
-           |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfall GROUP BY term),
-           |seedterms AS (SELECT t.term
-           |  FROM tfall t JOIN dfreq d USING (term) CROSS JOIN corpus c
-           |  WHERE t.doc = 0
-           |  ORDER BY round(t.tf * ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)), 6) DESC,
-           |    t.term ASC LIMIT 8),
-           |scored AS (SELECT t.doc, round(SUM(
-           |    ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
-           |    (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)))
-           |  ), 6) AS score
-           |  FROM tfall t JOIN seedterms USING (term) JOIN dfreq d USING (term)
-           |  JOIN dl USING (doc) CROSS JOIN corpus c
-           |  WHERE t.doc <> 0 GROUP BY t.doc)
-           |SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin,
+    "q_more_like_this" -> mltOracle,
+
+    // The index-served MLT must land on the identical ranking — shared
+    // verbatim with the ad-hoc path.
+    "q_mlt_served" -> mltOracle,
 
     "q_keyword_phrase" -> {
       // same analyzer normalization as the Spark predicate: lower, strip

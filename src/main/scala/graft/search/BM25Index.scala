@@ -346,6 +346,47 @@ object BM25Index {
       .limit(k)
   }
 
+  /** Served More-Like-This: [[BM25.moreLikeThis]] re-expressed as joins
+    * over the prebuilt index. The seed's interesting terms come from its
+    * own postings rows (tf), df from termstats, N/avglen from corpus;
+    * scoring rides the term-pruned postings with denormalized `len` — no
+    * corpus re-tokenize anywhere. Must be hash-equal to the ad-hoc ranking
+    * (same rounding, same tf·idf term selection, same tiebreaks); shares
+    * `q_more_like_this`'s oracle.
+    *
+    * The seed lookup filters postings by doc across all term buckets —
+    * row-group stats prune most of it, and the read is index metadata,
+    * not corpus. A high-QPS deployment would add a doc-keyed forward
+    * index (doc → terms) to make the seed read one row group; for
+    * analytics the pruned scan is the right shape.
+    */
+  def moreLikeThis(spark: SparkSession, dest: String, seedId: Long,
+                   nTerms: Int, k: Int, minDf: Double = 1.0): DataFrame = {
+    require(nTerms > 0 && k > 0, "nTerms and k must be positive")
+    val post = spark.read.parquet(s"$dest/postings")
+    val tstats = spark.read.parquet(s"$dest/termstats")
+      .select(col("term"), col("df"))
+    val corpus = spark.read.parquet(s"$dest/corpus")
+    val seedTf = post.filter(col("doc") === seedId).select(col("term"), col("tf"))
+    val seedTerms = tstats.join(broadcast(seedTf), "term")
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(corpus))
+      .withColumn("tfidf", round(col("tf") * BM25.idfExpr(col("n"), col("df")), 6))
+      .orderBy(col("tfidf").desc, col("term").asc)
+      .limit(nTerms)
+      .select(col("term"))
+    val prunedStats = tstats.join(broadcast(seedTerms), "term")
+    post.join(broadcast(seedTerms), "term")
+      .filter(col("doc") =!= seedId)
+      .join(broadcast(prunedStats), "term")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc"))
+      .agg(round(sum(BM25.idfExpr(col("n"), col("df")) *
+        BM25.tfNormExpr(col("tf"), col("len"), col("avglen"))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
   def topK(spark: SparkSession, dest: String, queryTerms: Seq[String],
            k: Int): DataFrame = {
     val terms = BM25.analyze(queryTerms)

@@ -417,6 +417,27 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("__drop").isNull.as("kept"))
   }
 
+  /** [[semDedup]] with k derived from the corpus instead of caller-pinned:
+    * k = ceil(N / targetClusterSize). This is the published method's own
+    * scaling contract made executable — cluster population stays bounded
+    * near `targetClusterSize` as N grows, so the per-cluster quadratic
+    * verify step is O(N · targetClusterSize) total, linear in the corpus.
+    * The one `count()` is a metadata-scale scalar (it sizes k, nothing
+    * else); the pinned-k overload remains the oracle path because k is
+    * part of the pinned recall curve the oracle replays.
+    */
+  def semDedupAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+                   targetClusterSize: Long, iters: Int,
+                   threshold: Double): DataFrame = {
+    require(targetClusterSize > 0, "semDedupAuto: targetClusterSize must be positive")
+    val k = autoK(embeddings.count(), targetClusterSize)
+    semDedup(embeddings, idCol, vecCol, k, iters, threshold)
+  }
+
+  /** The auto-k rule alone (spec-checkable without running the dedup). */
+  def autoK(n: Long, targetClusterSize: Long): Int =
+    math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
   /** Per-vector stats: dimension, L2 norm, sign bucket, plus any
     * caller-selected passthrough columns.
     */

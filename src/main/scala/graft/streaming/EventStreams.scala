@@ -211,30 +211,38 @@ object EventStreams {
     * regularization step before any fixed-step model (forecasting, EWMA on
     * a uniform grid, day-over-day deltas).
     *
-    * Plan: one combinable groupBy to (key, day), one tiny groupBy for the
-    * per-key span, one `explode(sequence(...))` over the span (output is
-    * O(keys × days), the caller's intended densified grid — never wider
-    * than the calendar), a key-partitioned left join back, and the LOCF
-    * window `last(value, ignoreNulls)` partitioned BY KEY — no global
-    * window anywhere. All three key-wise stages co-partition on the same
-    * key, so AQE collapses them onto one exchange.
+    * Plan: ONE corpus scan and ONE key-partitioned exchange, total —
+    * there is no grid⟕observations self-join at all. LOCF and grid
+    * generation are the SAME operation seen right: each observed day
+    * owns the run of calendar days up to (exclusive) the next observed
+    * day, so one `lead(day)` window over the (key, day) aggregate and
+    * one `explode(sequence(day, next-1))` emit the densified grid with
+    * the carried value built in. The explicit repartition by key feeds
+    * the aggregate (partitioning by a subset of the grouping keys
+    * satisfies its clustering) and the lead window alike; the explode
+    * output is O(keys × days) — the caller's intended grid, never wider
+    * than the calendar. The join/cache formulation costs a second
+    * exchange or a second scan of the aggregate; this one is linear,
+    * single-shuffle, and PlanHealthSpec asserts it stays that way.
     *
     * Returns (user_id, day, day_value round6, filled) — `filled` marks
     * carried rows so downstream quality checks can weight them.
     */
   def gapFillDaily(events: DataFrame, userMod: Int): DataFrame = {
     val daily = events.filter(col("user_id") % userMod === 0)
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("day"))
       .agg(sum(col("value")).as("__v"))
-    val span = daily.groupBy(col("user_id"))
-      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
-    val grid = span.select(col("user_id"),
-      explode(sequence(col("__d0"), col("__d1"))).as("day"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-    grid.join(daily, Seq("user_id", "day"), "left")
+    daily
+      .withColumn("__next", lead(col("day"), 1).over(w))
+      .select(col("user_id"), col("day").as("__obs"), col("__v"),
+        explode(sequence(col("day"),
+          coalesce(date_sub(col("__next"), 1), col("day")))).as("day"))
       .select(col("user_id"), col("day"),
-        round(last(col("__v"), ignoreNulls = true).over(w), 6).as("day_value"),
-        col("__v").isNull.as("filled"))
+        round(col("__v"), 6).as("day_value"),
+        (col("day") =!= col("__obs")).as("filled"))
   }
 
   /** Per-key EWMA (exponentially weighted moving average) of `valueCol`,

@@ -19,6 +19,27 @@ class RelationalSpec extends SparkSpec {
     assert(kept == Map(1L -> "b", 2L -> "c", 3L -> "e"))
   }
 
+  test("dedupKeepFirstRuns == dedupKeepFirst on the composite key, one exchange") {
+    // duplicate (key, ver) runs with distinct tags; order tag desc picks
+    // the same winner both ways
+    val dups = Seq(
+      (1L, "a", 10), (1L, "z", 10), (1L, "b", 20),
+      (2L, "c", 5), (2L, "d", 5), (3L, "e", 1)
+    ).toDF("key", "tag", "ver")
+    val viaRuns = Relational.dedupKeepFirstRuns(dups,
+      parentKey = Seq(col("key")), runKey = col("ver"),
+      order = Seq(col("tag").desc))
+    val viaComposite = Relational.dedupKeepFirst(dups,
+      key = Seq(col("key"), col("ver")),
+      order = Seq(col("tag").desc))
+    // read the plan BEFORE collect: an executed AQE plan prints the
+    // initial plan alongside the final one, double-counting the exchange
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(viaRuns.queryExecution.executedPlan.toString).size
+    assert(n == 1, s"expected one parent-key exchange, saw $n")
+    assert(viaRuns.collect().toSet == viaComposite.collect().toSet)
+  }
+
   test("semi and anti join partition the left side") {
     val keys = Seq(1L, 3L).toDF("key")
     val semi = Relational.semiJoin(df, keys, Seq("key")).count()

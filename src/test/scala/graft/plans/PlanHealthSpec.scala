@@ -157,6 +157,45 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  /** Count shuffle exchanges structurally: recurse through AQE wrappers
+    * and cached-relation plans (each distinct cache counted ONCE — a
+    * cache consumed twice costs its shuffle once), skip ReusedExchange.
+    */
+  private def countShuffles(q: String): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val seenCaches = scala.collection.mutable.Set[Long]()
+    def walk(p: SparkPlan): Int = {
+      val here = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case i: InMemoryTableScanExec =>
+          val cacheKey = System.identityHashCode(i.relation.cacheBuilder).toLong
+          if (seenCaches.add(cacheKey)) Seq(i.relation.cachedPlan) else Nil
+        case _ => p.children
+      }
+      here + (kids ++ p.subqueries).map(walk).sum
+    }
+    walk(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+  }
+
+  test("q_scd2 / q_cdc_apply / q_gapfill: minimal key-partitioned exchanges") {
+    // the round-8 time-series family: each chained step (dedup-keep-first,
+    // run collapse, last-writer-wins, LOCF) must reuse the user_id
+    // partitioning of the first shuffle — an extra exchange means a step
+    // repartitioned what was already co-located.
+    //  - q_scd2: runs-dedup + SCD2 collapse share ONE user_id exchange
+    //  - q_gapfill: resample agg + lead window + run explode share ONE
+    //  - q_cdc_apply: TWO — building the snapshot inline (dedup) is its
+    //    own exchange; the apply itself is one, as cdcApply documents (a
+    //    deployment reads the snapshot pre-bucketed and pays only the one)
+    val expected = Map("q_scd2" -> 1, "q_gapfill" -> 1, "q_cdc_apply" -> 2)
+    val bad = expected.keys.toSeq.sorted
+      .map(q => q -> countShuffles(q)).filter { case (q, n) => n != expected(q) }
+    assert(bad.isEmpty, bad.map { case (q, n) =>
+      s"$q has $n shuffle exchanges, expected ${expected(q)}"
+    }.mkString("; "))
+  }
+
   /** Every WindowExec/WindowGroupLimitExec with an EMPTY partition spec in
     * the plan tree — the "all rows through one partition" shape that
     * serializes 100 TB through a single sort task. Recurses through AQE

@@ -251,6 +251,24 @@ class BM25Spec extends SparkSpec {
     val served = BM25Index.suggest(spark, dest, "s", k = 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(served == adhoc && served.nonEmpty)
+    // df additivity must survive compaction: the vocabulary folded into
+    // the single base segment serves the identical completion list
+    BM25Index.compact(spark, dest)
+    val compacted = BM25Index.suggest(spark, dest, "s", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(compacted == adhoc)
+  }
+
+  test("served More-Like-This equals the ad-hoc MLT, scores bit-equal") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25mlt").toString
+    BM25Index.build(docs, "doc_id", "text", dest)
+    val adhoc = BM25.moreLikeThis(docs, "doc_id", "text",
+        seedId = 1L, nTerms = 4, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val served = BM25Index.moreLikeThis(spark, dest,
+        seedId = 1L, nTerms = 4, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(served == adhoc && served.nonEmpty)
   }
 
   test("didYouMean ranks distance first, then df; never echoes the input") {

@@ -150,6 +150,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) && out(4L), "sub-threshold cluster-mates survive")
   }
 
+  test("semDedupAuto derives k = ceil(N / targetClusterSize) and matches pinned-k") {
+    // the rule itself, including boundaries
+    assert(Similarity.autoK(6, 3) == 2)
+    assert(Similarity.autoK(7, 3) == 3)
+    assert(Similarity.autoK(1, 100) == 1)
+    assert(Similarity.autoK(0, 10) == 1, "empty corpus still gets one cluster")
+    // end-to-end: 6 vectors / target 3 -> k=2, identical to semDedup(k=2)
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)), (3L, Array(0.8f, 0.6f)),
+      (1L, Array(0.0f, 1.0f)), (5L, Array(0.001f, 1.0f)), (4L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val auto = Similarity.semDedupAuto(pts, "vec_id", "embedding",
+      targetClusterSize = 3L, iters = 2, threshold = 0.999)
+    val pinned = Similarity.semDedup(pts, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.999)
+    assert(auto.collect().toSet == pinned.collect().toSet)
+  }
+
   test("vector stats: norms and buckets") {
     val stats = Similarity.vectorStats(vecs, "vec_id", "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") ->
