@@ -90,6 +90,14 @@ object DedupQueries extends QueryPack {
       Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)),
 
+    // The two production knobs TOGETHER (r=4 banding + df guard) — the
+    // configuration a 100 TB run would actually ship, hash-checked as one
+    // oracle entry.
+    "q_dedup_minhash_r4_guarded" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5,
+        maxShingleDf = Some(5L))),
+
     // Same LSH with the frequent-shingle guardrail engaged (df cap 5 —
     // low enough to bite on this corpus): signatures come from df-capped
     // shingles, verification from the full sets. Hash-checked against a
@@ -244,6 +252,9 @@ object DedupQueries extends QueryPack {
 
     "q_dedup_minhash_r4" ->
       (shingleCte + minhashOracleCtes(None, rowsPerBand = 4) + jaccardVerify),
+
+    "q_dedup_minhash_r4_guarded" ->
+      (shingleCte + minhashOracleCtes(Some(5L), rowsPerBand = 4) + jaccardVerify),
 
     "q_edit_distance" -> (shingleCte + minhashOracleCtes(None) +
       ", jv AS (" + jaccardVerify + ")\n" +

@@ -62,13 +62,15 @@ object SimilarityQueries extends QueryPack {
        |  (sqrt(list_sum(list_transform(CAST($a AS DOUBLE[]), x -> x * x))) *
        |   sqrt(list_sum(list_transform(CAST($b AS DOUBLE[]), x -> x * x)))), 6)""".stripMargin
 
-  /** Deterministic 2-iteration k=8 Lloyd CTE chain ending at `a2`
+  /** Deterministic 2-iteration Lloyd CTE chain ending at `a2`
     * (vec_id, v, cluster, s) — shared by the q_kmeans and q_semdedup
-    * oracles so both replay the identical iteration. cosSql's
+    * oracles so both replay the identical iteration. `kSql` is the seed
+    * count: a literal for the pinned-k oracles, a COUNT-derived subquery
+    * for the auto-k path (DuckDB allows subqueries under LIMIT). cosSql's
     * CAST(x AS DOUBLE[]) is a no-op here (emb.v is already DOUBLE[]) —
     * the shared helper keeps the formula single-sourced.
     */
-  private lazy val kmeansCtes: String = {
+  private def kmeansCtes(kSql: String = "8"): String = {
     def assignCte(out: String, centsCte: String): String =
       s"""s_$out AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
          |  FROM emb e CROSS JOIN $centsCte c),
@@ -77,7 +79,7 @@ object SimilarityQueries extends QueryPack {
          |    ORDER BY s DESC, cid ASC) AS rn FROM s_$out) WHERE rn = 1)""".stripMargin
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM emb
-       |  ORDER BY vec_id ASC LIMIT 8),
+       |  ORDER BY vec_id ASC LIMIT $kSql),
        |${assignCte("a1", "c0")},
        |u1 AS (SELECT cluster AS cid, pos,
        |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS m
@@ -86,6 +88,40 @@ object SimilarityQueries extends QueryPack {
        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
        |${assignCte("a2", "c1")}""".stripMargin
   }
+
+  /** Greedy k-center oracle, rounds unrolled as CTEs: round r scores
+    * every unselected vector's MAX cosine to sel(r−1) and picks the
+    * argmin (ties on id) — mirroring
+    * [[graft.similarity.Similarity.kCenterSelect]] value-for-value
+    * (cosines round(6) BEFORE the max, like the engine).
+    */
+  private def kcenterOracle(k: Int): String = {
+    val rounds = (1 until k).map { r =>
+      s"""m$r AS (SELECT e.vec_id, MAX(${cosSql("e.v", "s.v")}) AS mc
+         |  FROM emb e, emb s
+         |  WHERE s.vec_id IN (SELECT vec_id FROM sel${r - 1})
+         |    AND e.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY e.vec_id),
+         |p$r AS (SELECT vec_id FROM m$r ORDER BY mc ASC, vec_id ASC LIMIT 1),
+         |sel$r AS (SELECT vec_id, pick_order FROM sel${r - 1}
+         |  UNION ALL SELECT vec_id, CAST($r AS BIGINT) FROM p$r)""".stripMargin
+    }
+    (Seq(
+      "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      "sel0 AS (SELECT CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS pick_order)")
+      ++ rounds).mkString(",\n") +
+      s"\nSELECT pick_order, vec_id FROM sel${k - 1}"
+  }
+
+  /** SemDeDup oracle body over the `a2` assignment — shared by the
+    * pinned-k and auto-k entries (same pruning, different k source).
+    */
+  private val semdedupBody: String =
+    s"""dup AS (SELECT DISTINCT b.vec_id
+       |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.45)
+       |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+       |FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> ((s, dir) =>
@@ -163,6 +199,28 @@ object SimilarityQueries extends QueryPack {
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2, threshold = 0.45)),
+
+    // Auto-k SemDeDup — the configuration a growing corpus actually runs:
+    // k = ceil(N / 50) keeps per-cluster population (and so the quadratic
+    // verify step) bounded as N scales. Hash-checked against an oracle
+    // that derives k from the same COUNT.
+    "q_semdedup_auto" -> ((s, dir) =>
+      Similarity.semDedupAuto(Tables.embeddings(s, dir), "vec_id", "embedding",
+        targetClusterSize = 50L, iters = 2, threshold = 0.45)),
+
+    // Hard-negative mining: per anchor (first 20 vectors), the top-3 most
+    // similar vectors with a DIFFERENT label — the pairs a contrastive
+    // trainer wants. One anchor broadcast + one scored scan.
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", nQueries = 20, k = 3)),
+
+    // Diverse coreset selection: greedy k-center (farthest-point) over
+    // the embedding space, seed vec 0, k=5 — the curation step that picks
+    // a coverage sample instead of oversampling dense modes.
+    "q_coreset" -> ((s, dir) =>
+      Similarity.kCenterSelect(Tables.embeddings(s, dir), "vec_id", "embedding",
+        seedId = 0L, k = 5)),
 
     // Embedding-space drift: pairwise cosine between per-label centroids.
     "q_centroid_sim" -> ((s, dir) =>
@@ -295,16 +353,33 @@ object SimilarityQueries extends QueryPack {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
     "q_kmeans" ->
-      s"""WITH $kmeansCtes
+      s"""WITH ${kmeansCtes()}
          |SELECT vec_id, cluster, s AS centroid_sim FROM a2""".stripMargin,
 
     "q_semdedup" ->
-      s"""WITH $kmeansCtes,
-         |dup AS (SELECT DISTINCT b.vec_id
-         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.v", "b.v")} >= 0.45)
-         |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
-         |FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
+      s"""WITH ${kmeansCtes()},
+         |$semdedupBody""".stripMargin,
+
+    // Auto-k: the seed count is derived from the corpus (k = ceil(N/50))
+    // on BOTH engines, so cluster population stays bounded near the
+    // target as N grows — the tested form of the published method's
+    // "k grows with the corpus" scaling contract.
+    "q_semdedup_auto" ->
+      s"""WITH ${kmeansCtes("(SELECT CAST(ceil(COUNT(*) / 50.0) AS BIGINT) FROM emb)")},
+         |$semdedupBody""".stripMargin,
+
+    "q_coreset" -> kcenterOracle(5),
+
+    "q_hard_negatives" ->
+      s"""WITH anchors AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+         |  FROM embeddings WHERE vec_id < 20),
+         |scored AS (SELECT a.anchor_id, e.vec_id,
+         |    ${cosSql("e.embedding", "a.av")} AS cosine
+         |  FROM embeddings e CROSS JOIN anchors a
+         |  WHERE e.vec_id <> a.anchor_id AND e.label <> a.al),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, vec_id ASC) AS rn FROM scored)
+         |SELECT anchor_id, vec_id, cosine FROM ranked WHERE rn <= 3""".stripMargin,
 
     "q_embedding_stats" ->
       s"""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,

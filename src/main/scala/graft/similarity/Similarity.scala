@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.expressions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -64,6 +65,82 @@ object Similarity {
         round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Hard-negative mining for contrastive training: for each of the query
+    * vectors (`idCol < nQueries` — the anchor set), the top `k` most
+    * cosine-similar vectors carrying a DIFFERENT label. Those are the
+    * canonical "hard negatives": near in embedding space, wrong in label
+    * space — the pairs a contrastive/reranker trainer wants most.
+    *
+    * Plan: ONE broadcast of the anchor rows, one scored corpus scan
+    * (codegen'd [[cosineFast]]), per-anchor top-k via a rank window
+    * partitioned by anchor (WindowGroupLimit pushes the k-cut map-side).
+    * At 100 TB the anchor set stays broadcast-sized by construction and
+    * the scan is embarrassingly parallel; an SRP pre-filter ([[srpTopK]]'s
+    * sketch) is the drop-in to cut the scored fraction when exactness can
+    * be traded.
+    */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, nQueries: Int, k: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val anchors = embeddings.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__av"),
+        col(labelCol).as("__al"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    embeddings
+      .crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("anchor_id") && col(labelCol) =!= col("__al"))
+      .select(col("anchor_id"), col(idCol),
+        round(cosineFast(vecCol, "__av"), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("anchor_id"), col(idCol), col("cosine"))
+  }
+
+  /** Greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985 — the classic 2-approximation): pick `seedId`, then
+    * k−1 times add the vector whose maximum cosine to the already-selected
+    * set is LOWEST (i.e. the farthest point; ties break on id). The
+    * training-data use is diverse-subset picking: a k-row sample that
+    * covers the embedding space instead of oversampling its dense modes.
+    *
+    * Plan: per round, one corpus scan scored against a ≤k-row broadcast
+    * of the selected set, a TakeOrdered(1) argmin, and a localCheckpoint
+    * so the growing plan does not re-derive every prior round (the
+    * PageRank lineage-truncation pattern). k is small by contract — the
+    * output is a human/model-budget-sized coreset — so the k driver
+    * rounds cost k tiny jobs, never a collect of data rows. Deterministic
+    * end-to-end: cosines round(6), argmin ties on id.
+    *
+    * Returns (pick_order, idCol) in selection order.
+    */
+  def kCenterSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+                    seedId: Long, k: Int): DataFrame = {
+    require(k >= 1, "kCenterSelect: k must be >= 1")
+    GraftFunctions.register(embeddings.sparkSession)
+    val emb = embeddings
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    var sel = emb.filter(col("vid") === seedId)
+      .select(col("vid"), col("v"), lit(0).as("pick_order"))
+      .localCheckpoint()
+    for (r <- 1 until k) {
+      val picked = broadcast(
+        sel.select(col("vid").as("svid"), col("v").as("sv")))
+      val next = emb
+        .join(sel.select(col("vid")), Seq("vid"), "left_anti")
+        .crossJoin(picked)
+        .groupBy(col("vid"))
+        .agg(max(round(cosineFast("v", "sv"), 6)).as("__mc"),
+          first(col("v")).as("v"))
+        .orderBy(col("__mc").asc, col("vid").asc)
+        .limit(1)
+        .select(col("vid"), col("v"), lit(r).as("pick_order"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select(col("pick_order").cast("long").as("pick_order"),
+      col("vid").as(idCol))
   }
 
   /** Sign-LSH bucket id: bit i set iff vec[i] > 0, over the first `dims`

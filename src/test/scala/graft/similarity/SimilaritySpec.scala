@@ -168,6 +168,31 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.collect().toSet == pinned.collect().toSet)
   }
 
+  test("kCenterSelect walks farthest-first with deterministic ties") {
+    // seed 0 at (1,0); 3 is antipodal (picked 2nd); 2 is orthogonal to
+    // both (picked 3rd); 1 and 4 hug the seed and never get picked
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterSelect(pts, "vec_id", "embedding",
+        seedId = 0L, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(picks == Seq(0L -> 0L, 1L -> 3L, 2L -> 2L))
+  }
+
+  test("hardNegatives ranks cross-label neighbours, skips same-label") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.2f), 1), (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(pts, "vec_id", "embedding", "label",
+        nQueries = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // same-label vec 1 (the closest!) is excluded; order is cosine desc
+    assert(out == Seq((0L, 2L), (0L, 3L)))
+  }
+
   test("vector stats: norms and buckets") {
     val stats = Similarity.vectorStats(vecs, "vec_id", "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") ->
