@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.similarity.{Similarity, SrpStore}
+import graft.similarity.{IvfStore, Similarity, SrpStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -113,6 +113,23 @@ object SimilarityQueries extends QueryPack {
       s"\nSELECT pick_order, vec_id FROM sel${k - 1}"
   }
 
+  /** IVF nprobe=1 oracle — shared by the ad-hoc and the
+    * partition-pruned-store paths (the store is a layout, not a
+    * semantics change).
+    */
+  private lazy val ivfOracle: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |sim AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM sim) WHERE rn = 1),
+       |q AS (SELECT embedding AS qv, cluster FROM assigned WHERE vec_id = 0)
+       |SELECT a.vec_id, ${cosSql("a.embedding", "qv")} AS cosine
+       |FROM assigned a JOIN q USING (cluster) WHERE a.vec_id <> 0
+       |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin
+
   /** SemDeDup oracle body over the `a2` assignment — shared by the
     * pinned-k and auto-k entries (same pruning, different k source).
     */
@@ -146,6 +163,12 @@ object SimilarityQueries extends QueryPack {
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, nCentroids = 8)),
+
+    // IVF served from the cluster-PARTITIONED store: the probe cluster
+    // prunes to a partition directory at planning time (PartitionFilters)
+    // instead of post-filtering a full scan. Same oracle as q_ann_ivf.
+    "q_ann_ivf_served" -> ((s, dir) =>
+      IvfStore.topK(s, dir, queryId = 0L, k = 5)),
 
     // Product quantization: per-subspace codebooks + ADC lookup-table
     // scoring (codes, not raw floats) + exact re-rank of the top-40.
@@ -323,18 +346,10 @@ object SimilarityQueries extends QueryPack {
     // Served path must reproduce the ad-hoc ranking exactly.
     "q_ann_lsh_served" -> srpTopKSql(Similarity.SrpRadius, 5),
 
-    "q_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-         |sim AS (SELECT e.vec_id, e.embedding, c.cid,
-         |    ${cosSql("e.embedding", "c.cv")} AS s
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-         |  FROM sim) WHERE rn = 1),
-         |q AS (SELECT embedding AS qv, cluster FROM assigned WHERE vec_id = 0)
-         |SELECT a.vec_id, ${cosSql("a.embedding", "qv")} AS cosine
-         |FROM assigned a JOIN q USING (cluster) WHERE a.vec_id <> 0
-         |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_ann_ivf" -> ivfOracle,
+
+    // The partition-pruned store must land on the identical ranking.
+    "q_ann_ivf_served" -> ivfOracle,
 
     "q_ann_multiprobe" -> srpTopKSql(Similarity.SrpRadiusWide, 5),
 

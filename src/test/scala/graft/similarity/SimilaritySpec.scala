@@ -168,6 +168,22 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.collect().toSet == pinned.collect().toSet)
   }
 
+  test("IvfStore: served top-k equals ad-hoc ivfTopK and prunes to the probe partition") {
+    val sfDir = "/root/testdata/sf0.001"
+    val served = IvfStore.topK(spark, sfDir, queryId = 0L, k = 5)
+    val plan = served.queryExecution.executedPlan.toString
+    // the probe cluster must reach the scan as a PARTITION filter, not a
+    // post-scan predicate — that is the store's whole point
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"probe cluster not partition-pruned:\n$plan")
+    val adhoc = Similarity.ivfTopK(
+        graft.util.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        queryId = 0L, k = 5, nCentroids = IvfStore.NumCentroids)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val got = served.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == adhoc && got.nonEmpty)
+  }
+
   test("kCenterSelect walks farthest-first with deterministic ties") {
     // seed 0 at (1,0); 3 is antipodal (picked 2nd); 2 is orthogonal to
     // both (picked 3rd); 1 and 4 hug the seed and never get picked
