@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.{Dedup, SimHashStore}
 import graft.util.{QueryPack, Tables}
-import org.apache.spark.sql.functions.{col, levenshtein}
+import org.apache.spark.sql.functions.{col, count, levenshtein, lit, round, sum, when}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deduplication coverage over `documents`: exact, n-gram Jaccard,
@@ -11,14 +11,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DedupQueries extends QueryPack {
 
-  /** Shared shingle CTE prefix (word trigrams, docs with ≥3 tokens). */
-  private val shingleCte =
-    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-      |  WHERE len(str_split(text, ' ')) >= 3),
-      |idx AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t),
-      |sh AS (SELECT DISTINCT doc_id AS doc, array_to_string(toks[i+1:i+3], ' ') AS shingle FROM idx),
-      |sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc)
-      |""".stripMargin
+  /** Shared shingle CTE prefix (word trigrams, docs with ≥3 tokens);
+    * `where` prepends an extra input predicate (e.g. the recall audit's
+    * doc cap).
+    */
+  private def shingleCteWhere(where: String): String =
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+       |  WHERE ${where}len(str_split(text, ' ')) >= 3),
+       |idx AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t),
+       |sh AS (SELECT DISTINCT doc_id AS doc, array_to_string(toks[i+1:i+3], ' ') AS shingle FROM idx),
+       |sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc)
+       |""".stripMargin
+
+  private val shingleCte = shingleCteWhere("")
 
   /** Shared by q_contamination and q_contamination_bloom — the bloom is a
     * plan optimization with an exact confirm join, so both paths must land
@@ -203,6 +208,27 @@ object DedupQueries extends QueryPack {
         "doc_id", "text", n = 5)
     }),
 
+    // MEASURED recall of MinHash-LSH candidate generation against exact
+    // all-pairs Jaccard truth, on the capped slice where the truth is
+    // computable (doc_id < 500, like q_dedup_jaccard). Precision is 1.0
+    // by construction — LSH candidates are verified with exact Jaccard —
+    // so recall is the one number the banding parameters buy or lose.
+    // The q_ann_recall pattern applied to dedup.
+    "q_dedup_recall" -> ((s, dir) => {
+      val capped = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val truth = Dedup.jaccardPairs(capped, "doc_id", "text",
+        n = 3, threshold = 0.5).select(col("doc_a"), col("doc_b"))
+      val found = Dedup.minHashLsh(capped, "doc_id", "text",
+        n = 3, numHashes = 12, rowsPerBand = 2, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      truth.withColumn("__t", lit(1L))
+        .join(found.withColumn("__f", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).cast("long").as("n_truth"),
+          sum(when(col("__f").isNotNull, 1L).otherwise(0L)).cast("long").as("n_found"),
+          round(sum(when(col("__f").isNotNull, 1.0).otherwise(0.0))
+            / count(lit(1)), 6).as("recall"))
+    }),
+
     // Same sweep behind the bloom pre-filter: corpus shingles pruned to the
     // bloom-positive sliver before the join. Plan changes, answer doesn't —
     // same oracle as q_contamination.
@@ -279,6 +305,23 @@ object DedupQueries extends QueryPack {
         |  WHERE bit_count(xor(bb.simhash, sb.sh)) <= 3)
         |SELECT b.doc, b.simhash FROM bsig b
         |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = b.doc)""".stripMargin),
+
+    // LSH pairs (the minhash CTEs over the capped input, Jaccard-verified)
+    // joined against all-pairs truth on the same slice.
+    "q_dedup_recall" ->
+      (shingleCteWhere("doc_id < 500 AND ") + minhashOracleCtes(None) +
+        ", jv AS (" + jaccardVerify + "),\n" +
+        """tint AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS i2
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          |  GROUP BY a.doc, b.doc),
+          |truth AS (SELECT t.doc_a, t.doc_b FROM tint t
+          |  JOIN sz x ON t.doc_a = x.doc JOIN sz y ON t.doc_b = y.doc
+          |  WHERE round(CAST(t.i2 AS DOUBLE) / CAST(x.n_sh + y.n_sh - t.i2 AS DOUBLE), 6) >= 0.5)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+          |  CAST(SUM(CASE WHEN f.fa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+          |  round(CAST(SUM(CASE WHEN f.fa IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+          |FROM truth LEFT JOIN (SELECT doc_a AS fa, doc_b AS fb FROM jv) f
+          |  ON truth.doc_a = f.fa AND truth.doc_b = f.fb""".stripMargin),
 
     "q_contamination" -> contaminationOracle,
 

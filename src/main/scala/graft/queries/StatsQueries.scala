@@ -16,6 +16,17 @@ object StatsQueries extends QueryPack {
     "q_skew_audit" -> ((s, dir) =>
       Profile.skewAudit(Tables.events(s, dir), "user_id", k = 10)),
 
+    // PSI drift between deterministic document halves over n_chars —
+    // the admit-this-batch? dataset drift monitor. One groupBy per
+    // slice + a bin join; Σ psi_term is the PSI.
+    "q_psi_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Profile.psiDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "n_chars", binWidth = 200L, nBins = 10)
+    }),
+
     // Catalog stats for three heterogeneous lineitem columns in one pass.
     "q_table_stats" -> ((s, dir) =>
       Profile.columnProfile(Tables.lineitem(s, dir),
@@ -108,6 +119,22 @@ object StatsQueries extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q_psi_drift" ->
+      """WITH b AS (SELECT LEAST(CAST(FLOOR(n_chars / 200) AS BIGINT), 9) AS bin,
+        |    doc_id % 2 = 0 AS is_ref FROM documents),
+        |r AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM b WHERE is_ref GROUP BY bin),
+        |c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM b WHERE NOT is_ref GROUP BY bin),
+        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+        |t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr, CAST(SUM(n_cur) AS DOUBLE) AS tc FROM j)
+        |SELECT bin, n_ref, n_cur,
+        |  round(GREATEST(n_ref / tr, 1e-6), 6) AS p_ref,
+        |  round(GREATEST(n_cur / tc, 1e-6), 6) AS p_cur,
+        |  round((GREATEST(n_ref / tr, 1e-6) - GREATEST(n_cur / tc, 1e-6))
+        |    * ln(GREATEST(n_ref / tr, 1e-6) / GREATEST(n_cur / tc, 1e-6)), 6) AS psi_term
+        |FROM j CROSS JOIN t""".stripMargin,
+
     "q_skew_audit" ->
       """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
         |    FROM events GROUP BY user_id),

@@ -48,6 +48,40 @@ object Profile {
     * while the union's branches read disjoint column chunks and shuffle
     * only their own distinct values.
     */
+  /** Population-stability-index drift between a reference slice and a
+    * current slice of the same numeric column — the dataset-level drift
+    * monitor a continuously-ingesting training pipeline runs before
+    * admitting a new crawl batch (PSI < 0.1 stable, > 0.25 shifted, by
+    * the usual credit-scoring convention).
+    *
+    * Fixed-width bins (`binWidth`, capped at `nBins`), per-bin
+    * proportions ε-floored at 1e-6 (the standard empty-bin smoothing, so
+    * ln never sees 0), psi_term = (p − q)·ln(p/q) rounded 6. Returns one
+    * row per occupied bin; Σ psi_term is the PSI. Plan: one combinable
+    * groupBy per slice, a full-outer bin join, and a 1-row broadcast of
+    * the totals — no window, no driver math.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 0, "psiDrift: binWidth and nBins must be positive")
+    def binned(df: DataFrame, n: String): DataFrame = df
+      .select(least(floor(col(valueCol) / binWidth), lit(nBins - 1))
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).cast("long").as(n))
+    val joined = binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(
+      sum(col("n_ref")).cast("double").as("__tr"),
+      sum(col("n_cur")).cast("double").as("__tc"))
+    val p = greatest(col("n_ref") / col("__tr"), lit(1e-6))
+    val q = greatest(col("n_cur") / col("__tc"), lit(1e-6))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     // .reduce on an empty list throws an opaque UnsupportedOperationException
     require(cols.nonEmpty, "columnProfile needs at least one column")
