@@ -209,6 +209,43 @@ object Relational {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Snapshot diff — the INVERSE of [[cdcApply]]: compare two keyed
+    * snapshots and emit the changelog that transforms `before` into
+    * `after` — `I` (key only in after), `D` (key only in before), `U`
+    * (key in both, any compared column changed null-safely). Unchanged
+    * keys are NOT emitted; the output is a change data feed a downstream
+    * consumer can replay with [[cdcApply]] semantics. This is the
+    * lakehouse "generate CDF between table versions" operation.
+    *
+    * Scale: one full-outer join on `key`. When both snapshots were
+    * produced by key-partitioned operators (the usual case — a
+    * dedup-keep-latest per key), the join reuses their partitioning; with
+    * snapshots stored bucketed by key it is shuffle-free.
+    *
+    * Returns key columns + `op` + per compared column `<col>_old` /
+    * `<col>_new`.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: Seq[String],
+                   cmpCols: Seq[String]): DataFrame = {
+    val b = before.select((key ++ cmpCols).map(col): _*)
+      .withColumn("__b", lit(true))
+      .toDF(key ++ cmpCols.map(_ + "_old") :+ "__b": _*)
+    val a = after.select((key ++ cmpCols).map(col): _*)
+      .withColumn("__a", lit(true))
+      .toDF(key ++ cmpCols.map(_ + "_new") :+ "__a": _*)
+    val changed = cmpCols
+      .map(c => !(col(c + "_old") <=> col(c + "_new")))
+      .reduce(_ || _)
+    b.join(a, key, "full_outer")
+      .withColumn("op",
+        when(col("__b").isNull, "I")
+          .when(col("__a").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select((key.map(col) :+ col("op")) ++
+        cmpCols.flatMap(c => Seq(col(c + "_old"), col(c + "_new"))): _*)
+  }
+
   /** Bucketized interval join: match left rows (key, ts) to right intervals
     * (key, [start, end)) — the range join Spark would otherwise plan as a
     * broadcast-nested-loop. Each right interval is exploded into the coarse

@@ -543,6 +543,22 @@ object CoreQueries extends QueryPack {
           round(col("value"), 6).as("value"))
     }),
 
+    // Snapshot diff (CDF generation, the inverse of q_cdc_apply): the
+    // changelog that transforms the pre-cut latest-state snapshot into
+    // the current one — I/U rows only here (every before-user still
+    // exists in after). Values pre-rounded so the null-safe compare is
+    // engine-exact.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      def latest(df: DataFrame): DataFrame =
+        Relational.dedupKeepFirst(df, Seq(col("user_id")),
+            Seq(col("ts").desc, col("event_id").desc))
+          .select(col("user_id"), round(col("value"), 6).as("value"))
+      Relational.snapshotDiff(latest(ev.filter(col("ts") < cut)), latest(ev),
+        Seq("user_id"), Seq("value"))
+    }),
+
     // Z-order vs 1-D clustering: file-skipping audit for a 2-D box
     // predicate (customer 100–300 × order-date 1996) over 64 files.
     // Morton layout bounds BOTH dims per file; each linear layout prunes
@@ -880,6 +896,24 @@ object CoreQueries extends QueryPack {
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM merged)
         |SELECT user_id, op, event_id, round(value, 6) AS value
         |FROM win WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH bf AS (SELECT user_id, round(value, 6) AS v FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |af AS (SELECT user_id, round(value, 6) AS v FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT COALESCE(bf.user_id, af.user_id) AS user_id,
+        |    CASE WHEN bf.user_id IS NULL THEN 'I'
+        |         WHEN af.user_id IS NULL THEN 'D'
+        |         WHEN bf.v IS DISTINCT FROM af.v THEN 'U' END AS op,
+        |    bf.v AS value_old, af.v AS value_new
+        |  FROM bf FULL OUTER JOIN af ON bf.user_id = af.user_id)
+        |WHERE op IS NOT NULL""".stripMargin,
 
     "q_zorder" -> {
       val nf = 64

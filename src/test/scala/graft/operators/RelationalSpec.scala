@@ -47,6 +47,18 @@ class RelationalSpec extends SparkSpec {
     assert(semi == 3 && anti == 2 && semi + anti == df.count())
   }
 
+  test("snapshotDiff emits I/U/D changelog, skips unchanged, null-safe") {
+    val before = Seq((1L, Some(10.0)), (2L, Some(5.0)), (3L, None: Option[Double]),
+      (4L, Some(7.0))).toDF("key", "v")
+    val after = Seq((1L, Some(10.0)), (2L, Some(6.0)), (3L, Some(1.0)),
+      (5L, Some(9.0))).toDF("key", "v")
+    val out = Relational.snapshotDiff(before, after, Seq("key"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (absent), 2 updated, 3 null→1.0 is a change, 4 deleted,
+    // 5 inserted
+    assert(out == Map(2L -> "U", 3L -> "U", 4L -> "D", 5L -> "I"))
+  }
+
   test("page returns the ordered slice") {
     val page = Relational.page(df, Seq(col("amount").desc), skip = 1, limit = 2)
       .collect().map(_.getDouble(3)).toSeq
