@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.similarity.{IvfStore, Similarity, SrpStore}
+import graft.similarity.{IvfStore, PqStore, Similarity, SrpStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -113,6 +113,55 @@ object SimilarityQueries extends QueryPack {
       s"\nSELECT pick_order, vec_id FROM sel${k - 1}"
   }
 
+  /** PQ train/encode/ADC/rerank oracle — shared by the ad-hoc
+    * (`q_ann_pq`, trains in-plan) and store-served (`q_ann_pq_served`)
+    * paths: the codebook train is deterministic, so persisting it
+    * changes cost, never the ranking.
+    */
+  private lazy val pqOracle: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sub AS (SELECT vec_id, ss.s, v[ss.s*8+1:ss.s*8+8] AS sv
+       |  FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+       |seeds AS (SELECT s, CAST(vec_id AS BIGINT) AS cid, sv AS cv FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id ASC LIMIT 8)),
+       |d0 AS (SELECT x.vec_id, x.s, c.cid, x.sv,
+       |    round(list_sum(list_transform(range(1, 9),
+       |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
+       |  FROM sub x JOIN seeds c ON x.s = c.s),
+       |a0 AS (SELECT vec_id, s, cid, sv FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+       |  FROM d0) WHERE rn = 1),
+       |u1 AS (SELECT s, cid, pos,
+       |    round(CAST(SUM(CAST(sv[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mc
+       |  FROM (SELECT s, cid, sv, unnest(range(1, 9)) AS pos FROM a0)
+       |  GROUP BY s, cid, pos),
+       |c1 AS (SELECT s, cid, list(mc ORDER BY pos) AS cv FROM u1 GROUP BY s, cid),
+       |d1 AS (SELECT x.vec_id, x.s, c.cid,
+       |    round(list_sum(list_transform(range(1, 9),
+       |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
+       |  FROM sub x JOIN c1 c ON x.s = c.s),
+       |codes AS (SELECT vec_id, s, cid FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+       |  FROM d1) WHERE rn = 1),
+       |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
+       |lut AS (SELECT c.s, c.cid,
+       |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
+       |    round(list_sum(list_transform(c.cv, x -> x * x)), 6) AS pnorm2
+       |  FROM c1 c JOIN q ON c.s = q.s),
+       |qn AS (SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM emb
+       |  WHERE vec_id = 0),
+       |adc AS (SELECT k.vec_id,
+       |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+       |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+       |  FROM codes k JOIN lut l ON k.s = l.s AND k.cid = l.cid GROUP BY k.vec_id),
+       |cands AS (SELECT vec_id, round(adc_dot / (qnorm * sqrt(apx2)), 6) AS adc_cosine
+       |  FROM adc, qn WHERE vec_id <> 0
+       |  ORDER BY adc_cosine DESC, vec_id ASC LIMIT 40)
+       |SELECT c.vec_id, c.adc_cosine, ${cosSql("e.v", "qe.qv")} AS cosine
+       |FROM cands c JOIN emb e ON c.vec_id = e.vec_id
+       |CROSS JOIN (SELECT v AS qv FROM emb WHERE vec_id = 0) qe
+       |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin
+
   /** IVF nprobe=1 oracle — shared by the ad-hoc and the
     * partition-pruned-store paths (the store is a layout, not a
     * semantics change).
@@ -178,6 +227,12 @@ object SimilarityQueries extends QueryPack {
     "q_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, m = 8, ksub = 8, rerank = 40)),
+
+    // PQ served from the persisted codebook+codes (the deployment shape
+    // the ad-hoc entry's doc promises): per-query cost is the m-byte
+    // codes scan + LUT, never a retrain. Same oracle as q_ann_pq.
+    "q_ann_pq_served" -> ((s, dir) =>
+      PqStore.topK(s, dir, queryId = 0L, k = 5, rerank = 40)),
 
     // Same sketch, wider Hamming ball — multi-probe generalized to a radius
     // expansion (recall ≈ 0.99 at ~42% candidates; the recall/cost knob).
@@ -402,49 +457,11 @@ object SimilarityQueries extends QueryPack {
          |  $bucketSql AS bucket
          |FROM embeddings""".stripMargin,
 
-    "q_ann_pq" ->
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |sub AS (SELECT vec_id, ss.s, v[ss.s*8+1:ss.s*8+8] AS sv
-         |  FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
-         |seeds AS (SELECT s, CAST(vec_id AS BIGINT) AS cid, sv AS cv FROM sub
-         |  WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id ASC LIMIT 8)),
-         |d0 AS (SELECT x.vec_id, x.s, c.cid, x.sv,
-         |    round(list_sum(list_transform(range(1, 9),
-         |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
-         |  FROM sub x JOIN seeds c ON x.s = c.s),
-         |a0 AS (SELECT vec_id, s, cid, sv FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
-         |  FROM d0) WHERE rn = 1),
-         |u1 AS (SELECT s, cid, pos,
-         |    round(CAST(SUM(CAST(sv[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mc
-         |  FROM (SELECT s, cid, sv, unnest(range(1, 9)) AS pos FROM a0)
-         |  GROUP BY s, cid, pos),
-         |c1 AS (SELECT s, cid, list(mc ORDER BY pos) AS cv FROM u1 GROUP BY s, cid),
-         |d1 AS (SELECT x.vec_id, x.s, c.cid,
-         |    round(list_sum(list_transform(range(1, 9),
-         |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
-         |  FROM sub x JOIN c1 c ON x.s = c.s),
-         |codes AS (SELECT vec_id, s, cid FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
-         |  FROM d1) WHERE rn = 1),
-         |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
-         |lut AS (SELECT c.s, c.cid,
-         |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
-         |    round(list_sum(list_transform(c.cv, x -> x * x)), 6) AS pnorm2
-         |  FROM c1 c JOIN q ON c.s = q.s),
-         |qn AS (SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM emb
-         |  WHERE vec_id = 0),
-         |adc AS (SELECT k.vec_id,
-         |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
-         |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
-         |  FROM codes k JOIN lut l ON k.s = l.s AND k.cid = l.cid GROUP BY k.vec_id),
-         |cands AS (SELECT vec_id, round(adc_dot / (qnorm * sqrt(apx2)), 6) AS adc_cosine
-         |  FROM adc, qn WHERE vec_id <> 0
-         |  ORDER BY adc_cosine DESC, vec_id ASC LIMIT 40)
-         |SELECT c.vec_id, c.adc_cosine, ${cosSql("e.v", "qe.qv")} AS cosine
-         |FROM cands c JOIN emb e ON c.vec_id = e.vec_id
-         |CROSS JOIN (SELECT v AS qv FROM emb WHERE vec_id = 0) qe
-         |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin,
+    "q_ann_pq" -> pqOracle,
+
+    // The persisted codebook+codes path must land on the identical
+    // ranking (the artifacts are deterministic; scoring is shared code).
+    "q_ann_pq_served" -> pqOracle,
 
     "q_embedding_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -550,10 +550,21 @@ object Similarity {
              queryId: Long, k: Int, m: Int = 4, ksub: Int = 4,
              rerank: Int = 20): DataFrame = {
     require(m >= 1 && ksub >= 1 && rerank >= k, "pqTopK: bad parameters")
+    val (withVd, c1, codes, sd) = pqModel(embeddings, idCol, vecCol, m, ksub)
+    pqServe(withVd, c1, codes, queryId, k, rerank, m, sd, idCol)
+  }
+
+  /** PQ train + encode: deterministic codebooks (seeded Lloyd round) and
+    * the per-(vector, subspace) codes. Returns (withVd, codebook, codes,
+    * subdim) — the persistable artifacts [[PqStore]] writes once.
+    */
+  private[similarity] def pqModel(embeddings: DataFrame, idCol: String,
+                                  vecCol: String, m: Int, ksub: Int)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     val withVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     val dim = withVd.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"pqModel: dim $dim not divisible by m=$m")
     val sd = dim / m
     val subs = withVd
       .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
@@ -587,9 +598,22 @@ object Similarity {
       .groupBy(col("s"), col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), e -> e.m)").as("cv"))
     val codes = assign(c1).select(col("vid"), col("s"), col("cid"))
+    (withVd, c1, codes, sd)
+  }
+
+  /** ADC scoring + exact rerank over a (codebook, codes) pair — shared by
+    * the ad-hoc [[pqTopK]] (which trains in-plan) and [[PqStore]] (which
+    * reads the persisted artifacts), so both produce the identical
+    * ranking by construction.
+    */
+  private[similarity] def pqServe(withVd: DataFrame, c1: DataFrame,
+                                  codes: DataFrame, queryId: Long, k: Int,
+                                  rerank: Int, m: Int, sd: Int,
+                                  idCol: String): DataFrame = {
     // ADC lookup table: m × ksub subspace dot products against the query
-    val qsubs = subs.filter(col("vid") === queryId)
-      .select(col("s").as("qs"), col("sv").as("qsv"))
+    val qsubs = withVd.filter(col("vid") === queryId)
+      .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s").as("qs"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
     val lut = c1.join(broadcast(qsubs), c1("s") === col("qs"))
       .select(col("s"), col("cid"),
         round(expr("aggregate(zip_with(cv, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)

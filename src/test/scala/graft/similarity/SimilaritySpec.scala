@@ -184,6 +184,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got == adhoc && got.nonEmpty)
   }
 
+  test("PqStore: served top-k equals ad-hoc pqTopK, scores bit-equal") {
+    val sfDir = "/root/testdata/sf0.001"
+    val adhoc = Similarity.pqTopK(
+        graft.util.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        queryId = 0L, k = 5, m = PqStore.M, ksub = PqStore.Ksub, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val served = PqStore.topK(spark, sfDir, queryId = 0L, k = 5, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(served == adhoc && served.nonEmpty)
+  }
+
   test("kCenterSelect walks farthest-first with deterministic ties") {
     // seed 0 at (1,0); 3 is antipodal (picked 2nd); 2 is orthogonal to
     // both (picked 3rd); 1 and 4 hug the seed and never get picked
