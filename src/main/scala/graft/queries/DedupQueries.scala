@@ -229,6 +229,23 @@ object DedupQueries extends QueryPack {
             / count(lit(1)), 6).as("recall"))
     }),
 
+    // The same audit at the PRODUCTION banding (r=4): what the corpus-size
+    // knob costs in recall is a measured number, not a guess.
+    "q_dedup_recall_r4" -> ((s, dir) => {
+      val capped = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val truth = Dedup.jaccardPairs(capped, "doc_id", "text",
+        n = 3, threshold = 0.5).select(col("doc_a"), col("doc_b"))
+      val found = Dedup.minHashLsh(capped, "doc_id", "text",
+        n = 3, numHashes = 12, rowsPerBand = 4, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      truth.withColumn("__t", lit(1L))
+        .join(found.withColumn("__f", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).cast("long").as("n_truth"),
+          sum(when(col("__f").isNotNull, 1L).otherwise(0L)).cast("long").as("n_found"),
+          round(sum(when(col("__f").isNotNull, 1.0).otherwise(0.0))
+            / count(lit(1)), 6).as("recall"))
+    }),
+
     // Same sweep behind the bloom pre-filter: corpus shingles pruned to the
     // bloom-positive sliver before the join. Plan changes, answer doesn't —
     // same oracle as q_contamination.
@@ -308,20 +325,10 @@ object DedupQueries extends QueryPack {
 
     // LSH pairs (the minhash CTEs over the capped input, Jaccard-verified)
     // joined against all-pairs truth on the same slice.
-    "q_dedup_recall" ->
-      (shingleCteWhere("doc_id < 500 AND ") + minhashOracleCtes(None) +
-        ", jv AS (" + jaccardVerify + "),\n" +
-        """tint AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS i2
-          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-          |  GROUP BY a.doc, b.doc),
-          |truth AS (SELECT t.doc_a, t.doc_b FROM tint t
-          |  JOIN sz x ON t.doc_a = x.doc JOIN sz y ON t.doc_b = y.doc
-          |  WHERE round(CAST(t.i2 AS DOUBLE) / CAST(x.n_sh + y.n_sh - t.i2 AS DOUBLE), 6) >= 0.5)
-          |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
-          |  CAST(SUM(CASE WHEN f.fa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
-          |  round(CAST(SUM(CASE WHEN f.fa IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
-          |FROM truth LEFT JOIN (SELECT doc_a AS fa, doc_b AS fb FROM jv) f
-          |  ON truth.doc_a = f.fa AND truth.doc_b = f.fb""".stripMargin),
+    "q_dedup_recall" -> recallOracle(rowsPerBand = 2),
+
+    // The production banding's measured recall on the same truth set.
+    "q_dedup_recall_r4" -> recallOracle(rowsPerBand = 4),
 
     "q_contamination" -> contaminationOracle,
 
@@ -432,6 +439,26 @@ object DedupQueries extends QueryPack {
         |  CAST(LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS BIGINT) AS rep,
         |  LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) = d.doc_id AS kept
         |FROM documents d LEFT JOIN minr m ON d.doc_id = m.u""".stripMargin
+
+  /** Recall-audit oracle at a given banding: LSH pairs (capped input,
+    * Jaccard-verified) LEFT-joined against the all-pairs truth on the
+    * same slice; recall = found / truth.
+    */
+  private def recallOracle(rowsPerBand: Int): String =
+    shingleCteWhere("doc_id < 500 AND ") +
+      minhashOracleCtes(None, rowsPerBand) +
+      ", jv AS (" + jaccardVerify + "),\n" +
+      """tint AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS i2
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY a.doc, b.doc),
+        |truth AS (SELECT t.doc_a, t.doc_b FROM tint t
+        |  JOIN sz x ON t.doc_a = x.doc JOIN sz y ON t.doc_b = y.doc
+        |  WHERE round(CAST(t.i2 AS DOUBLE) / CAST(x.n_sh + y.n_sh - t.i2 AS DOUBLE), 6) >= 0.5)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |  CAST(SUM(CASE WHEN f.fa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |  round(CAST(SUM(CASE WHEN f.fa IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+        |FROM truth LEFT JOIN (SELECT doc_a AS fa, doc_b AS fb FROM jv) f
+        |  ON truth.doc_a = f.fa AND truth.doc_b = f.fb""".stripMargin
 
   /** MinHash candidate + intersection CTEs mirroring
     * [[graft.dedup.Dedup.minHashSignatures]]'s two-stage hash family
