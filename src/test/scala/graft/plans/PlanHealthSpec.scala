@@ -241,6 +241,23 @@ class PlanHealthSpec extends SparkSpec {
       s"unpartitioned windows (single-partition sort at scale):\n${offenders.mkString("\n")}")
   }
 
+  test("served plans never re-derive their store: no corpus scan, no retrain") {
+    // the build-once/serve split is a plan property, not a convention:
+    //  - served MLT must read only postings/termstats/corpus parquet —
+    //    a documents.parquet scan means it re-tokenized the corpus
+    //  - served PQ must read codebook+codes — a posexplode in the plan
+    //    means the Lloyd training round ran in-query
+    val mlt = plan("q_mlt_served")
+    assert(!mlt.contains("documents.parquet"),
+      s"served MLT re-scanned the corpus:\n$mlt")
+    val pq = plan("q_ann_pq_served")
+    assert(!pq.contains("posexplode"),
+      s"served PQ re-trained the codebook in-plan:\n$pq")
+    val ivf = plan("q_ann_ivf_served")
+    assert(!ivf.contains("embeddings.parquet"),
+      s"served IVF scanned the raw corpus instead of the store:\n$ivf")
+  }
+
   test("q_textrank: iteration joins read the persisted edge table, top-k is TakeOrdered") {
     val p = plan("q_textrank")
     assert(p.contains("InMemoryTableScan"),
