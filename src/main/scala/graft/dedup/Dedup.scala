@@ -270,22 +270,68 @@ object Dedup {
     // candidate signatures over df-capped shingles (guardrail for skewed
     // corpora); verification below always uses the full sets.
     val sh = maxShingleDf.fold(shAll)(cut => capShingleDf(shAll, cut))
-    // band signatures straight off the wide signature row — no second
-    // shuffle: groupBy(doc) is the only exchange in candidate generation.
-    val numBands = numHashes / rowsPerBand
-    val bandExprs = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand)
-        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS STRING)").mkString(", ")
-      s"$b, md5(concat_ws('|', $cols))"
-    }.mkString(", ")
-    val bands = minHashWide(sh, numHashes)
-      .select(col("doc"), expr(s"stack($numBands, $bandExprs) AS (band, sig)"))
+    val bands = bandsFromShingles(sh, numHashes, rowsPerBand)
     val pairs = bands.select(col("doc").as("doc_a"), col("band"), col("sig"))
       .join(bands.select(col("doc").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     verifyJaccard(shAll, pairs, threshold)
+  }
+
+  /** Banded MinHash signatures (doc, band, sig) from a shingle table —
+    * band signatures straight off the wide signature row, so groupBy(doc)
+    * is the only exchange. sig is md5 over the band's minhash values.
+    */
+  private def bandsFromShingles(sh: DataFrame, numHashes: Int,
+                                rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandExprs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS STRING)").mkString(", ")
+      s"$b, md5(concat_ws('|', $cols))"
+    }.mkString(", ")
+    minHashWide(sh, numHashes)
+      .select(col("doc"), expr(s"stack($numBands, $bandExprs) AS (band, sig)"))
+  }
+
+  /** Banded MinHash signatures for a corpus — the MinHash-LSH SERVING
+    * artifact: one (doc, band, sig) row per band. Persist this (bucketed
+    * by (band, sig) on disk) and both [[minHashIncremental]] probes and
+    * periodic in-corpus pair mining reuse it without re-shingling.
+    */
+  def minHashBands(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, numHashes: Int = 12,
+                   rowsPerBand: Int = 2): DataFrame =
+    bandsFromShingles(shingles(docs, idCol, textCol, n), numHashes, rowsPerBand)
+
+  /** INCREMENTAL MinHash-LSH dedup — [[exactIncremental]]'s near-dup
+    * sibling over Jaccard space (the [[simHashIncremental]] analogue for
+    * shingle similarity): a batch doc is dropped when ANY of its band
+    * signatures collides with the persisted store's banded signatures.
+    * This is the standard production contract for streaming MinHash dedup
+    * — collision ⇒ duplicate, no exact-Jaccard verify — because verifying
+    * against the store would need the store docs' SHINGLE sets (corpus-
+    * sized text re-reads per batch), while the banded store is a few
+    * dozen bytes per doc. Precision is the banding's collision curve
+    * (P(collide | j) = 1 − (1 − j^r)^b): tighten with wider bands
+    * (`rowsPerBand`), audited by q_dedup_recall/_r4.
+    *
+    * Per-batch cost: shingle+sign the BATCH only, one equi-join probe on
+    * (band, sig) against the store — at 100 TB the store side is bucketed
+    * by (band, sig) so the probe is a co-located join; the store is never
+    * re-signed. Returns the surviving batch docs' banded rows — union
+    * them into the store to advance it.
+    */
+  def minHashIncremental(storeBands: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 12,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val bb = minHashBands(batch, idCol, textCol, n, numHashes, rowsPerBand)
+    val dup = bb.join(
+        storeBands.select(col("band"), col("sig")), Seq("band", "sig"))
+      .select(col("doc")).distinct()
+    bb.join(dup, Seq("doc"), "left_anti")
   }
 
   /** Benchmark decontamination: corpus docs sharing at least one word

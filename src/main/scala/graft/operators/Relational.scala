@@ -388,4 +388,31 @@ object Relational {
           .otherwise("test"))
       .drop("__h")
   }
+
+  /** Deterministic per-group reservoir sample: EXACTLY `k` rows per group
+    * (all of them when the group is smaller) — the fixed-budget sibling of
+    * [[stratifiedSample]]'s fixed-RATE draw, for "give me 10k exemplar docs
+    * per source/language" curation pulls. Classic distributed reservoir
+    * sampling assigns each row a random priority and keeps the k smallest
+    * per group; here the priority is the md5 CONTENT HASH of the id (tie-
+    * broken by id), so the sample is a pure function of the data — stable
+    * across runs, engines, partitionings, and incremental reprocessing —
+    * while remaining uniform over ids.
+    *
+    * Plan shape: one group-partitioned rank window. Spark's
+    * WindowGroupLimit pushdown turns the rank filter into a map-side
+    * partial top-k per (group, task) BEFORE the exchange, so the shuffle
+    * carries at most k rows per group per map task — the same
+    * merge-of-local-reservoirs structure the textbook algorithm has.
+    */
+  def reservoirSample(df: DataFrame, idCol: String, groupCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, "reservoirSample: k must be positive")
+    val prio = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(prio.asc, col(idCol).asc)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

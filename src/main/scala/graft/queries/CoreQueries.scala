@@ -59,6 +59,23 @@ object CoreQueries extends QueryPack {
         .filter(col("n_orders") > 14)
     }),
 
+    // Incremental MV maintenance: base-partition aggregate state merged
+    // with the new-batch state == full recompute (the oracle recomputes
+    // from scratch; decimal sums make the merge exact). At scale the MV is
+    // persisted bucketed by key and only the batch is scanned per advance.
+    "q_mv_merge" -> ((s, dir) => {
+      import graft.operators.Materialize
+      val orders = Tables.orders(s, dir)
+      val mv = Materialize.aggState(
+        orders.filter(col("o_orderkey") % 5 =!= 0),
+        Seq("o_orderpriority"), "o_totalprice")
+      val batch = Materialize.aggState(
+        orders.filter(col("o_orderkey") % 5 === 0),
+        Seq("o_orderpriority"), "o_totalprice")
+      Materialize.serve(Materialize.merge(mv, batch, Seq("o_orderpriority")),
+        Seq("o_orderpriority"))
+    }),
+
     // Min/max/count-distinct stats per event type.
     "q_agg_stats" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -590,6 +607,13 @@ object CoreQueries extends QueryPack {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
         |  AND l_quantity > 45""".stripMargin,
+
+    "q_mv_merge" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  MIN(o_totalprice) AS min_val, MAX(o_totalprice) AS max_val,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_val
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_having" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -124,6 +124,19 @@ object DedupQueries extends QueryPack {
         "doc_id", "text", maxHamming = 3)
     }),
 
+    // Incremental MinHash-LSH: the new-batch third probed against the
+    // persisted banded-signature store of the rest; any band collision
+    // drops the doc (production streaming-dedup contract — no store-side
+    // re-shingle). Survivors projected to distinct doc ids.
+    "q_dedup_incr_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.minHashBands(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+      Dedup.minHashIncremental(store, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+        .select(col("doc")).distinct()
+    }),
+
     // Pairs mined from the PERSISTED signature store (build-once split,
     // like the BM25 serving index) — four suite queries consume this same
     // near-dup graph, and none of them re-hashes the corpus.
@@ -323,6 +336,16 @@ object DedupQueries extends QueryPack {
         |SELECT b.doc, b.simhash FROM bsig b
         |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = b.doc)""".stripMargin),
 
+    // Incremental MinHash probe: batch-side bands vs store-side bands,
+    // any (band, bsig) collision drops the doc; survivors are batch docs
+    // (with signatures) minus the collided set.
+    "q_dedup_incr_minhash" -> (shingleCte + minhashBandsCtes(None, 2) +
+      """, bb AS (SELECT doc, band, bsig FROM bands WHERE doc % 3 = 0),
+        |sb AS (SELECT band, bsig FROM bands WHERE doc % 3 <> 0),
+        |dup AS (SELECT DISTINCT bb.doc FROM bb JOIN sb USING (band, bsig))
+        |SELECT d.doc FROM (SELECT DISTINCT doc FROM bb) d
+        |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = d.doc)""".stripMargin),
+
     // LSH pairs (the minhash CTEs over the capped input, Jaccard-verified)
     // joined against all-pairs truth on the same slice.
     "q_dedup_recall" -> recallOracle(rowsPerBand = 2),
@@ -467,7 +490,10 @@ object DedupQueries extends QueryPack {
     * shingles (mirroring `maxShingleDf`); verification always uses the
     * full sets.
     */
-  private def minhashOracleCtes(capDf: Option[Long], rowsPerBand: Int = 2): String = {
+  /** CTEs through `bands(doc, band, bsig)` — the banded-signature prefix
+    * shared by the pair-mining oracles and the incremental-probe oracle.
+    */
+  private def minhashBandsCtes(capDf: Option[Long], rowsPerBand: Int): String = {
     val p = graft.dedup.Dedup.MinHashP
     val mins = (0 until 12).map(i =>
       s"MIN(((${2 * i + 1} * hm + ${12345L * i}) % $p)) AS mh_$i").mkString(",\n    ")
@@ -489,8 +515,13 @@ object DedupQueries extends QueryPack {
        |    $mins
        |  FROM hsh GROUP BY doc),
        |bands AS (
-       |  $bandSelects),
-       |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  $bandSelects)
+       |""".stripMargin
+  }
+
+  private def minhashOracleCtes(capDf: Option[Long], rowsPerBand: Int = 2): String = {
+    minhashBandsCtes(capDf, rowsPerBand) +
+    """, pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc),
        |inter AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
        |  FROM pairs p

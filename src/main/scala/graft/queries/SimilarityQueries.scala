@@ -263,6 +263,13 @@ object SimilarityQueries extends QueryPack {
       Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
 
+    // Topic-balanced resampling: the same Lloyd clustering, every cluster
+    // capped at 40 docs by content-hash priority — dominant topics
+    // trimmed, small topics pass whole.
+    "q_topic_balance" -> ((s, dir) =>
+      Similarity.topicBalance(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, perClusterCap = 40)),
+
     // The scale path: same threshold semantics, candidates pruned to
     // same-sign-bucket pairs (recall < 1 by design — see the operator's
     // Scaladoc; the oracle mirrors the pruning exactly, so the entry is
@@ -425,6 +432,14 @@ object SimilarityQueries extends QueryPack {
     "q_kmeans" ->
       s"""WITH ${kmeansCtes()}
          |SELECT vec_id, cluster, s AS centroid_sim FROM a2""".stripMargin,
+
+    "q_topic_balance" ->
+      s"""WITH ${kmeansCtes()},
+         |bal AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+         |      vec_id ASC) AS rk
+         |  FROM a2)
+         |SELECT vec_id, cluster FROM bal WHERE rk <= 40""".stripMargin,
 
     "q_semdedup" ->
       s"""WITH ${kmeansCtes()},

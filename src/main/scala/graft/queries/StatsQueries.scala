@@ -3,7 +3,7 @@ package graft.queries
 import graft.graph.Graphs
 import graft.stats.Profile
 import graft.util.{QueryPack, Tables}
-import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.functions.{abs, col, countDistinct, round, to_date}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Data-profiling coverage ([[graft.stats.Profile]]): key-skew audit,
@@ -25,6 +25,26 @@ object StatsQueries extends QueryPack {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         "n_chars", binWidth = 200L, nBins = 10)
+    }),
+
+    // Distinct-users-per-type served from a pre-aggregated HLL sketch
+    // table (one sketch per (type, day) cell, merged at query time) —
+    // the interactive-dashboard path that never rescans raw events.
+    // Tolerance oracle: exact distinct + a within-5% flag, like
+    // q_approx_distinct.
+    "q_hll_served" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sketches = Profile.hllSketchTable(
+        ev.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      val served = Profile.hllServe(sketches, Seq("event_type"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(served, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.05)
+            .as("approx_within_5pct"))
     }),
 
     // Catalog stats for three heterogeneous lineitem columns in one pass.
@@ -119,6 +139,11 @@ object StatsQueries extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q_hll_served" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_psi_drift" ->
       """WITH b AS (SELECT LEAST(CAST(FLOOR(n_chars / 200) AS BIGINT), 9) AS bin,
         |    doc_id % 2 = 0 AS is_ref FROM documents),

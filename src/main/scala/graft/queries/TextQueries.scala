@@ -281,6 +281,14 @@ object TextQueries extends QueryPack {
         "doc_id", "lang",
         rates = Map("en" -> 40, "zh" -> 80), defaultPct = 25)),
 
+    // Deterministic per-language reservoir: exactly 25 docs per lang by
+    // content-hash priority — fixed-budget exemplar pulls, reproducible
+    // across engines and partitionings.
+    "q_reservoir" -> ((s, dir) =>
+      graft.operators.Relational.reservoirSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 25)),
+
     // Continuous weighted sampling: survival probability n_chars/800
     // (capped at 1) — soft quality filtering, hash-deterministic, integer
     // keep test, zero shuffle.
@@ -786,6 +794,14 @@ object TextQueries extends QueryPack {
         |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
         |  FROM documents)
         |WHERE h < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 80 ELSE 25 END""".stripMargin,
+
+    "q_reservoir" ->
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        |    doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars

@@ -515,6 +515,30 @@ object Similarity {
   def autoK(n: Long, targetClusterSize: Long): Int =
     math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
 
+  /** Topic-balanced resampling: cluster the corpus by embedding
+    * ([[kmeansAssign]]'s deterministic Lloyd rounds), then cap every
+    * cluster at `perClusterCap` docs — the curation step that stops a
+    * dominant topic (one crawl's boilerplate genre, one language's news
+    * sphere) from swamping the training mixture, while topics under the
+    * cap pass through whole. Selection within a cluster is
+    * [[graft.operators.Relational.reservoirSample]]'s content-hash
+    * priority: a pure function of the ids, so the balanced subset is
+    * reproducible across runs/engines/partitionings and STABLE under
+    * incremental growth (new docs displace only hash-later docs in their
+    * own cluster).
+    *
+    * Plan: the Lloyd rounds are broadcast-projection argmaxes (no N×k
+    * shuffle), and the cap is one cluster-partitioned rank window with
+    * WindowGroupLimit's map-side partial top-k. Returns (idCol, cluster)
+    * for the kept rows.
+    */
+  def topicBalance(embeddings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, perClusterCap: Int): DataFrame =
+    graft.operators.Relational.reservoirSample(
+      kmeansAssign(embeddings, idCol, vecCol, k, iters)
+        .select(col(idCol), col("cluster")),
+      idCol, "cluster", perClusterCap)
+
   /** Per-vector stats: dimension, L2 norm, sign bucket, plus any
     * caller-selected passthrough columns.
     */

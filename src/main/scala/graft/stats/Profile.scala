@@ -187,4 +187,26 @@ object Profile {
         round(slope, 6).as("slope"),
         round((sy - slope * sx) / n, 6).as("intercept"))
   }
+
+  /** Pre-aggregated distinct-count sketch table: one Apache DataSketches
+    * HLL sketch per (keys*, partition) cell — the nightly artifact behind
+    * every interactive "unique users" dashboard at 100 TB. Sketches are
+    * a few KB regardless of cardinality, and `hll_union_agg` merges them
+    * losslessly, so ANY rollup of the partition axis (a day range, all
+    * time) is answered from the sketch table alone — the raw corpus is
+    * scanned exactly once, at build time. One combinable groupBy.
+    */
+  def hllSketchTable(df: DataFrame, keys: Seq[String], valCol: String,
+                     lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valCol), lit(lgConfigK)).as("sketch"))
+
+  /** Serve a distinct-count rollup from a persisted sketch table: union
+    * the cell sketches down to `keys` and estimate. Query-time cost is
+    * O(sketch rows), independent of the raw data the sketches summarize.
+    */
+  def hllServe(sketches: DataFrame, keys: Seq[String]): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"))
 }

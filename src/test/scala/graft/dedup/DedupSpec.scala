@@ -246,4 +246,35 @@ class DedupSpec extends SparkSpec {
       (1L, 3L, 0L, 4L, 6L),
       (2L, 3L, 2L, 4L, 6L)))
   }
+
+  test("minHashIncremental drops band-colliding batch docs, keeps the rest") {
+    import spark.implicits._
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about distributed systems and spark")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),    // exact dup of 1
+      (11L, "nothing in common with anything stored here at all ok"),
+      (12L, "completely different content about distributed systems and spark") // dup of 2
+    ).toDF("doc_id", "text")
+    val storeBands = Dedup.minHashBands(store, "doc_id", "text")
+    val out = Dedup.minHashIncremental(storeBands, batch, "doc_id", "text")
+      .select("doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L))
+    // surviving rows carry full banded signatures (6 bands at r=2/H=12)
+    val bands = Dedup.minHashIncremental(storeBands, batch, "doc_id", "text")
+      .groupBy("doc").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bands == Map(11L -> 6L))
+  }
+
+  test("minHashIncremental with an empty store keeps every signed batch doc") {
+    import spark.implicits._
+    val batch = Seq((1L, "alpha beta gamma delta"), (2L, "echo foxtrot golf hotel"))
+      .toDF("doc_id", "text")
+    val empty = Dedup.minHashBands(batch.limit(0), "doc_id", "text")
+    val out = Dedup.minHashIncremental(empty, batch, "doc_id", "text")
+      .select("doc").distinct().count()
+    assert(out == 2L)
+  }
 }

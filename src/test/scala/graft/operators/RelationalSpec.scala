@@ -265,4 +265,36 @@ class RelationalSpec extends SparkSpec {
       5L -> ((5, 50.0, "S"))   // snapshot beat the stale change
     ))                          // key 2: tombstoned away
   }
+
+  test("reservoirSample keeps exactly k per group, all when smaller") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "grp")
+    val out = Relational.reservoirSample(docs, "id", "grp", k = 10)
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(out("big") == 10 && out("small") == 10)
+    val tiny = Relational.reservoirSample(docs.filter($"id" > 95), "id", "grp", k = 10)
+    assert(tiny.count() == 5) // group smaller than k passes whole
+  }
+
+  test("reservoirSample is deterministic and repartition-invariant") {
+    val docs = (1L to 200L).map(i => (i, (i % 3).toString)).toDF("id", "grp")
+    val a = Relational.reservoirSample(docs, "id", "grp", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Relational.reservoirSample(docs.repartition(13, $"id"), "id", "grp", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.size == 21)
+  }
+
+  test("reservoirSample is stable under incremental growth") {
+    // adding rows can only displace hash-later rows within a group: the
+    // kept set of the grown corpus restricted to old ids is a subset of
+    // the original kept set
+    val old = (1L to 50L).map(i => (i, "g")).toDF("id", "grp")
+    val grown = (1L to 80L).map(i => (i, "g")).toDF("id", "grp")
+    val keptOld = Relational.reservoirSample(old, "id", "grp", 10)
+      .collect().map(_.getLong(0)).toSet
+    val keptGrown = Relational.reservoirSample(grown, "id", "grp", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptGrown.filter(_ <= 50L).subsetOf(keptOld))
+  }
 }

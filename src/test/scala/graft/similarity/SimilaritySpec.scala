@@ -288,4 +288,28 @@ class SimilaritySpec extends SparkSpec {
     // 127.0 with scale 1.0 reconstructs exactly
     assert(out(3L)._2 <= 0.5)
   }
+
+  test("topicBalance caps dominant clusters, passes small ones whole") {
+    import spark.implicits._
+    // two well-separated directions: ids 1..30 near e1 (dominant topic),
+    // ids 31..35 near e2 (minority topic)
+    val vecs = ((1 to 30).map(i =>
+        (i.toLong, Array(10.0f + (i % 7), 1.0f * (i % 3), 0.0f))) ++
+      (31 to 35).map(i =>
+        (i.toLong, Array(0.0f, 1.0f * (i % 2), 10.0f + (i % 4))))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.topicBalance(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, perClusterCap = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.values.forall(_.size <= 8))
+    // the minority topic survives intact
+    val minority = out.filter(_._1 > 30L).map(_._1).toSet
+    assert(minority == Set(31L, 32L, 33L, 34L, 35L))
+    // deterministic: a repartitioned run selects the identical subset
+    val again = Similarity.topicBalance(vecs.repartition(7), "vec_id",
+      "embedding", k = 2, iters = 2, perClusterCap = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(again == out.toSet)
+  }
 }

@@ -79,4 +79,33 @@ class ProfileSpec extends SparkSpec {
     assert(out("up") == ((10L, 2.0, 3.0)))
     assert(out("flat") == ((10L, 0.0, 7.5)))
   }
+
+  test("hll sketch table serves rollups within tolerance of exact distincts") {
+    import spark.implicits._
+    // 3 types × 5 partitions, overlapping user sets across partitions so
+    // the union actually deduplicates cross-sketch
+    val rows = for {
+      t <- 1 to 3; p <- 1 to 5; u <- 1 to 200
+      if (u + t * 7 + p * 13) % 3 != 0
+    } yield (s"t$t", p, (u % (50 * t)).toLong)
+    val df = rows.toDF("typ", "part", "user")
+    val sketches = Profile.hllSketchTable(df, Seq("typ", "part"), "user")
+    assert(sketches.count() == 15) // one sketch per cell
+    val servedTyp = Profile.hllServe(sketches, Seq("typ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTyp = df.groupBy($"typ")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactTyp.foreach { case (t, exact) =>
+      val est = servedTyp(t)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$t: est $est vs exact $exact")
+    }
+    // global rollup from the same sketch table (no raw rescans)
+    val global = Profile.hllServe(sketches.withColumn("all",
+        org.apache.spark.sql.functions.lit(1)), Seq("all"))
+      .collect().head.getLong(1)
+    val exactGlobal = df.select($"user").distinct().count()
+    assert(math.abs(global - exactGlobal).toDouble / exactGlobal <= 0.05)
+  }
 }
