@@ -139,6 +139,71 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Deterministic REAL-PNG blob per row: an 8-bit grayscale gradient
+    * p(x, y) = (7x + 13y + id) mod 251 encoded by [[PngCodec]] — the
+    * fixture generator for image-pipeline tests and the q_thumbnail
+    * oracle (dims are pure functions of the id, so SQL can pin them).
+    * One encoder per partition, blobs never touch the driver.
+    */
+  def syntheticPng(df: DataFrame, idCol: String, wCol: String,
+                   hCol: String, outCol: String = "png"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val px = Array.tabulate[Byte](w * h) { i =>
+          val x = i % w; val y = i / w
+          ((7L * x + 13L * y + id) % 251).toByte
+        }
+        Row.fromSeq(r.toSeq :+ PngCodec.encodeGray(PngCodec.Gray(w, h, px)))
+      }
+    }(encoder)
+  }
+
+  /** REAL thumbnailing over a PNG binary column: decode ([[PngCodec]]),
+    * fit-to-box via the integer rule tw = max(1, ⌊w·maxDim/max(w,h)⌋)
+    * (unchanged when already inside the box), EXACT area-average resize
+    * ([[PngCodec.resizeArea]]), re-encode, and re-decode as a round-trip
+    * self-check. Appends (thumb BINARY, thumb_w, thumb_h, thumb_ok);
+    * undecodable blobs yield (null, -1, -1, false) — corrupt media never
+    * fails the job. Same one-context-per-partition seam as [[ocrText]]:
+    * at 100 TB this is the resize leg of an image-curation pipeline, a
+    * pure narrow map with no shuffle.
+    */
+  def thumbnailPng(df: DataFrame, binCol: String, maxDim: Int): DataFrame = {
+    require(maxDim > 0, "thumbnailPng: maxDim must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("thumb", BinaryType), StructField("thumb_w", LongType),
+      StructField("thumb_h", LongType), StructField("thumb_ok", BooleanType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out: Seq[Any] = PngCodec.decode(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(img) =>
+            val gmax = math.max(img.width, img.height)
+            val (tw, th) =
+              if (gmax <= maxDim) (img.width, img.height)
+              else (math.max(1, img.width * maxDim / gmax),
+                math.max(1, img.height * maxDim / gmax))
+            val thumb = PngCodec.resizeArea(img, tw, th)
+            val bytes = PngCodec.encodeGray(thumb)
+            val ok = PngCodec.decode(bytes)
+              .exists(d => d.width == tw && d.height == th &&
+                java.util.Arrays.equals(d.pixels, thumb.pixels))
+            Seq(bytes, tw.toLong, th.toLong, ok)
+          case None => Seq(null, -1L, -1L, false)
+        }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(encoder)
+  }
+
   /** REAL (not stubbed) PNG header metadata, as pure codegen'd column
     * arithmetic — no codec, no mapPartitions, no UDF: the PNG wire format
     * is public byte offsets (8-byte signature `89 50 4E 47 0D 0A 1A 0A`,

@@ -75,6 +75,58 @@ object PngCodec {
     out.toByteArray
   }
 
+  /** EXACT area-average (box-filter) resize — the standard high-quality
+    * downsample, in pure integer arithmetic so the result is bit-identical
+    * on every JVM/partitioning: output pixel (ox, oy) covers the source
+    * rectangle [ox·inW/outW, (ox+1)·inW/outW) × [oy·inH/outH, …); each
+    * source pixel contributes its overlap area. Working in units scaled by
+    * outW (x) and outH (y) keeps every boundary an integer: the overlap of
+    * source pixel sx with output cell ox is
+    * min((sx+1)·outW, (ox+1)·inW) − max(sx·outW, ox·inW), and the total
+    * weight per output cell is exactly inW·inH, so the final value is one
+    * rounded integer division. O(inW·inH) accumulation.
+    */
+  def resizeArea(img: Gray, outW: Int, outH: Int): Gray = {
+    require(outW > 0 && outH > 0, "resizeArea: output dims must be positive")
+    val inW = img.width; val inH = img.height
+    if (outW == inW && outH == inH) return img
+    val acc = new Array[Long](outW * outH)
+    var sy = 0
+    while (sy < inH) {
+      val y0 = sy.toLong * outH; val y1 = y0 + outH // source row in scaled units
+      var oy = (y0 / inH).toInt
+      while (oy < outH && oy.toLong * inH < y1) {
+        val oyLo = oy.toLong * inH; val oyHi = oyLo + inH
+        val ovy = math.min(y1, oyHi) - math.max(y0, oyLo)
+        if (ovy > 0) {
+          var sx = 0
+          while (sx < inW) {
+            val x0 = sx.toLong * outW; val x1 = x0 + outW
+            val p = img.pixels(sy * inW + sx) & 0xff
+            var ox = (x0 / inW).toInt
+            while (ox < outW && ox.toLong * inW < x1) {
+              val oxLo = ox.toLong * inW; val oxHi = oxLo + inW
+              val ovx = math.min(x1, oxHi) - math.max(x0, oxLo)
+              if (ovx > 0) acc(oy * outW + ox) += p * ovx * ovy
+              ox += 1
+            }
+            sx += 1
+          }
+        }
+        oy += 1
+      }
+      sy += 1
+    }
+    val den = inW.toLong * inH
+    val out = new Array[Byte](outW * outH)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((acc(i) + den / 2) / den).toByte
+      i += 1
+    }
+    Gray(outW, outH, out)
+  }
+
   /** Decode a PNG to grayscale. Returns None (never throws) for anything
     * outside the supported profile or any malformed byte — the corrupt-
     * media contract of the multimodal operators.

@@ -406,6 +406,21 @@ object TextQueries extends QueryPack {
         md5(bin).as("checksum"))
     }),
 
+    // REAL image pipeline: deterministic real PNGs (dims are pure
+    // functions of doc_id) → PngCodec decode → exact integer box-filter
+    // resize to fit 32 → re-encode → round-trip self-check. The oracle
+    // pins the dims and the fit rule; thumb_ok=TRUE asserts the full
+    // codec round trip succeeded in the engine.
+    "q_thumbnail" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 64 + 16).cast("long").as("w"),
+        (col("doc_id") % 32 + 9).cast("long").as("h"))
+      val png = Multimodal.syntheticPng(base, "doc_id", "w", "h")
+      Multimodal.thumbnailPng(png, "png", maxDim = 32)
+        .select(col("doc_id"), col("w"), col("h"),
+          col("thumb_w"), col("thumb_h"), col("thumb_ok"))
+    }),
+
     // REAL media-format parsers over synthesized REAL-format blobs: one
     // JPEG/GIF/WAV/MP4/PNG wire-format blob per doc (format = doc_id % 5,
     // dims/rates derived from doc_id), built as hex and unhex'd. ALL five
@@ -1246,6 +1261,16 @@ object TextQueries extends QueryPack {
         |SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_terms,
         |  TRUE AS approx_within_5pct
         |FROM toks GROUP BY source""".stripMargin,
+
+    "q_thumbnail" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+        |    CAST(doc_id % 32 + 9 AS BIGINT) AS h FROM documents),
+        |g AS (SELECT doc_id, w, h, GREATEST(w, h) AS m FROM d)
+        |SELECT doc_id, w, h,
+        |  CAST(CASE WHEN m <= 32 THEN w ELSE GREATEST(1, w * 32 // m) END AS BIGINT) AS thumb_w,
+        |  CAST(CASE WHEN m <= 32 THEN h ELSE GREATEST(1, h * 32 // m) END AS BIGINT) AS thumb_h,
+        |  TRUE AS thumb_ok
+        |FROM g""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -213,4 +213,57 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((0L, Nil, false)))
     assert(out(5L) == ((0L, Nil, false)))
   }
+
+  test("resizeArea: integer-exact box averages, weight conservation") {
+    // 4x4 → 2x2: each output pixel is the exact mean of a 2x2 block
+    val px = Array.tabulate[Byte](16)(i => (i * 10).toByte)
+    val out = PngCodec.resizeArea(PngCodec.Gray(4, 4, px), 2, 2)
+    def mean4(a: Int, b: Int, c: Int, d: Int) =
+      ((a + b + c + d + 2) / 4).toByte
+    assert(out.pixels.toSeq == Seq(
+      mean4(0, 10, 40, 50), mean4(20, 30, 60, 70),
+      mean4(80, 90, 120, 130), mean4(100, 110, 140, 150)))
+    // non-divisible 3x3 → 2x2: fractional overlap, exact rational weights
+    // out(0,0) covers [0,1.5)²: pixels p0 (area 1), p1 (0.5), p3 (0.5),
+    // p4 (0.25) over total area 2.25 → scaled by 4: (4·p0+2·p1+2·p3+p4)/9
+    val p3 = Array.tabulate[Byte](9)(i => (i * 20).toByte)
+    val o3 = PngCodec.resizeArea(PngCodec.Gray(3, 3, p3), 2, 2)
+    assert((o3.pixels(0) & 0xff) ==
+      (4 * 0 + 2 * 20 + 2 * 60 + 80 + 4) / 9)
+    // constant image stays constant at any output size (weight conservation)
+    val const = PngCodec.resizeArea(
+      PngCodec.Gray(7, 5, Array.fill[Byte](35)(123)), 3, 4)
+    assert(const.pixels.forall(p => (p & 0xff) == 123))
+    // identity when dims match
+    val same = PngCodec.resizeArea(PngCodec.Gray(4, 4, px), 4, 4)
+    assert(same.pixels.toSeq == px.toSeq)
+  }
+
+  test("thumbnailPng: real decode→resize→encode round trip; corrupt is null") {
+    val base = (0L to 40L).map(i => (i, i % 64 + 16, i % 32 + 9))
+      .toDF("doc_id", "w", "h")
+    val png = Multimodal.syntheticPng(base, "doc_id", "w", "h")
+    val out = Multimodal.thumbnailPng(png, "png", maxDim = 32)
+    val rows = out.collect()
+    assert(rows.forall(_.getBoolean(rows.head.fieldIndex("thumb_ok"))))
+    rows.foreach { r =>
+      val w = r.getLong(1); val h = r.getLong(2)
+      val m = math.max(w, h)
+      val (ew, eh) = if (m <= 32) (w, h)
+        else (math.max(1L, w * 32 / m), math.max(1L, h * 32 / m))
+      assert(r.getLong(r.fieldIndex("thumb_w")) == ew)
+      assert(r.getLong(r.fieldIndex("thumb_h")) == eh)
+      // the thumb itself decodes to the exact area-average of the source
+      val src = PngCodec.decode(r.getAs[Array[Byte]]("png")).get
+      val expect = PngCodec.resizeArea(src, ew.toInt, eh.toInt)
+      val got = PngCodec.decode(r.getAs[Array[Byte]]("thumb")).get
+      assert(java.util.Arrays.equals(got.pixels, expect.pixels))
+    }
+    // corrupt blob: ok=false, null thumb, -1 dims
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "png")
+    val bad = Multimodal.thumbnailPng(junk, "png", 32).collect().head
+    assert(!bad.getBoolean(bad.fieldIndex("thumb_ok")) &&
+      bad.isNullAt(bad.fieldIndex("thumb")) &&
+      bad.getLong(bad.fieldIndex("thumb_w")) == -1L)
+  }
 }
