@@ -270,6 +270,62 @@ object Multimodal {
         lit(false).as("valid")))
   }
 
+  /** REAL 8-bit PCM sample decode — the audio sibling of [[pngMeta]]'s
+    * no-codec thesis, taken one level deeper: not just the header but the
+    * SAMPLES are pure Catalyst byte arithmetic (substr + hex→int per
+    * byte), evaluated row-local at scan speed with zero shuffle and zero
+    * UDF. Supports the canonical 44-byte-header mono 8-bit PCM layout
+    * (the format [[wavMeta]] validates); anything else yields null —
+    * corrupt or unsupported audio never fails the job. Returns
+    * array<int> of unsigned samples (0–255, midpoint 128).
+    *
+    * At 100 TB the per-byte `substr` fold is the right SHAPE (row-local
+    * projection); a production build would swap the inner extraction for
+    * a vectorized binary-slice `Expression` without touching callers.
+    */
+  def wavPcm8Samples(binCol: Column): Column = {
+    def le(pos: Int, len: Int) =
+      (0 until len).map(i =>
+        conv(hex(substring(binCol, pos + i, 1)), 16, 10).cast("long") *
+          (1L << (8 * i)) : Column).reduce(_ + _)
+    val meta = wavMeta(binCol)
+    val n = le(41, 4)
+    val isData = hex(substring(binCol, 37, 4)) === lit("64617461") // "data"
+    when(meta.getField("valid") && meta.getField("pcm") &&
+      meta.getField("bits_per_sample") === 8 &&
+      meta.getField("n_channels") === 1 && isData &&
+      length(binCol) >= lit(44L) + n && n > 0,
+      transform(sequence(lit(1L), n),
+        j => conv(hex(binCol.substr(lit(44L) + j, lit(1L))), 16, 10).cast("int")))
+      .otherwise(lit(null).cast("array<int>"))
+  }
+
+  /** Per-frame audio energy over decoded PCM: frames of `frameSize`
+    * samples, energy = Σ(s−128)² — the VAD/silence-detection primitive an
+    * audio-curation pipeline runs before transcription (drop silent or
+    * clipped segments). Frame energies are computed as a `transform` +
+    * `aggregate` fold over the sample array (no per-sample row explosion,
+    * no shuffle); only the per-FRAME rows are emitted. Undecodable rows
+    * are dropped. Returns (idCol, frame, n_samples, energy).
+    */
+  def wavFrameEnergy(df: DataFrame, idCol: String, binCol: String,
+                     frameSize: Int): DataFrame = {
+    require(frameSize > 0, "wavFrameEnergy: frameSize must be positive")
+    df.withColumn("__s", wavPcm8Samples(col(binCol)))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol),
+        posexplode(transform(
+          expr(s"sequence(0, CAST((size(__s) + $frameSize - 1) DIV $frameSize AS INT) - 1)"),
+          f => struct(
+            size(slice(col("__s"), f * frameSize + 1, lit(frameSize))).cast("long")
+              .as("n_samples"),
+            aggregate(slice(col("__s"), f * frameSize + 1, lit(frameSize)), lit(0L),
+              (a, s) => a + ((s - 128) * (s - 128)).cast("long"))
+              .as("energy")))))
+      .select(col(idCol), col("pos").cast("long").as("frame"),
+        col("col.n_samples"), col("col.energy"))
+  }
+
   /** REAL JPEG (JFIF/EXIF) header metadata — the third no-codec parser.
     * Unlike PNG/WAV, JPEG has no fixed offsets: dimensions live in a SOFn
     * segment at a position that depends on every preceding segment's

@@ -421,6 +421,32 @@ object TextQueries extends QueryPack {
           col("thumb_w"), col("thumb_h"), col("thumb_ok"))
     }),
 
+    // REAL audio pipeline: wire-format 8-bit mono PCM WAV blobs built as
+    // hex (samples are a pure function of doc_id), decoded back to
+    // samples by pure Catalyst byte arithmetic, framed, and scored as
+    // Σ(s−128)² energy — VAD/silence triage with zero UDF and zero
+    // shuffle before the final frame rows. The oracle replays the sample
+    // formula directly, so any decode drift fails the hash.
+    "q_audio_energy" -> ((s, dir) => {
+      def byteHex(c: Column, i: Int): Column =
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")
+      def le(c: Column, nb: Int): Column =
+        concat((0 until nb).map(byteHex(c, _)): _*)
+      val id = col("doc_id").cast("long")
+      val n = id % 64 + 32
+      val hexStr = concat(
+        lit("52494646"), le(n + 36L, 4),                     // RIFF + size
+        lit("57415645666D7420100000000100"),                 // WAVE fmt 16 PCM
+        le(lit(1L), 2), le(lit(8000L), 4),                   // mono, 8 kHz
+        le(lit(8000L), 4), le(lit(1L), 2), le(lit(8L), 2),   // byterate/align/8-bit
+        lit("64617461"), le(n, 4),                           // data chunk
+        concat_ws("", transform(sequence(lit(0L), n - 1),
+          j => lpad(hex((id * 7 + j * 11) % 256), 2, "0"))))
+      val wav = Tables.documents(s, dir)
+        .select(col("doc_id"), unhex(hexStr).as("wav"))
+      Multimodal.wavFrameEnergy(wav, "doc_id", "wav", frameSize = 16)
+    }),
+
     // REAL media-format parsers over synthesized REAL-format blobs: one
     // JPEG/GIF/WAV/MP4/PNG wire-format blob per doc (format = doc_id % 5,
     // dims/rates derived from doc_id), built as hex and unhex'd. ALL five
@@ -1261,6 +1287,16 @@ object TextQueries extends QueryPack {
         |SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_terms,
         |  TRUE AS approx_within_5pct
         |FROM toks GROUP BY source""".stripMargin,
+
+    "q_audio_energy" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 + 32 AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n)) AS j FROM d),
+        |v AS (SELECT doc_id, j // 16 AS frame,
+        |    (doc_id * 7 + j * 11) % 256 AS sv FROM s)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM((sv - 128) * (sv - 128)) AS BIGINT) AS energy
+        |FROM v GROUP BY doc_id, frame""".stripMargin,
 
     "q_thumbnail" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,

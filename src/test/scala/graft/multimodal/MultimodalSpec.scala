@@ -214,6 +214,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L) == ((0L, Nil, false)))
   }
 
+  test("wavPcm8Samples decodes real PCM bytes; rejects stereo/16-bit/corrupt") {
+    def wav(ch: Int, bits: Int, samples: Array[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+      bos.write("RIFF".getBytes); le(samples.length + 36, 4)
+      bos.write("WAVE".getBytes); bos.write("fmt ".getBytes); le(16, 4)
+      le(1, 2); le(ch, 2); le(8000, 4); le(8000L * ch * bits / 8, 4)
+      le(ch * bits / 8, 2); le(bits, 2)
+      bos.write("data".getBytes); le(samples.length, 4)
+      samples.foreach(s => bos.write(s))
+      bos.toByteArray
+    }
+    val good = wav(1, 8, Array(0, 128, 255, 7, 200))
+    val rows = Seq(
+      (1L, good), (2L, wav(2, 8, Array(1, 2))), (3L, wav(1, 16, Array(1, 2))),
+      (4L, Array[Byte](9, 9, 9))
+    ).toDF("id", "wav")
+      .select(col("id"), Multimodal.wavPcm8Samples(col("wav")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1).toList)).toMap
+    assert(rows(1L) == List(0, 128, 255, 7, 200))
+    assert(rows(2L) == null && rows(3L) == null && rows(4L) == null)
+
+    val energy = Multimodal.wavFrameEnergy(
+      Seq((1L, wav(1, 8, Array.tabulate(20)(j => (j * 13) % 256)))).toDF("id", "wav"),
+      "id", "wav", frameSize = 16)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    def e(js: Range) = js.map(j => { val d = (j * 13) % 256 - 128; d.toLong * d }).sum
+    assert(energy == Map(0L -> ((16L, e(0 until 16))), 1L -> ((4L, e(16 until 20)))))
+  }
+
   test("resizeArea: integer-exact box averages, weight conservation") {
     // 4x4 → 2x2: each output pixel is the exact mean of a 2x2 block
     val px = Array.tabulate[Byte](16)(i => (i * 10).toByte)
