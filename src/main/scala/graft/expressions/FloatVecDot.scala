@@ -102,6 +102,10 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1)),
       "scala_udf")
+    // Bulk unsigned-byte decode for fixed-width media payloads (PCM
+    // samples, pixel rows) — see BytesToU8.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bytes_u8", exprs => BytesToU8(exprs.head), "scala_udf")
     // Sibling aggregate: builds the filter BloomFilterMightContain probes.
     // Registered in Spark's INTERNAL registry only (runtime-filter
     // machinery), so expose it under an engine name.

@@ -227,6 +227,7 @@ class MultimodalSpec extends SparkSpec {
       samples.foreach(s => bos.write(s))
       bos.toByteArray
     }
+    graft.expressions.GraftFunctions.register(spark)
     val good = wav(1, 8, Array(0, 128, 255, 7, 200))
     val rows = Seq(
       (1L, good), (2L, wav(2, 8, Array(1, 2))), (3L, wav(1, 16, Array(1, 2))),
