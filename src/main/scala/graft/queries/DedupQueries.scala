@@ -137,6 +137,17 @@ object DedupQueries extends QueryPack {
         .select(col("doc")).distinct()
     }),
 
+    // The production banding (r=4: 3 bands of 4 — the corpus-size knob
+    // from the round-9 sweep) on the same incremental probe.
+    "q_dedup_incr_minhash_r4" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.minHashBands(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", rowsPerBand = 4)
+      Dedup.minHashIncremental(store, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", rowsPerBand = 4)
+        .select(col("doc")).distinct()
+    }),
+
     // Pairs mined from the PERSISTED signature store (build-once split,
     // like the BM25 serving index) — four suite queries consume this same
     // near-dup graph, and none of them re-hashes the corpus.
@@ -340,11 +351,10 @@ object DedupQueries extends QueryPack {
     // any (band, bsig) collision drops the doc; survivors are batch docs
     // (with signatures) minus the collided set.
     "q_dedup_incr_minhash" -> (shingleCte + minhashBandsCtes(None, 2) +
-      """, bb AS (SELECT doc, band, bsig FROM bands WHERE doc % 3 = 0),
-        |sb AS (SELECT band, bsig FROM bands WHERE doc % 3 <> 0),
-        |dup AS (SELECT DISTINCT bb.doc FROM bb JOIN sb USING (band, bsig))
-        |SELECT d.doc FROM (SELECT DISTINCT doc FROM bb) d
-        |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = d.doc)""".stripMargin),
+      incrMinhashTail),
+
+    "q_dedup_incr_minhash_r4" -> (shingleCte + minhashBandsCtes(None, 4) +
+      incrMinhashTail),
 
     // LSH pairs (the minhash CTEs over the capped input, Jaccard-verified)
     // joined against all-pairs truth on the same slice.
@@ -518,6 +528,16 @@ object DedupQueries extends QueryPack {
        |  $bandSelects)
        |""".stripMargin
   }
+
+  /** Incremental-probe tail over `bands`: batch third vs store bands,
+    * any (band, bsig) collision drops the doc.
+    */
+  private val incrMinhashTail: String =
+    """, bb AS (SELECT doc, band, bsig FROM bands WHERE doc % 3 = 0),
+      |sb AS (SELECT band, bsig FROM bands WHERE doc % 3 <> 0),
+      |dup AS (SELECT DISTINCT bb.doc FROM bb JOIN sb USING (band, bsig))
+      |SELECT d.doc FROM (SELECT DISTINCT doc FROM bb) d
+      |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc = d.doc)""".stripMargin
 
   private def minhashOracleCtes(capDf: Option[Long], rowsPerBand: Int = 2): String = {
     minhashBandsCtes(capDf, rowsPerBand) +

@@ -16,6 +16,66 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamSinks {
 
+  /** Highest COMPLETE store version strictly below `batchId` — the
+    * crash-replay anchor every versioned sink here shares: a re-executed
+    * batch N must rebuild `v<N>` from the same input snapshot, so reads
+    * bind to `v<k>` (k < N, `_SUCCESS` present), never the `current`
+    * symlink (which could alias the very version being rewritten).
+    */
+  private def prevVersion(dest: String, batchId: Long): Option[Long] = {
+    val versionRe = "^v(\\d+)$".r
+    val listing = Files.list(Paths.get(dest))
+    try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .flatMap(p => p.getFileName.toString match {
+        case versionRe(k)
+          if k.toLong < batchId && Files.exists(p.resolve("_SUCCESS")) =>
+          Some(k.toLong)
+        case _ => None
+      }).sorted.lastOption
+    finally listing.close()
+  }
+
+  /** Atomically publish `<dest>/v<batchId>` as `<dest>/current`. */
+  private def publish(dest: String, batchId: Long): Unit = {
+    val next = Paths.get(dest, s"v$batchId")
+    val tmp = Paths.get(dest, "current.tmp")
+    Files.deleteIfExists(tmp)
+    Files.createSymbolicLink(tmp, next.toAbsolutePath)
+    Files.move(tmp, Paths.get(dest, "current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Streaming materialized-view maintenance —
+    * [[graft.operators.Materialize]] as a `foreachBatch` advance over a
+    * versioned MV store: each micro-batch folds its own aggregate state
+    * into the previous snapshot (cost O(MV + batch), never O(history) —
+    * the streaming face of q_mv_merge's flat scale curve), and
+    * `<dest>/current` always points at a complete state table. Serve with
+    * [[graft.operators.Materialize.serve]]. Versioning/replay semantics
+    * are [[keyedUpsertSink]]'s; merge associativity (MaterializeSpec)
+    * makes any batch arrival order land on the same state.
+    */
+  def aggMvSink(stream: DataFrame, keys: Seq[String], valCol: String,
+                dest: String, checkpoint: String): StreamingQuery = {
+    Files.createDirectories(Paths.get(dest))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Materialize
+        val state = Materialize.aggState(batch, keys, valCol)
+        val merged = prevVersion(dest, batchId) match {
+          case Some(k) =>
+            Materialize.merge(spark.read.parquet(s"$dest/v$k"), state, keys)
+          case None => state
+        }
+        merged.write.mode("overwrite").parquet(s"$dest/v$batchId")
+        publish(dest, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Merge each micro-batch into a keyed parquet collection, keep-latest
     * per id ([[Collections.upsertLatest]] — dedupes the batch by
     * `versionCol`, then anti-join + union against the current snapshot).
@@ -43,30 +103,14 @@ object StreamSinks {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // input snapshot: highest complete version strictly below batchId
-        val versionRe = "^v(\\d+)$".r
-        val listing = Files.list(Paths.get(dest))
-        val prev =
-          try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .flatMap(p => p.getFileName.toString match {
-              case versionRe(k)
-                if k.toLong < batchId &&
-                  Files.exists(p.resolve("_SUCCESS")) => Some(k.toLong)
-              case _ => None
-            }).sorted.lastOption
-          finally listing.close()
-        val existing = prev match {
+        val existing = prevVersion(dest, batchId) match {
           case Some(k) => spark.read.parquet(s"$dest/v$k")
           case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], batch.schema)
         }
-        val next = Paths.get(dest, s"v$batchId")
         Collections.upsertLatest(existing, batch, idCol, versionCol)
-          .write.mode("overwrite").parquet(next.toString)
-        val tmp = Paths.get(dest, "current.tmp")
-        Files.deleteIfExists(tmp)
-        Files.createSymbolicLink(tmp, next.toAbsolutePath)
-        Files.move(tmp, Paths.get(dest, "current"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          .write.mode("overwrite").parquet(s"$dest/v$batchId")
+        publish(dest, batchId)
         ()
       }
       .start()
@@ -97,18 +141,7 @@ object StreamSinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val versionRe = "^v(\\d+)$".r
-        val listing = Files.list(Paths.get(dest))
-        val prev =
-          try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .flatMap(p => p.getFileName.toString match {
-              case versionRe(k)
-                if k.toLong < batchId &&
-                  Files.exists(p.resolve("_SUCCESS")) => Some(k.toLong)
-              case _ => None
-            }).sorted.lastOption
-          finally listing.close()
-        val store = prev match {
+        val store = prevVersion(dest, batchId) match {
           case Some(k) => spark.read.parquet(s"$dest/v$k")
           case None =>
             import org.apache.spark.sql.types._
@@ -119,14 +152,9 @@ object StreamSinks {
         val survivors = Dedup.simHashIncremental(store, batch, idCol, textCol,
           maxHamming)
         survivors.write.mode("overwrite").parquet(s"$dest/kept_v$batchId")
-        val next = Paths.get(dest, s"v$batchId")
         store.unionByName(spark.read.parquet(s"$dest/kept_v$batchId"))
-          .write.mode("overwrite").parquet(next.toString)
-        val tmp = Paths.get(dest, "current.tmp")
-        Files.deleteIfExists(tmp)
-        Files.createSymbolicLink(tmp, next.toAbsolutePath)
-        Files.move(tmp, Paths.get(dest, "current"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          .write.mode("overwrite").parquet(s"$dest/v$batchId")
+        publish(dest, batchId)
         ()
       }
       .start()

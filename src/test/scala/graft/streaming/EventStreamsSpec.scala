@@ -254,6 +254,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("aggMvSink: streaming MV advance converges to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("aggmv").toString
+    val mem = MemoryStream[(String, Double)]
+    val stream = mem.toDF().toDF("k", "v")
+    val q = StreamSinks.aggMvSink(stream, Seq("k"), "v",
+      s"$dir/mv", s"$dir/ckpt")
+    try {
+      mem.addData(("a", 10.0), ("a", 20.5), ("b", 7.0))
+      q.processAllAvailable()
+      mem.addData(("a", -3.25), ("b", 7.0), ("c", 100.0))
+      q.processAllAvailable()
+      val served = graft.operators.Materialize.serve(
+        spark.read.parquet(s"$dir/mv/current"), Seq("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val expect = graft.operators.Materialize.serve(
+        graft.operators.Materialize.aggState(
+          Seq(("a", 10.0), ("a", 20.5), ("b", 7.0),
+            ("a", -3.25), ("b", 7.0), ("c", 100.0)).toDF("k", "v"),
+          Seq("k"), "v"), Seq("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(served == expect)
+    } finally q.stop()
+  }
+
   test("nearDupFilterSink: stream dedup against the advancing signature store") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardup").toString
