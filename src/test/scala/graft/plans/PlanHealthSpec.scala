@@ -95,6 +95,20 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q_reservoir: per-group cap pre-filtered map-side (WindowGroupLimit)") {
+    val p = plan("q_reservoir")
+    assert(p.contains("WindowGroupLimit"),
+      s"reservoir rank filter lost its map-side partial top-k:\n$p")
+  }
+
+  test("q_audio_energy: zero shuffles — build, decode and framing ride the scan") {
+    val p = plan("q_audio_energy")
+    assert(!p.contains("Exchange"), s"audio pipeline grew a shuffle:\n$p")
+    assert(p.contains("graft_bytes_u8") || p.contains("bytestou8") ||
+      p.toLowerCase.contains("bytestou8"),
+      "PCM decode is not the codegen expression")
+  }
+
   test("q_quality_gopher: zero shuffles — the gate rides the scan") {
     val p = plan("q_quality_gopher")
     assert(!p.contains("Exchange"), s"quality gate grew a shuffle:\n$p")
