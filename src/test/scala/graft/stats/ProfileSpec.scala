@@ -107,5 +107,12 @@ class ProfileSpec extends SparkSpec {
       .collect().head.getLong(1)
     val exactGlobal = df.select($"user").distinct().count()
     assert(math.abs(global - exactGlobal).toDouble / exactGlobal <= 0.05)
+    // the sketch table survives parquet persistence — the serving-store
+    // path: estimates from the round-tripped binary column are identical
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    sketches.write.mode("overwrite").parquet(dir)
+    val persisted = Profile.hllServe(spark.read.parquet(dir), Seq("typ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(persisted == servedTyp)
   }
 }
