@@ -334,6 +334,29 @@ object Dedup {
     bb.join(dup, Seq("doc"), "left_anti")
   }
 
+  /** Cross-source overlap matrix — the "how much of source A is inside
+    * source B" dashboard a mixture designer reads before weighting
+    * sources: for every source pair, the number of DISTINCT word n-gram
+    * shingles they share. Two common-crawl snapshots overlapping 80%
+    * should be mixture-weighted as one source, not two — this is the
+    * number that says so. Plan: distinct (shingle, source) projection
+    * (one combinable groupBy), then a shingle equi-join producing only
+    * cross-source pairs and one counting groupBy — cost is
+    * O(shingles shared), never pairwise in docs. At 100 TB apply the
+    * same `capShingleDf` guard as MinHash against boilerplate shingles.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, n: Int = 3): DataFrame = {
+    val sg = shingles(docs, idCol, textCol, n)
+      .join(docs.select(col(idCol).as("doc"), col(groupCol).as("__g")), "doc")
+      .select(col("shingle"), col("__g")).distinct()
+    sg.select(col("shingle"), col("__g").as("src_a"))
+      .join(sg.select(col("shingle"), col("__g").as("src_b")), "shingle")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** Benchmark decontamination: corpus docs sharing at least one word
     * n-gram with an eval corpus, with the shared-shingle count — the
     * standard pretraining "drop anything overlapping the benchmark" sweep.

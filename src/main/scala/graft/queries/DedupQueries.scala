@@ -137,6 +137,13 @@ object DedupQueries extends QueryPack {
         .select(col("doc")).distinct()
     }),
 
+    // Cross-source shared-shingle matrix: the mixture-design overlap
+    // dashboard (sources that largely duplicate each other should be
+    // weighted as one).
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir), "doc_id", "text",
+        "source")),
+
     // The production banding (r=4: 3 bands of 4 — the corpus-size knob
     // from the round-9 sweep) on the same incremental probe.
     "q_dedup_incr_minhash_r4" -> ((s, dir) => {
@@ -355,6 +362,14 @@ object DedupQueries extends QueryPack {
 
     "q_dedup_incr_minhash_r4" -> (shingleCte + minhashBandsCtes(None, 4) +
       incrMinhashTail),
+
+    "q_source_overlap" -> (shingleCte +
+      """, sg AS (SELECT DISTINCT s.shingle, d.source
+        |  FROM sh s JOIN documents d ON s.doc = d.doc_id)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY a.source, b.source""".stripMargin),
 
     // LSH pairs (the minhash CTEs over the capped input, Jaccard-verified)
     // joined against all-pairs truth on the same slice.

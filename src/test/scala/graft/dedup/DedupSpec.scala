@@ -247,6 +247,29 @@ class DedupSpec extends SparkSpec {
       (2L, 3L, 2L, 4L, 6L)))
   }
 
+  test("sourceOverlap counts distinct shared shingles per source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "s1"),     // shingles: "a b c", "b c d"
+      (2L, "a b c x", "s2"),     // shares "a b c" with s1
+      (3L, "b c d y", "s2"),     // shares "b c d" with s1
+      (4L, "a b c d", "s3"),     // shares both with s1, "a b c"+"b c d" w/ s2
+      (5L, "z z z z", "s3")      // unique
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("s1", "s2") -> 2L,  // "a b c" and "b c d"
+      ("s1", "s3") -> 2L,
+      ("s2", "s3") -> 2L))
+    // duplicate shingles within one source count once (DISTINCT contract)
+    val dup = Seq((1L, "a b c", "s1"), (2L, "a b c", "s1"), (3L, "a b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val once = Dedup.sourceOverlap(dup, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(2)).toList
+    assert(once == List(1L))
+  }
+
   test("minHashIncremental drops band-colliding batch docs, keeps the rest") {
     import spark.implicits._
     val store = Seq(
