@@ -349,11 +349,17 @@ object Dedup {
                     groupCol: String, n: Int = 3): DataFrame = {
     val sg = shingles(docs, idCol, textCol, n)
       .join(docs.select(col(idCol).as("doc"), col(groupCol).as("__g")), "doc")
-      .select(col("shingle"), col("__g")).distinct()
-    sg.select(col("shingle"), col("__g").as("src_a"))
-      .join(sg.select(col("shingle"), col("__g").as("src_b")), "shingle")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
+    // per-shingle source SET (bounded by the source count — a handful),
+    // then the a<b pairs expand from the sorted set as a pure projection:
+    // one exchange instead of the self-join's two-sided shuffle + probe.
+    sg.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("__g"))).as("__gs"))
+      .filter(size(col("__gs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(__gs, (a, i) ->
+          |  transform(slice(__gs, i + 2, size(__gs) - i - 1),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
