@@ -97,7 +97,7 @@ object Relational {
                order: Seq[Column], opCol: String = "op",
                deleteOp: String = "D"): DataFrame = {
     val tagged = snapshot.withColumn(opCol, lit("S"))
-    val merged = tagged.unionByName(changes.select(tagged.columns.map(col): _*))
+    val merged = tagged.unionByName(changes.select(tagged.columns.toSeq.map(col): _*))
     dedupKeepFirst(merged, key.map(col), order)
       .filter(col(opCol) =!= deleteOp)
   }
