@@ -265,4 +265,43 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"nRanges=$nRanges rows=${rows.take(5)}...")
     }
   }
+
+  test("Materialize: any partition of the rows merges to the full-data state") {
+    val partGen = Gen.zip(rowsGen, Gen.listOfN(60, Gen.chooseNum(0, 2)))
+    samples(partGen, 8).foreach { case (rows, cuts) =>
+      val df = rows.toDF("key", "ver", "v")
+      def stateOf(part: Int) = Materialize.aggState(
+        rows.zip(cuts).filter(_._2 == part).map(_._1).toDF("key", "ver", "v"),
+        Seq("key"), "v")
+      val merged = Materialize.serve(
+        Materialize.merge(Materialize.merge(stateOf(0), stateOf(1), Seq("key")),
+          stateOf(2), Seq("key")), Seq("key"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      val direct = Materialize.serve(
+        Materialize.aggState(df, Seq("key"), "v"), Seq("key"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      assert(merged == direct, s"rows=${rows.take(5)}...")
+    }
+  }
+
+  test("reservoirSample: |group| cap, subset of input, deterministic for any k") {
+    val gen = Gen.zip(rowsGen, Gen.chooseNum(1, 8))
+    samples(gen, 8).foreach { case (rows, k) =>
+      val df = rows.toDF("key", "ver", "v").withColumn("id",
+        col("key") * 1000 + col("ver") * 17 + (col("v") * 10).cast("long"))
+      val out = Relational.reservoirSample(df, "id", "key", k)
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      val perGroup = out.groupBy(_._1).view.mapValues(_.length)
+      val inSizes = df.collect().map(r => r.getLong(0)).groupBy(identity)
+        .view.mapValues(_.length)
+      perGroup.foreach { case (g, n) =>
+        assert(n == math.min(k, inSizes(g)), s"group $g: $n vs k=$k")
+      }
+      val again = Relational.reservoirSample(df.repartition(5), "id", "key", k)
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      assert(again.toSet == out.toSet)
+    }
+  }
 }
