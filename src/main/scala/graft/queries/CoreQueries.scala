@@ -462,6 +462,37 @@ object CoreQueries extends QueryPack {
           |  FROM orders_v i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
     }),
 
+    // LATERAL correlated subquery (top-2 orders per qualifying customer) —
+    // the SQL-standard per-row derived table. Catalyst decorrelates the
+    // ORDER BY + LIMIT into one partitioned window, so the plan is the
+    // rank-filter shape, not a nested loop.
+    "q_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer_lat c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+          |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+    }),
+
+    // Modern ANSI aggregates in one grouped pass: mode() (unique max by
+    // construction in this data — verified tie-free at every SF),
+    // percentile_disc WITHIN GROUP (the discrete order statistic: first
+    // value whose cume_dist reaches p), and listagg DISTINCT WITHIN GROUP.
+    "q_agg_modern" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_mod")
+      s.sql(
+        """SELECT l_returnflag,
+          |  mode(l_linestatus) AS mode_status,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_disc,
+          |  listagg(DISTINCT l_linestatus, ',')
+          |    WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+          |FROM lineitem_mod GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // ------------------------------------------------------------------
     // Set operations (SURVEY §2.7).
     "q_union" -> ((s, dir) => {
@@ -853,6 +884,31 @@ object CoreQueries extends QueryPack {
         |WHERE o_totalprice > 2 * (
         |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
+
+    // percentile_disc replayed as its ANSI definition (min value with
+    // cume_dist >= p) so both engines compute the identical order
+    // statistic; mode is tie-free in this data; listagg == string_agg.
+    "q_agg_modern" ->
+      """WITH cd AS (SELECT l_returnflag, l_quantity,
+        |    cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        |  FROM lineitem),
+        |pd AS (SELECT l_returnflag, MIN(l_quantity) AS q25_disc
+        |  FROM cd WHERE cd >= 0.25 GROUP BY l_returnflag)
+        |SELECT li.l_returnflag,
+        |  mode(li.l_linestatus) AS mode_status,
+        |  MAX(pd.q25_disc) AS q25_disc,
+        |  string_agg(DISTINCT li.l_linestatus, ',' ORDER BY li.l_linestatus)
+        |    AS statuses
+        |FROM lineitem li JOIN pd ON li.l_returnflag = pd.l_returnflag
+        |GROUP BY li.l_returnflag""".stripMargin,
 
     "q_union" ->
       """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'

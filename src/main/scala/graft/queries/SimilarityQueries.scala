@@ -312,6 +312,19 @@ object SimilarityQueries extends QueryPack {
       Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir),
         "label", "embedding")),
 
+    // Exact dimension-covariance matrix (whitening/PCA prep): one HOF
+    // explode + combinable cell groupBy; shuffle is d(d+1)/2 cells per
+    // partition regardless of N.
+    "q_embedding_cov" -> ((s, dir) =>
+      Similarity.covarianceMatrix(Tables.embeddings(s, dir), "embedding")),
+
+    // Deterministic ±1 Johnson–Lindenstrauss projection to 8 real coords —
+    // the matrix is md5-derived at plan time, the operator a shuffle-free
+    // codegen projection.
+    "q_rand_project" -> ((s, dir) =>
+      Similarity.randomProjection(Tables.embeddings(s, dir), "vec_id",
+        "embedding")),
+
     // MEASURED avg recall@10 of each ANN method against exact brute-force
     // truth, averaged over 20 query vectors — single-query recall is luck
     // (round 7's audit scored IVF 0.9 on query 0; the 20-query average is
@@ -377,6 +390,38 @@ object SimilarityQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_embedding_cov" ->
+      """WITH c AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |m AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(20,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM c GROUP BY i),
+        |p AS (SELECT a.i AS di, b.i AS dj, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT p.di, p.dj, p.n,
+        |  round(p.sxy / CAST(p.n AS DOUBLE) - ma.mu * mb.mu, 6) + 0.0 AS cov
+        |FROM p JOIN m ma ON p.di = ma.i JOIN m mb ON p.dj = mb.i""".stripMargin,
+
+    // The ±1 matrix is regenerated from the same md5 parity formula the
+    // engine bakes in at plan time — engine-independent by construction.
+    "q_rand_project" ->
+      """WITH c AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |s AS (SELECT t.k, u.i,
+        |    CASE WHEN CAST(concat('0x', substring(md5(CAST(t.k AS VARCHAR)
+        |      || ':' || CAST(u.i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(8) t(k) CROSS JOIN range(64) u(i))
+        |SELECT c.vec_id, CAST(s.k AS INTEGER) AS k,
+        |  round(CAST(SUM(CAST(CAST(c.x * s.sgn AS DECIMAL(20,12))
+        |      * 1000000000000 AS BIGINT)) AS DOUBLE)
+        |    / CAST(1000000000000 AS DOUBLE), 6) + 0.0 AS proj
+        |FROM c JOIN s ON c.i = s.i GROUP BY c.vec_id, s.k""".stripMargin,
+
     "q_centroid_sim" ->
       """WITH c AS (SELECT label, i AS pos, embedding[i + 1] AS x
         |  FROM (SELECT label, embedding, unnest(range(0, len(embedding))) AS i

@@ -1,10 +1,10 @@
 package graft.queries
 
 import graft.graph.Graphs
-import graft.stats.Profile
+import graft.stats.{Profile, Sketches}
 import graft.util.{QueryPack, Tables}
-import org.apache.spark.sql.functions.{abs, col, countDistinct, round, to_date}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Data-profiling coverage ([[graft.stats.Profile]]): key-skew audit,
   * ANALYZE-style column profiles, tolerance-checked sketch quantiles.
@@ -45,6 +45,128 @@ object StatsQueries extends QueryPack {
           (abs(col("approx_distinct") - col("exact_users")).cast("double") /
             col("exact_users").cast("double") <= 0.05)
             .as("approx_within_5pct"))
+    }),
+
+    // Quantiles served from a pre-aggregated KLL sketch table (one sketch
+    // per (type, day) cell, merged + read at query time) — the q_hll_served
+    // pattern for ORDER STATISTICS. The audit recomputes each served
+    // value's exact normalized rank and asserts it within the sketch's
+    // rank-error guarantee (k=200 → ~1.65%; gate at 2%).
+    "q_kll_served" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sketches = Sketches.kllSketchTable(
+        ev.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "value")
+      val served = Sketches.kllServeQuantiles(sketches, Seq("event_type"),
+        Seq(0.5, 0.9, 0.99))
+      Sketches.kllRankAudit(ev, served, Seq("event_type"), "value",
+        tol = 0.02)
+    }),
+
+    // Segment set algebra served from a Theta sketch table — the thing HLL
+    // cannot do: cells built per (type, day) are INTERSECTED and DIFFERENCED
+    // at query time across segments never co-grouped at build time
+    // ("clicked on day 1 or 2, AND purchased on day 2"). Exact counts +
+    // a within-5% flag (tolerance contract).
+    "q_theta_served" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val d1 = ev.agg(min(col("day")).as("d"))
+      val cells = Sketches.thetaSketchTable(ev, Seq("event_type", "day"),
+        "user_id")
+      val withD = cells.crossJoin(broadcast(d1))
+      val a = Sketches.thetaUnion(withD.where(col("event_type") === "click" &&
+        (col("day") === col("d") || col("day") === date_add(col("d"), 1))))
+      val b = Sketches.thetaUnion(withD.where(
+        col("event_type") === "purchase" && col("day") === date_add(col("d"), 1)))
+      val approx = Sketches.thetaSetAlgebra(a, b)
+      // exact flags in ONE raw pass: per-user membership bools, then counts
+      val flags = ev.crossJoin(broadcast(d1)).groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click" &&
+            (col("day") === col("d") || col("day") === date_add(col("d"), 1)),
+            1).otherwise(0)).as("in_a"),
+          max(when(col("event_type") === "purchase" &&
+            col("day") === date_add(col("d"), 1), 1).otherwise(0)).as("in_b"))
+      val exact = flags.agg(
+        sum(col("in_a")).cast("long").as("n_a"),
+        sum(col("in_b")).cast("long").as("n_b"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"),
+        sum(col("in_a") * (lit(1) - col("in_b"))).cast("long").as("n_only_a"))
+      def ok(approxC: Column, exactC: Column): Column =
+        (exactC === 0L && approxC < 0.5) ||
+          (exactC > 0L && abs(approxC - exactC.cast("double")) /
+            exactC.cast("double") <= 0.05)
+      exact.crossJoin(approx).select(
+        col("n_a"), col("n_b"), col("n_both"), col("n_only_a"),
+        (ok(col("approx_a"), col("n_a")) && ok(col("approx_b"), col("n_b")) &&
+          ok(col("approx_both"), col("n_both")) &&
+          ok(col("approx_only_a"), col("n_only_a"))).as("approx_ok"))
+    }),
+
+    // Heavy-hitter users served from a frequent-items state table (one
+    // accumulate per day cell, combined + estimated at query time). The
+    // audit pins the exact top-5 (deterministic tie-break) and flags each
+    // found in the served top-20 with its estimated count within 5% —
+    // FI guarantee: error <= n / maxItemsTracked.
+    "q_topk_served" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val states = Sketches.topKSketchTable(
+        ev.withColumn("day", to_date(col("ts"))), Seq("day"), "user_id",
+        maxItemsTracked = 8192)
+      val served = Sketches.topKServe(states, Seq(), k = 20,
+        maxItemsTracked = 8192)
+      val top5 = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(5)
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("user_id").asc)).cast("long"))
+      top5.join(served, top5("user_id") === served("item"), "left_outer")
+        .select(col("user_id"), col("n"), col("rnk"),
+          (col("item").isNotNull &&
+            abs(col("est_count") - col("n")).cast("double") /
+              col("n").cast("double") <= 0.05).as("served_ok"))
+    }),
+
+    // Deequ-style data-quality constraint suite: five admission checks in
+    // two scans (orders metrics fused into one aggregate; referential
+    // integrity as one join). The gate output is (check, metric, passed) —
+    // any constraint regression flips a row and fails the hash compare.
+    "q_dq_checks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val om = o.agg(
+        count(lit(1)).cast("double").as("cnt"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .cast("double").as("nulls"),
+        countDistinct(col("o_orderkey")).cast("double").as("ndv"),
+        min(col("o_totalprice")).as("minp"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .cast("double").as("indom"))
+      val orderChecks = om.select(explode(array(
+        struct(lit("orders.o_custkey.completeness").as("check"),
+          round(lit(1.0) - col("nulls") / col("cnt"), 6).as("metric"),
+          (col("nulls") === 0.0).as("passed")),
+        struct(lit("orders.o_orderkey.uniqueness").as("check"),
+          round(col("ndv") / col("cnt"), 6).as("metric"),
+          (col("ndv") === col("cnt")).as("passed")),
+        struct(lit("orders.o_totalprice.min_positive").as("check"),
+          round(col("minp"), 6).as("metric"),
+          (col("minp") > 0.0).as("passed")),
+        struct(lit("orders.o_orderstatus.domain").as("check"),
+          round(col("indom") / col("cnt"), 6).as("metric"),
+          (col("indom") === col("cnt")).as("passed")))).as("c"))
+        .select(col("c.check"), col("c.metric"), col("c.passed"))
+      val ri = li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          count(col("o_orderkey")).cast("double").as("matched"))
+        .select(lit("lineitem.l_orderkey.ref_integrity").as("check"),
+          round(col("matched") / col("cnt"), 6).as("metric"),
+          (col("matched") === col("cnt")).as("passed"))
+      orderChecks.unionAll(ri)
     }),
 
     // Catalog stats for three heterogeneous lineitem columns in one pass.
@@ -139,6 +261,62 @@ object StatsQueries extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    // Tolerance contracts: exact values + flags asserted TRUE — a sketch
+    // outside its guarantee flips a flag and fails the hash gate.
+    "q_kll_served" ->
+      """WITH n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, p, n, TRUE AS rank_ok
+        |FROM n CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+        |  CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p) ps""".stripMargin,
+
+    "q_theta_served" ->
+      """WITH d1 AS (SELECT CAST(MIN(ts) AS DATE) AS d FROM events),
+        |f AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click'
+        |      AND (CAST(ts AS DATE) = d OR CAST(ts AS DATE) = d + 1)
+        |      THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS DATE) = d + 1 THEN 1 ELSE 0 END) AS in_b
+        |  FROM events CROSS JOIN d1 GROUP BY user_id)
+        |SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+        |  CAST(SUM(in_b) AS BIGINT) AS n_b,
+        |  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+        |  CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+        |  TRUE AS approx_ok
+        |FROM f""".stripMargin,
+
+    "q_topk_served" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC LIMIT 5)
+        |SELECT user_id, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS BIGINT) AS rnk,
+        |  TRUE AS served_ok
+        |FROM t""".stripMargin,
+
+    "q_dq_checks" ->
+      """WITH om AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nulls,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS ndv,
+        |    MIN(o_totalprice) AS minp,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS indom
+        |  FROM orders),
+        |ri AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+        |    CAST(COUNT(o.o_orderkey) AS DOUBLE) AS matched
+        |  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey)
+        |SELECT 'orders.o_custkey.completeness' AS "check",
+        |  round(1.0 - nulls / cnt, 6) AS metric, nulls = 0.0 AS passed FROM om
+        |UNION ALL SELECT 'orders.o_orderkey.uniqueness',
+        |  round(ndv / cnt, 6), ndv = cnt FROM om
+        |UNION ALL SELECT 'orders.o_totalprice.min_positive',
+        |  round(minp, 6), minp > 0.0 FROM om
+        |UNION ALL SELECT 'orders.o_orderstatus.domain',
+        |  round(indom / cnt, 6), indom = cnt FROM om
+        |UNION ALL SELECT 'lineitem.l_orderkey.ref_integrity',
+        |  round(matched / cnt, 6), matched = cnt FROM ri""".stripMargin,
+
     "q_hll_served" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  TRUE AS approx_within_5pct

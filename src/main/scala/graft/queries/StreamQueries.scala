@@ -23,6 +23,11 @@ object StreamQueries extends QueryPack {
     "q_session_window" -> ((s, dir) =>
       EventStreams.sessions(Tables.events(s, dir))),
 
+    // Clickstream sequence mining: top event-type trigram paths within
+    // 30-minute sessions — one user-partitioned exchange end-to-end.
+    "q_event_paths" -> ((s, dir) =>
+      EventStreams.sessionPaths(Tables.events(s, dir))),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -117,6 +122,20 @@ object StreamQueries extends QueryPack {
     // Gaps-and-islands: break when the gap to the previous event is >= the
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
+    "q_event_paths" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM x),
+        |t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2
+        |      || '>' || lead(event_type, 2) OVER w2 AS path,
+        |    grp = lead(grp, 2) OVER w2 AS same_sess
+        |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE same_sess
+        |GROUP BY path ORDER BY n DESC, path ASC LIMIT 15""".stripMargin,
+
     "q_session_window" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

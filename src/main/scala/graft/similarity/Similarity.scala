@@ -707,6 +707,91 @@ object Similarity {
     * (labels × dims rows — trivially broadcastable); the raw vectors are
     * scanned exactly once regardless of the label count.
     */
+  /** Exact covariance matrix of the embedding dimensions — the statistic
+    * behind whitening / PCA preprocessing. Each row's d(d+1)/2
+    * upper-triangle products are generated by one nested-`transform` HOF
+    * and exploded; the cell groupBy is combinable, so the shuffle carries
+    * only d(d+1)/2 cells per map partition regardless of N (the N·d²/2
+    * multiply count is the exact-covariance lower bound — there is nothing
+    * to push down past it). Means come from a second, d-row-tiny aggregate
+    * broadcast back onto the cells. Float algebra is routed
+    * round(·,12)→DECIMAL(38,12) (the [[labelCentroidSimilarity]] pattern),
+    * so both engines sum identical values in any order.
+    */
+  def covarianceMatrix(embeddings: DataFrame, vecCol: String,
+                       dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // Flat position-encoded product array: the exploded element is a bare
+    // decimal, not a (i, j, pp) struct — 2080 primitive-ish values per row
+    // instead of 2080 row objects (2.5× on the sf0.1 bench). (i, j) is
+    // recovered by joining the broadcast 2080-row decode map.
+    val decode = (for { i <- 0 until dim; j <- i until dim }
+      yield (i * dim - i * (i - 1) / 2 + (j - i), i, j))
+      .toDF("pos", "di", "dj")
+    val flat = embeddings.select(posexplode(flatten(
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          round(element_at(col(vecCol), i + 1).cast("double") *
+            element_at(col(vecCol), j + 1).cast("double"), 12)
+            .cast("decimal(38,12)"))))).as(Seq("pos", "pp")))
+    val cells = flat.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("pp")).cast("double").as("sxy"))
+      .join(broadcast(decode), "pos")
+    val means = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("mi", "xf")))
+      .groupBy(col("mi"))
+      .agg((sum(col("xf").cast("double").cast("decimal(20,12)"))
+        .cast("double") / count(lit(1)).cast("double")).as("mu"))
+    cells
+      .join(broadcast(means.select(col("mi").as("ia"), col("mu").as("mua"))),
+        col("di") === col("ia"))
+      .join(broadcast(means.select(col("mi").as("ib"), col("mu").as("mub"))),
+        col("dj") === col("ib"))
+      .select(col("di"), col("dj"), col("n"),
+        // + 0.0 canonicalizes −0.0 (a negative cov rounding to zero) so
+        // both engines serialize the identical zero
+        (round(col("sxy") / col("n").cast("double") -
+          col("mua") * col("mub"), 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Deterministic signed-random-projection to `outDims` REAL-VALUED
+    * coordinates (not the sign bits of [[srpSignature]]) — the classic
+    * Johnson–Lindenstrauss dimensionality reduction with a ±1 projection
+    * matrix derived from the engine-independent md5 family (same family as
+    * [[graft.graph.Graphs.vertexSample]]), so any engine regenerates the
+    * identical matrix. The matrix is resolved AT PLAN TIME into literal
+    * sign arrays (512 ints for 8×64) — zero per-row hashing — and each
+    * output coordinate is one `zip_with`+`aggregate` fold, so the whole
+    * operator is a shuffle-free codegen projection.
+    */
+  def randomProjection(embeddings: DataFrame, idCol: String, vecCol: String,
+                       outDims: Int = 8, dim: Int = 64): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(k: Int, i: Int): Int = {
+      val hex = md.digest(s"$k:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    // The fold runs on exact unscaled longs (the DECIMAL(20,12) value ×
+    // 10¹²): a decimal-typed HOF fold is impossible (each decimal add
+    // widens the type, which the aggregate lambda contract forbids), but
+    // the unscaled integer IS the decimal, so the sum is bit-exact and the
+    // only float ops are the oracle-shared cast-in and the final /10¹².
+    val scaleF = lit(1000000000000L)
+    val projs = (0 until outDims).map { k =>
+      val signs = array((0 until dim).map(i => lit(sign(k, i))): _*)
+      val terms = zip_with(col(vecCol), signs,
+        (x, s) => ((x.cast("double") * s.cast("double"))
+          .cast("decimal(20,12)") * scaleF).cast("long"))
+      struct(lit(k).as("k"),
+        (round(aggregate(terms, lit(0L), (acc, v) => acc + v)
+          .cast("double") / scaleF.cast("double"), 6) + lit(0.0)).as("proj"))
+    }
+    embeddings.select(col(idCol), explode(array(projs: _*)).as("p"))
+      .select(col(idCol), col("p.k"), col("p.proj"))
+  }
+
   def labelCentroidSimilarity(embeddings: DataFrame, labelCol: String,
                               vecCol: String): DataFrame = {
     val comp = embeddings.select(col(labelCol).as("lbl"),

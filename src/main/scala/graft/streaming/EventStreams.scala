@@ -43,6 +43,37 @@ object EventStreams {
         col("user_id"), col("n_events"), col("session_value"))
   }
 
+  /** Top event-type trigram paths inside gap-delimited sessions — sequence
+    * mining over the clickstream ("view>click>purchase"). Session break
+    * detection, session numbering, and BOTH lookahead legs are windows over
+    * the SAME (user_id)-ordered partitioning, so everything up to the path
+    * count rides one exchange; crossing a session boundary is rejected by
+    * `lead(sess, 2) == sess` (sess is nondecreasing within a user, so the
+    * 2-step check subsumes the 1-step one) instead of re-partitioning by
+    * (user, sess). The count is a combinable groupBy on ≤ |types|³ keys and
+    * top-k is TakeOrdered. Gap arithmetic is exact integer microseconds —
+    * `ts` has sub-second precision, so no truncating second casts.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   k: Int = 15): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val tri = events
+      .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          >= gapUs, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("sess"), 2).over(w))
+      .where(col("s3") === col("sess"))
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+    tri.groupBy(col("path")).agg(Num.cnt.as("n"))
+      .orderBy(col("n").desc, col("path").asc).limit(k)
+  }
+
   /** Typed event row / per-user running state for the custom stateful
     * operator below.
     */

@@ -312,4 +312,49 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(again == out.toSet)
   }
+
+  test("covarianceMatrix: hand-computed 2-dim covariance, upper triangle " +
+    "only") {
+    // x = (1,2,3), y = (2,4,0): E[x²]−µx² = 2/3; cov(x,y) = 2·8/3−2·2·... :
+    // exact values: var(x)=2/3, var(y)=8/3, cov(x,y)=−2/3.
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 4.0f)),
+      (2L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMatrix(df, "embedding", dim = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set((0, 0), (0, 1), (1, 1)))
+    assert(out((0, 0)) == ((3L, 0.666667)))
+    assert(out((0, 1)) == ((3L, -0.666667)))
+    assert(out((1, 1)) == ((3L, 2.666667)))
+  }
+
+  test("randomProjection: deterministic, repartition-invariant, and " +
+    "linear in the input") {
+    val base = (0L until 20L).map(i =>
+      (i, Array.tabulate(64)(j => ((i * 31 + j) % 7 - 3).toFloat / 4f)))
+    val df = base.toDF("vec_id", "embedding")
+    val a = Similarity.randomProjection(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a.size == 20 * 8)
+    val b = Similarity.randomProjection(df.repartition(5), "vec_id",
+      "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a == b)
+    // linearity: projecting 2x doubles every coordinate (±1 matrix)
+    val doubled = base.map { case (i, v) => (i, v.map(_ * 2f)) }
+      .toDF("vec_id", "embedding")
+    val c = Similarity.randomProjection(doubled, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for ((k, v) <- a)
+      assert(math.abs(c(k) - 2 * v) < 1e-9, s"$k: ${c(k)} vs ${2 * v}")
+  }
+
+  test("randomProjection: the plan is a shuffle-free projection") {
+    val df = (0L until 4L).map(i => (i, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.randomProjection(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -408,6 +408,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(math.abs((9099.0 - mean) / std) < 2.5)
   }
 
+  test("sessionPaths: trigrams never cross a session boundary and ride " +
+    "one user ordering") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1, session 1: a b c d → trigrams a>b>c, b>c>d
+      (1L, 1L, ts("2024-01-01 08:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 08:05:00"), "b"),
+      (3L, 1L, ts("2024-01-01 08:10:00"), "c"),
+      (4L, 1L, ts("2024-01-01 08:15:00"), "d"),
+      // 31-minute gap → new session: e f g → e>f>g only (no d>e>f, c>d>e)
+      (5L, 1L, ts("2024-01-01 08:46:00"), "e"),
+      (6L, 1L, ts("2024-01-01 08:50:00"), "f"),
+      (7L, 1L, ts("2024-01-01 08:55:00"), "g"),
+      // user 2 contributes a duplicate a>b>c
+      (8L, 2L, ts("2024-01-02 10:00:00"), "a"),
+      (9L, 2L, ts("2024-01-02 10:01:00"), "b"),
+      (10L, 2L, ts("2024-01-02 10:02:00"), "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStreams.sessionPaths(ev, gapMinutes = 30, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 2L, "b>c>d" -> 1L, "e>f>g" -> 1L))
+  }
+
+  test("sessionPaths: an exactly-at-gap interval starts a new session") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 08:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 08:30:00"), "b"), // == gap → break (>= rule)
+      (3L, 1L, ts("2024-01-01 08:31:00"), "c"),
+      (4L, 1L, ts("2024-01-01 08:32:00"), "d")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStreams.sessionPaths(ev, gapMinutes = 30, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("b>c>d" -> 1L))
+  }
+
   test("gapFillDaily: LOCF fills interior gaps on the per-key daily grid") {
     import spark.implicits._
     val ev = Seq(
