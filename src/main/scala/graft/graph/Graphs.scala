@@ -123,4 +123,40 @@ object Graphs {
     }
     ranks
   }
+
+  /** Adamic–Adar link prediction over an undirected graph given as a
+    * BOTH-DIRECTIONS edge list: for each non-adjacent pair (u < v),
+    * aa = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg w) — the classic
+    * common-neighbor score that discounts hub neighbors.
+    *
+    * Shape: one degree groupBy, one wedge self-join on the shared
+    * neighbor (the same equi-join [[triangles]] uses — cost ∝ Σ deg(w)²,
+    * bounded by the degree cap of the sampled subgraph), one combinable
+    * pair groupBy, and a broadcast-able anti-join to drop already-linked
+    * pairs. Per-w weights route through round12 decimals so the pair sum
+    * is partition-order-independent ([[graft.similarity.Similarity
+    * .covarianceMatrix]] convention). deg(w) ≥ 2 for any common
+    * neighbor, so ln never hits zero.
+    */
+  def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct()
+    val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+    val ew = e.join(deg, e("u") === deg("w"))
+      .select(col("v").as("n"), col("w"),
+        round(lit(1.0) / log(col("deg").cast("double")), 12)
+          .cast("decimal(38,12)").as("aw"))
+    val pairs = ew.as("a")
+      .join(ew.as("b"), col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"), col("a.aw"))
+    pairs
+      .join(e.select(col("u"), col("v")),
+        Seq("u", "v"), "left_anti") // predict NEW links only
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("aw")).cast("double").as("aa_raw"))
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("aa_raw"), 6).as("aa"))
+      .orderBy(col("aa").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
 }

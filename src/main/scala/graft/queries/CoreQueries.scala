@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.layout.ZOrder
+import graft.layout.{BucketStore, ZOrder}
 import graft.operators.Relational
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
@@ -618,6 +618,48 @@ object CoreQueries extends QueryPack {
           .cast("long").as("dy"))
       ZOrder.skippingAudit(o, "ck", "dy", nFiles = 64,
         xLo = 100, xHi = 300, yLo = 1461, yHi = 1825)
+    }),
+
+    // Bucketed co-located join: orders and lineitem pre-bucketed on the
+    // join key ([[graft.layout.BucketStore]]) — the orderkey join AND the
+    // orderkey aggregation both run with ZERO pre-join/pre-agg exchanges
+    // (bucketing proves the partitioning; PlanHealthSpec asserts no
+    // Exchange below the SortMergeJoin). The layout shuffle is paid once
+    // and amortized over every orderkey query in the workload — the
+    // 100 TB fact-table shape. Merge hint pins SMJ so the co-location
+    // (not a broadcast) is what's exercised.
+    "q_bucketed_join" -> ((s, dir) => {
+      val (oTbl, lTbl) = BucketStore.ensureBuilt(s, dir)
+      val o = s.table(oTbl)
+      val l = s.table(lTbl)
+      l.hint("merge")
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(
+          sum(Num.dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - Num.dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          Num.cnt.as("n_lines"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // Bucket pruning: a point predicate on the bucket key reads 1-of-8
+    // bucket FILES (SelectedBucketsCount in the scan — asserted in
+    // PlanHealthSpec), the bucketed analogue of partition pruning. The
+    // probe key is resolved driver-side to a literal (the serving-boundary
+    // pattern of IvfStore) because static pruning needs a literal.
+    "q_bucket_pruning" -> ((s, dir) => {
+      val (oTbl, _) = BucketStore.ensureBuilt(s, dir)
+      val minKey = Tables.orders(s, dir)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      // the agg ON the bucket key keeps the scan bucketed (Spark's
+      // DisableUnnecessaryBucketedScan would otherwise drop the layout
+      // for a bare filter) — pruning + exchange-free agg together
+      s.table(oTbl)
+        .filter(col("o_orderkey") === lit(minKey))
+        .groupBy(col("o_orderkey"))
+        .agg(Num.cnt.as("n"), Num.sumd(col("o_totalprice")).as("total"))
     })
   )
 
@@ -1022,6 +1064,23 @@ object CoreQueries extends QueryPack {
          |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
          |  CAST(sum(n_match) AS BIGINT) AS rows_matching
          |FROM files GROUP BY layout""".stripMargin
-    }
+    },
+
+    // Layout is invisible to semantics: the oracle is the plain join.
+    "q_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_bucket_pruning" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |GROUP BY o_orderkey""".stripMargin
   )
 }

@@ -223,6 +223,24 @@ object StatsQueries extends QueryPack {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
+    }),
+
+    // Adamic–Adar link prediction over the same sampled co-purchase
+    // graph: top-20 NOT-yet-linked part pairs by common-neighbor score
+    // (hub neighbors discounted 1/ln deg). One wedge join + anti-join;
+    // decimal-routed weights make the pair sum order-independent.
+    "q_adamic_adar" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(Graphs.vertexSample(col("l_partkey"), 30))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val ce = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+      Graphs.adamicAdar(edges, k = 20)
     })
   )
 
@@ -259,6 +277,32 @@ object StatsQueries extends QueryPack {
       s"\nSELECT node, round(rank, 6) AS rank FROM r$iters" +
       "\nORDER BY rank DESC, node ASC LIMIT 20"
   }
+
+  /** Same sampled co-purchase subgraph as the PageRank oracle; the AA
+    * weights route through the identical round12-decimal path as the
+    * engine so pair sums are bit-equal.
+    */
+  private val adamicAdarOracleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 100 < 30),
+      |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+      |deg AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+      |ew AS (SELECT e.v AS n, e.u AS w,
+      |    CAST(round(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 12)
+      |      AS DECIMAL(38,12)) AS aw
+      |  FROM e JOIN deg ON e.u = deg.w),
+      |pr AS (SELECT a.n AS u, b.n AS v, a.aw
+      |  FROM ew a JOIN ew b ON a.w = b.w AND a.n < b.n),
+      |np AS (SELECT * FROM pr p
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.u AND e.v = p.v))
+      |SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+      |  round(CAST(SUM(aw) AS DOUBLE), 6) AS aa
+      |FROM np GROUP BY u, v
+      |ORDER BY aa DESC, u ASC, v ASC LIMIT 20""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     // Tolerance contracts: exact values + flags asserted TRUE — a sketch
@@ -416,6 +460,8 @@ object StatsQueries extends QueryPack {
         |FROM (SELECT unnest([u, v, w]) AS node FROM tri)
         |GROUP BY node ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin,
 
-    "q_pagerank" -> pagerankOracleSql(5)
+    "q_pagerank" -> pagerankOracleSql(5),
+
+    "q_adamic_adar" -> adamicAdarOracleSql
   )
 }

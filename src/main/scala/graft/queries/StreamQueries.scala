@@ -28,6 +28,22 @@ object StreamQueries extends QueryPack {
     "q_event_paths" -> ((s, dir) =>
       EventStreams.sessionPaths(Tables.events(s, dir))),
 
+    // First-order Markov transition matrix P(dst | src) over consecutive
+    // same-user events — one user-partitioned exchange, then |types|²-row
+    // normalization.
+    "q_markov" -> ((s, dir) =>
+      EventStreams.markovTransitions(Tables.events(s, dir))),
+
+    // Day-of-week multiplicative seasonal index per event type; exact
+    // decimal sums, engine-neutral arithmetic dow.
+    "q_seasonality" -> ((s, dir) =>
+      EventStreams.dowSeasonality(Tables.events(s, dir))),
+
+    // Autocorrelation (lags 1–3) of the daily mean-value series per event
+    // type — sequential-fold order contract like q_ewma.
+    "q_acf" -> ((s, dir) =>
+      EventStreams.acf(Tables.events(s, dir), maxLag = 3)),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -122,6 +138,49 @@ object StreamQueries extends QueryPack {
     // Gaps-and-islands: break when the gap to the previous event is >= the
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
+    "q_markov" ->
+      """WITH p AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH cell AS (SELECT event_type,
+        |    CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS BIGINT) AS dow,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, n,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dow_mean,
+        |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(SUM(s) OVER (PARTITION BY event_type) AS DOUBLE) /
+        |     CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)), 6) AS seasonal_index
+        |FROM cell""".stripMargin,
+
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(x ORDER BY day) AS xs FROM daily GROUP BY event_type),
+        |m AS (SELECT event_type, xs, len(xs) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), xs), (a, v) -> a + v)
+        |      / CAST(len(xs) AS DOUBLE) AS mu
+        |  FROM s),
+        |d AS (SELECT *, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(xs, v -> (v - mu) * (v - mu))), (a, v) -> a + v) AS den
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS lag,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(xs[k+1:n], xs[1:n-k]),
+        |      z -> (z[1] - mu) * (z[2] - mu))), (a, v) -> a + v) / den, 6)
+        |    + CAST(0 AS DOUBLE) AS acf
+        |FROM d, (SELECT unnest([1, 2, 3]) AS k) ks""".stripMargin,
+
     "q_event_paths" ->
       """WITH x AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -47,6 +47,11 @@ object TextQueries extends QueryPack {
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text",
         Lexicons.enStop)),
 
+    // Flesch reading-ease per document — three codegen regex counts,
+    // zero shuffles; the readability band curation gate.
+    "q_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")),
+
     // Map-typed column functions: per-doc term-frequency map assembled with
     // map_from_entries, probed with map_filter/map_values/aggregate, and
     // serialized sorted-by-key for engine-independent comparison.
@@ -576,6 +581,19 @@ object TextQueries extends QueryPack {
         |  round(1.0 / (1.0 + exp(-logit)), 6) AS score,
         |  round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
         |FROM z""".stripMargin,
+
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)),
+        |    6) AS fre
+        |FROM c""".stripMargin,
 
     "q_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)

@@ -532,4 +532,89 @@ object EventStreams {
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("__med"), 6).as("med"), round(col("__mad"), 6).as("mad"))
   }
+
+  /** First-order Markov transition matrix of event types: P(dst | src)
+    * over consecutive same-user events. One user-partitioned exchange
+    * carries the lead(); the (src, dst) count and the per-src
+    * normalization both run over the type-pair result (|types|² rows —
+    * driver-table-sized however big the corpus is, so the second window
+    * is free). Probability is one long/long IEEE division, engine-exact.
+    *
+    * The recommender / next-event-prediction baseline and the
+    * click-model input; [[sessionPaths]] is the order-3 sparse variant.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+    pairs.groupBy(col("src"), col("dst")).agg(Num.cnt.as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("src")).cast("double"), 6))
+  }
+
+  /** Day-of-week seasonal index per event type: mean(value | dow) /
+    * mean(value) — the multiplicative seasonality profile a gap-fill or
+    * anomaly gate normalizes by. Exact decimal sums (order-independent),
+    * one combinable groupBy over (type, dow); the per-type totals are
+    * rebuilt by summing the 7 dow cells (|types|×7 rows — a free window),
+    * so every mean is derived from the SAME exact sums on both engines.
+    * dow is computed arithmetically (epoch days + 3 mod 7, 0 = Monday) —
+    * engine-neutral, unlike dayofweek() whose origin differs per engine.
+    */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val dow = expr(
+      "(datediff(to_date(ts), to_date('1970-01-01')) + 3) % 7").cast("long")
+    val cell = events
+      .groupBy(col("event_type"), dow.as("dow"))
+      .agg(sum(Num.dec2(col("value"))).as("__s"), Num.cnt.as("n"))
+    val wt = Window.partitionBy("event_type")
+    cell.select(col("event_type"), col("dow"), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("dow_mean"),
+        round((col("__s").cast("double") / col("n").cast("double")) /
+          (sum(col("__s")).over(wt).cast("double") /
+            sum(col("n")).over(wt).cast("double")), 6).as("seasonal_index"))
+  }
+
+  /** Autocorrelation function of the daily mean-value series per event
+    * type, lags 1..maxLag — the seasonality/trend detector run before
+    * choosing a forecasting model. The daily means come from exact
+    * decimal sums; the ACF itself is a sequential fold over the
+    * day-ordered series array (the [[ewma]] order contract: both engines
+    * run the identical left-to-right IEEE ops), so the result is
+    * engine-exact to round6. Per-type state is the day-indexed series
+    * (~corpus days — bounded), not the raw events.
+    *
+    * acf(k) = Σ_{t>k} (x_t−μ)(x_{t−k}−μ) / Σ_t (x_t−μ)², μ = series mean.
+    */
+  def acf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(Num.dec2(col("value"))).cast("double") /
+        count(lit(1)).cast("double")).as("x"))
+    val series = daily
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, x))), e -> e.x)")
+        .as("__xs"))
+      .withColumn("__n", size(col("__xs")))
+      .withColumn("__mu", expr(
+        "aggregate(__xs, 0D, (a, v) -> a + v) / CAST(__n AS DOUBLE)"))
+      .withColumn("__den", expr(
+        "aggregate(__xs, 0D, (a, v) -> a + (v - __mu) * (v - __mu))"))
+    series
+      .select(col("event_type"), col("__n").cast("long").as("n_days"),
+        posexplode(expr(
+          s"""transform(sequence(1, $maxLag), k ->
+             |  aggregate(zip_with(slice(__xs, k + 1, __n - k),
+             |      slice(__xs, 1, __n - k),
+             |      (a, b) -> (a - __mu) * (b - __mu)),
+             |    0D, (acc, v) -> acc + v) / __den)""".stripMargin))
+          .as(Seq("__p", "__a")))
+      .select(col("event_type"), col("n_days"),
+        (col("__p") + 1).cast("long").as("lag"),
+        // + 0.0 canonicalizes −0.0 (a zero-sum lag) — covariance convention
+        (round(col("__a"), 6) + lit(0.0)).as("acf"))
+  }
 }

@@ -29,6 +29,36 @@ object TextAnalysis {
   def regexTokenCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
 
+  /** Flesch reading-ease per document from three regex counts — words
+    * ([a-z]+ runs of the lowercased text), sentences ([.!?]+ runs) and
+    * syllables (vowel-group [aeiouy]+ runs, the standard heuristic):
+    *
+    *   fre = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * The readability band is a routine curation gate next to
+    * [[quality]]/[[gopherQuality]] (too-low often means boilerplate or
+    * OCR noise, too-high means listings). Pure projection — three
+    * codegen regex scans, zero shuffles; all ratios are integer/integer
+    * IEEE divisions so the score is engine-exact. Zero-count docs are
+    * floored (denominators ≥ 1) rather than dropped, keeping the gate
+    * total.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        expr(s"CAST(size(regexp_extract_all(lower($textCol), '[a-z]+', 0)) AS BIGINT)")
+          .as("n_words"),
+        expr(s"CAST(size(regexp_extract_all($textCol, '[.!?]+', 0)) AS BIGINT)")
+          .as("n_sentences"),
+        expr(s"CAST(size(regexp_extract_all(lower($textCol), '[aeiouy]+', 0)) AS BIGINT)")
+          .as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            greatest(col("n_sentences"), lit(1L)).cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double")), 6).as("fre"))
+
   /** Per-document quality metrics: token counts, type-token ratio, mean
     * token length, stopword ratio. One explode + one groupBy(doc) — a
     * map-side-combinable aggregation.

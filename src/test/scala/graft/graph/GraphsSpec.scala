@@ -67,4 +67,24 @@ class GraphsSpec extends SparkSpec {
     nodes.foreach(n => assert(math.abs(got(n) - ref(n)) < 1e-12, s"node $n"))
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass must be conserved")
   }
+
+  test("adamicAdar: hand-computed scores, linked pairs excluded, hubs discounted") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus hub 5 connected to 1 and 3.
+    // Non-adjacent pairs: (1,3) via {2, 4, 5}; (2,4) via {1, 3}; (2,5)
+    // via {1, 3}; (4,5) via {1, 3}.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L), (3L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val out = Graphs.adamicAdar(edges, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val w2 = 1.0 / math.log(2.0) // deg(2) = deg(4) = deg(5) = 2
+    val w3 = 1.0 / math.log(3.0) // deg(1) = deg(3) = 3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.keySet == Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)))
+    assert(out((1L, 3L)) == ((3L, r6(3 * w2)))) // three degree-2 bridges
+    assert(out((2L, 4L)) == ((2L, r6(2 * w3)))) // two degree-3 hubs, discounted
+    assert(out((2L, 5L)) == ((2L, r6(2 * w3))))
+    assert(out((4L, 5L)) == ((2L, r6(2 * w3))))
+  }
 }

@@ -109,6 +109,23 @@ class PlanHealthSpec extends SparkSpec {
       "PCM decode is not the codegen expression")
   }
 
+  test("q_bucketed_join: co-located SMJ + bucket-key agg — ZERO exchanges") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected the pinned SMJ:\n$p")
+    // bucketing proves the partitioning on BOTH the join and the
+    // orderkey groupBy; the top-k is TakeOrdered — so the whole plan
+    // must carry no shuffle at all
+    assert(!p.contains("Exchange"),
+      s"bucketed join/agg grew a shuffle — layout metadata lost:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed:\n$p")
+  }
+
+  test("q_bucket_pruning: point filter reads 1-of-8 bucket files") {
+    val p = plan("q_bucket_pruning")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning did not engage:\n$p")
+  }
+
   test("q_quality_gopher: zero shuffles — the gate rides the scan") {
     val p = plan("q_quality_gopher")
     assert(!p.contains("Exchange"), s"quality gate grew a shuffle:\n$p")
@@ -245,7 +262,9 @@ class PlanHealthSpec extends SparkSpec {
     //    (TakeOrdered LIMIT upstream, TextAnalysis.vocabStats:186)
     //  - q_skew_audit: rank over the k-row post-limit heavy-hitter set
     //    (Profile.skewAudit:28 — topk = counts.limit(k) feeds the window)
-    val allow = Set("q_vocab_zipf", "q_skew_audit")
+    //  - q_topk_served: rank over the 5-row post-limit exact-top set the
+    //    sketch audit compares against (StatsQueries q_topk_served)
+    val allow = Set("q_vocab_zipf", "q_skew_audit", "q_topk_served")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap { q =>
       val hits = unpartitionedWindows(
         SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)

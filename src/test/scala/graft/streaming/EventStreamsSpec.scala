@@ -463,4 +463,62 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "2024-01-04", 4.0, false),
       (2L, "2024-02-10", 7.0, false)))
   }
+
+  test("markovTransitions: per-user consecutive pairs, rows normalized") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a>b>a>c ; user 2: b>a — transitions: a→b, b→a(×2), a→c
+      (1L, 1L, ts("2024-01-01 08:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 08:01:00"), "b"),
+      (3L, 1L, ts("2024-01-01 08:02:00"), "a"),
+      (4L, 1L, ts("2024-01-01 08:03:00"), "c"),
+      (5L, 2L, ts("2024-01-01 09:00:00"), "b"),
+      (6L, 2L, ts("2024-01-01 09:05:00"), "a")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStreams.markovTransitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      ("a", "b") -> (1L, 0.5), ("a", "c") -> (1L, 0.5),
+      ("b", "a") -> (2L, 1.0)))
+  }
+
+  test("markovTransitions: no cross-user transition leaks") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 08:00:00"), "a"),
+      (2L, 2L, ts("2024-01-01 08:01:00"), "b") // later but other user
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    assert(EventStreams.markovTransitions(ev).count() == 0)
+  }
+
+  test("dowSeasonality: index is dow-mean over overall mean, arithmetic dow") {
+    import spark.implicits._
+    val ev = Seq(
+      // 2024-01-01 is a Monday (dow 0), 2024-01-02 Tuesday (dow 1)
+      (1L, ts("2024-01-01 08:00:00"), "a", 1.0),
+      (2L, ts("2024-01-01 09:00:00"), "a", 3.0), // Monday mean 2.0
+      (3L, ts("2024-01-02 08:00:00"), "a", 6.0)  // Tuesday mean 6.0
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = EventStreams.dowSeasonality(ev).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // overall mean 10/3; index_mon = 2/(10/3) = 0.6, index_tue = 6/(10/3) = 1.8
+    assert(out(0L) == ((2L, 2.0, 0.6)))
+    assert(out(1L) == ((1L, 6.0, 1.8)))
+  }
+
+  test("acf: constant-lag sine-like series gives the hand-computed values") {
+    import spark.implicits._
+    // series by day: 1, 2, 3 → μ=2, den=2; lag1: (2-2)(1-2)+(3-2)(2-2)=0
+    // lag2: (3-2)(1-2) = -1 → acf2 = -0.5
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "a", 1.0),
+      (2L, ts("2024-01-02 08:00:00"), "a", 2.0),
+      (3L, ts("2024-01-03 08:00:00"), "a", 3.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = EventStreams.acf(ev, maxLag = 2).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(1L -> 0.0, 2L -> -0.5))
+  }
 }

@@ -256,4 +256,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out8 == Map("hot" -> 40L, "warm" -> 12L))
   }
+
+  test("readability: regex counts and Flesch formula, zero-count floors") {
+    import spark.implicits._
+    val docs = Seq(
+      // "The cat sat. It ran!" → 5 words, 2 sentences,
+      // syllable groups: e|a|a|i|a → 5
+      (1L, "The cat sat. It ran!"),
+      (2L, "12345"), // 0 words, 0 sentences → floored denominators
+      (3L, "beautiful day") // 1 sentence floor; eau|i|u + a = 4 groups...
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def fre(w: Long, s: Long, y: Long): Double = {
+      val v = 206.835 - 1.015 * (w.toDouble / math.max(s, 1).toDouble) -
+        84.6 * (y.toDouble / math.max(w, 1).toDouble)
+      math.rint(v * 1e6) / 1e6
+    }
+    assert(out(1L) == ((5L, 2L, 5L, fre(5, 2, 5))))
+    assert(out(2L) == ((0L, 0L, 0L, fre(0, 0, 0))))
+    // "beautiful day": eau|i|u|ay → 4 vowel groups, 2 words, 0 sentences
+    assert(out(3L) == ((2L, 0L, 4L, fre(2, 0, 4))))
+  }
 }
