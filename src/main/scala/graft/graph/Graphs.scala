@@ -124,6 +124,50 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank: [[pagerank]] with the restart (and dangling
+    * teleport) mass directed UNIFORMLY AT THE SEED SET instead of all
+    * nodes — proximity-to-seeds, the recommendation / related-entity /
+    * local-community primitive (seeds = a user's items, a topic's
+    * documents). Same per-iteration shape as [[pagerank]] (one edge-join
+    * shuffle + one groupBy; static tables checkpointed once); the seed
+    * flag rides the node table so no extra join is paid per round.
+    * `seeds` is a 1-column (`node`) frame.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    val sflag = nodes
+      .join(seeds.select(col("node"), lit(1.0).as("__is")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__is"), lit(0.0)).as("s"))
+      .localCheckpoint(false)
+    val ns = broadcast(sflag.agg(sum(col("s")).as("n_seeds")))
+    val outdeg = e.groupBy(col("u"))
+      .agg(count(lit(1)).cast("double").as("deg")).localCheckpoint(false)
+    val ew = e.join(outdeg, "u")
+      .select(col("u"), col("v"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(false)
+    var ranks = sflag.crossJoin(ns)
+      .select(col("node"), (col("s") / col("n_seeds")).as("rank"))
+    for (_ <- 1 to iters) {
+      val r = ranks.localCheckpoint(false)
+      val contrib = ew.join(r, ew("u") === r("node"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("rank") * col("w")).as("contrib"))
+      val dangling = broadcast(
+        r.join(outdeg, r("node") === outdeg("u"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass")))
+      ranks = sflag.join(contrib, Seq("node"), "left")
+        .crossJoin(dangling).crossJoin(ns)
+        .select(col("node"),
+          (lit(1.0 - damping) * col("s") / col("n_seeds") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("dangling_mass") * col("s") / col("n_seeds"))).as("rank"))
+    }
+    ranks
+  }
+
   /** Adamic–Adar link prediction over an undirected graph given as a
     * BOTH-DIRECTIONS edge list: for each non-adjacent pair (u < v),
     * aa = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg w) — the classic

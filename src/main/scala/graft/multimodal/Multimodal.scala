@@ -204,6 +204,33 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Decoded-pixel view of a PNG binary column: appends (pix BINARY —
+    * the raw grayscale pixel bytes, pix_w, pix_h, pix_ok). The point is
+    * CONTENT-level identity: two blobs whose bytes differ (different
+    * encoder, filter choice, chunk layout) but whose pixels match hash
+    * identically downstream, which file-level md5 cannot see. Same
+    * one-codec-per-partition seam as [[thumbnailPng]]; undecodable blobs
+    * yield (null, -1, -1, false) and never fail the job. Feed `pix` to
+    * `md5()`/`sha2()` — a codegen projection — for image dedup grouping.
+    */
+  def decodePixels(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("pix", BinaryType), StructField("pix_w", LongType),
+      StructField("pix_h", LongType), StructField("pix_ok", BooleanType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out: Seq[Any] = PngCodec.decode(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(img) =>
+            Seq(img.pixels, img.width.toLong, img.height.toLong, true)
+          case None => Seq(null, -1L, -1L, false)
+        }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(encoder)
+  }
+
   /** REAL (not stubbed) PNG header metadata, as pure codegen'd column
     * arithmetic — no codec, no mapPartitions, no UDF: the PNG wire format
     * is public byte offsets (8-byte signature `89 50 4E 47 0D 0A 1A 0A`,

@@ -241,6 +241,30 @@ object StatsQueries extends QueryPack {
         .distinct()
       val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
       Graphs.adamicAdar(edges, k = 20)
+    }),
+
+    // Personalized PageRank from a 5%-hash seed set over the sampled
+    // co-purchase graph — proximity-to-seeds ("related parts"), top-20.
+    // Oracle = the identical unrolled recurrence with seed-directed
+    // restart and dangling teleport.
+    "q_ppr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(Graphs.vertexSample(col("l_partkey"), 30))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val ce = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+      val seeds = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct()
+        .where(Graphs.vertexSample(col("node"), 5))
+      Graphs.personalizedPagerank(edges, seeds, iters = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
     })
   )
 
@@ -272,6 +296,44 @@ object StatsQueries extends QueryPack {
          |r$k AS (SELECT n.node,
          |    (1 - $d) / nn.n + $d * (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + dg.m / nn.n) AS rank
          |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node, dg$k dg, nn)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, round(rank, 6) AS rank FROM r$iters" +
+      "\nORDER BY rank DESC, node ASC LIMIT 20"
+  }
+
+  /** Unrolled personalized-PageRank oracle: [[pagerankOracleSql]] with
+    * the restart and dangling teleport directed at the 5%-hash seed set.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 30),
+        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |sf AS (SELECT node,
+        |    CASE WHEN CAST(concat('0x', substring(md5(CAST(node AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 < 5 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s
+        |  FROM nodes),
+        |ns AS (SELECT CAST(sum(s) AS DOUBLE) AS k FROM sf),
+        |outdeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+        |ew AS (SELECT e.u, e.v, CAST(1 AS DOUBLE) / d.deg AS w
+        |  FROM e JOIN outdeg d ON e.u = d.u),
+        |r0 AS (SELECT node, s / ns.k AS rank FROM sf, ns)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT ew.v AS node, sum(r.rank * ew.w) AS contrib
+         |  FROM ew JOIN r${k - 1} r ON ew.u = r.node GROUP BY ew.v),
+         |dg$k AS (SELECT COALESCE(sum(r.rank), CAST(0 AS DOUBLE)) AS m
+         |  FROM r${k - 1} r LEFT JOIN outdeg d ON r.node = d.u WHERE d.u IS NULL),
+         |r$k AS (SELECT n.node,
+         |    (1 - $d) * n.s / ns.k + $d * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+         |      + dg.m * n.s / ns.k) AS rank
+         |  FROM sf n LEFT JOIN c$k c ON n.node = c.node, dg$k dg, ns)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT node, round(rank, 6) AS rank FROM r$iters" +
@@ -462,6 +524,8 @@ object StatsQueries extends QueryPack {
 
     "q_pagerank" -> pagerankOracleSql(5),
 
-    "q_adamic_adar" -> adamicAdarOracleSql
+    "q_adamic_adar" -> adamicAdarOracleSql,
+
+    "q_ppr" -> pprOracleSql(5)
   )
 }

@@ -28,6 +28,18 @@ object StreamQueries extends QueryPack {
     "q_event_paths" -> ((s, dir) =>
       EventStreams.sessionPaths(Tables.events(s, dir))),
 
+    // Strict-order 3-stage funnel view→click→purchase: per-stage user
+    // counts + conversion vs stage 1; conditional-min chain, no window.
+    "q_funnel3" -> ((s, dir) =>
+      EventStreams.funnelStages(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))),
+
+    // Temporal train/test split leakage audit at the snapshot-diff cut:
+    // user overlap across the split + leaked test-event count.
+    "q_split_leakage" -> ((s, dir) =>
+      EventStreams.splitLeakage(Tables.events(s, dir),
+        lit("2024-01-16").cast("timestamp"))),
+
     // First-order Markov transition matrix P(dst | src) over consecutive
     // same-user events — one user-partitioned exchange, then |types|²-row
     // normalization.
@@ -138,6 +150,39 @@ object StreamQueries extends QueryPack {
     // Gaps-and-islands: break when the gap to the previous event is >= the
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
+    "q_funnel3" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+        |c AS (SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT stage, event_type, n_users,
+        |  round(CAST(n_users AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conv_rate
+        |FROM c""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH f AS (SELECT user_id,
+        |    max(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS in_train,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS in_test,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_test_ev
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+        |  CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+        |  CAST(SUM(in_train * in_test) AS BIGINT) AS n_overlap_users,
+        |  CAST(SUM(CASE WHEN in_train * in_test = 1 THEN n_test_ev ELSE 0 END) AS BIGINT)
+        |    AS n_leaked_test_events,
+        |  round(CAST(SUM(in_train * in_test) AS DOUBLE) /
+        |    CAST(SUM(in_test) AS DOUBLE), 6) AS overlap_pct
+        |FROM f""".stripMargin,
+
     "q_markov" ->
       """WITH p AS (SELECT event_type AS src,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst

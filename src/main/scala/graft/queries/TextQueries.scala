@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.multimodal.Multimodal
 import graft.text.{Bpe, Curation, Dsir, Lexicons, Spell, TextAnalysis}
-import graft.util.{QueryPack, Tables}
+import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -416,6 +416,25 @@ object TextQueries extends QueryPack {
     // resize to fit 32 → re-encode → round-trip self-check. The oracle
     // pins the dims and the fit rule; thumb_ok=TRUE asserts the full
     // codec round trip succeeded in the engine.
+    // Image dedup on DECODED CONTENT: documents referencing a 17-asset
+    // image library (asset = doc_id % 17) get real PNGs; duplicates are
+    // grouped by md5 OF THE DECODED PIXELS (codegen over the decode
+    // seam), which file-byte hashing cannot do once encoders differ.
+    // The oracle replays the asset congruence — a decode or hash drift
+    // splits/merges a group and fails the compare.
+    "q_image_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") % 17).cast("long").as("img_id"))
+        .withColumn("w", (col("img_id") % 64 + 16).cast("long"))
+        .withColumn("h", (col("img_id") % 32 + 9).cast("long"))
+      val png = Multimodal.syntheticPng(base, "img_id", "w", "h")
+      Multimodal.decodePixels(png, "png")
+        .where(col("pix_ok"))
+        .groupBy(md5(col("pix")).as("pixel_md5"), col("pix_w"), col("pix_h"))
+        .agg(Num.cnt.as("n_copies"), min(col("doc_id")).as("rep_doc"))
+        .select(col("pix_w"), col("pix_h"), col("n_copies"), col("rep_doc"))
+    }),
+
     "q_thumbnail" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"),
         (col("doc_id") % 64 + 16).cast("long").as("w"),
@@ -1315,6 +1334,14 @@ object TextQueries extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
         |  CAST(SUM((sv - 128) * (sv - 128)) AS BIGINT) AS energy
         |FROM v GROUP BY doc_id, frame""".stripMargin,
+
+    "q_image_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 17 AS img_id FROM documents)
+        |SELECT CAST(img_id % 64 + 16 AS BIGINT) AS pix_w,
+        |  CAST(img_id % 32 + 9 AS BIGINT) AS pix_h,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id) AS BIGINT) AS rep_doc
+        |FROM d GROUP BY img_id""".stripMargin,
 
     "q_thumbnail" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,

@@ -4,7 +4,7 @@ import graft.util.Num
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 
 /** Structured Streaming jobs over the events stream (SURVEY.md §2.10 — the
   * reference has no true streaming; its 2-hour file replay becomes a file
@@ -531,6 +531,71 @@ object EventStreams {
       .filter(col("__ad") > lit(k) * lit(1.4826) * col("__mad"))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("__med"), 6).as("med"), round(col("__mad"), 6).as("mad"))
+  }
+
+  /** Strict-order multi-stage funnel: how many users have a `stages(0)`
+    * event, then a `stages(1)` event strictly after it, then … — the
+    * earliest-chain formulation (user reaches stage k iff the stages
+    * appear as a time-subsequence; minimizing each step's timestamp is
+    * optimal, so the per-stage conditional-min chain is exact). Each
+    * step is one user-keyed equi-join + combinable min — K−1 key
+    * shuffles total, no window, no per-user event collection.
+    * [[conversionFunnel]] is the 2-stage horizon-bounded variant.
+    *
+    * Returns one row per stage: (stage, event_type, n_users, conv_rate)
+    * with conv_rate relative to stage 1 (1-row broadcast attach).
+    */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val perStage = Seq.newBuilder[DataFrame]
+    var cur = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    perStage += cur
+    stages.tail.foreach { st =>
+      cur = events.filter(col("event_type") === st)
+        .join(cur.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+        .where(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      perStage += cur
+    }
+    val counts = perStage.result().zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(stages(i)).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+    val base = counts.where(col("stage") === 1)
+      .select(col("n_users").as("__n0"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        round(col("n_users").cast("double") / col("__n0").cast("double"), 6)
+          .as("conv_rate"))
+  }
+
+  /** Train/test temporal-split leakage audit: split events at `cut`, then
+    * measure the user overlap between the two sides — the entity-level
+    * leakage a time-based ML split must report before anyone trains on
+    * it (an overlapping user's test events are partially memorizable).
+    * ONE user-keyed aggregation builds per-user membership flags; the
+    * 1-row rollup is map-side combinable. Returns
+    * (n_train_users, n_test_users, n_overlap_users, n_leaked_test_events,
+    * overlap_pct).
+    */
+  def splitLeakage(events: DataFrame, cut: Column): DataFrame = {
+    val flags = events.groupBy(col("user_id"))
+      .agg(
+        max(when(col("ts") < cut, 1).otherwise(0)).as("in_train"),
+        max(when(col("ts") >= cut, 1).otherwise(0)).as("in_test"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_test_ev"))
+    flags.agg(
+        sum(col("in_train")).cast("long").as("n_train_users"),
+        sum(col("in_test")).cast("long").as("n_test_users"),
+        sum(col("in_train") * col("in_test")).cast("long")
+          .as("n_overlap_users"),
+        sum(when(col("in_train") * col("in_test") === 1, col("n_test_ev"))
+          .otherwise(0L)).cast("long").as("n_leaked_test_events"))
+      .select(col("n_train_users"), col("n_test_users"),
+        col("n_overlap_users"), col("n_leaked_test_events"),
+        round(col("n_overlap_users").cast("double") /
+          col("n_test_users").cast("double"), 6).as("overlap_pct"))
   }
 
   /** First-order Markov transition matrix of event types: P(dst | src)

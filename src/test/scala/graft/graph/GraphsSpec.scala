@@ -68,6 +68,35 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass must be conserved")
   }
 
+  test("personalizedPagerank matches a seed-restart local power iteration") {
+    import spark.implicits._
+    // 1→2→3→1 cycle, 4→1 feeder, 5 dangling; seeds = {1, 4}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 5L))
+    val seeds = Seq(1L, 4L)
+    val d = 0.85
+    val iters = 5
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val s = nodes.map(n => n -> (if (seeds.contains(n)) 1.0 else 0.0)).toMap
+    val k = seeds.size.toDouble
+    var ref = nodes.map(n => n -> s(n) / k).toMap
+    for (_ <- 1 to iters) {
+      val contrib = es.groupBy(_._2).view
+        .mapValues(_.map(e => ref(e._1) / outdeg(e._1)).sum).toMap
+      val dangling = nodes.filterNot(outdeg.contains).map(ref).sum
+      ref = nodes.map(n => n -> ((1 - d) * s(n) / k +
+        d * (contrib.getOrElse(n, 0.0) + dangling * s(n) / k))).toMap
+    }
+    val got = Graphs.personalizedPagerank(es.toDF("u", "v"),
+        seeds.toDF("node"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == ref.keySet)
+    nodes.foreach(n => assert(math.abs(got(n) - ref(n)) < 1e-12, s"node $n"))
+    // non-seed-reachable mass decays: dangling node 5 holds less rank
+    // than under uniform restart, and seeds dominate
+    assert(got(1L) > got(5L))
+  }
+
   test("adamicAdar: hand-computed scores, linked pairs excluded, hubs discounted") {
     import spark.implicits._
     // square 1-2-3-4-1 plus hub 5 connected to 1 and 3.

@@ -299,4 +299,31 @@ class MultimodalSpec extends SparkSpec {
       bad.isNullAt(bad.fieldIndex("thumb")) &&
       bad.getLong(bad.fieldIndex("thumb_w")) == -1L)
   }
+
+  test("decodePixels: content identity across ids sharing the generator congruence") {
+    import spark.implicits._
+    // ids 3 and 3+251 produce the SAME pixels at the same dims; id 4 differs
+    val base = Seq((3L, 6L, 4L), (254L, 6L, 4L), (4L, 6L, 4L))
+      .toDF("img_id", "w", "h")
+    val out = Multimodal.decodePixels(
+      Multimodal.syntheticPng(base, "img_id", "w", "h"), "png").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      r.getAs[Array[Byte]](r.fieldIndex("pix"))).toMap
+    assert(out.forall(r => r.getBoolean(r.fieldIndex("pix_ok"))))
+    assert(out.forall(r => r.getLong(r.fieldIndex("pix_w")) == 6L &&
+      r.getLong(r.fieldIndex("pix_h")) == 4L))
+    assert(java.util.Arrays.equals(byId(3L), byId(254L)),
+      "ids congruent mod 251 must decode to identical pixels")
+    assert(!java.util.Arrays.equals(byId(3L), byId(4L)))
+    // and the pixels are the raw generator bytes, row-major
+    val expect = Array.tabulate[Byte](24) { i =>
+      ((7L * (i % 6) + 13L * (i / 6) + 3L) % 251).toByte
+    }
+    assert(java.util.Arrays.equals(byId(3L), expect))
+    // corrupt blob → ok=false, null pixels
+    val junk2 = Seq((1L, Array[Byte](9, 9))).toDF("id", "png")
+    val b2 = Multimodal.decodePixels(junk2, "png").collect().head
+    assert(!b2.getBoolean(b2.fieldIndex("pix_ok")) &&
+      b2.isNullAt(b2.fieldIndex("pix")))
+  }
 }

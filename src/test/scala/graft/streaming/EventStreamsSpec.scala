@@ -464,6 +464,55 @@ class EventStreamsSpec extends SparkSpec {
       (2L, "2024-02-10", 7.0, false)))
   }
 
+  test("funnelStages: strict order required, earliest-chain is exact") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes v→c→p in order
+      (1L, 1L, ts("2024-01-01 08:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 08:10:00"), "click"),
+      (3L, 1L, ts("2024-01-01 08:20:00"), "purchase"),
+      // user 2: purchase BEFORE the click → stops at stage 2
+      (4L, 2L, ts("2024-01-01 09:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 09:05:00"), "purchase"),
+      (6L, 2L, ts("2024-01-01 09:10:00"), "click"),
+      // user 3: click only, never viewed → not even stage 1
+      (7L, 3L, ts("2024-01-01 10:00:00"), "click"),
+      // user 4: greedy trap — early click pre-view, later full chain;
+      // earliest-chain must still find view(10:00)<click(10:20)<purchase
+      (8L, 4L, ts("2024-01-01 09:50:00"), "click"),
+      (9L, 4L, ts("2024-01-01 10:00:00"), "view"),
+      (10L, 4L, ts("2024-01-01 10:20:00"), "click"),
+      (11L, 4L, ts("2024-01-01 10:30:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStreams.funnelStages(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // stage 2: users 1, 2 (click 09:10 is after view 09:00) and 4;
+    // stage 3: user 2's purchase predates its click → only 1 and 4
+    assert(out(1L) == (("view", 3L, 1.0)))
+    assert(out(2L) == (("click", 3L, 1.0)))
+    assert(out(3L) == (("purchase", 2L, round6(2.0 / 3.0))))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("splitLeakage: overlap users and leaked test events counted") {
+    import spark.implicits._
+    val cut = ts("2024-01-10 00:00:00")
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-05 00:00:00"), 1.0), // user 1: train only
+      (2L, 2L, ts("2024-01-06 00:00:00"), 1.0), // user 2: both sides
+      (3L, 2L, ts("2024-01-11 00:00:00"), 1.0),
+      (4L, 2L, ts("2024-01-12 00:00:00"), 1.0),
+      (5L, 3L, ts("2024-01-13 00:00:00"), 1.0)  // user 3: test only
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = EventStreams.splitLeakage(ev,
+      org.apache.spark.sql.functions.lit("2024-01-10").cast("timestamp"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((2L, 2L, 1L, 2L, 0.5)))
+  }
+
   test("markovTransitions: per-user consecutive pairs, rows normalized") {
     import spark.implicits._
     val ev = Seq(
