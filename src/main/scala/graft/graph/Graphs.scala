@@ -168,6 +168,32 @@ object Graphs {
     ranks
   }
 
+  /** Bounded-round k-core peeling over a BOTH-DIRECTIONS edge list:
+    * each round drops every node whose degree in the CURRENT induced
+    * subgraph is below `k`, then re-induces the edges — after enough
+    * rounds the survivors are exactly the k-core (the standard
+    * fixpoint; a bounded round count keeps the computation — and its
+    * SQL oracle — finitely unrollable, the [[pagerank]] contract). The
+    * dense-region extractor for graph curation: spam farms and
+    * boilerplate link blocks live in high cores, sparse periphery
+    * peels away. Per round: one degree groupBy + two semi-join
+    * inductions, edges checkpointed (CC/pagerank lineage pattern).
+    * Returns surviving (node, deg) — deg in the final subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("node")).localCheckpoint(false)
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(false)
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Adamic–Adar link prediction over an undirected graph given as a
     * BOTH-DIRECTIONS edge list: for each non-adjacent pair (u < v),
     * aa = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg w) — the classic
@@ -183,7 +209,10 @@ object Graphs {
     * neighbor, so ln never hits zero.
     */
   def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
-    val e = edges.select(col("u"), col("v")).distinct()
+    // the edge list feeds FOUR consumers (degree, both wedge legs, the
+    // anti-join) — checkpoint it once or the caller's edge construction
+    // (often itself a join) re-executes per consumer (pagerank pattern)
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
     val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
     val ew = e.join(deg, e("u") === deg("w"))
       .select(col("v").as("n"), col("w"),

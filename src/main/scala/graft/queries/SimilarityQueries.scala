@@ -330,6 +330,14 @@ object SimilarityQueries extends QueryPack {
     // (round 7's audit scored IVF 0.9 on query 0; the 20-query average is
     // 0.47, while the SRP sketch holds 0.88+). One broadcast of the 20
     // query signatures, one scored scan shared by truth and both radii.
+    // Matryoshka truncation audit: the 16-dim-prefix top-5 vs the full
+    // 64-dim top-5 for query 0 — the agreement measurement behind
+    // serve-short/rerank-full MRL deployments. One scored scan per
+    // ranking, full list joined as a k-row broadcast flag.
+    "q_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaAudit(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryId = 0L, k = 5, prefixDims = 16)),
+
     "q_ann_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Similarity.srpSignature(Tables.embeddings(s, dir), "embedding")
@@ -447,6 +455,20 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, ${cosSql("embedding", "qv")} AS cosine
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_matryoshka" ->
+      s"""WITH q AS (SELECT embedding[1:16] AS qp, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |t AS (SELECT e.vec_id,
+         |    ${cosSql("e.embedding[1:16]", "q.qp")} AS cosine_prefix
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY cosine_prefix DESC, e.vec_id ASC LIMIT 5),
+         |f AS (SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY c DESC, e.vec_id ASC LIMIT 5)
+         |SELECT t.vec_id, t.cosine_prefix,
+         |  t.vec_id IN (SELECT vec_id FROM f) AS in_full_topk
+         |FROM t""".stripMargin,
 
     "q_ann_lsh" -> srpTopKSql(Similarity.SrpRadius, 5),
 

@@ -265,6 +265,23 @@ object StatsQueries extends QueryPack {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
+    }),
+
+    // 4-round 3-core peeling of the sampled co-purchase graph: the
+    // dense-region extractor (sparse periphery peels away round by
+    // round). Oracle = the identical unrolled induction in SQL.
+    "q_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(Graphs.vertexSample(col("l_partkey"), 30))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val ce = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+      Graphs.kCore(edges, k = 3, rounds = 4)
     })
   )
 
@@ -338,6 +355,28 @@ object StatsQueries extends QueryPack {
     (head +: steps).mkString(",\n") +
       s"\nSELECT node, round(rank, 6) AS rank FROM r$iters" +
       "\nORDER BY rank DESC, node ASC LIMIT 20"
+  }
+
+  /** Unrolled k-core peeling oracle: same subgraph head, `rounds`
+    * induction steps of (degree → keep-set → semi-join re-induction).
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 30),
+        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e0 AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT u FROM e${r - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.u JOIN k$r b ON e.v = b.u)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT u AS node, CAST(count(*) AS BIGINT) AS deg" +
+      s"\nFROM e$rounds GROUP BY u"
   }
 
   /** Same sampled co-purchase subgraph as the PageRank oracle; the AA
@@ -526,6 +565,8 @@ object StatsQueries extends QueryPack {
 
     "q_adamic_adar" -> adamicAdarOracleSql,
 
-    "q_ppr" -> pprOracleSql(5)
+    "q_ppr" -> pprOracleSql(5),
+
+    "q_kcore" -> kCoreOracleSql(3, 4)
   )
 }

@@ -67,6 +67,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (MRL) truncation audit: rank the corpus by cosine on the
+    * FIRST `prefixDims` dimensions only, and flag which of that top-k
+    * also appear in the full-dimension top-k — the measurement behind
+    * the "serve short prefixes, rerank with full vectors" deployment
+    * (truncation is only admissible where this agreement is high).
+    * Same single broadcast-scored scan as [[bruteForceTopK]], run on
+    * `slice(vec, 1, prefixDims)`; the full top-k is a k-row broadcast
+    * joined for the membership flag. Returns
+    * (idCol, cosine_prefix, in_full_topk) ordered by prefix rank.
+    */
+  def matryoshkaAudit(embeddings: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, prefixDims: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(slice(col(vecCol), 1, prefixDims).as("__qp"),
+        col(vecCol).as("__qv"))
+    val scored = embeddings
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("__vp", slice(col(vecCol), 1, prefixDims))
+    val truncated = scored
+      .select(col(idCol), round(cosineFast("__vp", "__qp"), 6)
+        .as("cosine_prefix"))
+      .orderBy(col("cosine_prefix").desc, col(idCol).asc)
+      .limit(k)
+    val fullIds = scored
+      .select(col(idCol), round(cosineFast(vecCol, "__qv"), 6).as("__cf"))
+      .orderBy(col("__cf").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).as("__fid"), lit(true).as("__in"))
+    truncated
+      .join(broadcast(fullIds), col(idCol) === col("__fid"), "left")
+      .select(col(idCol), col("cosine_prefix"),
+        coalesce(col("__in"), lit(false)).as("in_full_topk"))
+  }
+
   /** Hard-negative mining for contrastive training: for each of the query
     * vectors (`idCol < nQueries` — the anchor set), the top `k` most
     * cosine-similar vectors carrying a DIFFERENT label. Those are the

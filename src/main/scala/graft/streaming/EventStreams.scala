@@ -533,6 +533,19 @@ object EventStreams {
         round(col("__med"), 6).as("med"), round(col("__mad"), 6).as("mad"))
   }
 
+  /** Stream-static enrichment: a (possibly streaming) event frame joined
+    * to a static dimension on `key` — Spark plans the static side as a
+    * broadcast re-resolved per micro-batch, so a dimension refresh is
+    * picked up without restarting the query and the stream side never
+    * shuffles for the join. Left join: events with no dimension row
+    * flow through with nulls (never drop facts at an enrichment step).
+    * The streaming face of the reference's point-lookup join
+    * (`SolrRanker.java:58-64` tweet→user). Spec proves streaming ==
+    * batch on the same data.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Strict-order multi-stage funnel: how many users have a `stages(0)`
     * event, then a `stages(1)` event strictly after it, then … — the
     * earliest-chain formulation (user reaches stage k iff the stages

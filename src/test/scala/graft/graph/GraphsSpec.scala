@@ -68,6 +68,22 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass must be conserved")
   }
 
+  test("kCore: pendant peels, clique survives, second round catches cascades") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + chain 4-5-6: 6 (deg 1) peels in round 1, which
+    // drops 5 to deg 1 → peels in round 2; K4 (deg 3 each) survives.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val out = Graphs.kCore(edges, k = 3, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a 4-cycle has no 3-core at all
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val cedges = (cyc ++ cyc.map(_.swap)).toDF("u", "v")
+    assert(Graphs.kCore(cedges, k = 3, rounds = 2).count() == 0)
+  }
+
   test("personalizedPagerank matches a seed-restart local power iteration") {
     import spark.implicits._
     // 1→2→3→1 cycle, 4→1 feeder, 5 dangling; seeds = {1, 4}

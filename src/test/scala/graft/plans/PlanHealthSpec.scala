@@ -126,6 +126,12 @@ class PlanHealthSpec extends SparkSpec {
       s"bucket pruning did not engage:\n$p")
   }
 
+  test("q_readability: zero shuffles — three regex counts ride the scan") {
+    val p = plan("q_readability")
+    assert(!p.contains("Exchange"), s"readability grew a shuffle:\n$p")
+    assert(!p.contains("Generate"), "readability grew an explode")
+  }
+
   test("q_quality_gopher: zero shuffles — the gate rides the scan") {
     val p = plan("q_quality_gopher")
     assert(!p.contains("Exchange"), s"quality gate grew a shuffle:\n$p")

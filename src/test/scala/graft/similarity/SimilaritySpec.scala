@@ -357,4 +357,22 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("matryoshkaAudit: prefix ranking diverges from full, flags catch it") {
+    import spark.implicits._
+    // query [1,0,0,0], prefix = first 2 dims:
+    //  v1 agrees everywhere; v2 looks perfect in the prefix but its tail
+    //  kills the full-dim cosine; v3 is mediocre in the prefix but beats
+    //  v2 at full dims → full top-2 = {v1, v3}, prefix top-2 = {v1, v2}
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 10.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 3.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaAudit(emb, "vec_id", "embedding",
+      queryId = 0L, k = 2, prefixDims = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, 1.0, true), (2L, 1.0, false)))
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 class EventStreamsSpec extends SparkSpec {
@@ -462,6 +463,34 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "2024-01-03", 1.0, true),
       (1L, "2024-01-04", 4.0, false),
       (2L, "2024-02-10", 7.0, false)))
+  }
+
+  test("stream-static enrichment: streaming join == batch join, unmatched kept") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.enrichWithDim(stream, dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      val data = rows.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq :+
+        (7L, ts("2024-01-01 04:00:00"), 99L, "click", 1.0) // no dim row
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      val batchIn = data.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = EventStreams.enrichWithDim(batchIn, dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("tier")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(streamed == batch)
+      assert(streamed.exists(_._3.isEmpty), "unmatched fact must survive with null tier")
+      assert(streamed.exists(_._3.contains("gold")))
+    } finally q.stop()
   }
 
   test("funnelStages: strict order required, earliest-chain is exact") {
