@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.layout.{BucketStore, ZOrder}
+import graft.layout.{BucketStore, Compaction, ZOrder}
 import graft.operators.Relational
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
@@ -620,6 +620,12 @@ object CoreQueries extends QueryPack {
         xLo = 100, xHi = 300, yLo = 1461, yHi = 1825)
     }),
 
+    // Small-files compaction audit: a 16-file fragmented copy of
+    // documents rewritten into 4 range-sorted files; file counts are
+    // observed IN-PLAN via input_file_name() and the row/checksum pair
+    // proves the rewrite lost nothing. Oracle pins the contract.
+    "q_compaction" -> ((s, dir) => Compaction.audit(s, dir)),
+
     // Bucketed co-located join: orders and lineitem pre-bucketed on the
     // join key ([[graft.layout.BucketStore]]) — the orderkey join AND the
     // orderkey aggregation both run with ZERO pre-join/pre-agg exchanges
@@ -1065,6 +1071,14 @@ object CoreQueries extends QueryPack {
          |  CAST(sum(n_match) AS BIGINT) AS rows_matching
          |FROM files GROUP BY layout""".stripMargin
     },
+
+    "q_compaction" ->
+      """SELECT 'small' AS stage, CAST(16 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents
+        |UNION ALL
+        |SELECT 'compacted', 4, CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT) FROM documents""".stripMargin,
 
     // Layout is invisible to semantics: the oracle is the plain join.
     "q_bucketed_join" ->

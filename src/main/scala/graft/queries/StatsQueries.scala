@@ -16,6 +16,12 @@ object StatsQueries extends QueryPack {
     "q_skew_audit" -> ((s, dir) =>
       Profile.skewAudit(Tables.events(s, dir), "user_id", k = 10)),
 
+    // Gini coefficient of per-source character volume — the corpus-
+    // balance number a mixture plan is judged by. Exact integer rank
+    // identity, one group agg + one 1-row fold.
+    "q_gini" -> ((s, dir) =>
+      Profile.giniByGroup(Tables.documents(s, dir), "source", "n_chars")),
+
     // PSI drift between deterministic document halves over n_chars —
     // the admit-this-batch? dataset drift monitor. One groupBy per
     // slice + a bin join; Σ psi_term is the PSI.
@@ -564,6 +570,16 @@ object StatsQueries extends QueryPack {
     "q_pagerank" -> pagerankOracleSql(5),
 
     "q_adamic_adar" -> adamicAdarOracleSql,
+
+    "q_gini" ->
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE) /
+        |    CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+        |FROM r""".stripMargin,
 
     "q_ppr" -> pprOracleSql(5),
 

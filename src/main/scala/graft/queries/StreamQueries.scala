@@ -28,6 +28,13 @@ object StreamQueries extends QueryPack {
     "q_event_paths" -> ((s, dir) =>
       EventStreams.sessionPaths(Tables.events(s, dir))),
 
+    // First/last-touch attribution: each purchase credited to the first
+    // and last click in its 2-hour lookback; unattributed kept with
+    // nulls. Interval join + combinable per-conversion groupBy.
+    "q_attribution" -> ((s, dir) =>
+      EventStreams.attribution(Tables.events(s, dir),
+        from = "click", to = "purchase", lookback = "2 hours")),
+
     // Strict-order 3-stage funnel view→click→purchase: per-stage user
     // counts + conversion vs stage 1; conditional-min chain, no window.
     "q_funnel3" -> ((s, dir) =>
@@ -150,6 +157,23 @@ object StreamQueries extends QueryPack {
     // Gaps-and-islands: break when the gap to the previous event is >= the
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
+    "q_attribution" ->
+      """WITH f AS (SELECT user_id, ts AS fts, event_id AS fid FROM events
+        |    WHERE event_type = 'click'),
+        |t AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id FROM events
+        |    WHERE event_type = 'purchase'),
+        |j AS (SELECT t.user_id, t.conv_id, t.conv_ts, f.fid,
+        |    CASE WHEN f.fid IS NULL THEN NULL ELSE
+        |      lpad(CAST(epoch_us(f.fts) AS VARCHAR), 20, '0') ||
+        |      lpad(CAST(f.fid AS VARCHAR), 12, '0') END AS k
+        |  FROM t LEFT JOIN f ON t.user_id = f.user_id
+        |    AND f.fts < t.conv_ts AND f.fts >= t.conv_ts - INTERVAL '2 hours')
+        |SELECT user_id, conv_id,
+        |  CAST(count(fid) AS BIGINT) AS n_touches,
+        |  CAST(substring(min(k), 21, 12) AS BIGINT) AS first_touch_id,
+        |  CAST(substring(max(k), 21, 12) AS BIGINT) AS last_touch_id
+        |FROM j GROUP BY user_id, conv_id, conv_ts""".stripMargin,
+
     "q_funnel3" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

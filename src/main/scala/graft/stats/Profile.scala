@@ -209,4 +209,28 @@ object Profile {
     sketches.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("approx_distinct"))
+
+  /** Gini coefficient of per-group volume — the mixture-design
+    * inequality dashboard ("how skewed is the corpus across sources?"):
+    * 0 = perfectly balanced, →1 = one group holds everything. Uses the
+    * exact sorted-rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * (xᵢ ascending), computed ENTIRELY in integer arithmetic over the
+    * group sums with one final IEEE division — engine-exact. The
+    * group-sums table is |groups|-sized, so the rank-weighted sum runs
+    * as a fold over one collected sorted array (no unpartitioned
+    * window, no second shuffle). Returns (n_groups, total, gini).
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(valCol)).cast("long").as("__x"))
+      .agg(expr("transform(array_sort(collect_list(struct(__x, __g))), e -> e.__x)")
+        .as("__xs"))
+      .select(size(col("__xs")).cast("long").as("n_groups"),
+        expr("aggregate(__xs, 0L, (a, v) -> a + v)").as("total"),
+        expr("aggregate(transform(__xs, (v, i) -> (CAST(i AS BIGINT) + 1L) * v), 0L, (a, v) -> a + v)")
+          .as("__s1"))
+      .select(col("n_groups"), col("total"),
+        round((lit(2L) * col("__s1") - (col("n_groups") + 1L) * col("total"))
+          .cast("double") /
+          (col("n_groups") * col("total")).cast("double"), 6).as("gini"))
 }

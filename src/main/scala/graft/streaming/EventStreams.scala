@@ -533,6 +533,41 @@ object EventStreams {
         round(col("__med"), 6).as("med"), round(col("__mad"), 6).as("mad"))
   }
 
+  /** First/last-touch attribution: for each `to` event (conversion), the
+    * FIRST and LAST `from` event (touchpoint) by the same user within
+    * `lookback` before it — the marketing-attribution primitive (and the
+    * label-generation join for conversion models). One bounded interval
+    * join ([[clickViewJoin]]'s shape — watermark-compatible) + one
+    * combinable per-conversion groupBy. Touch identity rides a sortable
+    * `(micros, id)` key encoding, so first/last are plain min/max —
+    * deterministic under ties and engine-neutral (no argmin/argmax
+    * semantics to align). Conversions with no touchpoint are kept with
+    * nulls (left join — attribution must report the unattributed share).
+    */
+  def attribution(events: DataFrame, from: String, to: String,
+                  lookback: String): DataFrame = {
+    val key = concat(
+      lpad(unix_micros(col("__fts")).cast("string"), 20, "0"),
+      lpad(col("__fid").cast("string"), 12, "0"))
+    val f = events.filter(col("event_type") === from)
+      .select(col("user_id"), col("ts").as("__fts"), col("event_id").as("__fid"))
+    val t = events.filter(col("event_type") === to)
+      .select(col("user_id"), col("ts").as("conv_ts"),
+        col("event_id").as("conv_id"))
+    t.join(f,
+        t("user_id") === f("user_id") &&
+          col("__fts") < col("conv_ts") &&
+          col("__fts") >= col("conv_ts") - expr(s"INTERVAL $lookback"),
+        "left")
+      .groupBy(t("user_id").as("user_id"), col("conv_id"), col("conv_ts"))
+      .agg(count(col("__fid")).as("n_touches"),
+        min(key).as("__first"), max(key).as("__last"))
+      .select(col("user_id"), col("conv_id"),
+        col("n_touches"),
+        substring(col("__first"), 21, 12).cast("long").as("first_touch_id"),
+        substring(col("__last"), 21, 12).cast("long").as("last_touch_id"))
+  }
+
   /** Stream-static enrichment: a (possibly streaming) event frame joined
     * to a static dimension on `key` — Spark plans the static side as a
     * broadcast re-resolved per micro-batch, so a dimension refresh is

@@ -115,4 +115,16 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(persisted == servedTyp)
   }
+
+  test("giniByGroup: exact rank identity — balanced is 0, skew measured") {
+    // sums per group: a=2 (1+1), b=2, c=4 → sorted 2,2,4: S=8, S1=2+4+12=18
+    // G = (2·18 − 4·8) / (3·8) = 4/24 = 0.166667
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("c", 4L)).toDF("g", "x")
+    val r = Profile.giniByGroup(df, "g", "x").head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 8L)))
+    assert(r.getDouble(2) == 0.166667)
+    // perfectly balanced corpus → exactly 0
+    val bal = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "x")
+    assert(Profile.giniByGroup(bal, "g", "x").head().getDouble(2) == 0.0)
+  }
 }

@@ -525,6 +525,25 @@ class EventStreamsSpec extends SparkSpec {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  test("attribution: first/last touch in lookback, unattributed kept") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: clicks 1, 2 inside the 2h window; click 3 too early
+      (3L, 1L, ts("2024-01-01 05:00:00"), "click"),
+      (1L, 1L, ts("2024-01-01 08:30:00"), "click"),
+      (2L, 1L, ts("2024-01-01 09:00:00"), "click"),
+      (4L, 1L, ts("2024-01-01 10:00:00"), "purchase"),
+      // user 2: purchase with no click at all
+      (5L, 2L, ts("2024-01-01 10:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStreams.attribution(ev, "click", "purchase", "2 hours")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(4L) == ((2L, 1L, 2L))) // first=click 1, last=click 2
+    assert(out(5L) == ((0L, -1L, -1L)))
+  }
+
   test("splitLeakage: overlap users and leaked test events counted") {
     import spark.implicits._
     val cut = ts("2024-01-10 00:00:00")
