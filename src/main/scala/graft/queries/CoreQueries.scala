@@ -205,6 +205,27 @@ object CoreQueries extends QueryPack {
         leftCols = Seq("event_id", "value"), rightPayload = "click_id")
     }),
 
+    // The SAME as-of join through the engine's native Catalyst operator
+    // (custom LogicalPlan + Strategy + merge-sweep SparkPlan,
+    // graft.plans.AsofNative): two independent co-partitioning exchanges
+    // + per-partition O(1)-state merge instead of the union+window's
+    // combined-stream sort. Hash-equal to q_asof_join's oracle.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      // run-aligned dedup: planned on the PARENT user_id partitioning, so
+      // the native exec's ClusteredDistribution(user_id) reuses this
+      // exchange — the right side shuffles ONCE end-to-end
+      val clicks = Relational.dedupKeepFirstRuns(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        parentKey = Seq(col("user_id")), runKey = col("ts"),
+        order = Seq(col("event_id").desc))
+        .withColumnRenamed("event_id", "click_id")
+      graft.plans.AsofNative.join(purchases, clicks, "user_id", "ts",
+        leftCols = Seq("event_id", "value"), payload = "click_id")
+    }),
+
     // GDPR purge pre-flight: rows each table would lose when forgetting
     // customers with custkey % 131 = 0 — lineitem cascades through orders.
     "q_purge_audit" -> ((s, dir) => {
@@ -760,6 +781,15 @@ object CoreQueries extends QueryPack {
         |ON c_custkey = o.o_custkey""".stripMargin,
 
     "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.ts, p.event_id, p.value, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // the native operator must land on the identical result
+    "q_asof_native" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events
         |           WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events

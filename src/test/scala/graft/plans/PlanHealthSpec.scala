@@ -126,6 +126,15 @@ class PlanHealthSpec extends SparkSpec {
       s"bucket pruning did not engage:\n$p")
   }
 
+  test("q_asof_native: custom exec planned, right side reuses the dedup exchange") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsofJoin"), s"native asof not planned:\n$p")
+    assert(!p.contains("Union"), s"union leaked into the native asof:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected 2 exchanges (left + run-dedup'd right), got $exchanges:\n$p")
+  }
+
   test("q_readability: zero shuffles — three regex counts ride the scan") {
     val p = plan("q_readability")
     assert(!p.contains("Exchange"), s"readability grew a shuffle:\n$p")
