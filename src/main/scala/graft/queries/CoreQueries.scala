@@ -641,6 +641,111 @@ object CoreQueries extends QueryPack {
         xLo = 100, xHi = 300, yLo = 1461, yHi = 1825)
     }),
 
+    // TPC-H Q5 shape — regional supplier revenue: the 6-table snowflake
+    // with the LOCAL-supplier condition (c_nationkey = s_nationkey,
+    // which prunes most join output) and a year + region filter. All
+    // four dimension legs broadcast; lineitem⋈orders is the only big
+    // join; the date filter is pushed to the orders scan.
+    "q_regional_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(Num.dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - Num.dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // TPC-H Q3 shape — shipping priority: top unshipped-revenue orders
+    // for one market segment before a cutoff. Broadcast customer leg,
+    // one big join, TakeOrdered top-10.
+    "q_ship_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-07-01").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(Num.dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - Num.dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q13 shape — order-count distribution over customers
+    // INCLUDING the zero-order ones (the left outer join is the point:
+    // an inner join silently drops the empty bucket): per customer
+    // count, then the histogram of those counts.
+    "q_customer_distribution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(Num.cnt.as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape — top supplier(s) by shipped revenue, selected
+    // with a scalar subquery against the same derived view (ties kept,
+    // which a LIMIT 1 would silently break).
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(Num.dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - Num.dec2(col("l_discount"))))
+          .cast("double").as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("__m"))
+      rev.join(broadcast(top), col("total_revenue") === col("__m"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 6).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q14 shape — promo revenue share: conditional numerator over
+    // a broadcast part join, exact decimal sums, ONE final division.
+    "q_promo_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"),
+            Num.dec2(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - Num.dec2(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("__promo"),
+          sum(Num.dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - Num.dec2(col("l_discount"))))
+            .as("__total"))
+        .select(
+          col("__promo").cast("double").as("promo_revenue"),
+          col("__total").cast("double").as("total_revenue"),
+          round(lit(100.0) * col("__promo").cast("double") /
+            col("__total").cast("double"), 6).as("promo_share_pct"))
+    }),
+
     // Small-files compaction audit: a 16-file fragmented copy of
     // documents rewritten into 4 range-sorted files; file counts are
     // observed IN-PLAN via input_file_name() and the row/checksum pair
@@ -1101,6 +1206,73 @@ object CoreQueries extends QueryPack {
          |  CAST(sum(n_match) AS BIGINT) AS rows_matching
          |FROM files GROUP BY layout""".stripMargin
     },
+
+    "q_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_shipdate > TIMESTAMP '1997-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_customer_distribution" ->
+      """WITH pc AS (SELECT c.c_custkey,
+        |    CAST(count(o.o_custkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_promo_share" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-02-01')
+        |SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN r
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(r) AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN r
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |    CAST(SUM(r) AS DOUBLE), 6) AS promo_share_pct
+        |FROM j""".stripMargin,
 
     "q_compaction" ->
       """SELECT 'small' AS stage, CAST(16 AS BIGINT) AS n_files,

@@ -126,6 +126,22 @@ class PlanHealthSpec extends SparkSpec {
       s"bucket pruning did not engage:\n$p")
   }
 
+  test("q_regional_revenue: all four dimension legs broadcast; date filter pushed") {
+    val p = plan("q_regional_revenue")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected 4 broadcast dimension joins, got $bhj:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed to the orders scan:\n$p")
+  }
+
+  test("q_ship_priority: broadcast customer, TakeOrdered top-k, filters pushed") {
+    val p = plan("q_ship_priority")
+    assert(p.contains("BroadcastHashJoin"), s"customer leg not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to a sort:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"shipdate filter not pushed to the lineitem scan:\n$p")
+  }
+
   test("q_asof_native: custom exec planned, right side reuses the dedup exchange") {
     val p = plan("q_asof_native")
     assert(p.contains("AsofJoin"), s"native asof not planned:\n$p")
