@@ -28,6 +28,29 @@ object StreamQueries extends QueryPack {
     "q_event_paths" -> ((s, dir) =>
       EventStreams.sessionPaths(Tables.events(s, dir))),
 
+    // Corrupt-record quarantine (dead-letter routing): a deterministic
+    // slice of props payloads is corrupted in-flight, parse failures are
+    // ROUTED (never dropped, never job-failing) and both lanes are
+    // audited — the ETL admission pattern. from_json in PERMISSIVE mode
+    // yields an all-null struct for malformed input, so the lane test is
+    // on the REQUIRED FIELD (which also quarantines valid-JSON rows
+    // missing the contract key — the stricter, correct admission rule).
+    "q_quarantine" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("__raw", when(col("user_id") % 13 === 0,
+          concat(lit("x"), col("props"))).otherwise(col("props")))
+        .withColumn("__k",
+          from_json(col("__raw"), lit("k BIGINT")).getField("k"))
+      ev.select(
+          when(col("__k").isNotNull, "good").otherwise("quarantined")
+            .as("lane"),
+          col("event_id"), col("user_id"), col("__k"))
+        .groupBy(col("lane"))
+        .agg(Num.cnt.as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("__k")).cast("long").as("sum_k"))
+    }),
+
     // First/last-touch attribution: each purchase credited to the first
     // and last click in its 2-hour lookback; unattributed kept with
     // nulls. Interval join + combinable per-conversion groupBy.
@@ -157,6 +180,22 @@ object StreamQueries extends QueryPack {
     // Gaps-and-islands: break when the gap to the previous event is >= the
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
+    "q_quarantine" ->
+      """WITH r AS (SELECT event_id, user_id,
+        |    CASE WHEN user_id % 13 = 0 THEN 'x' || props ELSE props END AS raw
+        |  FROM events),
+        |p AS (SELECT event_id, user_id,
+        |    CASE WHEN json_valid(raw)
+        |      THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+        |  FROM r),
+        |l AS (SELECT *,
+        |    CASE WHEN k IS NOT NULL THEN 'good' ELSE 'quarantined' END AS lane
+        |  FROM p)
+        |SELECT lane, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM l GROUP BY lane""".stripMargin,
+
     "q_attribution" ->
       """WITH f AS (SELECT user_id, ts AS fts, event_id AS fid FROM events
         |    WHERE event_type = 'click'),

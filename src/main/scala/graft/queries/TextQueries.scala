@@ -307,6 +307,12 @@ object TextQueries extends QueryPack {
       TextAnalysis.bigramLm(Tables.documents(s, dir), "text",
         k = 0.5, topK = 50)),
 
+    // PMI collocations: top multi-word-expression candidates (count
+    // floor kills hapax noise).
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 5L, k = 20)),
+
     // Per-doc perplexity under the corpus bigram LM — the LM-based quality
     // filter (fluency under the corpus distribution).
     "q_bigram_ppl" -> ((s, dir) =>
@@ -902,6 +908,26 @@ object TextQueries extends QueryPack {
         |  round((CAST(bi.n AS DOUBLE) + 0.5) / (CAST(ca.ca AS DOUBLE) + 0.5 * v.v), 6) AS p
         |FROM bi JOIN ca USING (a) CROSS JOIN v
         |ORDER BY bi.n DESC, bi.a, bi.b LIMIT 50""".stripMargin,
+
+    "q_pmi" ->
+      """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |i AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM t),
+        |bi AS (SELECT toks[i+1] AS a, toks[i+2] AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cxy FROM i GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(cxy) AS DOUBLE) AS nb FROM bi),
+        |uni AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+        |u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY w),
+        |nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nu FROM uni)
+        |SELECT bi.a, bi.b, bi.cxy,
+        |  round(ln((CAST(bi.cxy AS DOUBLE) / nb.nb) /
+        |    ((CAST(ua.cu AS DOUBLE) / nu.nu) * (CAST(ub.cu AS DOUBLE) / nu.nu))), 6) AS pmi
+        |FROM bi
+        |JOIN u ua ON bi.a = ua.w
+        |JOIN u ub ON bi.b = ub.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE bi.cxy >= 5
+        |ORDER BY pmi DESC, bi.a ASC, bi.b ASC LIMIT 20""".stripMargin,
 
     "q_bigram_ppl" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents

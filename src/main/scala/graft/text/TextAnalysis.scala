@@ -374,6 +374,35 @@ object TextAnalysis {
         expr("element_at(__t, __i + 2)").as("b")): _*)
   }
 
+  /** PMI collocations: top-k adjacent bigrams by pointwise mutual
+    * information ln((c_xy/N_b) / ((c_x/N_u)·(c_y/N_u))) with a minimum
+    * pair count (PMI without a count floor surfaces hapax noise) — the
+    * standard multi-word-expression / named-entity-candidate extractor.
+    * One bigram groupBy + one unigram groupBy + two vocab-sized joins;
+    * totals are 1-row broadcast attaches. All counts exact longs; the
+    * score is a fixed-order chain of IEEE divisions, engine-exact.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    val uniToks = docs.select(explode(split(col(textCol), " ")).as("w"))
+    val uni = uniToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nu = broadcast(uniToks.agg(count(lit(1)).cast("double").as("__nu")))
+    val bg = docBigrams(docs, textCol, Nil)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cxy"))
+    val nb = broadcast(bg.agg(sum(col("cxy")).cast("double").as("__nb")))
+    bg.filter(col("cxy") >= minCount)
+      .join(uni.select(col("w").as("a"), col("cu").as("__ca")), "a")
+      .join(uni.select(col("w").as("b"), col("cu").as("__cb")), "b")
+      .crossJoin(nu).crossJoin(nb)
+      .select(col("a"), col("b"), col("cxy"),
+        round(log(
+          (col("cxy").cast("double") / col("__nb")) /
+            ((col("__ca").cast("double") / col("__nu")) *
+              (col("__cb").cast("double") / col("__nu")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** The full (unlimited) smoothed bigram LM table — see [[bigramLm]] for
     * the formula and plan notes. Shared by the top-k view and the per-doc
     * perplexity scorer. `p` is the round(6) display probability; `p_raw`

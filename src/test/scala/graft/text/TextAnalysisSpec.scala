@@ -257,6 +257,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out8 == Map("hot" -> 40L, "warm" -> 12L))
   }
 
+  test("pmiCollocations: hand PMI, count floor drops hapax pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 2L, k = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // unigrams x=3 y=2 z=1 w=2 (Nu=8); bigrams (x,y)=2 (x,z)=1 (w,w)=1
+    // (Nb=4); floor=2 keeps only (x,y):
+    // pmi = ln((2/4) / ((3/8)(2/8))) = ln(16/3)
+    val expect = math.rint(math.log((2.0 / 4.0) /
+      ((3.0 / 8.0) * (2.0 / 8.0))) * 1e6) / 1e6
+    assert(out == Map(("x", "y") -> ((2L, expect))))
+  }
+
   test("readability: regex counts and Flesch formula, zero-count floors") {
     import spark.implicits._
     val docs = Seq(
