@@ -28,6 +28,22 @@ object StreamQueries extends QueryPack {
     "q_event_paths" -> ((s, dir) =>
       EventStreams.sessionPaths(Tables.events(s, dir))),
 
+    // Typed-Aggregator top-k per group: each map task forwards AT MOST
+    // k pairs per group (the shuffle is O(groups·k), input-size-free) —
+    // the Aggregator/UDAF answer to the window formulation whose
+    // shuffle carries every row. Rank derived by posexplode of the
+    // sorted finish array — no window anywhere.
+    "q_topk_agg" -> ((s, dir) => {
+      val tk = udaf(new graft.operators.TopKByValue(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(tk(col("value"), col("event_id")).as("__top"))
+        .select(col("event_type"), posexplode(col("__top")).as(Seq("__p", "__e")))
+        .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
+          col("__e._1").as("value"), col("__e._2").as("event_id"))
+    }),
+
     // Corrupt-record quarantine (dead-letter routing): a deterministic
     // slice of props payloads is corrupted in-flight, parse failures are
     // ROUTED (never dropped, never job-failing) and both lanes are
@@ -180,6 +196,14 @@ object StreamQueries extends QueryPack {
     // Gaps-and-islands: break when the gap to the previous event is >= the
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
+    "q_topk_agg" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rank, value, event_id
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
     "q_quarantine" ->
       """WITH r AS (SELECT event_id, user_id,
         |    CASE WHEN user_id % 13 = 0 THEN 'x' || props ELSE props END AS raw
