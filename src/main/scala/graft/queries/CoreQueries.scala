@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.layout.{BucketStore, Compaction, ZOrder}
+import graft.layout.{BucketStore, Compaction, PartitionedStore, ZOrder}
 import graft.operators.Relational
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
@@ -746,6 +746,21 @@ object CoreQueries extends QueryPack {
             col("__total").cast("double"), 6).as("promo_share_pct"))
     }),
 
+    // Dynamic partition pruning: the partitioned fact joined to a
+    // FILTERED dimension — the partition values to read are only known
+    // at runtime (from the dimension's broadcast), yet the fact scan
+    // prunes directories via DynamicPruningExpression (PlanHealthSpec).
+    // No literal bucket appears anywhere in the query.
+    "q_dpp" -> ((s, dir) => {
+      val o = PartitionedStore.orders(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey").cast("int").as("r_key"), col("r_name"))
+      o.join(broadcast(r), o("o_bucket") === col("r_key"))
+        .groupBy(col("r_name"))
+        .agg(Num.cnt.as("n_orders"),
+          Num.sumd(col("o_totalprice")).as("total"))
+    }),
+
     // Small-files compaction audit: a 16-file fragmented copy of
     // documents rewritten into 4 range-sorted files; file counts are
     // observed IN-PLAN via input_file_name() and the row/checksum pair
@@ -1273,6 +1288,13 @@ object CoreQueries extends QueryPack {
         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
         |    CAST(SUM(r) AS DOUBLE), 6) AS promo_share_pct
         |FROM j""".stripMargin,
+
+    "q_dpp" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN region ON o_custkey % 5 = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY r_name""".stripMargin,
 
     "q_compaction" ->
       """SELECT 'small' AS stage, CAST(16 AS BIGINT) AS n_files,

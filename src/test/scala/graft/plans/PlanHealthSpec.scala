@@ -126,6 +126,13 @@ class PlanHealthSpec extends SparkSpec {
       s"bucket pruning did not engage:\n$p")
   }
 
+  test("q_dpp: fact scan carries a runtime partition-pruning filter") {
+    val p = plan("q_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression on the partitioned fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dimension leg not broadcast:\n$p")
+  }
+
   test("q_regional_revenue: all four dimension legs broadcast; date filter pushed") {
     val p = plan("q_regional_revenue")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
