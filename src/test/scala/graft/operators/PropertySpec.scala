@@ -304,4 +304,34 @@ class PropertySpec extends SparkSpec {
       assert(again.toSet == out.toSet)
     }
   }
+
+  test("native asof == window asof on random event histories") {
+    // (key, time-as-micros-backed long id, payload); right pre-deduped
+    // per (key, time) — the operator's input contract
+    val evGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+      for {
+        l <- Gen.listOfN(40, for {
+          k <- Gen.chooseNum(0L, 6L)
+          t <- Gen.chooseNum(0L, 30L)
+          id <- Gen.chooseNum(0L, 999L)
+        } yield (k, t, id))
+        r <- Gen.listOfN(25, for {
+          k <- Gen.chooseNum(0L, 7L)
+          t <- Gen.chooseNum(0L, 30L)
+          p <- Gen.chooseNum(0L, 99L)
+        } yield (k, t, p))
+      } yield (l, r.groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toList)
+    samples(evGen, 8).foreach { case (lRows, rRows) =>
+      val l = lRows.toDF("user_id", "ts", "event_id")
+      val r = rRows.toDF("user_id", "ts", "click_id")
+      def collected(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3))).sortBy(t => (t._1, t._2, t._3))
+      val native = collected(graft.plans.AsofNative.join(
+        l, r, "user_id", "ts", Seq("event_id"), "click_id"))
+      val window = collected(Relational.asofJoin(
+        l, r, "user_id", "ts", Seq("event_id"), "click_id"))
+      assert(native.toSeq == window.toSeq)
+    }
+  }
 }
