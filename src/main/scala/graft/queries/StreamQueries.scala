@@ -28,6 +28,41 @@ object StreamQueries extends QueryPack {
     "q_event_paths" -> ((s, dir) =>
       EventStreams.sessionPaths(Tables.events(s, dir))),
 
+    // Distribution-rank window functions per type partition:
+    // percent_rank and cume_dist are exact integer-ratio divisions, so
+    // they are engine-deterministic without decimal routing.
+    "q_window_cume" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("pct_rank").desc, col("event_id").asc)
+        .limit(50)
+    }),
+
+    // Gaps-and-islands: contiguous active-DAY runs per user via the
+    // day − row_number() grouping constant — the id-domain twin of the
+    // time-gap sessionizer (q_session_window); one user-partitioned
+    // exchange end-to-end.
+    "q_islands" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("__grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")) -
+            row_number().over(w))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(min(col("day")).as("island_start"),
+          max(col("day")).as("island_end"), Num.cnt.as("n_days"))
+        .groupBy(col("user_id"))
+        .agg(Num.cnt.as("n_islands"), max(col("n_days")).as("longest_island"))
+    }),
+
     // Typed-Aggregator top-k per group: each map task forwards AT MOST
     // k pairs per group (the shuffle is O(groups·k), input-size-free) —
     // the Aggregator/UDAF answer to the window formulation whose
@@ -196,6 +231,27 @@ object StreamQueries extends QueryPack {
     // Gaps-and-islands: break when the gap to the previous event is >= the
     // session gap (Spark's session end bound is exclusive), session_end =
     // last event + gap.
+    "q_window_cume" ->
+      """SELECT event_type, event_id, value,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY pct_rank DESC, event_id ASC LIMIT 50""".stripMargin,
+
+    "q_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    date_diff('day', DATE '1970-01-01', day) -
+        |      row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |i AS (SELECT user_id, grp, min(day) AS island_start,
+        |    max(day) AS island_end, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(max(n_days) AS BIGINT) AS longest_island
+        |FROM i GROUP BY user_id""".stripMargin,
+
     "q_topk_agg" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |    row_number() OVER (PARTITION BY event_type
