@@ -102,6 +102,43 @@ object Relational {
       .filter(col(opCol) =!= deleteOp)
   }
 
+  /** Changelog net-effect compaction (Debezium/Flink "changelog
+    * normalization"): collapse each key's change run to the single
+    * change with the same end effect, so a downstream [[cdcApply]] (or
+    * a sink replay) processes one row per touched key instead of the
+    * whole history. Contract: ops I/U/D ordered by `ts` (unique per
+    * key); the base snapshot contains the key iff the key's FIRST op is
+    * U or D. Net rules — first op F, last op L (value from the last
+    * row):
+    *   L = D:      F = I → no row (created and destroyed inside the
+    *               batch); else → one D.
+    *   L ∈ {I,U}:  F = I → one I (didn't exist before); else → one U.
+    * One key-partitioned window computes first/last in a single
+    * exchange; the emitted op is derived, never trusted from the rows.
+    */
+  def cdcNetEffect(changes: DataFrame, key: String, ts: String,
+                   opCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAsc = Window.partitionBy(col(key)).orderBy(col(ts).asc)
+    changes
+      .withColumn("__first_op", first(col(opCol)).over(w))
+      .withColumn("__last_op", last(col(opCol)).over(w))
+      .withColumn("__last_val", last(col(valueCol)).over(w))
+      .withColumn("__last_ts", last(col(ts)).over(w))
+      .withColumn("__rn", row_number().over(wAsc))
+      .filter(col("__rn") === 1) // one emitted row per key
+      .filter(!(col("__first_op") === "I" && col("__last_op") === "D"))
+      .select(col(key),
+        when(col("__last_op") === "D", "D")
+          .when(col("__first_op") === "I", "I")
+          .otherwise("U").as(opCol),
+        when(col("__last_op") === "D", lit(null).cast(
+          changes.schema(valueCol).dataType)).otherwise(col("__last_val"))
+          .as(valueCol),
+        col("__last_ts").as(ts))
+  }
+
   /** Top-k per group (reference: Solr `rows=N` per query shape,
     * `SolrRanker.java:77,104,145`). `order` must totally order rows within a
     * group for deterministic results.

@@ -612,6 +612,33 @@ object CoreQueries extends QueryPack {
           round(col("value"), 6).as("value"))
     }),
 
+    // Changelog net-effect compaction: each user's post-cut change run
+    // collapsed to the one change with the same end effect (created-
+    // and-deleted-in-batch vanishes; I+U* → I; existing-key runs → one
+    // U or D). The sortable (micros, id) version key makes first/last
+    // engine-deterministic. Downstream CDC apply then touches each key
+    // once, not once per change.
+    "q_cdc_net" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val pre = ev.filter(col("ts") < cut).select(col("user_id")).distinct()
+        .withColumn("__seen", lit(1))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val post = ev.filter(col("ts") >= cut)
+        .withColumn("ver", concat(
+          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0")))
+        .join(pre, Seq("user_id"), "left")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("op",
+          when(col("__seen").isNull && col("__rn") === 1, "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U"))
+        .withColumn("value", round(col("value"), 6))
+      Relational.cdcNetEffect(post, "user_id", "ver", "op", "value")
+    }),
+
     // Snapshot diff (CDF generation, the inverse of q_cdc_apply): the
     // changelog that transforms the pre-cut latest-state snapshot into
     // the current one — I/U rows only here (every before-user still
@@ -1157,6 +1184,30 @@ object CoreQueries extends QueryPack {
     "q_regex_filter" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE regexp_matches(lower(text), '(spark|stream) (query|filter|join)')""".stripMargin,
+
+    "q_cdc_net" ->
+      """WITH pre AS (SELECT DISTINCT user_id FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-16'),
+        |p0 AS (SELECT user_id, event_type, round(value, 6) AS value,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |      lpad(CAST(event_id AS VARCHAR), 12, '0') AS ver,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        |t AS (SELECT p0.user_id, p0.value, p0.ver,
+        |    CASE WHEN pr.user_id IS NULL AND p0.rn = 1 THEN 'I'
+        |         WHEN p0.event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM p0 LEFT JOIN pre pr ON p0.user_id = pr.user_id),
+        |f AS (SELECT user_id,
+        |    first_value(op) OVER wv AS fop, last_value(op) OVER wv AS lop,
+        |    last_value(value) OVER wv AS lval, last_value(ver) OVER wv AS lver,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ver) AS rn2
+        |  FROM t WINDOW wv AS (PARTITION BY user_id ORDER BY ver
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id,
+        |  CASE WHEN lop = 'D' THEN 'D' WHEN fop = 'I' THEN 'I' ELSE 'U' END AS op,
+        |  CASE WHEN lop = 'D' THEN NULL ELSE lval END AS value,
+        |  lver AS ver
+        |FROM f WHERE rn2 = 1 AND NOT (fop = 'I' AND lop = 'D')""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH snap AS (

@@ -313,6 +313,12 @@ object TextQueries extends QueryPack {
       TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
         minCount = 5L, k = 20)),
 
+    // Heaps-law vocabulary growth over the bigram vocabulary: new types
+    // per corpus decile (attributed to their FIRST document) + the
+    // cumulative curve — "is the vocabulary saturating?".
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")),
+
     // Per-doc perplexity under the corpus bigram LM — the LM-based quality
     // filter (fluency under the corpus distribution).
     "q_bigram_ppl" -> ((s, dir) =>
@@ -908,6 +914,21 @@ object TextQueries extends QueryPack {
         |  round((CAST(bi.n AS DOUBLE) + 0.5) / (CAST(ca.ca AS DOUBLE) + 0.5 * v.v), 6) AS p
         |FROM bi JOIN ca USING (a) CROSS JOIN v
         |ORDER BY bi.n DESC, bi.a, bi.b LIMIT 50""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |i AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM t),
+        |fd AS (SELECT toks[i+1] AS a, toks[i+2] AS b, min(doc_id) AS fd
+        |  FROM i GROUP BY 1, 2),
+        |md AS (SELECT max(doc_id) AS md FROM documents),
+        |d AS (SELECT least(CAST(floor(fd * 10 / (md + 1)) AS BIGINT), 9) AS decile,
+        |    CAST(count(*) AS BIGINT) AS new_terms
+        |  FROM fd, md GROUP BY 1)
+        |SELECT decile, new_terms,
+        |  CAST(SUM(new_terms) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+        |FROM d""".stripMargin,
 
     "q_pmi" ->
       """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents

@@ -403,6 +403,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Heaps-law vocabulary growth over the BIGRAM vocabulary (rich enough
+    * to keep growing on any corpus — a small unigram vocabulary
+    * saturates immediately): each bigram is attributed to its FIRST
+    * document; new-type counts per corpus decile plus the cumulative
+    * curve answer "is the vocabulary saturating?" for tokenizer/corpus
+    * planning. One bigram groupBy; the ≤`buckets`-row cumulative rides
+    * a fold over the collected decile array (no unpartitioned window).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    val firstDoc = docBigrams(docs, textCol, Seq(col(idCol)))
+      .groupBy(col("a"), col("b")).agg(min(col(idCol)).as("fd"))
+    val maxDoc = broadcast(docs.agg(max(col(idCol)).as("__md")))
+    firstDoc.crossJoin(maxDoc)
+      .withColumn("decile",
+        least(floor(col("fd") * buckets / (col("__md") + 1)),
+          lit(buckets - 1L)).cast("long"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_terms"))
+      .agg(expr("array_sort(collect_list(struct(decile, new_terms)))")
+        .as("__a"))
+      .select(explode(expr(
+        """transform(__a, (e, i) -> struct(
+          |  e.decile AS decile, e.new_terms AS new_terms,
+          |  aggregate(slice(__a, 1, i + 1), 0L,
+          |    (acc, x) -> acc + x.new_terms) AS vocab_cum))""".stripMargin))
+        .as("__e"))
+      .select(col("__e.decile"), col("__e.new_terms"), col("__e.vocab_cum"))
+  }
+
   /** The full (unlimited) smoothed bigram LM table — see [[bigramLm]] for
     * the formula and plan notes. Shared by the top-k view and the per-doc
     * perplexity scorer. `p` is the round(6) display probability; `p_raw`

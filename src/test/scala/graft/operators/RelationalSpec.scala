@@ -297,4 +297,26 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keptGrown.filter(_ <= 50L).subsetOf(keptOld))
   }
+
+  test("cdcNetEffect: each run collapses to its end effect") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "01", "I", 1.0), (1L, "02", "U", 2.0), // I+U → one I, last value
+      (2L, "01", "U", 3.0), (2L, "02", "D", 0.0), // existing + D → one D
+      (3L, "01", "I", 4.0), (3L, "02", "D", 0.0), // created+destroyed → none
+      (4L, "01", "U", 5.0), (4L, "02", "U", 6.0), // U run → one U
+      (5L, "01", "D", 0.0), (5L, "02", "I", 7.0), // delete then re-insert → U
+      (6L, "01", "I", 8.0)                        // single I passes through
+    ).toDF("key", "ver", "op", "value")
+    val out = Relational.cdcNetEffect(changes, "key", "ver", "op", "value")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L))
+    assert(out(1L) == (("I", 2.0, "02")))
+    assert(out(2L)._1 == "D" && out(2L)._2.isNaN)
+    assert(out(4L) == (("U", 6.0, "02")))
+    assert(out(5L) == (("U", 7.0, "02"))) // existed before → net is U
+    assert(out(6L) == (("I", 8.0, "01")))
+  }
 }
