@@ -715,6 +715,34 @@ object CoreQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Pearson correlation matrix over the lineitem numerics in ONE
+    // pass: every moment (sums, squares, cross products) is an exact
+    // decimal aggregate, so the correlation chain is the same IEEE ops
+    // on identical inputs in both engines — the deterministic answer to
+    // corr()'s partition-order-dependent streaming covariance.
+    "q_corr" -> ((s, dir) => {
+      def d(c: String) = Num.dec2(col(c))
+      val m = Tables.lineitem(s, dir).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(d("l_quantity")).cast("double").as("sq"),
+        sum(d("l_extendedprice")).cast("double").as("sp"),
+        sum(d("l_discount")).cast("double").as("sd"),
+        sum(d("l_quantity") * d("l_quantity")).cast("double").as("sqq"),
+        sum(d("l_extendedprice") * d("l_extendedprice")).cast("double").as("spp"),
+        sum(d("l_discount") * d("l_discount")).cast("double").as("sdd"),
+        sum(d("l_quantity") * d("l_extendedprice")).cast("double").as("sqp"),
+        sum(d("l_quantity") * d("l_discount")).cast("double").as("sqd"),
+        sum(d("l_extendedprice") * d("l_discount")).cast("double").as("spd"))
+      def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+        round((col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+      m.select(col("n").cast("long").as("n"),
+        r("sqp", "sq", "sp", "sqq", "spp").as("corr_qty_price"),
+        r("sqd", "sq", "sd", "sqq", "sdd").as("corr_qty_disc"),
+        r("spd", "sp", "sd", "spp", "sdd").as("corr_price_disc"))
+    }),
+
     // TPC-H Q13 shape — order-count distribution over customers
     // INCLUDING the zero-order ones (the left outer join is the point:
     // an inner join silently drops the empty bucket): per customer
@@ -1301,6 +1329,27 @@ object CoreQueries extends QueryPack {
         |  AND l_shipdate > TIMESTAMP '1997-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_corr" ->
+      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * sqp - sq * sp) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price,
+        |  round((n * sqd - sq * sd) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS corr_qty_disc,
+        |  round((n * spd - sp * sd) /
+        |    (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_disc
+        |FROM m""".stripMargin,
 
     "q_customer_distribution" ->
       """WITH pc AS (SELECT c.c_custkey,
