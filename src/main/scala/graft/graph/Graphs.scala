@@ -143,6 +143,11 @@ object Graphs {
       .select(col("node"), coalesce(col("__is"), lit(0.0)).as("s"))
       .localCheckpoint(false)
     val ns = broadcast(sflag.agg(sum(col("s")).as("n_seeds")))
+    // Fail loudly on an empty seed set: 0/0 would silently make every
+    // rank NaN. One 1-row action against the already-checkpointed flag
+    // table — no extra shuffle beyond what the first iteration pays.
+    require(ns.first().getDouble(0) > 0.0,
+      "personalizedPagerank: no seed matched a graph node — ranks would be NaN")
     val outdeg = e.groupBy(col("u"))
       .agg(count(lit(1)).cast("double").as("deg")).localCheckpoint(false)
     val ew = e.join(outdeg, "u")

@@ -27,12 +27,15 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
   * no union blow-up, no window buffering.
   *
   * Scope (enforced): key LongType, times Timestamp/TimestampNTZ/Long
-  * (micros — read via `getLong` either way), payload a primitive
-  * numeric/timestamp type (copied by value out of the shuffle-reused
-  * row). Null-key left rows emit a null payload; null-key right rows
-  * must be pre-filtered by the caller (same contract as the window
-  * formulation). Ties inside (key, time) on the right are the caller's
-  * to pre-dedup — exactly the q_asof_join input contract.
+  * (micros — read via `getLong` either way). The payload may be ANY
+  * type: values are copied out of the shuffle/sort-reused UnsafeRow
+  * buffer via `InternalRow.copyValue` (UTF8String/Decimal/array
+  * payloads would otherwise be corrupted when the iterator advances —
+  * primitives copy for free). Null-key or null-time left rows emit a
+  * null payload; null-key / null-time right rows are skipped (matching
+  * the window formulation's SQL null semantics, where `rt <= lt` is
+  * never true against NULL). Ties inside (key, time) on the right are
+  * the caller's to pre-dedup — exactly the q_asof_join input contract.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, leftTime: Attribute,
@@ -106,10 +109,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         rValid = false
         while (!rValid && rIter.hasNext) {
           val r = rIter.next()
-          if (!r.isNullAt(rkIdx)) {
+          if (!r.isNullAt(rkIdx) && !r.isNullAt(rtIdx)) {
             rKey = r.getLong(rkIdx)
             rTime = r.getLong(rtIdx)
-            rPayload = if (r.isNullAt(rpIdx)) null else r.get(rpIdx, pType)
+            // copyValue: UTF8String/Decimal/arrays point into the reused
+            // sort buffer — copy NOW, before the iterator advances
+            rPayload = if (r.isNullAt(rpIdx)) null
+                       else InternalRow.copyValue(r.get(rpIdx, pType))
             rValid = true
           }
         }
@@ -122,7 +128,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       var lastPayload: Any = null
 
       lIter.map { lRow =>
-        if (lRow.isNullAt(lkIdx)) {
+        if (lRow.isNullAt(lkIdx) || lRow.isNullAt(ltIdx)) {
           pRow.update(0, null)
         } else {
           val lk = lRow.getLong(lkIdx)
@@ -159,8 +165,9 @@ object AsofNative {
     val spark = left.sparkSession
     install(spark)
     val l = left.select((Seq(key, time) ++ leftCols).distinct.map(col): _*)
-    // fresh exprIds on the right (self-joins share lineage), null keys out
-    val r = right.filter(col(key).isNotNull)
+    // fresh exprIds on the right (self-joins share lineage); null keys
+    // and null times out — a null ts must never read as epoch 0
+    val r = right.filter(col(key).isNotNull && col(time).isNotNull)
       .select(col(key).as("__rk"), col(time).as("__rt"),
         col(payload).as("__rp"))
     val lPlan = l.queryExecution.analyzed

@@ -30,12 +30,12 @@ object SimilarityQueries extends QueryPack {
     * 4 × 32-bit signature words (bits 0..31 per word — always positive, no
     * two's-complement edge cases in either engine).
     */
-  private val sigCtes: String =
+  private def sigCtes(src: String = "embeddings"): String =
     s"""$planesSql,
        |dots AS (SELECT e.vec_id, p.j,
        |    list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), p.r),
        |      x -> x[1] * x[2])) AS dot
-       |  FROM embeddings e CROSS JOIN planes p),
+       |  FROM $src e CROSS JOIN planes p),
        |sig AS (SELECT vec_id,
        |    bit_or(CASE WHEN j < 32 AND dot > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS w0,
        |    bit_or(CASE WHEN j BETWEEN 32 AND 63 AND dot > 0 THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END) AS w1,
@@ -46,9 +46,38 @@ object SimilarityQueries extends QueryPack {
   private def hamSql(a: String, b: String): String =
     (0 until 4).map(w => s"bit_count(xor($a.w$w, $b.qw$w))").mkString(" + ")
 
+  /** 24 five-bit bands of the SRP signature (6 per word, bits 0..29 —
+    * mirroring [[Similarity.cosineNearDupPairsSrp]]'s extraction) and the
+    * ≥minBands candidate-pair CTE on top of `sig` from [[sigCtes]].
+    */
+  private def srpBandCtes(minBands: Int): String =
+    s"""bands AS (SELECT s.vec_id, w.j * 6 + k.k AS band,
+       |    ((CASE w.j WHEN 0 THEN s.w0 WHEN 1 THEN s.w1 WHEN 2 THEN s.w2 ELSE s.w3 END)
+       |      >> (5 * k.k)) & 31 AS bv
+       |  FROM sig s
+       |  CROSS JOIN (SELECT unnest(range(4)) AS j) w
+       |  CROSS JOIN (SELECT unnest(range(6)) AS k) k),
+       |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |    AND a.vec_id < b.vec_id
+       |  GROUP BY va, vb HAVING COUNT(*) >= $minBands)""".stripMargin
+
+  /** Verified SRP-banded near-dup pairs (the q_dedup_embedding_bucketed
+    * oracle body), parameterized by the signature source CTE.
+    */
+  private def srpPairsSql(src: String): String =
+    s"""WITH ${sigCtes(src)},
+       |${srpBandCtes(Similarity.SrpPairMinBands)}
+       |SELECT c.va AS vec_a, c.vb AS vec_b,
+       |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+       |FROM cand c
+       |JOIN $src ea ON ea.vec_id = c.va
+       |JOIN $src eb ON eb.vec_id = c.vb
+       |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45""".stripMargin
+
   /** Single-query SRP top-k oracle at the given Hamming radius. */
   private def srpTopKSql(radius: Int, k: Int): String =
-    s"""WITH $sigCtes,
+    s"""WITH ${sigCtes()},
        |q AS (SELECT e.embedding AS qv, s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
        |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id = 0)
        |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
@@ -271,12 +300,32 @@ object SimilarityQueries extends QueryPack {
         k = 8, iters = 2, perClusterCap = 40)),
 
     // The scale path: same threshold semantics, candidates pruned to
-    // same-sign-bucket pairs (recall < 1 by design — see the operator's
-    // Scaladoc; the oracle mirrors the pruning exactly, so the entry is
-    // hash-checked, and SimilaritySpec quantifies recall vs the exact pairs).
+    // pairs sharing ≥2 of 24 five-bit SRP-signature bands (equi-join +
+    // combinable pair count — no crossJoin). Replaces the round-9
+    // sign-bucket path whose fixture recall was 0: measured recall here
+    // is 14/14 at 19% candidate fraction (see the operator Scaladoc);
+    // the oracle mirrors the pruning exactly and q_dedup_recall_emb
+    // audits recall against the exact pairs.
     "q_dedup_embedding_bucketed" -> ((s, dir) =>
-      Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), "vec_id",
+      Similarity.cosineNearDupPairsSrp(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.45)),
+
+    // Recall audit for the banded scale path, mirroring q_dedup_recall's
+    // contract for MinHash: exact pairs (capped input, so the oracle's
+    // quadratic side stays constant-size) left-joined to the banded
+    // pairs → one (n_exact, n_found, recall) row. SimilaritySpec pins
+    // the ≥0.8 floor; the oracle hash-checks the measured value.
+    "q_dedup_recall_emb" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.45).select("vec_a", "vec_b")
+      val found = Similarity.cosineNearDupPairsSrp(emb, "vec_id", "embedding",
+        threshold = 0.45).select(col("vec_a"), col("vec_b"), lit(1L).as("__f"))
+      exact.join(found, Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__f")).as("n_found"),
+          round(count(col("__f")) / greatest(count(lit(1)), lit(1L)), 4)
+            .as("recall"))
+    }),
 
     // SemDeDup: k-means clusters bound the near-dup pair generation, then
     // lowest-id-wins pruning inside each cluster — the published semantic-
@@ -489,12 +538,18 @@ object SimilarityQueries extends QueryPack {
          |WHERE a.vec_id < 500 AND b.vec_id < 500
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
-    "q_dedup_embedding_bucketed" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
-         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
+    "q_dedup_embedding_bucketed" -> srpPairsSql("embeddings"),
+
+    "q_dedup_recall_emb" ->
+      s"""WITH capped AS (SELECT * FROM embeddings WHERE vec_id < 500),
+         |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM capped a JOIN capped b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45),
+         |srp AS (${srpPairsSql("capped")})
+         |SELECT COUNT(*) AS n_exact, COUNT(s.vec_a) AS n_found,
+         |  round(COUNT(s.vec_a) / greatest(COUNT(*), 1), 4) AS recall
+         |FROM exact e LEFT JOIN srp s
+         |  ON e.vec_a = s.vec_a AND e.vec_b = s.vec_b""".stripMargin,
 
     "q_kmeans" ->
       s"""WITH ${kmeansCtes()}
@@ -563,7 +618,7 @@ object SimilarityQueries extends QueryPack {
            |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
            |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
            |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id""".stripMargin
-      s"""WITH $sigCtes,
+      s"""WITH ${sigCtes()},
          |qs AS (SELECT e.vec_id AS qid, e.embedding AS qv,
          |    s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
          |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id < 20),

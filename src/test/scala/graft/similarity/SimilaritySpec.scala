@@ -78,20 +78,32 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.subsetOf(wide))
   }
 
-  test("bucketed near-dup pairs: precision exact, recall = same-bucket subset") {
-    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.7)
+  test("srp-banded near-dup pairs: precision exact, identical vectors always found") {
+    val exact = Similarity.cosineNearDupPairs(srpVecs, "vec_id", "embedding", 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val bucketed = Similarity.cosineNearDupPairsBucketed(vecs, "vec_id", "embedding",
-      0.7, dims = 4)
+    val banded = Similarity.cosineNearDupPairsSrp(srpVecs, "vec_id", "embedding", 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // every bucketed pair is a true pair with the identical exact cosine
-    assert(bucketed.subsetOf(exact))
-    // same-bucket near-dups are found: 0 and 1 are identical vectors
-    assert(bucketed.contains((0L, 1L, 1.0)))
-    // the documented recall loss: (0,4) has cosine ~0.707 ≥ 0.7 but vec 4's
-    // sign bucket differs (dim 1 positive) — pruned by construction
-    assert(exact.exists(p => p._1 == 0L && p._2 == 4L))
-    assert(!bucketed.exists(p => p._1 == 0L && p._2 == 4L))
+    // every banded pair is a true pair with the identical exact cosine
+    assert(banded.subsetOf(exact))
+    // identical vectors share all 24 bands — always a candidate
+    assert(banded.contains((0L, 1L, 1.0)))
+    // antipodal vectors share 0 bands — never a candidate
+    assert(!banded.exists(p => p._1 == 0L && p._2 == 2L))
+  }
+
+  test("srp-banded near-dup recall floor >= 0.8 on the 14-pair fixture (round-9 verdict gate)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosineNearDupPairsSrp(emb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture lost its near-dup pairs")
+    val recall = banded.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"banded recall $recall < 0.8 (${banded.size}/${exact.size})")
+    // and precision is exact-verify: banded ⊆ exact
+    assert(banded.subsetOf(exact))
   }
 
   test("ivf nprobe: probing more clusters is a candidate superset; full probe = brute force") {
