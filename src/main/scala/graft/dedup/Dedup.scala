@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -509,8 +510,9 @@ object Dedup {
     * extreme edge counts is alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14); this
     * API could swap it in without changing its contract. Lineage is
-    * truncated per round with localCheckpoint (at 100 TB use a reliable
-    * checkpoint dir); convergence is detected by the label-sum invariant —
+    * truncated per round via [[graft.util.Checkpoints]] (executor-local
+    * blocks by default; set GRAFT_CHECKPOINT_DIR for reliable,
+    * executor-loss-safe checkpoints at 100 TB); convergence is detected by the label-sum invariant —
     * labels only ever decrease, so an unchanged sum ⇔ fixpoint — one
     * scalar action per round instead of a change-count join.
     *
@@ -532,7 +534,7 @@ object Dedup {
     val edges = pairs
       .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
       .union(pairs.select(col("doc_b").cast("long").as("u"), col("doc_a").cast("long").as("v")))
-      .localCheckpoint() // pairs' DAG (LSH/banding) must not re-run per round
+      .cutLineageEager() // pairs' DAG (LSH/banding) must not re-run per round
     // Iterate ONLY over the active subgraph — docs that appear in some pair.
     // In a near-dup workload that is a sliver of the corpus (dup rate ×
     // cluster size); every doc outside it is its own rep by definition and
@@ -542,7 +544,7 @@ object Dedup {
     var labels = edges.select(col("u"), col("v"))
       .union(edges.select(col("u"), col("u")))
       .groupBy(col("u")).agg(min(col("v")).as("rep"))
-      .localCheckpoint(false)
+      .cutLineage()
     // decimal(38,0) — a sum of 64-bit ids can overflow a long at scale.
     // The sum action ALSO materializes each round's LAZY localCheckpoint,
     // so a round costs exactly one job (multi-stage): propagation join →
@@ -581,7 +583,7 @@ object Dedup {
             Seq("rep"), "left")
           .select(col("u"), coalesce(col("__rep2"), col("rep")).as("rep"))
       }
-      val next = jumped.localCheckpoint(false)
+      val next = jumped.cutLineage()
       val s = labelSum(next)
       converged = s.compareTo(prev) == 0
       prev = s
@@ -709,8 +711,8 @@ object Dedup {
     * per-node state. Convergence = unchanged canonical edge set, detected
     * by an order-invariant (count, xor-style hash-sum) checksum — one
     * scalar action per round, same as clusters' label-sum trick. Lineage is
-    * truncated per round with a lazy localCheckpoint materialized by that
-    * same action.
+    * truncated per round with a lazy [[graft.util.Checkpoints]] cut
+    * materialized by that same action.
     */
   def clustersAlternating(docs: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
@@ -722,7 +724,7 @@ object Dedup {
         least(col("doc_a").cast("long"), col("doc_b").cast("long")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint(false)
+      .cutLineage()
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
@@ -753,7 +755,7 @@ object Dedup {
         .filter(col("hi") =!= col("lo"))
         .union(sMins.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint(false)
+        .cutLineage()
       val s = checksum(ss)
       // the checksum is a cheap per-round filter, but unlike clusters'
       // label sum it is NOT exact (the edge set is not monotone, so no

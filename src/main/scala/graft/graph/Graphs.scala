@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -91,23 +92,26 @@ object Graphs {
     // ([[graft.dedup.Dedup.clusters]]): each round consumes `ranks` TWICE
     // (contrib join + dangling aggregate), so without a checkpoint the plan
     // tree doubles per round — 2^iters evaluations of the caller's edge
-    // construction. The lazy localCheckpoint caches each table's RDD on
+    // construction. The lazy cutLineage caches each table's blocks on
     // first computation, so every round costs one bounded shuffle pass and
     // the static tables (nodes / outdeg / edge weights) are built once.
-    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    // Mode: executor-local blocks by default, or RELIABLE checkpoints to
+    // GRAFT_CHECKPOINT_DIR for executor-loss-safe cluster runs
+    // ([[graft.util.Checkpoints]]).
+    val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct().localCheckpoint(false)
+      .union(e.select(col("v").as("node"))).distinct().cutLineage()
     val nn = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
     val outdeg = e.groupBy(col("u"))
-      .agg(count(lit(1)).cast("double").as("deg")).localCheckpoint(false)
+      .agg(count(lit(1)).cast("double").as("deg")).cutLineage()
     // Edge weight 1/outdeg precomputed once; reused every iteration.
     val ew = e.join(outdeg, "u")
       .select(col("u"), col("v"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint(false)
+      .cutLineage()
     var ranks = nodes.crossJoin(nn)
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
     for (_ <- 1 to iters) {
-      val r = ranks.localCheckpoint(false)
+      val r = ranks.cutLineage()
       val contrib = ew.join(r, ew("u") === r("node"))
         .groupBy(col("v").as("node"))
         .agg(sum(col("rank") * col("w")).as("contrib"))
@@ -135,13 +139,13 @@ object Graphs {
     */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            damping: Double): DataFrame = {
-    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
     val sflag = nodes
       .join(seeds.select(col("node"), lit(1.0).as("__is")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__is"), lit(0.0)).as("s"))
-      .localCheckpoint(false)
+      .cutLineage()
     val ns = broadcast(sflag.agg(sum(col("s")).as("n_seeds")))
     // Fail loudly on an empty seed set: 0/0 would silently make every
     // rank NaN. One 1-row action against the already-checkpointed flag
@@ -149,14 +153,14 @@ object Graphs {
     require(ns.first().getDouble(0) > 0.0,
       "personalizedPagerank: no seed matched a graph node — ranks would be NaN")
     val outdeg = e.groupBy(col("u"))
-      .agg(count(lit(1)).cast("double").as("deg")).localCheckpoint(false)
+      .agg(count(lit(1)).cast("double").as("deg")).cutLineage()
     val ew = e.join(outdeg, "u")
       .select(col("u"), col("v"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint(false)
+      .cutLineage()
     var ranks = sflag.crossJoin(ns)
       .select(col("node"), (col("s") / col("n_seeds")).as("rank"))
     for (_ <- 1 to iters) {
-      val r = ranks.localCheckpoint(false)
+      val r = ranks.cutLineage()
       val contrib = ew.join(r, ew("u") === r("node"))
         .groupBy(col("v").as("node"))
         .agg(sum(col("rank") * col("w")).as("contrib"))
@@ -186,15 +190,15 @@ object Graphs {
     * Returns surviving (node, deg) — deg in the final subgraph.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    var e = edges.select(col("u"), col("v")).distinct().cutLineage()
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-        .select(col("u").as("node")).localCheckpoint(false)
+        .select(col("u").as("node")).cutLineage()
       e = e
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(false)
+        .select(col("u"), col("v")).cutLineage()
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
@@ -217,7 +221,7 @@ object Graphs {
     // the edge list feeds FOUR consumers (degree, both wedge legs, the
     // anti-join) — checkpoint it once or the caller's edge construction
     // (often itself a join) re-executes per consumer (pagerank pattern)
-    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(false)
+    val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
     val ew = e.join(deg, e("u") === deg("w"))
       .select(col("v").as("n"), col("w"),

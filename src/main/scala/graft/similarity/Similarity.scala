@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.expressions.GraftFunctions
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -160,7 +161,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     var sel = emb.filter(col("vid") === seedId)
       .select(col("vid"), col("v"), lit(0).as("pick_order"))
-      .localCheckpoint()
+      .cutLineageEager()
     for (r <- 1 until k) {
       val picked = broadcast(
         sel.select(col("vid").as("svid"), col("v").as("sv")))
@@ -173,7 +174,7 @@ object Similarity {
         .orderBy(col("__mc").asc, col("vid").asc)
         .limit(1)
         .select(col("vid"), col("v"), lit(r).as("pick_order"))
-      sel = sel.unionByName(next).localCheckpoint()
+      sel = sel.unionByName(next).cutLineageEager()
     }
     sel.select(col("pick_order").cast("long").as("pick_order"),
       col("vid").as(idCol))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
@@ -65,7 +66,7 @@ object Bpe {
       .groupBy(col("w"))
       .agg(count(lit(1)).cast("long").as("freq"))
       .select(split(col("w"), "").as("sym"), col("freq"))
-      .localCheckpoint()
+      .cutLineageEager()
     // the symbol alphabet: initial characters now, plus every merged
     // string as it is created — guard #2 needs exact membership
     val alphabet = scala.collection.mutable.HashSet.empty[String]
@@ -125,7 +126,7 @@ object Bpe {
         }
         val next = cur
           .select(folded.as("sym"), col("freq"))
-          .localCheckpoint()
+          .cutLineageEager()
         cur.unpersist()
         cur = next
       }
@@ -228,7 +229,7 @@ object Bpe {
       .filter(length(col("__w")) > 0)
     var vocab = words.select(col("__w")).distinct()
       .select(col("__w"), split(col("__w"), "").as("__sym"))
-      .localCheckpoint()
+      .cutLineageEager()
     var round = 0
     var active = true
     while (active && round < maxRounds) {
@@ -250,9 +251,9 @@ object Bpe {
               element_at(split(col("__bestKey"), Sep), 1),
               element_at(split(col("__bestKey"), Sep), 2))))
         .select(col("__w"), col("__sym"), col("__best").isNotNull.as("__changed"))
-        .localCheckpoint()
+        .cutLineageEager()
       active = stepped.filter(col("__changed")).limit(1).count() > 0
-      val next = stepped.select(col("__w"), col("__sym")).localCheckpoint()
+      val next = stepped.select(col("__w"), col("__sym")).cutLineageEager()
       vocab.unpersist()
       stepped.unpersist()
       vocab = next
