@@ -147,6 +147,26 @@ object Collections {
         col("userName"), col("userScreenName"))
   }
 
+  /** [[keywordSearch]] served from a prebuilt [[BM25Index]] postings store
+    * instead of tokenizing the corpus per request — the production-QPS
+    * form of the query route (`q_keyword_bm25_served`'s path): the scoring
+    * subtree reads ONLY the term-bucket-pruned postings/termstats parquet
+    * (no Generate/explode anywhere — spec-asserted), and the corpus join
+    * happens AFTER the k-row cut, so per-request cost is the k lookups,
+    * never a corpus scan. Envelopes are byte-identical to the ad-hoc path
+    * (the index scoring is value-equal by the served-query oracle).
+    */
+  def keywordSearchIndexed(tweets: DataFrame, users: DataFrame,
+                           indexDir: String, terms: Seq[String],
+                           k: Int = 10): DataFrame = {
+    val top = BM25Index.topK(tweets.sparkSession, indexDir, terms, k)
+    top.join(tweets.withColumnRenamed("id", "doc"), "doc")
+      .join(users.withColumnRenamed("id", "uid"),
+        col("userID") === col("uid"), "left")
+      .select(col("doc").as("tweet_id"), col("score"), col("tweetText"),
+        col("userName"), col("userScreenName"))
+  }
+
   /** Solr-style highlighting: a ±`window`-character snippet around the
     * FIRST occurrence of `term` in `textCol` (case-insensitive), empty
     * when absent. Pure substring arithmetic — a codegen'd projection over

@@ -79,6 +79,30 @@ class HttpServingSpec extends SparkSpec {
     }
   }
 
+  test("indexed keyword route: postings-store plan, byte-identical envelope") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-bm25").toString
+    BM25Index.build(tweets, "id", "tweetText", dir)
+    // the scoring plan reads the pruned postings store — no tokenize
+    // (Generate/explode) anywhere in the request plan
+    val indexed = Collections.keywordSearchIndexed(tweets, users, dir,
+      Seq("spark", "engines"), k = 10)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("postings"), "plan must scan the postings store")
+    assert(!plan.contains("Generate"), "served plan must not tokenize the corpus")
+    // byte-identical envelopes: ad-hoc server vs indexed server
+    val adhoc = HttpServing.start(0, HttpServing.referenceRoutes(tweets, users))
+    val served = HttpServing.start(0,
+      HttpServing.referenceRoutes(tweets, users, bm25IndexDir = Some(dir)))
+    try {
+      val q = "/api/search/query?query=spark%20engines"
+      val a = get(adhoc.getAddress.getPort, q).body()
+      val b = get(served.getAddress.getPort, q).body()
+      assert(a == b, "served envelope must be byte-identical to ad hoc")
+      assert(json(b, "$.status_code") == "200")
+      assert(json(b, "$.count") == "2")
+    } finally { adhoc.stop(0); served.stop(0) }
+  }
+
   test("missing params and unknown users return the error envelope, HTTP 200") {
     withServer { port =>
       // the reference embeds errors in the body and always answers 200
