@@ -13,11 +13,12 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
   * over fetched media URLs) — a driver-side loop. Here the same shape is a
   * distributed column operator.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * container): [[StubCodec]] is a deterministic fake that parses a tiny
-  * synthetic header. Everything around it — binary schema, metadata struct,
-  * partition-sized batching, the operator signatures — is real and tested,
-  * so swapping in a real codec is a one-function change.
+  * Pixel decode is REAL for PNG ([[PngCodec]]) and baseline JPEG
+  * ([[JpegCodec]], pure-JVM T.81 decoder) — the reference's dominant
+  * media types; WAV PCM decodes via codegen byte arithmetic. Other
+  * formats are header-parsed ([[jpegMeta]]/[[gifMeta]]/[[mp4Boxes]]) and
+  * fall back to [[StubCodec]], a deterministic fake behind the same seam,
+  * so swapping in a further codec is a one-function change.
   *
   * Scale notes: decode runs via `mapPartitions` (one codec context per
   * partition, not per row); blobs stay off the driver; with media in object
@@ -120,6 +121,15 @@ object Multimodal {
     * partition in the same seam. Feeds
     * [[graft.search.Collections.tweetsWithMediaText]].
     */
+  /** Decode an image blob by wire format: PNG ([[PngCodec]]) or baseline
+    * JPEG ([[JpegCodec]], luma plane) — the real-decode surface now covers
+    * the reference's dominant media type (JPEG per `SolrIndexer.java`'s
+    * fetched tweet media). Both decoders reject cleanly, so the orElse
+    * chain costs one signature check on the miss path.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[PngCodec.Gray] =
+    PngCodec.decode(bytes).orElse(JpegCodec.decode(bytes))
+
   def ocrText(df: DataFrame, binCol: String, outCol: String = "media_text"): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
     val binIdx = df.schema.fieldIndex(binCol)
@@ -128,7 +138,7 @@ object Multimodal {
       // OCR context (font templates / a Tesseract instance) opened once
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val txt = PngCodec.decode(bytes) match {
+        val txt = decodeImage(bytes) match {
           case Some(img) => GlyphOcr.recognize(img)
           case None =>
             val m = StubCodec.decode(bytes)
@@ -165,7 +175,38 @@ object Multimodal {
     }(encoder)
   }
 
-  /** REAL thumbnailing over a PNG binary column: decode ([[PngCodec]]),
+  /** Deterministic REAL-JPEG blob per row: the SAME gradient content as
+    * [[syntheticPng]] — p(x, y) = (7x + 13y + id) mod 251 — encoded as
+    * baseline JFIF by [[JpegCodec]] at a pinned quality, so mixed-format
+    * fixtures carry both wire formats over identical source content.
+    * Decoded pixels stay a pure function of (id, w, h, quality): the
+    * codec is StrictMath-deterministic, which is what lets hash-checked
+    * queries group on md5 of the decoded plane.
+    */
+  def syntheticJpeg(df: DataFrame, idCol: String, wCol: String,
+                    hCol: String, outCol: String = "jpeg",
+                    quality: Int = 90): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val px = Array.tabulate[Byte](w * h) { i =>
+          val x = i % w; val y = i / w
+          ((7L * x + 13L * y + id) % 251).toByte
+        }
+        Row.fromSeq(r.toSeq :+
+          JpegCodec.encodeGray(PngCodec.Gray(w, h, px), quality))
+      }
+    }(encoder)
+  }
+
+  /** REAL thumbnailing over a PNG or baseline-JPEG binary column: decode
+    * ([[decodeImage]] — PNG via [[PngCodec]], JPEG luma via [[JpegCodec]]),
     * fit-to-box via the integer rule tw = max(1, ⌊w·maxDim/max(w,h)⌋)
     * (unchanged when already inside the box), EXACT area-average resize
     * ([[PngCodec.resizeArea]]), re-encode, and re-decode as a round-trip
@@ -184,7 +225,7 @@ object Multimodal {
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val out: Seq[Any] = PngCodec.decode(r.getAs[Array[Byte]](binIdx)) match {
+        val out: Seq[Any] = decodeImage(r.getAs[Array[Byte]](binIdx)) match {
           case Some(img) =>
             val gmax = math.max(img.width, img.height)
             val (tw, th) =
@@ -204,7 +245,7 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Decoded-pixel view of a PNG binary column: appends (pix BINARY —
+  /** Decoded-pixel view of a PNG / baseline-JPEG binary column: appends (pix BINARY —
     * the raw grayscale pixel bytes, pix_w, pix_h, pix_ok). The point is
     * CONTENT-level identity: two blobs whose bytes differ (different
     * encoder, filter choice, chunk layout) but whose pixels match hash
@@ -221,7 +262,7 @@ object Multimodal {
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val out: Seq[Any] = PngCodec.decode(r.getAs[Array[Byte]](binIdx)) match {
+        val out: Seq[Any] = decodeImage(r.getAs[Array[Byte]](binIdx)) match {
           case Some(img) =>
             Seq(img.pixels, img.width.toLong, img.height.toLong, true)
           case None => Seq(null, -1L, -1L, false)

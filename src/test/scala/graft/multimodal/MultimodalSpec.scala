@@ -326,4 +326,50 @@ class MultimodalSpec extends SparkSpec {
     assert(!b2.getBoolean(b2.fieldIndex("pix_ok")) &&
       b2.isNullAt(b2.fieldIndex("pix")))
   }
+
+  test("decodePixels over MIXED PNG+JPEG blobs: both formats decode, JPEG copies group exactly") {
+    import spark.implicits._
+    val base = Seq((3L, 16L, 9L), (3L, 16L, 9L), (4L, 16L, 9L))
+      .toDF("img_id", "w", "h")
+    val png = Multimodal.syntheticPng(base, "img_id", "w", "h", outCol = "blob")
+    val jpg = Multimodal.syntheticJpeg(base, "img_id", "w", "h", outCol = "blob")
+    val out = Multimodal.decodePixels(png.unionByName(jpg), "blob").collect()
+    assert(out.length == 6)
+    assert(out.forall(r => r.getBoolean(r.fieldIndex("pix_ok"))))
+    // EXACT-pixel grouping: the two JPEG copies of asset 3 decode to
+    // byte-identical planes (deterministic codec), as do the two PNGs —
+    // but JPEG ≠ PNG (lossy) and asset 3 ≠ asset 4
+    def pix(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Array[Byte]]("pix").toSeq)
+    val groups = pix(out.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(groups.values.toSeq.sorted == Seq(1, 1, 2, 2),
+      s"expected {png3:2, jpg3:2, png4:1, jpg4:1}, got ${groups.values}")
+  }
+
+  test("JPEG blobs flow through thumbnail and OCR operators end-to-end") {
+    import spark.implicits._
+    // thumbnail: JPEG in, PNG thumb out, exact area-average of the
+    // JPEG-decoded plane
+    val base = Seq((7L, 48L, 20L)).toDF("img_id", "w", "h")
+    val jpg = Multimodal.syntheticJpeg(base, "img_id", "w", "h", outCol = "blob")
+    val t = Multimodal.thumbnailPng(jpg, "blob", maxDim = 24).collect().head
+    assert(t.getBoolean(t.fieldIndex("thumb_ok")))
+    assert(t.getLong(t.fieldIndex("thumb_w")) == 24L)
+    assert(t.getLong(t.fieldIndex("thumb_h")) == 10L)
+    val srcPlane = JpegCodec.decode(t.getAs[Array[Byte]]("blob")).get
+    val expect = PngCodec.resizeArea(srcPlane, 24, 10)
+    val got = PngCodec.decode(t.getAs[Array[Byte]]("thumb")).get
+    assert(java.util.Arrays.equals(got.pixels, expect.pixels))
+    // OCR: glyph text in a JPEG blob is read through the same operator
+    // that handles PNG (the SolrIndexer.java:115-129 shape, now covering
+    // the reference's dominant media format)
+    val media = Seq(
+      (1L, JpegCodec.encodeGray(GlyphOcr.render("JPEG OCR 7"), 95)),
+      (2L, GlyphOcr.renderPng("PNG TOO"))
+    ).toDF("id", "blob")
+    val texts = Multimodal.ocrText(media, "blob").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("media_text"))).toMap
+    assert(texts(1L) == "JPEG OCR 7")
+    assert(texts(2L) == "PNG TOO")
+  }
 }
