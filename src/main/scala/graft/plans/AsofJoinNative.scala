@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -90,56 +90,78 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     require(lkIdx >= 0 && ltIdx >= 0 && rkIdx >= 0 && rtIdx >= 0 && rpIdx >= 0,
       "asof attributes lost from child outputs")
     val pType = payloadOut.dataType
-    val outAttrs = output
-    val leftAttrs = left.output
-    val payloadOutRef = payloadOut
+    val leftSchema = org.apache.spark.sql.types.StructType(left.output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(payloadOut.name, pType, nullable = true)))
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(outAttrs, leftAttrs :+ payloadOutRef)
-      val joined = new JoinedRow
-      val pRow = new GenericInternalRow(1)
+      // Emit via the codegen'd UnsafeRowJoiner (the SortMergeJoin
+      // technique): the left UnsafeRow and a 1-field payload UnsafeRow
+      // concatenate with bulk copies instead of a field-by-field
+      // projection — this was the round-9 native-vs-window gap (the
+      // interpreted per-field copy cost ~2× the window composition; the
+      // joiner closes it). Two payload rows are kept materialized: the
+      // null row (built once) and the value row (re-projected only when
+      // a right row is consumed, not per left row).
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(leftSchema, payloadSchema)
+      val pValProj = UnsafeProjection.create(Array(pType))
+      val pNullProj = UnsafeProjection.create(Array(pType))
+      val pGeneric = new GenericInternalRow(1)
+      val nullPayloadRow = { pGeneric.update(0, null); pNullProj(pGeneric) }
+      var valuePayloadRow = nullPayloadRow
 
-      // one-row lookahead over the right side, fields copied OUT of the
-      // (shuffle-reused) row object immediately
-      var rValid = false
-      var rKey = 0L
-      var rTime = 0L
-      var rPayload: Any = null
-      def advanceRight(): Unit = {
-        rValid = false
-        while (!rValid && rIter.hasNext) {
-          val r = rIter.next()
-          if (!r.isNullAt(rkIdx) && !r.isNullAt(rtIdx)) {
-            rKey = r.getLong(rkIdx)
-            rTime = r.getLong(rtIdx)
-            // copyValue: UTF8String/Decimal/arrays point into the reused
-            // sort buffer — copy NOW, before the iterator advances
-            rPayload = if (r.isNullAt(rpIdx)) null
-                       else InternalRow.copyValue(r.get(rpIdx, pType))
-            rValid = true
+      new Iterator[InternalRow] {
+        // one-row lookahead over the right side, fields copied OUT of the
+        // (shuffle/sort-reused) row object immediately
+        private var rValid = false
+        private var rKey = 0L
+        private var rTime = 0L
+        private var rPayload: Any = null
+        private def advanceRight(): Unit = {
+          rValid = false
+          while (!rValid && rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(rkIdx) && !r.isNullAt(rtIdx)) {
+              rKey = r.getLong(rkIdx)
+              rTime = r.getLong(rtIdx)
+              // copyValue: UTF8String/Decimal/arrays point into the reused
+              // sort buffer — copy NOW, before the iterator advances
+              rPayload = if (r.isNullAt(rpIdx)) null
+                         else InternalRow.copyValue(r.get(rpIdx, pType))
+              rValid = true
+            }
           }
         }
-      }
-      advanceRight()
+        advanceRight()
 
-      // the as-of state: last right row consumed, keyed
-      var lastValid = false
-      var lastKey = 0L
-      var lastPayload: Any = null
+        // the as-of state: last right row consumed, keyed
+        private var lastValid = false
+        private var lastKey = 0L
+        private var lastPayload: Any = null
 
-      lIter.map { lRow =>
-        if (lRow.isNullAt(lkIdx) || lRow.isNullAt(ltIdx)) {
-          pRow.update(0, null)
-        } else {
-          val lk = lRow.getLong(lkIdx)
-          val lt = lRow.getLong(ltIdx)
-          while (rValid && (rKey < lk || (rKey == lk && rTime <= lt))) {
-            lastValid = true; lastKey = rKey; lastPayload = rPayload
-            advanceRight()
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next().asInstanceOf[UnsafeRow]
+          var matched = false
+          if (!lRow.isNullAt(lkIdx) && !lRow.isNullAt(ltIdx)) {
+            val lk = lRow.getLong(lkIdx)
+            val lt = lRow.getLong(ltIdx)
+            while (rValid && (rKey < lk || (rKey == lk && rTime <= lt))) {
+              lastValid = true; lastKey = rKey
+              if (lastPayload != rPayload) {
+                lastPayload = rPayload
+                pGeneric.update(0, rPayload)
+                valuePayloadRow = pValProj(pGeneric)
+              }
+              advanceRight()
+            }
+            matched = lastValid && lastKey == lk && lastPayload != null
           }
-          pRow.update(0, if (lastValid && lastKey == lk) lastPayload else null)
+          joiner.join(lRow, if (matched) valuePayloadRow else nullPayloadRow)
         }
-        proj(joined(lRow, pRow))
       }
     }
   }

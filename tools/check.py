@@ -6,9 +6,16 @@ parquet tables and compares against the parquet Verify wrote for the same
 query. NOT part of the shipped engine — dev tooling only.
 
 Usage: python3 tools/check.py [sfdir] [verify_out]
+Env:   CHECK_TIMEOUT=<secs>  run each oracle in its own process with a
+       wall-clock cap (for the synthesized-sf1 sweep, where a handful of
+       deliberately quadratic oracles — e.g. the recursive-CTE closure —
+       may not complete); timed-out queries report TIMEOUT, not FAIL.
+       CHECK_ONLY=q_a,q_b    restrict to named queries.
 """
 import json
 import math
+import multiprocessing as mp
+import os
 import sys
 from pathlib import Path
 
@@ -37,56 +44,82 @@ def table(con, sql):
     return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
-def main():
+def connect():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    oracle = json.loads((OUT / "oracle_sql.json").read_text())
-    n_pass = n_fail = 0
-    for name in sorted(oracle):
-        qdir = OUT / name
-        if not qdir.exists():
-            print(f"FAIL {name}: no Verify output")
-            n_fail += 1
-            continue
-        try:
-            gcols, got = table(con, f"SELECT * FROM '{qdir}/*.parquet'")
-            ecols, exp = table(con, oracle[name])
-        except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
-            continue
-        if gcols != ecols:
-            print(f"FAIL {name}: columns {gcols} != {ecols}")
-            n_fail += 1
-            continue
-        if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-            n_fail += 1
-            continue
-        bad = None
-        for i, (g, e) in enumerate(zip(got, exp)):
-            if g != e:
-                bad = (i, g, e)
-                break
-        if bad:
-            i, g, e = bad
-            print(f"FAIL {name}: first diff row {i}:\n  got {g}\n  exp {e}")
-            # float drift diagnostics
+    return con
+
+
+def check_one(con, name, sql):
+    """Compare one query; returns (status_line, passed)."""
+    qdir = OUT / name
+    if not qdir.exists():
+        return f"FAIL {name}: no Verify output", False
+    try:
+        gcols, got = table(con, f"SELECT * FROM '{qdir}/*.parquet'")
+        ecols, exp = table(con, sql)
+    except Exception as e:
+        return f"FAIL {name}: {e}", False
+    if gcols != ecols:
+        return f"FAIL {name}: columns {gcols} != {ecols}", False
+    if len(got) != len(exp):
+        return f"FAIL {name}: rows {len(got)} != {len(exp)}", False
+    for i, (g, e) in enumerate(zip(got, exp)):
+        if g != e:
+            lines = [f"FAIL {name}: first diff row {i}:\n  got {g}\n  exp {e}"]
             for a, b in zip(g, e):
                 if isinstance(a, float) and isinstance(b, float) and a != b:
-                    print(f"    float drift: {a!r} vs {b!r} (delta {a - b:.3e})")
-            n_fail += 1
+                    lines.append(f"    float drift: {a!r} vs {b!r} (delta {a - b:.3e})")
+            return "\n".join(lines), False
+    return f"PASS {name} ({len(got)} rows)", True
+
+
+def _worker(name, sql, q):
+    con = connect()
+    q.put(check_one(con, name, sql))
+
+
+def main():
+    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    only = os.environ.get("CHECK_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
+    timeout = float(os.environ.get("CHECK_TIMEOUT", "0"))
+    n_pass = n_fail = n_timeout = 0
+    con = None if timeout > 0 else connect()
+    for name in sorted(oracle):
+        if timeout > 0:
+            q = mp.Queue()
+            p = mp.Process(target=_worker, args=(name, oracle[name], q))
+            p.start()
+            p.join(timeout)
+            if p.is_alive():
+                p.terminate()
+                p.join()
+                print(f"TIMEOUT {name} (> {timeout:.0f}s)")
+                n_timeout += 1
+                continue
+            line, ok = q.get() if not q.empty() else (f"FAIL {name}: worker died", False)
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            line, ok = check_one(con, name, oracle[name])
+        print(line)
+        if ok:
             n_pass += 1
-    missing = [q for q in (d.name for d in OUT.iterdir() if d.is_dir())
-               if q not in oracle]
+        else:
+            n_fail += 1
+    missing = [] if only else [
+        q for q in (d.name for d in OUT.iterdir() if d.is_dir())
+        if q not in oracle]
     if missing:
         print(f"note: queries with no oracle (rows-only check): {sorted(missing)}")
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    tmo = f", {n_timeout} timeout" if n_timeout else ""
+    print(f"== {n_pass} pass, {n_fail} fail{tmo} ==")
     sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
     main()
+
+
