@@ -121,14 +121,16 @@ object Multimodal {
     * partition in the same seam. Feeds
     * [[graft.search.Collections.tweetsWithMediaText]].
     */
-  /** Decode an image blob by wire format: PNG ([[PngCodec]]) or baseline
-    * JPEG ([[JpegCodec]], luma plane) — the real-decode surface now covers
-    * the reference's dominant media type (JPEG per `SolrIndexer.java`'s
-    * fetched tweet media). Both decoders reject cleanly, so the orElse
-    * chain costs one signature check on the miss path.
+  /** Decode an image blob by wire format: PNG ([[PngCodec]]), baseline
+    * JPEG ([[JpegCodec]], luma plane), or GIF ([[GifCodec]], first frame,
+    * palette collapsed to integer-BT.601 luma) — the real-decode surface
+    * covers the reference's fetched-tweet-media formats (JPEG/PNG/GIF per
+    * `SolrIndexer.java`). Each decoder rejects cleanly on its signature,
+    * so the orElse chain costs one header check per miss.
     */
   def decodeImage(bytes: Array[Byte]): Option[PngCodec.Gray] =
     PngCodec.decode(bytes).orElse(JpegCodec.decode(bytes))
+      .orElse(GifCodec.decode(bytes))
 
   def ocrText(df: DataFrame, binCol: String, outCol: String = "media_text"): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
@@ -201,6 +203,32 @@ object Multimodal {
         }
         Row.fromSeq(r.toSeq :+
           JpegCodec.encodeGray(PngCodec.Gray(w, h, px), quality))
+      }
+    }(encoder)
+  }
+
+  /** Deterministic REAL-GIF blob per row: the SAME gradient content as
+    * [[syntheticPng]]/[[syntheticJpeg]] encoded as GIF89a by [[GifCodec]].
+    * GIF is LOSSLESS here (grayscale table, index i = gray i), so a GIF
+    * copy of an asset must hash-merge with its PNG copy after decode —
+    * the cross-format content-identity case in q_image_dedup.
+    */
+  def syntheticGif(df: DataFrame, idCol: String, wCol: String,
+                   hCol: String, outCol: String = "gif"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val px = Array.tabulate[Byte](w * h) { i =>
+          val x = i % w; val y = i / w
+          ((7L * x + 13L * y + id) % 251).toByte
+        }
+        Row.fromSeq(r.toSeq :+ GifCodec.encodeGray(PngCodec.Gray(w, h, px)))
       }
     }(encoder)
   }

@@ -429,27 +429,32 @@ object TextQueries extends QueryPack {
     // pins the dims and the fit rule; thumb_ok=TRUE asserts the full
     // codec round trip succeeded in the engine.
     // Image dedup on DECODED CONTENT over a MIXED-FORMAT library:
-    // documents reference a 17-asset image library (asset = doc_id % 17);
-    // even doc_ids carry the asset as a real PNG, odd ones as a real
-    // baseline JPEG (pure-JVM JpegCodec, round-10) — same source gradient,
-    // two wire formats. Duplicates group by md5 OF THE DECODED PIXELS
-    // (codegen over the decode seam), which file-byte hashing cannot do
-    // once encoders differ; JPEG's lossy plane is deterministic
-    // (StrictMath codec), so its copies group exactly too — one group per
-    // (asset, format). The oracle replays that congruence analytically —
-    // a decode or hash drift splits/merges a group and fails the compare.
+    // documents reference a 17-asset image library (asset = doc_id % 17),
+    // each doc carrying its asset in one of THREE real wire formats by
+    // doc_id % 3 — PNG, baseline JPEG, GIF (all pure-JVM codecs) — same
+    // source gradient per asset. Duplicates group by md5 OF THE DECODED
+    // PIXELS (codegen over the decode seam), which file-byte hashing
+    // cannot do once encoders differ. PNG and GIF are both lossless, so
+    // their copies of an asset MERGE into one cross-format group — the
+    // case that proves content-level identity; JPEG's lossy-but-
+    // deterministic plane (StrictMath codec) forms the asset's second
+    // group. The oracle replays that congruence analytically — a decode
+    // or hash drift splits/merges a group and fails the compare.
     "q_image_dedup" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"),
           (col("doc_id") % 17).cast("long").as("img_id"))
         .withColumn("w", (col("img_id") % 64 + 16).cast("long"))
         .withColumn("h", (col("img_id") % 32 + 9).cast("long"))
       val png = Multimodal
-        .syntheticPng(base.filter(col("doc_id") % 2 === 0), "img_id", "w", "h",
+        .syntheticPng(base.filter(col("doc_id") % 3 === 0), "img_id", "w", "h",
           outCol = "blob")
       val jpg = Multimodal
-        .syntheticJpeg(base.filter(col("doc_id") % 2 === 1), "img_id", "w", "h",
+        .syntheticJpeg(base.filter(col("doc_id") % 3 === 1), "img_id", "w", "h",
           outCol = "blob")
-      Multimodal.decodePixels(png.unionByName(jpg), "blob")
+      val gif = Multimodal
+        .syntheticGif(base.filter(col("doc_id") % 3 === 2), "img_id", "w", "h",
+          outCol = "blob")
+      Multimodal.decodePixels(png.unionByName(jpg).unionByName(gif), "blob")
         .where(col("pix_ok"))
         .groupBy(md5(col("pix")).as("pixel_md5"), col("pix_w"), col("pix_h"))
         .agg(Num.cnt.as("n_copies"), min(col("doc_id")).as("rep_doc"))
@@ -1392,13 +1397,14 @@ object TextQueries extends QueryPack {
         |FROM v GROUP BY doc_id, frame""".stripMargin,
 
     "q_image_dedup" ->
-      """WITH d AS (SELECT doc_id, doc_id % 17 AS img_id, doc_id % 2 AS fmt
+      """WITH d AS (SELECT doc_id, doc_id % 17 AS img_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS lossy
         |  FROM documents)
         |SELECT CAST(img_id % 64 + 16 AS BIGINT) AS pix_w,
         |  CAST(img_id % 32 + 9 AS BIGINT) AS pix_h,
         |  CAST(count(*) AS BIGINT) AS n_copies,
         |  CAST(min(doc_id) AS BIGINT) AS rep_doc
-        |FROM d GROUP BY img_id, fmt""".stripMargin,
+        |FROM d GROUP BY img_id, lossy""".stripMargin,
 
     "q_thumbnail" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
