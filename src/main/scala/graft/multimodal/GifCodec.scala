@@ -38,6 +38,23 @@ object GifCodec {
     try decodeUnsafe(bytes)
     catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => None }
 
+  /** One composited animation frame: the full logical-screen canvas as it
+    * would be displayed, plus the frame's delay in centiseconds.
+    */
+  final case class Frame(image: Gray, delayCs: Int)
+
+  /** All frames of an animated GIF (bounded by `maxFrames`), composited
+    * per the GIF89a animation model: frame rects painted onto the
+    * logical-screen canvas honoring transparency and disposal methods
+    * 0/1 (leave), 2 (restore rect to background) and 3 (restore to the
+    * pre-frame canvas). Every snapshot is the full canvas — what a
+    * player shows — so frame content is a pure function of the stream.
+    * Returns None on malformed bytes; a still GIF yields one frame.
+    */
+  def decodeFrames(bytes: Array[Byte], maxFrames: Int = 256): Option[Vector[Frame]] =
+    try decodeFramesUnsafe(bytes, maxFrames)
+    catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => None }
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
@@ -101,6 +118,102 @@ object GifCodec {
       }
     }
     None
+  }
+
+  private def decodeFramesUnsafe(b: Array[Byte],
+                                 maxFrames: Int): Option[Vector[Frame]] = {
+    if (b == null || b.length < 14) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    if (sw <= 0 || sh <= 0) return None
+    val packed = u8(b, 10)
+    val bgIdx = u8(b, 11)
+    var pos = 13
+    var global: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      global = lumas(b, pos, n)
+      pos += 3 * n
+    }
+    val bg: Byte = if (global != null && bgIdx < global.length) global(bgIdx) else 0
+    val canvas = Array.fill[Byte](sw * sh)(bg)
+    val frames = Vector.newBuilder[Frame]
+    var nFrames = 0
+    // pending graphic-control state (applies to the NEXT image block)
+    var delayCs = 0; var disposal = 0; var transIdx = -1
+    while (pos < b.length && nFrames < maxFrames) {
+      u8(b, pos) match {
+        case 0x3b =>
+          val out = frames.result()
+          return if (out.nonEmpty) Some(out) else None
+        case 0x21 =>
+          if (u8(b, pos + 1) == 0xf9 && u8(b, pos + 2) >= 4) { // GCE
+            val gp = u8(b, pos + 3)
+            disposal = (gp >> 2) & 7
+            delayCs = le16(b, pos + 4)
+            transIdx = if ((gp & 1) != 0) u8(b, pos + 6) else -1
+          }
+          pos += 2
+          while (u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          pos += 1
+        case 0x2c =>
+          val left = le16(b, pos + 1); val top = le16(b, pos + 3)
+          val iw = le16(b, pos + 5); val ih = le16(b, pos + 7)
+          val ip = u8(b, pos + 9)
+          pos += 10
+          var pal = global
+          if ((ip & 0x80) != 0) {
+            val n = 1 << ((ip & 7) + 1)
+            pal = lumas(b, pos, n)
+            pos += 3 * n
+          }
+          if (pal == null || iw <= 0 || ih <= 0 ||
+            left + iw > sw || top + ih > sh) return None
+          val minCode = u8(b, pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new ArrayBuffer[Byte](b.length - pos)
+          while (u8(b, pos) != 0) {
+            val n = u8(b, pos)
+            data ++= b.slice(pos + 1, pos + 1 + n)
+            pos += 1 + n
+          }
+          pos += 1
+          var idx = lzwDecode(data.toArray, minCode, iw * ih).getOrElse(return None)
+          if ((ip & 0x40) != 0) idx = deinterlace(idx, iw, ih)
+          val before = if (disposal == 3) canvas.clone() else null
+          var y = 0
+          while (y < ih) {
+            var x = 0
+            while (x < iw) {
+              val v = idx(y * iw + x) & 0xff
+              if (v != transIdx) {
+                if (v >= pal.length) return None
+                canvas((top + y) * sw + left + x) = pal(v)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += Frame(Gray(sw, sh, canvas.clone()), delayCs)
+          nFrames += 1
+          disposal match {
+            case 2 => // restore the frame rect to the background color
+              var yy = 0
+              while (yy < ih) {
+                java.util.Arrays.fill(canvas, (top + yy) * sw + left,
+                  (top + yy) * sw + left + iw, bg)
+                yy += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          delayCs = 0; disposal = 0; transIdx = -1
+        case _ => return None
+      }
+    }
+    val out = frames.result()
+    if (out.nonEmpty) Some(out) else None
   }
 
   /** GIF's 4-pass row interleave → sequential rows. */
@@ -227,6 +340,70 @@ object GifCodec {
     out += 8.toByte // LZW minimum code size
     lzwEncode(indices, 8, out)
     out += 0.toByte // block terminator
+    out += 0x3b.toByte
+    out.toArray
+  }
+
+  /** One frame for the low-level animation writer. `transparentIdx` < 0
+    * means opaque; `disposal` per GIF89a (0/1 leave, 2 background, 3 prev).
+    */
+  private[multimodal] final case class RawFrame(left: Int, top: Int, w: Int,
+                                                h: Int, indices: Array[Byte],
+                                                delayCs: Int, disposal: Int,
+                                                transparentIdx: Int)
+
+  /** Grayscale animated GIF89a: every frame a full-screen plane with the
+    * same dims, disposal "leave" — lossless per frame, so
+    * [[decodeFrames]] round-trips the exact pixel planes. The fixture
+    * generator for the frame-sampling operator.
+    */
+  def encodeGrayAnimation(frames: Seq[Gray], delayCs: Int): Array[Byte] = {
+    require(frames.nonEmpty, "gif: animation needs at least one frame")
+    val w = frames.head.width; val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "gif: animation frames must share dimensions")
+    val palette = Array.tabulate[Byte](768)(i => (i / 3).toByte)
+    encodeAnimation(w, h, palette, frames.map(f =>
+      RawFrame(0, 0, w, h, f.pixels, delayCs, disposal = 0, transparentIdx = -1)))
+  }
+
+  /** Low-level animation writer: explicit screen dims, 256-entry RGB
+    * table, per-frame rects/disposal/transparency — lets specs build
+    * compositing cases (partial updates, disposal 2/3, transparent holes)
+    * with bytes of controlled provenance.
+    */
+  private[multimodal] def encodeAnimation(sw: Int, sh: Int,
+                                          palette: Array[Byte],
+                                          frames: Seq[RawFrame]): Array[Byte] = {
+    require(palette.length == 768, "gif: palette must be 256 RGB entries")
+    require(sw > 0 && sw < 65536 && sh > 0 && sh < 65536, "gif: dims out of range")
+    val out = new ArrayBuffer[Byte](frames.map(_.indices.length).sum / 2 + 800)
+    out ++= "GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out += (sw & 0xff).toByte += ((sw >> 8) & 0xff).toByte
+    out += (sh & 0xff).toByte += ((sh >> 8) & 0xff).toByte
+    out += 0xf7.toByte += 0.toByte += 0.toByte
+    out ++= palette
+    for (f <- frames) {
+      require(f.indices.length == f.w * f.h, "gif: frame plane size mismatch")
+      require(f.left + f.w <= sw && f.top + f.h <= sh, "gif: frame rect out of screen")
+      // graphic control extension
+      out += 0x21.toByte += 0xf9.toByte += 4.toByte
+      val gp = ((f.disposal & 7) << 2) | (if (f.transparentIdx >= 0) 1 else 0)
+      out += gp.toByte
+      out += (f.delayCs & 0xff).toByte += ((f.delayCs >> 8) & 0xff).toByte
+      out += (if (f.transparentIdx >= 0) f.transparentIdx else 0).toByte
+      out += 0.toByte
+      // image descriptor + data
+      out += 0x2c.toByte
+      out += (f.left & 0xff).toByte += ((f.left >> 8) & 0xff).toByte
+      out += (f.top & 0xff).toByte += ((f.top >> 8) & 0xff).toByte
+      out += (f.w & 0xff).toByte += ((f.w >> 8) & 0xff).toByte
+      out += (f.h & 0xff).toByte += ((f.h >> 8) & 0xff).toByte
+      out += 0x00.toByte
+      out += 8.toByte
+      lzwEncode(f.indices, 8, out)
+      out += 0.toByte
+    }
     out += 0x3b.toByte
     out.toArray
   }

@@ -300,6 +300,77 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL video-style frame sampling over an animated-GIF binary column:
+    * decode ([[GifCodec.decodeFrames]] — composited per the GIF89a
+    * animation model), keep every `every`-th frame, and emit ONE ROW PER
+    * SAMPLED FRAME with (frame_idx, frame_delay_cs, frame_w, frame_h,
+    * frame BINARY = the full composited grayscale canvas). This is the
+    * frame-sample leg of a video-curation pipeline with a fully real
+    * decoder (MP4 stays header-parsed — [[mp4Boxes]] — since no codec
+    * libraries ship in this container; the operator shape is identical).
+    * Undecodable blobs yield a single (-1, -1, -1, -1, null) row so
+    * corrupt media is visible downstream but never fails the job. Same
+    * one-codec-per-partition seam as [[decodePixels]]; a narrow map —
+    * the explode multiplies rows, never shuffles. Feed `frame` to
+    * `graft_bytes_u8` / `md5` for codegen per-frame statistics.
+    */
+  def gifFrames(df: DataFrame, binCol: String, every: Int = 1,
+                maxFrames: Int = 256): DataFrame = {
+    require(every > 0, "gifFrames: every must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", LongType), StructField("frame_delay_cs", LongType),
+      StructField("frame_w", LongType), StructField("frame_h", LongType),
+      StructField("frame", BinaryType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val base = r.toSeq
+        GifCodec.decodeFrames(r.getAs[Array[Byte]](binIdx), maxFrames) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.collect {
+              case (f, i) if i % every == 0 =>
+                Row.fromSeq(base ++ Seq(i.toLong, f.delayCs.toLong,
+                  f.image.width.toLong, f.image.height.toLong, f.image.pixels))
+            }
+          case None =>
+            Iterator(Row.fromSeq(base ++ Seq(-1L, -1L, -1L, -1L, null)))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Deterministic REAL animated-GIF blob per row: `nCol` frames of the
+    * per-frame gradient p(x, y, f) = (7x + 13y + id + 17f) mod 251
+    * encoded by [[GifCodec.encodeGrayAnimation]] — the fixture generator
+    * for [[gifFrames]]; frame pixels stay a pure function of
+    * (id, w, h, f), so SQL can replay per-frame statistics exactly.
+    */
+  def syntheticGifAnimation(df: DataFrame, idCol: String, wCol: String,
+                            hCol: String, nCol: String,
+                            outCol: String = "gif"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val nIdx = df.schema.fieldIndex(nCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val n = r.getLong(nIdx).toInt
+        val frames = (0 until n).map { f =>
+          PngCodec.Gray(w, h, Array.tabulate[Byte](w * h) { i =>
+            val x = i % w; val y = i / w
+            ((7L * x + 13L * y + id + 17L * f) % 251).toByte
+          })
+        }
+        Row.fromSeq(r.toSeq :+ GifCodec.encodeGrayAnimation(frames, delayCs = 10))
+      }
+    }(encoder)
+  }
+
   /** REAL (not stubbed) PNG header metadata, as pure codegen'd column
     * arithmetic — no codec, no mapPartitions, no UDF: the PNG wire format
     * is public byte offsets (8-byte signature `89 50 4E 47 0D 0A 1A 0A`,

@@ -461,6 +461,29 @@ object TextQueries extends QueryPack {
         .select(col("pix_w"), col("pix_h"), col("n_copies"), col("rep_doc"))
     }),
 
+    // REAL video-style frame sampling: deterministic animated GIFs
+    // (doc_id % 5 + 2 frames of the per-frame gradient
+    // (7x + 13y + id + 17f) mod 251) → GifCodec.decodeFrames (full GIF89a
+    // animation compositing) → keep every 2nd frame → per-frame pixel sum
+    // via the codegen graft_bytes_u8 expression. The oracle replays the
+    // gradient per sampled frame analytically, so the whole
+    // encode→LZW→composite→sample→sum chain must be pixel-exact; the
+    // pinned delay column additionally pins graphic-control parsing.
+    "q_gif_frames" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 24 + 8).cast("long").as("w"),
+        (col("doc_id") % 16 + 6).cast("long").as("h"),
+        (col("doc_id") % 5 + 2).cast("long").as("nf"))
+      val gif = Multimodal.syntheticGifAnimation(base, "doc_id", "w", "h", "nf")
+      graft.expressions.GraftFunctions.register(s)
+      Multimodal.gifFrames(gif, "gif", every = 2)
+        .where(col("frame_idx") >= 0)
+        .select(col("doc_id"), col("frame_idx"), col("frame_delay_cs"),
+          col("frame_w"), col("frame_h"),
+          aggregate(call_function("graft_bytes_u8", col("frame")),
+            lit(0L), (acc, x) => acc + x.cast("long")).as("pix_sum"))
+    }),
+
     "q_thumbnail" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"),
         (col("doc_id") % 64 + 16).cast("long").as("w"),
@@ -1405,6 +1428,19 @@ object TextQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_copies,
         |  CAST(min(doc_id) AS BIGINT) AS rep_doc
         |FROM d GROUP BY img_id, lossy""".stripMargin,
+
+    "q_gif_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 6 AS h,
+        |    doc_id % 5 + 2 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM d),
+        |p AS (SELECT doc_id, w, h, fi, unnest(range(0, w * h)) AS i
+        |  FROM f WHERE fi % 2 = 0)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(10 AS BIGINT) AS frame_delay_cs,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |  CAST(SUM((7 * (i % w) + 13 * (i // w) + doc_id + 17 * fi) % 251)
+        |    AS BIGINT) AS pix_sum
+        |FROM p GROUP BY doc_id, fi, w, h""".stripMargin,
 
     "q_thumbnail" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
