@@ -371,6 +371,71 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Scene-cut detection over an animated-GIF binary column: decode all
+    * frames ([[gifFrames]]), then score each consecutive pair by the SUM
+    * of absolute pixel differences — `lag` over a (doc)-partitioned
+    * window, the per-pixel fold as codegen `zip_with`+`aggregate` over
+    * two `graft_bytes_u8` views (no UDF). A pair is a cut when
+    * `diff_sum > threshold × n_pix`, kept as an integer comparison so
+    * the flag is engine-exact (no float mean). Output: one row per
+    * consecutive frame pair (frame_idx = the later frame), with
+    * (diff_sum, n_pix, is_cut). This is the shot-boundary leg of a
+    * video-curation pipeline (sample → diff → cut → dedup shots); the
+    * single shuffle is the per-doc window, bounded by frames-per-doc.
+    */
+  def sceneCuts(df: DataFrame, idCol: String, binCol: String,
+                threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    def u8(c: Column) = call_function("graft_bytes_u8", c)
+    val frames = gifFrames(df, binCol, every = 1)
+      .where(col("frame_idx") >= 0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("frame"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col(idCol), col("frame_idx"),
+        aggregate(zip_with(u8(col("frame")), u8(col("prev")),
+          (a, b) => abs(a - b).cast("long")), lit(0L), (acc, x) => acc + x)
+          .as("diff_sum"),
+        (col("frame_w") * col("frame_h")).as("n_pix"))
+      .withColumn("is_cut", col("diff_sum") > lit(threshold) * col("n_pix"))
+  }
+
+  /** Two-scene fixture for [[sceneCuts]]: slow in-scene motion (+2 gray
+    * per frame) with a +120 intensity jump at frame `nf / 2` — so
+    * within-scene pair diffs average ≈ 4 per pixel and the cut pair
+    * ≈ 122–129, a decisive margin for any mid-range threshold. All
+    * pixels stay pure functions of (id, w, h, f), so SQL replays every
+    * diff exactly.
+    */
+  def syntheticGifScenes(df: DataFrame, idCol: String, wCol: String,
+                         hCol: String, nCol: String,
+                         outCol: String = "gif"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val nIdx = df.schema.fieldIndex(nCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val n = r.getLong(nIdx).toInt
+        val cut = n / 2
+        val frames = (0 until n).map { f =>
+          PngCodec.Gray(w, h, Array.tabulate[Byte](w * h) { i =>
+            val x = i % w; val y = i / w
+            val v = 7L * x + 13L * y + id + 2L * f + (if (f >= cut) 120L else 0L)
+            (v % 251).toByte
+          })
+        }
+        Row.fromSeq(r.toSeq :+ GifCodec.encodeGrayAnimation(frames, delayCs = 10))
+      }
+    }(encoder)
+  }
+
   /** REAL (not stubbed) PNG header metadata, as pure codegen'd column
     * arithmetic — no codec, no mapPartitions, no UDF: the PNG wire format
     * is public byte offsets (8-byte signature `89 50 4E 47 0D 0A 1A 0A`,

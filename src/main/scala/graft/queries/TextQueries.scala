@@ -484,6 +484,22 @@ object TextQueries extends QueryPack {
             lit(0L), (acc, x) => acc + x.cast("long")).as("pix_sum"))
     }),
 
+    // Shot-boundary detection over the SAME real animated-GIF machinery:
+    // two-scene fixtures (slow +2/frame motion, +120 intensity jump at
+    // nf/2) → per consecutive-frame-pair |Δpixel| sums (codegen zip_with
+    // over graft_bytes_u8 views, lag over the per-doc window) → integer
+    // threshold flag. Within-scene pairs diff ≈ 4 per pixel, the cut pair
+    // ≈ 122–129 — threshold 30 separates decisively, and both engines
+    // compute identical integers, so is_cut is exact, not a tolerance.
+    "q_scene_cuts" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 20 + 6).cast("long").as("w"),
+        (col("doc_id") % 12 + 5).cast("long").as("h"),
+        (col("doc_id") % 4 + 4).cast("long").as("nf"))
+      val gif = Multimodal.syntheticGifScenes(base, "doc_id", "w", "h", "nf")
+      Multimodal.sceneCuts(gif, "doc_id", "gif", threshold = 30L)
+    }),
+
     "q_thumbnail" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"),
         (col("doc_id") % 64 + 16).cast("long").as("w"),
@@ -1441,6 +1457,25 @@ object TextQueries extends QueryPack {
         |  CAST(SUM((7 * (i % w) + 13 * (i // w) + doc_id + 17 * fi) % 251)
         |    AS BIGINT) AS pix_sum
         |FROM p GROUP BY doc_id, fi, w, h""".stripMargin,
+
+    "q_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 + 6 AS w, doc_id % 12 + 5 AS h,
+        |    doc_id % 4 + 4 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, nf // 2 AS cut, unnest(range(1, nf)) AS fi
+        |  FROM d),
+        |p AS (SELECT doc_id, w, h, cut, fi, unnest(range(0, w * h)) AS i
+        |  FROM f),
+        |v AS (SELECT doc_id, fi, w, h,
+        |    (7 * (i % w) + 13 * (i // w) + doc_id + 2 * fi
+        |      + CASE WHEN fi >= cut THEN 120 ELSE 0 END) % 251 AS cur,
+        |    (7 * (i % w) + 13 * (i // w) + doc_id + 2 * (fi - 1)
+        |      + CASE WHEN fi - 1 >= cut THEN 120 ELSE 0 END) % 251 AS prv
+        |  FROM p)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(SUM(ABS(cur - prv)) AS BIGINT) AS diff_sum,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  SUM(ABS(cur - prv)) > 30 * w * h AS is_cut
+        |FROM v GROUP BY doc_id, fi, w, h""".stripMargin,
 
     "q_thumbnail" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
