@@ -372,4 +372,42 @@ class MultimodalSpec extends SparkSpec {
     assert(texts(1L) == "JPEG OCR 7")
     assert(texts(2L) == "PNG TOO")
   }
+
+  test("gifFrames samples every k-th composited frame; corrupt blob → sentinel row") {
+    import spark.implicits._
+    val base = Seq((3L, 9L, 7L, 6L)).toDF("doc_id", "w", "h", "nf")
+    val gif = Multimodal.syntheticGifAnimation(base, "doc_id", "w", "h", "nf")
+    val rows = Multimodal.gifFrames(gif, "gif", every = 2)
+      .select("frame_idx", "frame_delay_cs", "frame_w", "frame_h", "frame")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L))
+    assert(rows.forall(r => r.getLong(1) == 10L &&
+      r.getLong(2) == 9L && r.getLong(3) == 7L))
+    // frame 2's plane matches the generator formula exactly
+    val f2 = rows(1).getAs[Array[Byte]]("frame")
+    val expect = Array.tabulate[Byte](63) { i =>
+      ((7L * (i % 9) + 13L * (i / 9) + 3L + 17L * 2) % 251).toByte
+    }
+    assert(java.util.Arrays.equals(f2, expect))
+    // corrupt blob: one visible sentinel row, job never fails
+    val corrupt = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
+    val s = Multimodal.gifFrames(corrupt, "blob").collect()
+    assert(s.length == 1 && s.head.getAs[Long]("frame_idx") == -1L &&
+      s.head.getAs[Array[Byte]]("frame") == null)
+  }
+
+  test("GIF blobs flow through dedup/thumbnail/OCR operators end-to-end") {
+    import spark.implicits._
+    val base = Seq((7L, 40L, 18L)).toDF("img_id", "w", "h")
+    val gif = Multimodal.syntheticGif(base, "img_id", "w", "h", outCol = "blob")
+    val t = Multimodal.thumbnailPng(gif, "blob", maxDim = 20).collect().head
+    assert(t.getBoolean(t.fieldIndex("thumb_ok")))
+    assert(t.getLong(t.fieldIndex("thumb_w")) == 20L)
+    assert(t.getLong(t.fieldIndex("thumb_h")) == 9L)
+    val media = Seq((1L, GifCodec.encodeGray(GlyphOcr.render("GIF OCR 3"))))
+      .toDF("id", "blob")
+    val texts = Multimodal.ocrText(media, "blob").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("media_text"))).toMap
+    assert(texts(1L) == "GIF OCR 3")
+  }
 }
