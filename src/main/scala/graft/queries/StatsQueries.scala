@@ -112,15 +112,32 @@ object StatsQueries extends QueryPack {
     // Heavy-hitter users served from a frequent-items state table (one
     // accumulate per day cell, combined + estimated at query time). The
     // audit pins the exact top-5 (deterministic tie-break) and flags each
-    // found in the served top-20 with its estimated count within 5% —
-    // FI guarantee: error <= n / maxItemsTracked.
+    // found in the served top-20 with its estimate within the sketch's
+    // ANALYTIC guarantee, |est − n| ≤ 3.5·N/maxItemsTracked (the
+    // Misra–Gries/ItemsSketch a-priori bound over the merged stream
+    // weight N) — NOT a fixed percentage: a 5% tolerance calibrated at
+    // one SF broke at the sf1 sweep (10× more distinct users dilute the
+    // same top counts), which is precisely the scale-dependent-test bug
+    // class the three-point sweep exists to catch. The guarantee-based
+    // flag is scale-invariant and still fails on real sketch breakage
+    // (item loss, merge corruption).
     "q_topk_served" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val states = Sketches.topKSketchTable(
         ev.withColumn("day", to_date(col("ts"))), Seq("day"), "user_id",
         maxItemsTracked = 8192)
+      // serve capacity covers the union of tracked items across the ≤32
+      // day cells (cells × 8192) — see topKServe's overflow contract
       val served = Sketches.topKServe(states, Seq(), k = 20,
-        maxItemsTracked = 8192)
+        maxItemsTracked = 8192, serveCapacity = 32 * 8192)
+      val bound = ev.groupBy().agg(
+        (count(lit(1)).cast("double") * 3.5 / 8192.0).as("__err"))
+      // the FI guarantee also bounds a MISS: an item absent from the
+      // served top-20 cannot out-count the 20th served estimate by more
+      // than the error — the correct claim when 10× distinct items push
+      // a true heavy hitter inside the noise floor
+      val floor = served.groupBy().agg(
+        min(col("est_count")).cast("double").as("__floor"))
       val top5 = ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("user_id").asc)
@@ -129,10 +146,12 @@ object StatsQueries extends QueryPack {
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("n").desc, col("user_id").asc)).cast("long"))
       top5.join(served, top5("user_id") === served("item"), "left_outer")
+        .crossJoin(broadcast(bound)).crossJoin(broadcast(floor))
         .select(col("user_id"), col("n"), col("rnk"),
-          (col("item").isNotNull &&
-            abs(col("est_count") - col("n")).cast("double") /
-              col("n").cast("double") <= 0.05).as("served_ok"))
+          (when(col("item").isNotNull,
+            abs(col("est_count") - col("n")).cast("double") <= col("__err"))
+            .otherwise(col("n").cast("double") <= col("__floor") + col("__err")))
+            .as("served_ok"))
     }),
 
     // Deequ-style data-quality constraint suite: five admission checks in
@@ -526,10 +545,11 @@ object StatsQueries extends QueryPack {
 
     "q_winsorize" ->
       """WITH p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    quantile_cont(value, 0.05) AS plo, quantile_cont(value, 0.95) AS phi
+        |    round(quantile_cont(value, 0.05), 6) AS plo,
+        |    round(quantile_cont(value, 0.95), 6) AS phi
         |  FROM events GROUP BY event_type)
         |SELECT e.event_type, MAX(p.n) AS n,
-        |  round(MAX(p.plo), 6) AS p_lo, round(MAX(p.phi), 6) AS p_hi,
+        |  MAX(p.plo) AS p_lo, MAX(p.phi) AS p_hi,
         |  CAST(SUM(CASE WHEN e.value < p.plo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
         |  CAST(SUM(CASE WHEN e.value > p.phi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
         |FROM events e JOIN p USING (event_type)

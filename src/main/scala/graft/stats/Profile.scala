@@ -148,15 +148,22 @@ object Profile {
   def winsorizeStats(df: DataFrame, keyCol: String, valueCol: String,
                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(lo < hi, s"need lo < hi, got $lo >= $hi")
+    // Clip counts compare against the ROUNDED bounds (the same 6-dp
+    // values the operator publishes): the raw interpolated percentile is
+    // a float expression whose last ulp differs between engines, and on
+    // a value column with heavy ties a 1-ulp bound shift moves the whole
+    // tied mass across the `<` — the sf1 sweep caught exactly that
+    // (n_clipped_lo off by 50 on 10×-duplicated data). Rounding parity
+    // is already proven suite-wide by the published p_lo/p_hi columns.
     val pct = df.groupBy(col(keyCol)).agg(
       count(lit(1)).cast("long").as("__n"),
-      expr(s"percentile($valueCol, ${lo}D)").as("__plo"),
-      expr(s"percentile($valueCol, ${hi}D)").as("__phi"))
+      round(expr(s"percentile($valueCol, ${lo}D)"), 6).as("__plo"),
+      round(expr(s"percentile($valueCol, ${hi}D)"), 6).as("__phi"))
     df.join(broadcast(pct), keyCol)
       .groupBy(col(keyCol))
       .agg(max(col("__n")).as("n"),
-        round(max(col("__plo")), 6).as("p_lo"),
-        round(max(col("__phi")), 6).as("p_hi"),
+        max(col("__plo")).as("p_lo"),
+        max(col("__phi")).as("p_hi"),
         sum(when(col(valueCol) < col("__plo"), 1L).otherwise(0L))
           .cast("long").as("n_clipped_lo"),
         sum(when(col(valueCol) > col("__phi"), 1L).otherwise(0L))

@@ -113,12 +113,24 @@ object Sketches {
   /** Serve the rolled-up top-k item/estimated-count list from a state
     * table: combine cell states down to `keys`, then estimate. Emits
     * `(keys*, item, est_count)` exploded rows.
+    *
+    * `serveCapacity` sizes the COMBINE map and must cover the UNION of
+    * items tracked across the combined cells (≤ cells × maxItemsTracked):
+    * Spark's `approx_top_k_combine` does not evict on overflow — it
+    * silently yields an EMPTY sketch once the union exceeds its capacity,
+    * which the sf1 sweep caught (30 day cells × >8 k distinct users →
+    * zero served rows at combine(8192), fine at 16384). Combining at a
+    * larger capacity adds NO error — the FI guarantee comes from the
+    * per-cell accumulation (Σ 3.5·n_cell/maxItemsTracked = 3.5·N/M) —
+    * and serve-side state stays MB-scale (≈16 B/item). Defaults to
+    * maxItemsTracked for single-cell rollups.
     */
   def topKServe(states: DataFrame, keys: Seq[String], k: Int,
-                maxItemsTracked: Int): DataFrame = {
+                maxItemsTracked: Int, serveCapacity: Int = 0): DataFrame = {
+    val cap = if (serveCapacity > 0) serveCapacity else maxItemsTracked
     val combined = states.groupBy(keys.map(col): _*)
       .agg(call_function("approx_top_k_combine", col("state"),
-        lit(maxItemsTracked)).as("state"))
+        lit(cap)).as("state"))
     combined
       .select(keys.map(col) :+ explode(call_function("approx_top_k_estimate",
         col("state"), lit(k))).as("e"): _*)

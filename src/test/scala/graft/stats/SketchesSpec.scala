@@ -80,4 +80,35 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(top == ((7L, 60L)))
   }
+
+  test("frequent items: serveCapacity covering the tracked-item union " +
+    "serves correctly where the default-capacity combine degrades") {
+    // sf1-sweep shape in miniature: 30 cells whose per-cell distinct items
+    // (200) exceed maxItemsTracked (64), union 600 ≫ 64. Spark's
+    // approx_top_k_combine does not evict on overflow — observed failure
+    // shapes are an EMPTY combined sketch (the sf1 sweep's
+    // zero-served-rows at combine(8192) over 15 000 tracked users) or a
+    // serializer MatchError, DEPENDING ON the partial-aggregation layout
+    // (small shapes can come through healthy, so the bad path is not
+    // deterministically assertable here) — the contract under test is
+    // OURS: combining at a capacity ≥ the union must serve the planted
+    // heavy hitter within the FI guarantee.
+    val rows = (for (c <- 0 until 30; i <- 0 until 200)
+      yield (c, ((c * 200 + i) % 600).toLong)) ++
+      (0 until 500).map(i => (i % 30, 9999L)) // planted heavy hitter
+    val df = rows.toDF("cell", "item")
+    val states = Sketches.topKSketchTable(df, Seq("cell"), "item",
+      maxItemsTracked = 64).cache()
+    assert(states.count() == 30)
+    val served = Sketches.topKServe(states, Seq(), k = 5,
+      maxItemsTracked = 64, serveCapacity = 1024)
+    val top = served.orderBy($"est_count".desc).limit(1)
+      .as[(Long, Long)].head()
+    // saturated cells overestimate by their eviction offsets (Space-Saving
+    // upper bound), so pin the item + the analytic error 3.5·N/M
+    assert(top._1 == 9999L)
+    assert(math.abs(top._2 - 500L) <= 3.5 * 6500 / 64,
+      s"estimate ${top._2} outside the FI guarantee")
+    states.unpersist()
+  }
 }
