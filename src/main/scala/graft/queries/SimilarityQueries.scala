@@ -99,14 +99,15 @@ object SimilarityQueries extends QueryPack {
     * CAST(x AS DOUBLE[]) is a no-op here (emb.v is already DOUBLE[]) —
     * the shared helper keeps the formula single-sourced.
     */
-  private def kmeansCtes(kSql: String = "8"): String = {
-    def assignCte(out: String, centsCte: String): String =
+  private def kmeansCtes(kSql: String = "8", src: String = "embeddings",
+                         finalKeep: Int = 1): String = {
+    def assignCte(out: String, centsCte: String, keep: Int = 1): String =
       s"""s_$out AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
          |  FROM emb e CROSS JOIN $centsCte c),
          |$out AS (SELECT vec_id, v, cluster, s FROM (
          |  SELECT vec_id, v, cid AS cluster, s, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY s DESC, cid ASC) AS rn FROM s_$out) WHERE rn = 1)""".stripMargin
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |    ORDER BY s DESC, cid ASC) AS rn FROM s_$out) WHERE rn <= $keep)""".stripMargin
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM emb
        |  ORDER BY vec_id ASC LIMIT $kSql),
        |${assignCte("a1", "c0")},
@@ -115,8 +116,27 @@ object SimilarityQueries extends QueryPack {
        |  FROM (SELECT cluster, v, unnest(range(1, len(v) + 1)) AS pos FROM a1)
        |  GROUP BY cluster, pos),
        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
-       |${assignCte("a2", "c1")}""".stripMargin
+       |${assignCte("a2", "c1", finalKeep)}""".stripMargin
   }
+
+  /** Cluster-bounded near-dup pairs (the q_dedup_embedding_bucketed
+    * oracle body): auto-k Lloyd replay with the final assignment keeping
+    * the top-[[Similarity.ClusteredPairProbes]] centroids, candidates =
+    * pairs sharing ANY assigned cluster, exact cosine verify — mirroring
+    * [[Similarity.cosineNearDupPairsClustered]] value-for-value.
+    */
+  private def clusteredPairsSql(src: String): String =
+    s"""WITH ${kmeansCtes(
+              s"(SELECT CAST(ceil(COUNT(*) / ${Similarity.ClusteredPairTarget}.0) AS BIGINT) FROM emb)",
+              src, Similarity.ClusteredPairProbes)},
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT c.va AS vec_a, c.vb AS vec_b,
+       |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+       |FROM cand c
+       |JOIN $src ea ON ea.vec_id = c.va
+       |JOIN $src eb ON eb.vec_id = c.vb
+       |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45""".stripMargin
 
   /** Greedy k-center oracle, rounds unrolled as CTEs: round r scores
     * every unselected vector's MAX cosine to sel(r−1) and picks the
@@ -299,16 +319,18 @@ object SimilarityQueries extends QueryPack {
       Similarity.topicBalance(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2, perClusterCap = 40)),
 
-    // The scale path: same threshold semantics, candidates pruned to
-    // pairs sharing ≥2 of 24 five-bit SRP-signature bands (equi-join +
-    // combinable pair count — no crossJoin). Replaces the round-9
-    // sign-bucket path whose fixture recall was 0: measured recall here
-    // is 14/14 at 19% candidate fraction (see the operator Scaladoc);
-    // the oracle mirrors the pruning exactly and q_dedup_recall_emb
-    // audits recall against the exact pairs.
+    // The scale path: same threshold semantics, candidates bounded by
+    // auto-k clusters with a 2-probe final assignment — O(N) candidate
+    // volume by construction (probes²·targetClusterSize per vector,
+    // constant as N grows). Replaces the round-9/10 SRP banding whose
+    // candidate volume is provably Ω(N^1.63) at this threshold (the
+    // three-point sweep measured 135 s at sf1; ρ analysis in the operator
+    // Scaladoc — banding stays shipped for the high-threshold domain).
+    // Recall measured by q_dedup_recall_clustered: 13/14 at 19%
+    // candidate fraction on the fixture.
     "q_dedup_embedding_bucketed" -> ((s, dir) =>
-      Similarity.cosineNearDupPairsSrp(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.45)),
+      Similarity.cosineNearDupPairsClustered(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45)),
 
     // Recall audit for the banded scale path, mirroring q_dedup_recall's
     // contract for MinHash: exact pairs (capped input, so the oracle's
@@ -321,6 +343,24 @@ object SimilarityQueries extends QueryPack {
         threshold = 0.45).select("vec_a", "vec_b")
       val found = Similarity.cosineNearDupPairsSrp(emb, "vec_id", "embedding",
         threshold = 0.45).select(col("vec_a"), col("vec_b"), lit(1L).as("__f"))
+      exact.join(found, Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__f")).as("n_found"),
+          round(count(col("__f")) / greatest(count(lit(1)), lit(1L)), 4)
+            .as("recall"))
+    }),
+
+    // Recall audit for the CLUSTERED scale path (the shipped
+    // q_dedup_embedding_bucketed implementation), same contract: exact
+    // pairs on the capped fixture left-joined to the cluster-bounded
+    // pairs → one (n_exact, n_found, recall) row, floor ≥0.8 pinned in
+    // SimilaritySpec, value hash-checked by the oracle.
+    "q_dedup_recall_clustered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.45).select("vec_a", "vec_b")
+      val found = Similarity.cosineNearDupPairsClustered(emb, "vec_id",
+        "embedding", threshold = 0.45)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("__f"))
       exact.join(found, Seq("vec_a", "vec_b"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("__f")).as("n_found"),
           round(count(col("__f")) / greatest(count(lit(1)), lit(1L)), 4)
@@ -538,7 +578,18 @@ object SimilarityQueries extends QueryPack {
          |WHERE a.vec_id < 500 AND b.vec_id < 500
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
-    "q_dedup_embedding_bucketed" -> srpPairsSql("embeddings"),
+    "q_dedup_embedding_bucketed" -> clusteredPairsSql("embeddings"),
+
+    "q_dedup_recall_clustered" ->
+      s"""WITH capped AS (SELECT * FROM embeddings WHERE vec_id < 500),
+         |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM capped a JOIN capped b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45),
+         |clu AS (${clusteredPairsSql("capped")})
+         |SELECT COUNT(*) AS n_exact, COUNT(c.vec_a) AS n_found,
+         |  round(COUNT(c.vec_a) / greatest(COUNT(*), 1), 4) AS recall
+         |FROM exact e LEFT JOIN clu c
+         |  ON e.vec_a = c.vec_a AND e.vec_b = c.vec_b""".stripMargin,
 
     "q_dedup_recall_emb" ->
       s"""WITH capped AS (SELECT * FROM embeddings WHERE vec_id < 500),

@@ -415,19 +415,26 @@ object Similarity {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assignNearest(withVd, cents)
-      cents = assigned
-        .select(col("cluster").as("cid"), posexplode(col("__vd")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("col").cast("decimal(38,12)")).as("__s"),
-          count(lit(1)).cast("long").as("__n"))
-        .withColumn("m",
-          round(col("__s").cast("double") / col("__n").cast("double"), 6))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("cv"))
+      cents = updateCentroids(assigned)
     }
     assigned.select(col(idCol), col("cluster"), col("centroid_sim"))
   }
+
+  /** Decimal-exact Lloyd centroid update from an assignment frame —
+    * shared by [[kmeansAssign]] and [[cosineNearDupPairsClustered]] so
+    * both replay the identical deterministic iteration.
+    */
+  private def updateCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster").as("cid"), posexplode(col("__vd")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("col").cast("decimal(38,12)")).as("__s"),
+        count(lit(1)).cast("long").as("__n"))
+      .withColumn("m",
+        round(col("__s").cast("double") / col("__n").cast("double"), 6))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cv"))
 
   /** Nearest-centroid assignment against an explicit (cid, cv: double[])
     * centroid frame — [[ivfAssign]]'s broadcast-projection argmax
@@ -497,9 +504,17 @@ object Similarity {
     * corpus — neighbors at θ ≈ 63°): recall 14/14 at 19% candidate
     * fraction (bands=5 bits, minBands=2); exact banding (minBands=1,
     * 8-bit bands) gave 0.64, the old sign bucket 0.0. On a real near-dup
-    * corpus (cosine ≥ 0.9, θ ≤ 26°) the same parameters prune to < 1%.
+    * corpus (cosine ≥ 0.9, θ ≤ 26°) the banding separates far better.
     * Precision is always exact (full cosine verify). Audited end-to-end
     * by q_dedup_recall_emb with a floor in SimilaritySpec.
+    *
+    * DOMAIN (round-10 three-point sweep): candidate volume for ANY
+    * sign-RP banding at recall r is Ω(N^(1+ρ)), ρ = ln(1/p_t)/ln(1/p_r)
+    * — at threshold 0.45 that is N^1.63 and the sweep measured a 1.27
+    * TIME exponent (0.39/1.14/135 s at sf0.01/0.1/1). Use this operator
+    * at HIGH thresholds (≥ 0.8, ρ ≤ 0.34) where the bands separate;
+    * at moderate thresholds use [[cosineNearDupPairsClustered]], whose
+    * candidate volume is O(N) by construction.
     */
   def cosineNearDupPairsSrp(embeddings: DataFrame, idCol: String,
                             vecCol: String, threshold: Double,
@@ -530,6 +545,107 @@ object Similarity {
       .withColumn("cosine", round(cosineFast("__va", "__vb"), 6))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Target per-cluster population for [[cosineNearDupPairsClustered]];
+    * with `probes` = 2 the candidate set per vector is ≈ probes² ×
+    * target = 100 — the constant that makes the operator linear.
+    */
+  val ClusteredPairTarget = 25L
+
+  /** Final-assignment probe count for [[cosineNearDupPairsClustered]]. */
+  val ClusteredPairProbes = 2
+
+  /** Cluster-bounded near-dup pairs — the linear-by-construction scale
+    * path for MODERATE thresholds, where sign-RP banding provably cannot
+    * prune: for threshold t the per-bit agreement is p_t = 1 − arccos(t)/π
+    * and unrelated pairs sit at p_r ≈ 0.5, so ANY banding scheme holding
+    * recall r needs candidate volume Ω(N^(1+ρ)) with
+    * ρ = ln(1/p_t)/ln(1/p_r) — at t = 0.45 (θ ≈ 63°, p_t ≈ 0.648),
+    * ρ ≈ 0.63 ⇒ N^1.63 candidates no matter the band width/count. The
+    * round-10 three-point sweep measured exactly that: the 24×5-bit SRP
+    * banding ran 0.39 / 1.14 / 135 s at sf0.01/0.1/1 (time exponent
+    * 1.27). [[cosineNearDupPairsSrp]] remains the right tool for HIGH
+    * thresholds (t ≥ 0.8 ⇒ ρ ≤ 0.34, tiny constants); THIS operator is
+    * the moderate-threshold path.
+    *
+    * Method: Lloyd rounds with k = ceil(N / targetClusterSize) (the
+    * SemDeDup scaling contract, [[autoK]]) refine centroids; the FINAL
+    * assignment keeps each vector's top-`probes` centroids (IVF
+    * multi-probe transplanted to dedup — boundary pairs are recovered by
+    * the second assignment, which single-assignment clustering misses:
+    * measured fixture recall 0.50 at probes=1 vs 0.93 at probes=2).
+    * Candidates are pairs sharing ANY assigned cluster; precision is
+    * always exact (full cosine verify). Per vector the candidate count is
+    * ≈ probes² × targetClusterSize — CONSTANT as N grows, so candidate
+    * volume is O(N) by construction; the Lloyd assign is O(N·k·d) per
+    * round with a broadcast centroid array (at corpus sizes where N/25
+    * centroids stop broadcasting, the assign itself becomes an IVF
+    * two-level tree — same contract, [[ivfAssign]]'s shape). Recall is
+    * MEASURED, never assumed: q_dedup_recall_clustered audits against
+    * the exact pairs with a ≥ 0.8 floor in SimilaritySpec (fixture:
+    * 13/14 at 19% candidate fraction, target=25, probes=2 — the same
+    * candidate budget the SRP banding spent for recall 1.0 at THIS N,
+    * but spent linearly instead of quadratically).
+    *
+    * The one `count()` sizes k (metadata-scale scalar, as in
+    * [[semDedupAuto]]). Returns (vec_a, vec_b, cosine), vec_a < vec_b.
+    */
+  def cosineNearDupPairsClustered(embeddings: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      targetClusterSize: Long = ClusteredPairTarget,
+      probes: Int = ClusteredPairProbes, iters: Int = 2): DataFrame = {
+    require(probes >= 1 && iters >= 2,
+      "cosineNearDupPairsClustered needs probes >= 1 and iters >= 2")
+    GraftFunctions.register(embeddings.sparkSession)
+    val k = autoK(embeddings.count(), targetClusterSize)
+    val withVd = embeddings.select(col(idCol), col(vecCol),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
+    var cents = withVd.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col("__vd").as("cv"))
+    // iters−1 argmax refinement rounds, then the multi-probe assignment
+    // against the final centroids — mirroring the oracle's CTE chain
+    // (c0 → a1 → c1 → a2(keep=probes)) value-for-value.
+    for (_ <- 1 until iters)
+      cents = updateCentroids(assignNearest(withVd, cents))
+    val asg = assignTopP(withVd, cents, probes)
+      .select(col(idCol), col("cluster"))
+    val cand = asg.select(col("cluster"), col(idCol).as("vec_a"))
+      .join(asg.select(col("cluster"), col(idCol).as("vec_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("__va")), "vec_a")
+      .join(embeddings.select(col(idCol).as("vec_b"), col(vecCol).as("__vb")), "vec_b")
+      .withColumn("cosine", round(cosineFast("__va", "__vb"), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Top-`p` nearest-centroid assignment (one output row per (vector,
+    * probed cluster)) — [[assignNearest]] generalized from argmax to a
+    * sorted-slice, still one broadcast + no shuffle: the per-vector
+    * ranking happens inside a sorted struct array, never a window.
+    * Ordering matches the oracle's `row_number() OVER (ORDER BY s DESC,
+    * cid ASC)`: array_sort ascending on (sim, −cid) then reverse ⇒
+    * descending sim, ties on ascending cid.
+    */
+  private def assignTopP(withVd: DataFrame, cents: DataFrame,
+      p: Int): DataFrame = {
+    val centsArr = cents
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
+    withVd.crossJoin(broadcast(centsArr))
+      .withColumn("__top", expr(
+        s"""slice(reverse(array_sort(transform(__cents, c -> struct(
+           |  round(
+           |    aggregate(zip_with(__vd, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /
+           |    (sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x)) *
+           |     sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x))), 6) AS sim,
+           |  -c.cid AS ncid)))), 1, $p)""".stripMargin))
+      .withColumn("__t", explode(col("__top")))
+      .withColumn("cluster", -col("__t.ncid"))
+      .withColumn("centroid_sim", col("__t.sim"))
+      .drop("__cents", "__top", "__t")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):

@@ -106,6 +106,37 @@ class SimilaritySpec extends SparkSpec {
     assert(banded.subsetOf(exact))
   }
 
+  test("cluster-bounded near-dup recall floor >= 0.8 on the 14-pair fixture " +
+      "(the linear scale path; measured 13/14 at probes=2)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = Similarity
+      .cosineNearDupPairsClustered(emb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture lost its near-dup pairs")
+    val recall = clustered.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8,
+      s"clustered recall $recall < 0.8 (${clustered.size}/${exact.size})")
+    assert(clustered.subsetOf(exact))
+  }
+
+  test("cluster-bounded near-dup: single-probe candidates are a subset of " +
+      "2-probe (monotone recall knob); output pairs are distinct") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val p1 = Similarity.cosineNearDupPairsClustered(emb, "vec_id", "embedding",
+      0.45, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val p2 = Similarity.cosineNearDupPairsClustered(emb, "vec_id", "embedding",
+      0.45, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(p1.toSet.subsetOf(p2.toSet))
+    // a pair sharing BOTH probed clusters must still appear exactly once
+    assert(p2.distinct.size == p2.size)
+  }
+
   test("ivf nprobe: probing more clusters is a candidate superset; full probe = brute force") {
     // centroids = vecs 0..2; vec 3 orthogonal, vec 4 between 0 and 1
     val pts = Seq(
