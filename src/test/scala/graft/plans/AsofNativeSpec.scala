@@ -69,6 +69,57 @@ class AsofNativeSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 co-partitioning exchanges, got $exchanges:\n$p")
   }
 
+  test("codegen: primitive payload compiles into the whole-stage pipeline") {
+    val df = AsofNative.join(left, right, "user_id", "ts",
+      Seq("event_id", "value"), "click_id")
+    df.collect()  // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the star prefix marks operators inside a WholeStageCodegen stage
+    assert(p.contains("*(") && p.linesIterator.exists(l =>
+        l.contains("AsofJoin") && l.contains("*(")),
+      s"AsofJoin not inside a codegen stage:\n$p")
+  }
+
+  test("non-primitive payload falls back to the interpreted merge, same truth") {
+    val r = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "early"),
+      (1L, ts("2024-01-01 09:30:00"), "late"),
+      (3L, ts("2024-01-01 11:00:00"), "future")
+    ).toDF("user_id", "ts", "tag")
+    val df = AsofNative.join(left, right = r, "user_id", "ts",
+      Seq("event_id", "value"), "tag")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(l => l.contains("AsofJoin") && l.contains("*(")),
+      s"string payload must use the interpreted path:\n$p")
+    val out = df.collect().map(row => row.getLong(2) ->
+      (if (row.isNullAt(4)) None else Some(row.getString(4)))).toMap
+    assert(out == Map(100L -> Some("late"), 101L -> None,
+      102L -> Some("early"), 103L -> None, 104L -> None))
+  }
+
+  test("randomized parity: native == window on 2k rows when the payload is consumed") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.tabulate(2000)(i => (rnd.nextInt(50).toLong,
+      ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+      i.toLong, rnd.nextDouble()))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Seq.tabulate(1500)(i => (rnd.nextInt(50).toLong,
+      ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+      10000L + i))
+      .toDF("user_id", "ts", "click_id")
+      // the operator contract: right side pre-deduped per (key, time)
+      .groupBy("user_id", "ts").agg(max("click_id").as("click_id"))
+    def fingerprint(df: DataFrame) =
+      df.agg(count(col("click_id")), sum(col("click_id")), sum(col("value")))
+        .collect()(0).toSeq
+    val n = fingerprint(AsofNative.join(l, r, "user_id", "ts",
+      Seq("event_id", "value"), "click_id"))
+    val w = fingerprint(Relational.asofJoin(l, r, "user_id", "ts",
+      Seq("event_id", "value"), "click_id"))
+    assert(n == w, s"native $n != window $w")
+  }
+
   test("rejects unsupported key types loudly") {
     val l = Seq(("a", ts("2024-01-01 10:00:00"), 1L, 1.0))
       .toDF("user_id", "ts", "event_id", "value")

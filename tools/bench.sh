@@ -26,9 +26,12 @@ OPENS="--add-opens java.base/java.lang=ALL-UNNAMED \
 --add-opens java.base/sun.security.action=ALL-UNNAMED \
 --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 ENV=(SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SF_DIR")
-[ -n "$ONLY" ] && ENV+=(SPARK_GRAFT_BENCH_ONLY="$ONLY")
-SCALA_JARS=$(ls /root/.sbt/boot/scala-2.13.*/lib/scala-library.jar 2>/dev/null | head -1)
-[ -z "$SCALA_JARS" ] && SCALA_JARS=$(find /root/.cache/coursier -name 'scala-library-2.13*.jar' 2>/dev/null | head -1)
+if [ -n "$ONLY" ]; then ENV+=(SPARK_GRAFT_BENCH_ONLY="$ONLY"); fi
+SCALA_JARS=$( (ls /root/.sbt/boot/scala-2.13.*/lib/scala-library.jar 2>/dev/null || true) | head -1)
+if [ -z "$SCALA_JARS" ]; then
+  SCALA_JARS=$( (find /root/.cache/coursier -name 'scala-library-2.13*.jar' 2>/dev/null || true) | head -1)
+fi
+[ -n "$SCALA_JARS" ] || { echo "scala-library jar not found" >&2; exit 1; }
 exec env "${ENV[@]}" java $OPENS -Xmx64g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*:$SCALA_JARS" graft.Bench
