@@ -315,8 +315,25 @@ object Multimodal {
     * `graft_bytes_u8` / `md5` for codegen per-frame statistics.
     */
   def gifFrames(df: DataFrame, binCol: String, every: Int = 1,
-                maxFrames: Int = 256): DataFrame = {
-    require(every > 0, "gifFrames: every must be positive")
+                maxFrames: Int = 256): DataFrame =
+    videoFrames(df, binCol, every, maxFrames)
+
+  /** Container-sniffing frame sampler — the ONE SEAM for every animated/
+    * video format the engine decodes for real (the [[decodePixels]]
+    * pattern lifted to frame streams): GIF87a/89a through
+    * [[GifCodec.decodeFrames]] (full animation compositing, per-frame
+    * GCE delays) and MJPEG-in-AVI through [[AviCodec.decodeFrames]]
+    * (RIFF walk + per-frame T.81 decode, delay from the container's
+    * µs-per-frame). Same output contract as the GIF-only operator it
+    * generalizes: one row per sampled frame with (frame_idx,
+    * frame_delay_cs, frame_w, frame_h, frame BINARY); undecodable or
+    * unknown-container blobs yield a single (-1, -1, -1, -1, null) row.
+    * An H.264/MP4 decoder drops in as a third branch when one exists —
+    * the sniff is the only dispatch point.
+    */
+  def videoFrames(df: DataFrame, binCol: String, every: Int = 1,
+                  maxFrames: Int = 256): DataFrame = {
+    require(every > 0, "videoFrames: every must be positive")
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("frame_idx", LongType), StructField("frame_delay_cs", LongType),
       StructField("frame_w", LongType), StructField("frame_h", LongType),
@@ -326,15 +343,28 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val base = r.toSeq
-        GifCodec.decodeFrames(r.getAs[Array[Byte]](binIdx), maxFrames) match {
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val miss = Iterator(Row.fromSeq(base ++ Seq(-1L, -1L, -1L, -1L, null)))
+        if (AviCodec.isAvi(bytes)) {
+          AviCodec.decodeFrames(bytes, maxFrames) match {
+            case Some(frames) if frames.nonEmpty =>
+              val delayCs = AviCodec.parseInfo(bytes)
+                .map(_.microSecPerFrame / 10000L).getOrElse(0L)
+              frames.iterator.zipWithIndex.collect {
+                case (g, i) if i % every == 0 =>
+                  Row.fromSeq(base ++ Seq(i.toLong, delayCs,
+                    g.width.toLong, g.height.toLong, g.pixels))
+              }
+            case _ => miss
+          }
+        } else GifCodec.decodeFrames(bytes, maxFrames) match {
           case Some(frames) =>
             frames.iterator.zipWithIndex.collect {
               case (f, i) if i % every == 0 =>
                 Row.fromSeq(base ++ Seq(i.toLong, f.delayCs.toLong,
                   f.image.width.toLong, f.image.height.toLong, f.image.pixels))
             }
-          case None =>
-            Iterator(Row.fromSeq(base ++ Seq(-1L, -1L, -1L, -1L, null)))
+          case None => miss
         }
       }
     }(encoder)
@@ -371,8 +401,9 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Scene-cut detection over an animated-GIF binary column: decode all
-    * frames ([[gifFrames]]), then score each consecutive pair by the SUM
+  /** Scene-cut detection over any decodable video/animation column
+    * (GIF or MJPEG-AVI via the [[videoFrames]] container sniff): decode
+    * all frames, then score each consecutive pair by the SUM
     * of absolute pixel differences — `lag` over a (doc)-partitioned
     * window, the per-pixel fold as codegen `zip_with`+`aggregate` over
     * two `graft_bytes_u8` views (no UDF). A pair is a cut when
@@ -432,6 +463,66 @@ object Multimodal {
           })
         }
         Row.fromSeq(r.toSeq :+ GifCodec.encodeGrayAnimation(frames, delayCs = 10))
+      }
+    }(encoder)
+  }
+
+  /** Deterministic REAL MJPEG-AVI blob per row: `nCol` FLAT frames of
+    * value (31·id + 17·f) mod 256 at quality 100 — flat frames at unit
+    * quant round-trip pixel-EXACTLY through the JPEG codec (JpegCodecSpec
+    * pins it), so SQL replays per-frame pixel sums analytically:
+    * sum = ((31·id + 17·f) mod 256) · w · h. The [[videoFrames]] fixture
+    * generator for the video-container leg.
+    */
+  def syntheticAviAnimation(df: DataFrame, idCol: String, wCol: String,
+                            hCol: String, nCol: String,
+                            outCol: String = "avi"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val nIdx = df.schema.fieldIndex(nCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val n = r.getLong(nIdx).toInt
+        val frames = (0 until n).map { f =>
+          PngCodec.Gray(w, h,
+            Array.fill[Byte](w * h)(((31L * id + 17L * f) % 256).toByte))
+        }
+        Row.fromSeq(r.toSeq :+ AviCodec.encodeMjpeg(frames, fps = 10, quality = 100))
+      }
+    }(encoder)
+  }
+
+  /** Two-scene flat-frame AVI fixture for [[sceneCuts]] over the video
+    * container: value (id mod 60) + 2·f, +120 at frame nf/2 — all values
+    * stay < 256 (no wrap), so within-scene pair diffs are EXACTLY
+    * 2·w·h and the cut pair exactly 122·w·h, SQL-replayable with plain
+    * integer arithmetic (flat frames decode exactly at quality 100).
+    */
+  def syntheticAviScenes(df: DataFrame, idCol: String, wCol: String,
+                         hCol: String, nCol: String,
+                         outCol: String = "avi"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val nIdx = df.schema.fieldIndex(nCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val n = r.getLong(nIdx).toInt
+        val cut = n / 2
+        val frames = (0 until n).map { f =>
+          val v = (id % 60) + 2L * f + (if (f >= cut) 120L else 0L)
+          PngCodec.Gray(w, h, Array.fill[Byte](w * h)(v.toByte))
+        }
+        Row.fromSeq(r.toSeq :+ AviCodec.encodeMjpeg(frames, fps = 10, quality = 100))
       }
     }(encoder)
   }

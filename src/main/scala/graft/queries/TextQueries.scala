@@ -484,6 +484,43 @@ object TextQueries extends QueryPack {
             lit(0L), (acc, x) => acc + x.cast("long")).as("pix_sum"))
     }),
 
+    // REAL video-CONTAINER frame sampling: deterministic MJPEG AVIs
+    // (RIFF avih/strl/movi/idx1 wrapping per-frame baseline JPEGs from
+    // the engine's own T.81 encoder) → AviCodec RIFF walk → JpegCodec
+    // per-frame decode → every 2nd frame → per-frame pixel sum via
+    // codegen graft_bytes_u8. Frames are FLAT at quality 100 (unit
+    // quant ⇒ pixel-exact round trip, JpegCodecSpec-pinned), so the
+    // oracle replays sums analytically: ((31·id + 17·f) mod 256)·w·h.
+    // The whole mux→demux→entropy-decode→sample→sum chain must be exact.
+    "q_avi_frames" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 28 + 8).cast("long").as("w"),
+        (col("doc_id") % 18 + 6).cast("long").as("h"),
+        (col("doc_id") % 5 + 2).cast("long").as("nf"))
+      val avi = Multimodal.syntheticAviAnimation(base, "doc_id", "w", "h", "nf")
+      graft.expressions.GraftFunctions.register(s)
+      Multimodal.videoFrames(avi, "avi", every = 2)
+        .where(col("frame_idx") >= 0)
+        .select(col("doc_id"), col("frame_idx"), col("frame_delay_cs"),
+          col("frame_w"), col("frame_h"),
+          aggregate(call_function("graft_bytes_u8", col("frame")),
+            lit(0L), (acc, x) => acc + x.cast("long")).as("pix_sum"))
+    }),
+
+    // Shot-boundary detection over the VIDEO container path: two-scene
+    // flat-frame AVIs (+2 gray per frame, +120 jump at nf/2; all values
+    // < 256 so no wrap) through the same sceneCuts operator — within-
+    // scene pair diffs are exactly 2·w·h, the cut pair exactly 122·w·h,
+    // both engines compute identical integers.
+    "q_scene_cuts_avi" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 20 + 6).cast("long").as("w"),
+        (col("doc_id") % 12 + 5).cast("long").as("h"),
+        (col("doc_id") % 4 + 4).cast("long").as("nf"))
+      val avi = Multimodal.syntheticAviScenes(base, "doc_id", "w", "h", "nf")
+      Multimodal.sceneCuts(avi, "doc_id", "avi", threshold = 30L)
+    }),
+
     // Shot-boundary detection over the SAME real animated-GIF machinery:
     // two-scene fixtures (slow +2/frame motion, +120 intensity jump at
     // nf/2) → per consecutive-frame-pair |Δpixel| sums (codegen zip_with
@@ -1457,6 +1494,32 @@ object TextQueries extends QueryPack {
         |  CAST(SUM((7 * (i % w) + 13 * (i // w) + doc_id + 17 * fi) % 251)
         |    AS BIGINT) AS pix_sum
         |FROM p GROUP BY doc_id, fi, w, h""".stripMargin,
+
+    "q_avi_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 28 + 8 AS w, doc_id % 18 + 6 AS h,
+        |    doc_id % 5 + 2 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(10 AS BIGINT) AS frame_delay_cs,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |  CAST(((31 * doc_id + 17 * fi) % 256) * w * h AS BIGINT) AS pix_sum
+        |FROM f WHERE fi % 2 = 0""".stripMargin,
+
+    "q_scene_cuts_avi" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 + 6 AS w, doc_id % 12 + 5 AS h,
+        |    doc_id % 4 + 4 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, nf // 2 AS cut, unnest(range(1, nf)) AS fi
+        |  FROM d),
+        |v AS (SELECT doc_id, fi, w, h,
+        |    ABS((doc_id % 60 + 2 * fi + CASE WHEN fi >= cut THEN 120 ELSE 0 END)
+        |      - (doc_id % 60 + 2 * (fi - 1)
+        |         + CASE WHEN fi - 1 >= cut THEN 120 ELSE 0 END)) AS dpp
+        |  FROM f)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(dpp * w * h AS BIGINT) AS diff_sum,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  dpp * w * h > 30 * w * h AS is_cut
+        |FROM v""".stripMargin,
 
     "q_scene_cuts" ->
       """WITH d AS (SELECT doc_id, doc_id % 20 + 6 AS w, doc_id % 12 + 5 AS h,

@@ -396,6 +396,53 @@ class MultimodalSpec extends SparkSpec {
       s.head.getAs[Array[Byte]]("frame") == null)
   }
 
+  test("videoFrames sniffs the container: AVI rows and GIF rows through ONE seam") {
+    import spark.implicits._
+    val base = Seq((4L, 12L, 9L, 5L)).toDF("doc_id", "w", "h", "nf")
+    val avi = Multimodal.syntheticAviAnimation(base, "doc_id", "w", "h", "nf")
+      .withColumnRenamed("avi", "blob")
+    val gif = Multimodal.syntheticGifAnimation(
+      Seq((7L, 8L, 6L, 3L)).toDF("doc_id", "w", "h", "nf"),
+      "doc_id", "w", "h", "nf").withColumnRenamed("gif", "blob")
+    val mixed = avi.select("doc_id", "blob").unionByName(gif.select("doc_id", "blob"))
+    val rows = Multimodal.videoFrames(mixed, "blob")
+      .select("doc_id", "frame_idx", "frame_delay_cs", "frame_w", "frame_h", "frame")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getAs[Array[Byte]]("frame")))
+    val aviRows = rows.filter(_._1 == 4L).sortBy(_._2)
+    val gifRows = rows.filter(_._1 == 7L).sortBy(_._2)
+    assert(aviRows.map(_._2).toSeq == (0L until 5L) &&
+      gifRows.map(_._2).toSeq == (0L until 3L))
+    assert(aviRows.forall(r => r._3 == 10L && r._4 == 12L && r._5 == 9L))
+    // AVI frame f is FLAT (31·id + 17·f) mod 256 — pixel-exact at q100
+    aviRows.foreach { case (_, f, _, _, _, px) =>
+      val v = ((31L * 4L + 17L * f) % 256).toByte
+      assert(px.length == 108 && px.forall(_ == v), s"avi frame $f not exact")
+    }
+    // the GIF branch is byte-identical to the dedicated gifFrames operator
+    val direct = Multimodal.gifFrames(gif, "blob")
+      .select("frame_idx", "frame").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("frame").toSeq)).toSet
+    assert(gifRows.map(r => (r._2, r._6.toSeq)).toSet == direct)
+  }
+
+  test("sceneCuts over the AVI container: exact within-scene and cut diffs") {
+    import spark.implicits._
+    val base = Seq((11L, 10L, 8L, 6L)).toDF("doc_id", "w", "h", "nf")
+    val avi = Multimodal.syntheticAviScenes(base, "doc_id", "w", "h", "nf")
+    val rows = Multimodal.sceneCuts(avi, "doc_id", "avi", threshold = 30L)
+      .select("frame_idx", "diff_sum", "n_pix", "is_cut")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    rows.foreach { r =>
+      val cutPair = r.getLong(0) == 3L // nf/2 = 3: frame 2→3 jumps +120
+      assert(r.getLong(2) == 80L)
+      assert(r.getLong(1) == (if (cutPair) 122L else 2L) * 80L,
+        s"frame ${r.getLong(0)} diff ${r.getLong(1)}")
+      assert(r.getBoolean(3) == cutPair)
+    }
+  }
+
   test("GIF blobs flow through dedup/thumbnail/OCR operators end-to-end") {
     import spark.implicits._
     val base = Seq((7L, 40L, 18L)).toDF("img_id", "w", "h")
