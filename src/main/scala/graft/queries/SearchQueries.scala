@@ -93,6 +93,55 @@ object SearchQueries extends QueryPack {
   private val UaxQueryTerms: Seq[String] =
     Seq("https://spark.apache.org/docs", "@user1", "spark")
 
+  /** Classic-analyzer fixture: every 10th doc carries the token shapes
+    * the Lucene classic grammar treats specially — an acronym (dots
+    * removed by ClassicFilter), a digit-free hyphen compound (split), a
+    * digit-carrying one (kept whole, the NUM rule), a bare host (kept
+    * whole), a COMPANY token, and a possessive.
+    */
+  private val ClassicSuffix =
+    " u.s.a. wi-fi x-100 spark.apache.org at&t john's"
+  private val ClassicFieldSql =
+    s"text || CASE WHEN doc_id % 10 = 0 THEN ' ${ClassicSuffix.trim.replace("'", "''")}' ELSE '' END"
+  private val ClassicQueryTerms: Seq[String] =
+    Seq("U.S.A.", "wi-fi", "x-100", "spark.apache.org")
+
+  /** Classic-analyzer BM25 CTE chain: [[bm25UaxCte]]'s body with the
+    * classic token pipeline — extract with
+    * [[graft.search.BM25.ClassicPattern]], then the filter rewrites
+    * (acronym dot-strip, digit-free-compound split, possessive fold)
+    * mirrored as the identical CASE the Spark plan runs.
+    */
+  private def bm25ClassicCte(fieldSql: String): String = {
+    val pat = graft.search.BM25.ClassicPattern.replace("'", "''")
+    val termList = graft.search.BM25.analyzeClassic(ClassicQueryTerms)
+      .map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    raw"""toks AS (SELECT doc, unnest(
+         |    CASE WHEN regexp_matches(raw, '^[a-z](?:\.[a-z])+\.?$$')
+         |           THEN [replace(raw, '.', '')]
+         |         WHEN regexp_matches(raw, '^[a-z0-9]+(?:[-_/,][a-z0-9]+)+$$')
+         |           AND NOT regexp_matches(raw, '[0-9]')
+         |           THEN string_split_regex(raw, '[-_/,]')
+         |         ELSE [regexp_replace(raw, '''s$$', '')] END) AS term FROM (
+         |    SELECT doc_id AS doc, unnest(regexp_extract_all(lower($fieldSql), '$pat', 1)) AS raw
+         |    FROM documents) WHERE length(raw) > 0),
+         |toksf AS (SELECT doc, term FROM toks WHERE length(term) > 0),
+         |dl AS (SELECT doc, CAST(COUNT(*) AS DOUBLE) AS len FROM toksf GROUP BY doc),
+         |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  SUM(len) / CAST(COUNT(*) AS DOUBLE) AS avglen FROM dl),
+         |tf AS (SELECT doc, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toksf
+         |  WHERE term IN ($termList) GROUP BY doc, term),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT t.doc, round(SUM(
+         |    ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
+         |    (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)))
+         |  ), 6) AS score
+         |  FROM tf t JOIN dfreq d USING (term) JOIN dl USING (doc)
+         |  CROSS JOIN corpus c
+         |  GROUP BY t.doc)""".stripMargin
+  }
+
   /** UAX-analyzer BM25 CTE chain: [[bm25FieldCte]] with
     * [[graft.search.BM25.UaxPattern]] tokenization (regexp_extract_all is
     * RE2 in DuckDB, leftmost-first like Java regex on this
@@ -263,6 +312,18 @@ object SearchQueries extends QueryPack {
         concat(col("text"),
           when(col("doc_id") % 10 === 0, lit(UaxSuffix)).otherwise(lit(""))))
       BM25.scoreTopKUax(docs, "doc_id", "uax_text", UaxQueryTerms, k = 10)
+    }),
+
+    // Classic-analyzer parity (`SolrFieldType.java:41`,
+    // solr.ClassicTokenizerFactory): acronyms match dot-stripped, digit-
+    // free hyphen compounds match by their parts, digit compounds and
+    // hosts only whole — each behavior observable in this ranking
+    // because the fixture plants all the shapes on every 10th doc.
+    "q_keyword_classic" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("classic_text",
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0, lit(ClassicSuffix)).otherwise(lit(""))))
+      BM25.scoreTopKClassic(docs, "doc_id", "classic_text", ClassicQueryTerms, k = 10)
     }),
 
     // Same query served from the persistent index (`SolrIndexer.java:47-59`
@@ -470,6 +531,10 @@ object SearchQueries extends QueryPack {
       |  CAST(COUNT(*) AS BIGINT) AS n FROM hits GROUP BY source""".stripMargin),
 
     "q_keyword_uax" -> ("WITH " + bm25UaxCte(UaxFieldSql) +
+      ",\ntop10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n" +
+      "SELECT doc, score FROM top10"),
+
+    "q_keyword_classic" -> ("WITH " + bm25ClassicCte(ClassicFieldSql) +
       ",\ntop10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n" +
       "SELECT doc, score FROM top10"),
 

@@ -122,6 +122,79 @@ object BM25 {
     }.filter(_.nonEmpty).distinct
   }
 
+  /** Lucene ClassicTokenizer + ClassicFilter parity — the OTHER analyzer
+    * the reference's field-type template offers
+    * (`SolrTemplates/SolrFieldType.java:41`, solr.ClassicTokenizerFactory).
+    * The classic grammar's documented behaviors (public Lucene
+    * ClassicTokenizerImpl.jflex), re-expressed as a leftmost-first
+    * alternation + a per-token rewrite, so both engines run the identical
+    * pipeline:
+    *  - EMAIL and COMPANY ("at&t") tokens survive whole;
+    *  - ACRONYM ("u.s.a.") survives, with its dots removed by the filter;
+    *  - HOST ("spark.apache.org") survives whole — dots are NOT split;
+    *  - hyphen/underscore/slash/comma compounds split into their parts
+    *    UNLESS they contain a digit ("wi-fi" → wi, fi; "x-100", "1,000"
+    *    stay whole — the classic NUM rule);
+    *  - the possessive 's folds onto its stem (ClassicFilter).
+    * Ordering in the alternation is what makes it leftmost-correct:
+    * EMAIL before HOST (an email ends in a host), ACRONYM before HOST
+    * (single letters + dots), HOST before the compound class.
+    */
+  val ClassicPattern: String =
+    "([a-z0-9]+(?:[._-][a-z0-9]+)*@[a-z0-9]+(?:[.-][a-z0-9]+)+" +
+      "|[a-z]+[&@][a-z]+" +
+      "|[a-z](?:\\.[a-z])+\\.?" +
+      "|[a-z0-9]+(?:\\.[a-z0-9]+)+" +
+      "|[a-z0-9]+(?:[-_/,][a-z0-9]+)+" +
+      "|[a-z0-9]+(?:'[a-z0-9]+)*)"
+
+  private val ClassicAcronymRe = "^[a-z](?:\\.[a-z])+\\.?$"
+  private val ClassicCompoundRe = "^[a-z0-9]+(?:[-_/,][a-z0-9]+)+$"
+
+  /** [[tokens]] with the classic analyzer: extract with [[ClassicPattern]],
+    * then the filter pass — acronyms lose their dots, digit-free compounds
+    * split into parts, possessives fold. One extract + one explode + one
+    * conditional re-explode; all codegen string ops, no UDF.
+    */
+  def tokensClassic(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(regexp_extract_all(lower(col(textCol)), lit(ClassicPattern), lit(1)))
+          .as("__raw"))
+      .select(col("doc"), explode(
+        when(col("__raw").rlike(ClassicAcronymRe),
+          array(regexp_replace(col("__raw"), "\\.", "")))
+        .when(col("__raw").rlike(ClassicCompoundRe) && !col("__raw").rlike("[0-9]"),
+          split(col("__raw"), "[-_/,]"))
+        .otherwise(array(regexp_replace(col("__raw"), "'s$", "")))).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Query-side classic analyzer, mirroring [[tokensClassic]] exactly. */
+  def analyzeClassic(queryTerms: Seq[String]): Seq[String] = {
+    val p = java.util.regex.Pattern.compile(ClassicPattern)
+    queryTerms.map(_.toLowerCase).flatMap { t =>
+      val m = p.matcher(t)
+      if (!m.find()) Nil
+      else {
+        val raw = m.group(1)
+        if (raw.matches(ClassicAcronymRe)) Seq(raw.replace(".", ""))
+        else if (raw.matches(ClassicCompoundRe) && !raw.exists(_.isDigit))
+          raw.split("[-_/,]").toSeq
+        else Seq(raw.replaceAll("'s$", ""))
+      }
+    }.filter(_.nonEmpty).distinct
+  }
+
+  /** [[scoreAll]] under the classic analyzer. */
+  def scoreAllClassic(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String]): DataFrame =
+    scoreAllTokens(tokensClassic(docs, idCol, textCol), analyzeClassic(queryTerms))
+
+  def scoreTopKClassic(docs: DataFrame, idCol: String, textCol: String,
+                       queryTerms: Seq[String], k: Int): DataFrame =
+    scoreAllClassic(docs, idCol, textCol, queryTerms)
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+
   /** Lucene's BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)). */
   def idfExpr(n: Column, df: Column): Column =
     log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))

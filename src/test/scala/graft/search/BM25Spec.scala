@@ -61,6 +61,34 @@ class BM25Spec extends SparkSpec {
     assert(BM25.analyzeUax(Seq("Spark's")) == Seq("spark"))
   }
 
+  test("classic tokenizer: the documented Lucene classic-grammar behaviors") {
+    val d = Seq(
+      (1L, "the u.s.a. report on wi-fi and x-100 units"),
+      (2L, "visit spark.apache.org or mail dev@spark.apache.org"),
+      (3L, "at&t sold 1,000 units; john's mother-in-law agreed")
+    ).toDF("doc_id", "text")
+    val toks = BM25.tokensClassic(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = toks.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    // acronym: dots removed; digit-free compound split; digit compound whole
+    assert(byDoc(1L) == Seq("the", "usa", "report", "on", "wi", "fi", "and", "x-100", "units"))
+    // host and email survive as single tokens
+    assert(byDoc(2L).contains("spark.apache.org"))
+    assert(byDoc(2L).contains("dev@spark.apache.org"))
+    // company token whole, NUM with comma whole, possessive folds, 3-way split
+    assert(byDoc(3L) == Seq("at&t", "sold", "1,000", "units", "john",
+      "mother", "in", "law", "agreed"))
+    // query side mirrors the doc side
+    assert(BM25.analyzeClassic(Seq("U.S.A.")) == Seq("usa"))
+    assert(BM25.analyzeClassic(Seq("wi-fi")) == Seq("wi", "fi"))
+    assert(BM25.analyzeClassic(Seq("x-100")) == Seq("x-100"))
+    assert(BM25.analyzeClassic(Seq("spark.apache.org")) == Seq("spark.apache.org"))
+    // a host query matches only the doc carrying the whole host token
+    val hits = BM25.scoreTopKClassic(d, "doc_id", "text",
+        Seq("spark.apache.org"), 3).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(2L))
+  }
+
   test("scores are deterministic across runs") {
     val a = BM25.scoreTopK(docs, "doc_id", "text", Seq("spark", "query"), 5)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
