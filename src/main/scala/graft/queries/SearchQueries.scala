@@ -314,6 +314,23 @@ object SearchQueries extends QueryPack {
       BM25.scoreTopKUax(docs, "doc_id", "uax_text", UaxQueryTerms, k = 10)
     }),
 
+    // Hybrid retrieval: the BM25 keyword top-20 and the cosine vector
+    // top-20 fused by reciprocal rank (RRF, k=60 — the published
+    // parameter): rank-only fusion needs no score calibration between
+    // the two retrievers, and the fusion works on 40 rows regardless of
+    // corpus size — the heavy lifting stays inside each retriever's own
+    // top-k. n_lists carries the both-retrievers-agree signal.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val kw = BM25.scoreTopK(Tables.documents(s, dir), "doc_id", "text",
+          QueryTerms, k = 20)
+        .select(col("doc").as("doc_id"), col("score"))
+      val vec = graft.similarity.Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)
+        .select(col("vec_id").as("doc_id"), col("cosine").as("score"))
+      graft.search.Fusion.rrf(Seq("kw" -> kw, "vec" -> vec), "doc_id", "score",
+        k = 60, topK = 10)
+    }),
+
     // Classic-analyzer parity (`SolrFieldType.java:41`,
     // solr.ClassicTokenizerFactory): acronyms match dot-stripped, digit-
     // free hyphen compounds match by their parts, digit compounds and
@@ -537,6 +554,23 @@ object SearchQueries extends QueryPack {
     "q_keyword_classic" -> ("WITH " + bm25ClassicCte(ClassicFieldSql) +
       ",\ntop10 AS (SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT 10)\n" +
       "SELECT doc, score FROM top10"),
+
+    "q_hybrid_rrf" -> ("WITH " + bm25FieldCte("text", "") + raw""",
+      |kw AS (SELECT doc AS id, score FROM scored
+      |  ORDER BY score DESC, doc ASC LIMIT 20),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |vec AS (SELECT e.vec_id AS id, round(
+      |    list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), x -> x[1] * x[2])) /
+      |    (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))) *
+      |     sqrt(list_sum(list_transform(CAST(q.qv AS DOUBLE[]), x -> x * x)))), 6) AS score
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+      |  ORDER BY score DESC, id ASC LIMIT 20),
+      |kr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk FROM kw),
+      |vr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk FROM vec),
+      |u AS (SELECT * FROM kr UNION ALL SELECT * FROM vr)
+      |SELECT id AS doc_id, round(SUM(1.0 / (60 + rnk)), 6) AS rrf_score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lists
+      |FROM u GROUP BY id ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin),
 
     // Serving path must produce the SAME ranking as the ad-hoc path.
     "q_keyword_bm25_served" -> (bm25Cte + "SELECT doc, score FROM top10"),
