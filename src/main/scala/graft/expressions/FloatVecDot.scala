@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
-/** Codegen'd dot product over two float-array columns, accumulating in
-  * double — the hot inner loop of cosine similarity search.
+/** Codegen'd dot product over two float- or double-array columns,
+  * accumulating in double — the hot inner loop of cosine similarity
+  * search.
   *
   * Why a custom Expression (SURVEY.md §7.3 preference order b): the
   * `aggregate(zip_with(...))` higher-order-function formulation allocates an
@@ -27,29 +28,42 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Each side may independently be array<float> or array<double> (the
+  // double form appears when one operand is a derived centroid/mean):
+  // elements are widened to double before the multiply either way, so the
+  // accumulation order and IEEE semantics are identical across the four
+  // type combinations — and identical to the portable fold.
+  private def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => isVec(e.dataType))
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects (array<float>, array<float>), got " +
+      s"graft_dot expects float/double arrays, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override def nullable: Boolean = true
+
+  private def isDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val xd = isDouble(left); val yd = isDouble(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -60,6 +74,8 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(v: String, dbl: Boolean) =
+        if (dbl) s"$v.getDouble($i)" else s"(double) $v.getFloat($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -68,7 +84,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += ${get(a, isDouble(left))} * ${get(b, isDouble(right))};
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}

@@ -607,9 +607,11 @@ object Similarity {
     // against the final centroids — mirroring the oracle's CTE chain
     // (c0 → a1 → c1 → a2(keep=probes)) value-for-value.
     for (_ <- 1 until iters)
-      cents = updateCentroids(assignNearest(withVd, cents))
-    val asg = assignTopP(withVd, cents, probes)
-      .select(col(idCol), col("cluster"))
+      cents = updateCentroids(
+        assignTopPRows(withVd, cents, 1, idCol)
+          .withColumnRenamed("__cluster", "cluster"))
+    val asg = assignTopPRows(withVd, cents, probes, idCol)
+      .select(col(idCol), col("__cluster").as("cluster"))
     val cand = asg.select(col("cluster"), col(idCol).as("vec_a"))
       .join(asg.select(col("cluster"), col(idCol).as("vec_b")), Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
@@ -622,30 +624,31 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  /** Top-`p` nearest-centroid assignment (one output row per (vector,
-    * probed cluster)) — [[assignNearest]] generalized from argmax to a
-    * sorted-slice, still one broadcast + no shuffle: the per-vector
-    * ranking happens inside a sorted struct array, never a window.
-    * Ordering matches the oracle's `row_number() OVER (ORDER BY s DESC,
-    * cid ASC)`: array_sort ascending on (sim, −cid) then reverse ⇒
-    * descending sim, ties on ascending cid.
+  /** Top-`p` nearest-centroid assignment as per-(vector, centroid) ROWS:
+    * a broadcast join fans each vector out against the k centroids, the
+    * cosine runs through the codegen [[graft.expressions.FloatVecDot]]
+    * (double-array side support) instead of an interpreted HOF over a
+    * nested struct array, and the per-vector top-p comes from a
+    * `row_number ≤ p` window that WindowGroupLimit prunes MAP-SIDE — the
+    * exchange carries N·p rows, never N·k. This is the assign
+    * formulation that makes auto-k clustering usable as k grows with N:
+    * the round-10 sweep measured the HOF formulation at 45 µs per
+    * (vector, centroid) evaluation (733 s for one assign at N=20k,
+    * k=800); the row formulation runs the same 16M cosines in seconds.
+    * Cosine values and (sim desc, cid asc) tie-breaks are bit-identical
+    * to the oracle's `row_number OVER (ORDER BY s DESC, cid ASC)` replay.
+    * Returns the input columns plus (__cluster, __sim).
     */
-  private def assignTopP(withVd: DataFrame, cents: DataFrame,
-      p: Int): DataFrame = {
-    val centsArr = cents
-      .agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
-    withVd.crossJoin(broadcast(centsArr))
-      .withColumn("__top", expr(
-        s"""slice(reverse(array_sort(transform(__cents, c -> struct(
-           |  round(
-           |    aggregate(zip_with(__vd, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /
-           |    (sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x)) *
-           |     sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x))), 6) AS sim,
-           |  -c.cid AS ncid)))), 1, $p)""".stripMargin))
-      .withColumn("__t", explode(col("__top")))
-      .withColumn("cluster", -col("__t.ncid"))
-      .withColumn("centroid_sim", col("__t.sim"))
-      .drop("__cents", "__top", "__t")
+  private def assignTopPRows(withVd: DataFrame, cents: DataFrame,
+      p: Int, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("cid").asc)
+    withVd.crossJoin(broadcast(cents))
+      .withColumn("__sim", round(cosineFast("__vd", "cv"), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= p)
+      .withColumn("__cluster", col("cid"))
+      .drop("cv", "cid", "__rn")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):

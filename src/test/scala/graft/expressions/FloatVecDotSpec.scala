@@ -2,6 +2,7 @@ package graft.expressions
 
 import graft.SparkSpec
 import graft.similarity.Similarity
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 class FloatVecDotSpec extends SparkSpec {
@@ -41,9 +42,19 @@ class FloatVecDotSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
-  test("type mismatch is rejected at analysis time") {
+  test("double arrays and mixed float/double sides compute the same fold") {
     GraftFunctions.register(spark)
-    val bad = Seq((1L, Array(1.0, 2.0), Array(1.0f))).toDF("id", "a", "b")
+    val df = Seq((Array(1.5, -2.0, 3.25), Array(2.0f, 0.5f, -1.0f)))
+      .toDF("d", "f")
+    val Row(mixed: Double, dd: Double) = df.select(
+      expr("graft_dot(d, f)"), expr("graft_dot(d, d)")).collect()(0)
+    assert(mixed == 1.5 * 2.0 + -2.0 * 0.5 + 3.25 * -1.0)
+    assert(dd == 1.5 * 1.5 + 4.0 + 3.25 * 3.25)
+  }
+
+  test("non-array types are rejected at analysis time") {
+    GraftFunctions.register(spark)
+    val bad = Seq((1L, "nope", Array(1.0f))).toDF("id", "a", "b")
     val e = intercept[Exception](bad.select(expr("graft_dot(a, b)")).collect())
     assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE"))
   }
