@@ -467,6 +467,86 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Video near-duplicate pairs by FRAME-SET Jaccard — n-gram/shingle
+    * dedup transplanted to video: a frame plays the role of a shingle,
+    * its identity is (frame_w, frame_h, md5(decoded pixels)) — CONTENT
+    * identity through the real decoders, so re-muxed/re-contained copies
+    * match where file hashing cannot — and two videos are near-dups when
+    * |shared frames| / |union| reaches `threshold`. Candidates come from
+    * the shared-frame equi-join (a pair is only generated by an actual
+    * common frame — never an all-pairs scan), with a frame-df cap as the
+    * skew guard: a frame appearing in more than `maxFrameDf` videos
+    * (black frames, boilerplate intros at corpus scale) is dropped from
+    * the sets on BOTH sides of the Jaccard before the join, exactly the
+    * [[graft.dedup.Dedup]] `maxShingleDf` discipline. Linear in total
+    * frames: decode is the [[videoFrames]] narrow map, the join is
+    * bounded by df² per distinct frame ≤ maxFrameDf², and set sizes are
+    * one combinable groupBy. Returns (vid_a, vid_b, n_shared, jaccard).
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                        threshold: Double, maxFrameDf: Int = 64): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "videoNearDupPairs: bad threshold")
+    val frames = videoFrames(df, binCol).where(col("frame_idx") >= 0)
+    val fh = frames.select(col(idCol), col("frame_w"), col("frame_h"),
+      md5(col("frame")).as("__fh")).distinct()
+    val hot = fh.groupBy(col("frame_w"), col("frame_h"), col("__fh"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFrameDf)
+      .select(col("frame_w"), col("frame_h"), col("__fh"))
+    val kept = fh.join(hot, Seq("frame_w", "frame_h", "__fh"))
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = kept.select(col("frame_w"), col("frame_h"), col("__fh"),
+      col(idCol).as("vid_a"))
+    val b = kept.select(col("frame_w"), col("frame_h"), col("__fh"),
+      col(idCol).as("vid_b"))
+    a.join(b, Seq("frame_w", "frame_h", "__fh"))
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("vid_a"), col("__n").as("__na")), "vid_a")
+      .join(sizes.select(col(idCol).as("vid_b"), col("__n").as("__nb")), "vid_b")
+      .withColumn("jaccard", round(col("n_shared") /
+        (col("__na") + col("__nb") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("vid_a"), col("vid_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** Family-structured animated-GIF fixture for [[videoNearDupPairs]]:
+    * frame f of family `famCol` is the gradient
+    * p(x, y) = ((fam%13 + 1)·x + (fam%11 + 1)·y + fam + 17·f) mod 251 —
+    * videos of the same family share byte-identical frames (GIF is
+    * lossless), and the (slope_x, slope_y, intercept) triple UNIQUELY
+    * determines the pixel buffer for any w, h ≥ 2 (p(0,0) = intercept,
+    * p(1,0) − p(0,0) = slope_x, p(0,1) − p(0,0) = slope_y), so the SQL
+    * oracle can model frame identity as (w, h, fam%13, fam%11,
+    * (fam + 17·f) mod 251) with no collision ambiguity. Nonzero slopes
+    * by construction — a flat frame's bytes would be layout-independent
+    * and alias across dimensions.
+    */
+  def syntheticGifFamilies(df: DataFrame, famCol: String, wCol: String,
+                           hCol: String, nCol: String,
+                           outCol: String = "gif"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val famIdx = df.schema.fieldIndex(famCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val nIdx = df.schema.fieldIndex(nCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val fam = r.getLong(famIdx)
+        val w = r.getLong(wIdx).toInt; val h = r.getLong(hIdx).toInt
+        val n = r.getLong(nIdx).toInt
+        val sx = fam % 13 + 1; val sy = fam % 11 + 1
+        val frames = (0 until n).map { f =>
+          PngCodec.Gray(w, h, Array.tabulate[Byte](w * h) { i =>
+            ((sx * (i % w) + sy * (i / w) + fam + 17L * f) % 251).toByte
+          })
+        }
+        Row.fromSeq(r.toSeq :+ GifCodec.encodeGrayAnimation(frames, delayCs = 10))
+      }
+    }(encoder)
+  }
+
   /** Deterministic REAL MJPEG-AVI blob per row: `nCol` FLAT frames of
     * value (31·id + 17·f) mod 256 at quality 100 — flat frames at unit
     * quant round-trip pixel-EXACTLY through the JPEG codec (JpegCodecSpec

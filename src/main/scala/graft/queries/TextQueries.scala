@@ -507,6 +507,25 @@ object TextQueries extends QueryPack {
             lit(0L), (acc, x) => acc + x.cast("long")).as("pix_sum"))
     }),
 
+    // Video near-dup DETECTION: frame-set Jaccard over decoded content
+    // (frames as shingles). Fixture: families of 4 videos (fam =
+    // doc_id / 4) share byte-identical gradient frames with
+    // per-video lengths nf = doc_id % 5 + 2, so within-family pairs
+    // have |∩| = min(nf) and Jaccard = min/max modulo cross-family
+    // identity-class coincidences — which the oracle models EXACTLY via
+    // the (w, h, slope_x, slope_y, intercept) frame-identity key the
+    // fixture makes provably collision-free. The 0.5 threshold keeps
+    // trimmed copies (4,6) and drops short-vs-long (2,6).
+    "q_video_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        floor(col("doc_id") / 4).cast("long").as("fam"),
+        (floor(col("doc_id") / 4) % 6 + 8).cast("long").as("w"),
+        (floor(col("doc_id") / 4) % 4 + 6).cast("long").as("h"),
+        (col("doc_id") % 5 + 2).cast("long").as("nf"))
+      val gif = Multimodal.syntheticGifFamilies(base, "fam", "w", "h", "nf")
+      Multimodal.videoNearDupPairs(gif, "doc_id", "gif", threshold = 0.5)
+    }),
+
     // Shot-boundary detection over the VIDEO container path: two-scene
     // flat-frame AVIs (+2 gray per frame, +120 jump at nf/2; all values
     // < 256 so no wrap) through the same sceneCuts operator — within-
@@ -1504,6 +1523,27 @@ object TextQueries extends QueryPack {
         |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
         |  CAST(((31 * doc_id + 17 * fi) % 256) * w * h AS BIGINT) AS pix_sum
         |FROM f WHERE fi % 2 = 0""".stripMargin,
+
+    "q_video_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS fam,
+        |    (doc_id // 4) % 6 + 8 AS w, (doc_id // 4) % 4 + 6 AS h,
+        |    doc_id % 5 + 2 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, fam % 13 AS sx, fam % 11 AS sy,
+        |    (fam + 17 * unnest(range(0, nf))) % 251 AS ad FROM d),
+        |dfq AS (SELECT w, h, sx, sy, ad FROM f
+        |  GROUP BY w, h, sx, sy, ad HAVING COUNT(*) <= 64),
+        |kept AS (SELECT f.* FROM f JOIN dfq USING (w, h, sx, sy, ad)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS vid_a, b.doc_id AS vid_b, COUNT(*) AS i
+        |  FROM kept a JOIN kept b ON a.w = b.w AND a.h = b.h AND a.sx = b.sx
+        |    AND a.sy = b.sy AND a.ad = b.ad AND a.doc_id < b.doc_id
+        |  GROUP BY vid_a, vid_b)
+        |SELECT vid_a, vid_b, CAST(i AS BIGINT) AS n_shared,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = vid_a
+        |JOIN sz sb ON sb.doc_id = vid_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
 
     "q_scene_cuts_avi" ->
       """WITH d AS (SELECT doc_id, doc_id % 20 + 6 AS w, doc_id % 12 + 5 AS h,

@@ -443,6 +443,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoNearDupPairs: trimmed copy matches, df-capped frame drops out") {
+    import spark.implicits._
+    // family 5: videos 20..22 share frames; nf 6/4/2 → pairs (20,21)=4/6,
+    // (20,22)=2/6, (21,22)=2/4
+    val base = Seq((20L, 5L, 9L, 7L, 6L), (21L, 5L, 9L, 7L, 4L),
+        (22L, 5L, 9L, 7L, 2L), (23L, 6L, 9L, 7L, 6L)) // other family: no pairs
+      .toDF("doc_id", "fam", "w", "h", "nf")
+    val gif = Multimodal.syntheticGifFamilies(base, "fam", "w", "h", "nf")
+    val out = Multimodal.videoNearDupPairs(gif, "doc_id", "gif", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set((20L, 21L, 4L, 0.666667), (21L, 22L, 2L, 0.5)))
+    // identical AVI videos through the same operator: jaccard 1.0
+    val avBase = Seq((1L, 7L, 10L, 8L, 3L), (2L, 7L, 10L, 8L, 3L))
+      .toDF("doc_id", "fam", "w", "h", "nf")
+    val avi = Multimodal.syntheticAviAnimation(
+      avBase.withColumnRenamed("fam", "content"), "content", "w", "h", "nf")
+    val av = Multimodal.videoNearDupPairs(avi, "doc_id", "avi", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(av == Set((1L, 2L, 1.0)))
+    // a frame present in MORE than maxFrameDf videos is dropped from all
+    // sets: with the boilerplate frame capped away, the remaining sets are
+    // disjoint and no pair survives
+    val boiler = Seq((1L, 9L, 8L, 6L, 1L), (2L, 9L, 8L, 6L, 1L),
+        (3L, 9L, 8L, 6L, 1L)).toDF("doc_id", "fam", "w", "h", "nf")
+    val bg = Multimodal.syntheticGifFamilies(boiler, "fam", "w", "h", "nf")
+    assert(Multimodal.videoNearDupPairs(bg, "doc_id", "gif",
+      threshold = 0.1, maxFrameDf = 2).collect().isEmpty)
+  }
+
   test("GIF blobs flow through dedup/thumbnail/OCR operators end-to-end") {
     import spark.implicits._
     val base = Seq((7L, 40L, 18L)).toDF("img_id", "w", "h")
