@@ -302,7 +302,11 @@ class PlanHealthSpec extends SparkSpec {
     //    (Profile.skewAudit:28 — topk = counts.limit(k) feeds the window)
     //  - q_topk_served: rank over the 5-row post-limit exact-top set the
     //    sketch audit compares against (StatsQueries q_topk_served)
-    val allow = Set("q_vocab_zipf", "q_skew_audit", "q_topk_served")
+    //  - q_hybrid_rrf: rank over each retriever's top-20 bounded output
+    //    (both inputs are TakeOrdered-limited before the window —
+    //    Fusion.rrf:37; the corpus-wide work stays inside the retrievers)
+    val allow = Set("q_vocab_zipf", "q_skew_audit", "q_topk_served",
+      "q_hybrid_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap { q =>
       val hits = unpartitionedWindows(
         SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
