@@ -203,6 +203,87 @@ object Graphs {
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous label propagation (community detection) over a
+    * BOTH-DIRECTIONS edge list: every node starts in its own community
+    * (label = node id); each round, a node adopts the label that is most
+    * frequent among its neighbors, ties broken by the SMALLEST label —
+    * the deterministic variant of Raghavan et al.'s LPA, the standard
+    * near-linear community detector (spam rings, mirror clusters, topic
+    * hubs in the co-occurrence / near-dup graphs this pipeline builds).
+    *
+    * A fixed round count (not convergence-tested) keeps the result
+    * deterministic and oracle-replayable as unrolled SQL — the
+    * [[pagerank]] contract; synchronous update + min-label tiebreak make
+    * each round a pure function of the previous labeling, so there is no
+    * partition-order dependence. Per round: one edge-join shuffle + one
+    * combinable (node, label) count + one per-node argmax — the same
+    * cost shape as a pagerank step; labels are O(V) and checkpointed
+    * each round (lineage pattern, reliable mode via
+    * [[graft.util.Checkpoints]]).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct().cutLineage()
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().cutLineage()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val l = labels.cutLineage()
+      // argmax by (count desc, label asc) via max_by over a (count,
+      // -label) struct — unique per (node, label), so fully deterministic.
+      // Every node appears as some edge's v (the list carries both
+      // directions), so no node is left unlabeled by the join.
+      labels = e.join(l, e("u") === l("node"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("v").as("node"))
+        .agg(max_by(col("label"),
+          struct(col("__c"), (lit(-1L) * col("label")).as("__nl"))).as("label"))
+    }
+    labels
+  }
+
+  /** Item-item collaborative filtering over a (basket, item) bipartite
+    * relation: cosine similarity on the binary basket-incidence vectors,
+    * sim(i, j) = cooc(i, j) / √(n_i · n_j) — the classic co-occurrence
+    * recommender ("parts ordered together"), and the link-weighting
+    * [[adamicAdar]] does NOT give (AA discounts by the shared NEIGHBOR's
+    * degree; cosine normalizes by the two ENDPOINTS' popularity).
+    *
+    * Shape: one distinct projection, one basket self-join (cost
+    * Σ_b |b|² — bounded by the basket-size cap of the domain; for
+    * heavy-tailed baskets apply the minhash df-cap guard pattern
+    * first), one combinable pair groupBy, two broadcast-able joins
+    * against the items-sized count table. `minCooc` floors away
+    * single-co-occurrence noise pairs before the count joins, k bounds
+    * the output with a deterministic (cosine desc, u, v) order. The
+    * division and √ are identical correctly-rounded IEEE ops in any
+    * engine, rounded 6 at the end.
+    */
+  def itemCosine(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minCooc: Long, k: Int): DataFrame = {
+    val bi = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct().cutLineage()
+    val ni = bi.groupBy(col("__i").as("__j")).agg(count(lit(1)).as("__n"))
+    val cooc = bi.as("a")
+      .join(bi.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("u"), col("b.__i").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+    cooc
+      .join(broadcast(ni.select(col("__j").as("__ju"), col("__n").as("n_u"))),
+        col("u") === col("__ju"))
+      .join(broadcast(ni.select(col("__j").as("__jv"), col("__n").as("n_v"))),
+        col("v") === col("__jv"))
+      .select(col("u"), col("v"), col("cooc"), col("n_u"), col("n_v"),
+        round(col("cooc").cast("double") /
+          sqrt(col("n_u").cast("double") * col("n_v").cast("double")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
+
   /** Adamic–Adar link prediction over an undirected graph given as a
     * BOTH-DIRECTIONS edge list: for each non-adjacent pair (u < v),
     * aa = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg w) — the classic

@@ -307,7 +307,34 @@ object StatsQueries extends QueryPack {
         .distinct()
       val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
       Graphs.kCore(edges, k = 3, rounds = 4)
-    })
+    }),
+
+    // 4-round deterministic label propagation over the same sampled
+    // co-purchase graph: each node adopts its neighbors' most frequent
+    // label (min-label ties) — community detection one power-step at a
+    // time. Oracle = the identical unrolled argmax recursion in SQL.
+    "q_lpa" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(Graphs.vertexSample(col("l_partkey"), 30))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val ce = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+      Graphs.labelPropagation(edges, rounds = 4)
+    }),
+
+    // Item-item collaborative filtering over the UNsampled co-purchase
+    // relation: top-20 part pairs by cosine on basket incidence
+    // (cooc/√(n_u·n_v), cooc ≥ 2) — "ordered together" recommendation,
+    // popularity-normalized where Adamic–Adar is neighbor-discounted.
+    "q_item_cf" -> ((s, dir) =>
+      Graphs.itemCosine(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minCooc = 2L, k = 20))
   )
 
   /** Unrolled PageRank oracle: the same per-iteration recurrence as
@@ -403,6 +430,48 @@ object StatsQueries extends QueryPack {
       s"\nSELECT u AS node, CAST(count(*) AS BIGINT) AS deg" +
       s"\nFROM e$rounds GROUP BY u"
   }
+
+  /** Unrolled label-propagation oracle: same subgraph head; each round
+    * replays the engine's (count desc, label asc) argmax as a
+    * row_number window over the (node, label) neighbor-label counts.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 30),
+        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""l$k AS (SELECT node, label FROM (
+         |  SELECT e.v AS node, r.label,
+         |    row_number() OVER (PARTITION BY e.v
+         |      ORDER BY count(*) DESC, r.label ASC) AS rn
+         |  FROM e JOIN l${k - 1} r ON e.u = r.node
+         |  GROUP BY e.v, r.label) t WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, label FROM l$rounds"
+  }
+
+  /** Item-item cosine oracle: plain relational replay — the √/÷ chain is
+    * the identical correctly-rounded IEEE sequence in both engines.
+    */
+  private val itemCfOracleSql: String =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i),
+      |cooc AS (SELECT a.i AS u, b.i AS v, CAST(count(*) AS BIGINT) AS cooc
+      |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT c.u, c.v, c.cooc, nu.n AS n_u, nv.n AS n_v,
+      |  round(CAST(c.cooc AS DOUBLE) /
+      |    sqrt(CAST(nu.n AS DOUBLE) * CAST(nv.n AS DOUBLE)), 6) AS cosine
+      |FROM cooc c JOIN ni nu ON c.u = nu.i JOIN ni nv ON c.v = nv.i
+      |ORDER BY cosine DESC, u ASC, v ASC LIMIT 20""".stripMargin
 
   /** Same sampled co-purchase subgraph as the PageRank oracle; the AA
     * weights route through the identical round12-decimal path as the
@@ -603,6 +672,8 @@ object StatsQueries extends QueryPack {
 
     "q_ppr" -> pprOracleSql(5),
 
-    "q_kcore" -> kCoreOracleSql(3, 4)
+    "q_kcore" -> kCoreOracleSql(3, 4),
+    "q_lpa" -> lpaOracleSql(4),
+    "q_item_cf" -> itemCfOracleSql
   )
 }

@@ -137,6 +137,14 @@ object StreamQueries extends QueryPack {
     "q_acf" -> ((s, dir) =>
       EventStreams.acf(Tables.events(s, dir), maxLag = 3)),
 
+    // Holt level+trend smoothing of the same daily series, 7-day-ahead
+    // forecast — the trend-aware rung above q_ewma. Struct-state fold;
+    // oracle replays the recursion as a recursive CTE (see the operator
+    // doc for why NOT DuckDB list_reduce).
+    "q_holt" -> ((s, dir) =>
+      EventStreams.holtForecast(Tables.events(s, dir),
+        alpha = 0.3, beta = 0.2, horizon = 7)),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -368,6 +376,34 @@ object StreamQueries extends QueryPack {
         |      z -> (z[1] - mu) * (z[2] - mu))), (a, v) -> a + v) / den, 6)
         |    + CAST(0 AS DOUBLE) AS acf
         |FROM d, (SELECT unnest([1, 2, 3]) AS k) ks""".stripMargin,
+
+    // Same per-step IEEE ops as the engine's fold, replayed as a
+    // recursive CTE over the day-ranked series; the duplicated l-update
+    // inside the b expression mirrors the engine's struct construction.
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    x, count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |holt AS (
+        |  SELECT s1.event_type, 1 AS t, s1.x AS l, s2.x - s1.x AS b
+        |  FROM ser s1 JOIN ser s2 ON s1.event_type = s2.event_type AND s1.t = 1 AND s2.t = 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.t + 1,
+        |    CAST(0.3 AS DOUBLE) * s.x + CAST(0.7 AS DOUBLE) * (h.l + h.b),
+        |    CAST(0.2 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * s.x
+        |        + CAST(0.7 AS DOUBLE) * (h.l + h.b)) - h.l)
+        |      + CAST(0.8 AS DOUBLE) * h.b
+        |  FROM holt h JOIN ser s ON s.event_type = h.event_type AND s.t = h.t + 1)
+        |SELECT h.event_type, CAST(c.n AS BIGINT) AS n_days,
+        |  round(h.l, 6) + CAST(0 AS DOUBLE) AS level,
+        |  round(h.b, 6) + CAST(0 AS DOUBLE) AS trend,
+        |  round(h.l + CAST(7 AS DOUBLE) * h.b, 6) + CAST(0 AS DOUBLE) AS forecast
+        |FROM holt h
+        |JOIN (SELECT event_type, max(n) AS n FROM ser GROUP BY 1) c
+        |  ON h.event_type = c.event_type AND h.t = c.n""".stripMargin,
 
     "q_event_paths" ->
       """WITH x AS (SELECT user_id, ts, event_id, event_type,

@@ -730,4 +730,57 @@ object EventStreams {
         // + 0.0 canonicalizes −0.0 (a zero-sum lag) — covariance convention
         (round(col("__a"), 6) + lit(0.0)).as("acf"))
   }
+
+  /** Holt double-exponential smoothing (level + trend) of the per-type
+    * daily mean-value series — the forecasting model one rung above
+    * [[ewma]]: EWMA flattens a trending series (its forecast is a
+    * constant), Holt carries a trend term so the h-step-ahead forecast
+    * l + h·b tracks drift — capacity planning / ingest-volume projection
+    * over the same daily aggregates the anomaly gates read.
+    *
+    * Standard form (Holt 1957): l₁ = x₁, b₁ = x₂ − x₁; for t ≥ 2
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁), bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁.
+    *
+    * Determinism contract ([[ewma]]/[[acf]] family): the recursion is a
+    * sequential fold over the day-ordered series array with struct state
+    * (l, b) — Spark's `aggregate` HOF takes an arbitrary zero type, so
+    * the two-field state folds in one pass; bₜ re-states the lₜ
+    * expression verbatim (a struct field cannot reference a sibling),
+    * which both engines evaluate identically. The oracle replays the
+    * SAME ops as a recursive CTE — NOT a struct-state `list_reduce`,
+    * which DuckDB evaluates by mutating the accumulator field-by-field
+    * (field 'b' would see the already-updated 'l'; measured, not
+    * hypothesized). Per-type state is the day-indexed series (~corpus
+    * days, bounded); types with <2 days are dropped in both engines
+    * (no trend is definable).
+    */
+  def holtForecast(events: DataFrame, alpha: Double = 0.3,
+                   beta: Double = 0.2, horizon: Int = 7): DataFrame = {
+    // 1-α / 1-β interpolate to their exact short decimal reprs for the
+    // suite's parameter choices (1.0-0.3 == 0.7 bit-exactly) — the ewma
+    // precedent; the oracle embeds the same literals.
+    val (a, ca, b, cb) = (alpha, 1.0 - alpha, beta, 1.0 - beta)
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(Num.dec2(col("value"))).cast("double") /
+        count(lit(1)).cast("double")).as("x"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, x))), e -> e.x)")
+        .as("__xs"))
+      .withColumn("__n", size(col("__xs")))
+      .filter(col("__n") >= 2)
+      .withColumn("__st", expr(
+        s"""aggregate(slice(__xs, 2, __n - 1),
+           |  named_struct('l', __xs[0], 'b', __xs[1] - __xs[0]),
+           |  (acc, x) -> named_struct(
+           |    'l', ${a}D * x + ${ca}D * (acc.l + acc.b),
+           |    'b', ${b}D * ((${a}D * x + ${ca}D * (acc.l + acc.b)) - acc.l)
+           |      + ${cb}D * acc.b))""".stripMargin))
+      .select(col("event_type"), col("__n").cast("long").as("n_days"),
+        (round(col("__st.l"), 6) + lit(0.0)).as("level"),
+        (round(col("__st.b"), 6) + lit(0.0)).as("trend"),
+        (round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
+          + lit(0.0)).as("forecast"))
+  }
 }

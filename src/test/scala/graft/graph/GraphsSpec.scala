@@ -132,4 +132,43 @@ class GraphsSpec extends SparkSpec {
     assert(out((2L, 5L)) == ((2L, r6(2 * w3))))
     assert(out((4L, 5L)) == ((2L, r6(2 * w3))))
   }
+
+  test("labelPropagation: two bridged triangles split into two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; hand-rolled
+    // rounds (min-label tiebreak) settle on label 1 left, label 3 right
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val out = Graphs.labelPropagation(edges, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // partitioning invariance: synchronous update + deterministic argmax
+    val out7 = Graphs.labelPropagation(edges.repartition(7), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out7 == out)
+  }
+
+  test("itemCosine: hand cosines, duplicate rows collapsed, floor applied") {
+    import spark.implicits._
+    // baskets: b1{1,2,3} b2{1,2} b3{1,3} b4{2,3} b5{1,2}; a duplicated
+    // (b2, 1) row must not inflate any count
+    val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L), (40L, 2L), (40L, 3L), (50L, 1L), (50L, 2L),
+      (20L, 1L)).toDF("basket", "item")
+    val out = Graphs.itemCosine(bi, "basket", "item", minCooc = 2L, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // n₁=4 n₂=4 n₃=3; cooc (1,2)=3 (1,3)=2 (2,3)=2; ties ordered by u
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, r6(3.0 / math.sqrt(16.0))),
+      (1L, 3L, 2L, r6(2.0 / math.sqrt(12.0))),
+      (2L, 3L, 2L, r6(2.0 / math.sqrt(12.0)))))
+    // raising the floor keeps only the 3-cooc pair
+    val hi = Graphs.itemCosine(bi, "basket", "item", minCooc = 3L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hi.toSeq == Seq((1L, 2L)))
+  }
 }

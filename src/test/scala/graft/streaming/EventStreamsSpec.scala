@@ -618,4 +618,33 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(2), r.getDouble(3))).toMap
     assert(out == Map(1L -> 0.0, 2L -> -0.5))
   }
+
+  test("holtForecast matches the local recursion; <2-day types dropped") {
+    import spark.implicits._
+    // daily series 1, 2, 4, 7 (one event per day → mean = value);
+    // α=0.3 β=0.2: l₁=1 b₁=1, then (2.0,1.0) (3.3,1.06) (5.152,1.2184)
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "a", 1.0),
+      (2L, ts("2024-01-02 08:00:00"), "a", 2.0),
+      (3L, ts("2024-01-03 08:00:00"), "a", 4.0),
+      (4L, ts("2024-01-04 08:00:00"), "a", 7.0),
+      (5L, ts("2024-01-01 08:00:00"), "b", 9.0) // 1 day — no trend definable
+    ).toDF("event_id", "ts", "event_type", "value")
+    val rows = EventStreams.holtForecast(ev, alpha = 0.3, beta = 0.2,
+      horizon = 7).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a"))
+    val r = rows.head
+    // local reference: identical recursion in plain Scala, rounded 6
+    var (l, b) = (1.0, 2.0 - 1.0)
+    for (x <- Seq(2.0, 4.0, 7.0)) {
+      val ln = 0.3 * x + 0.7 * (l + b)
+      b = 0.2 * (ln - l) + 0.8 * b
+      l = ln
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == r6(l) && r.getDouble(3) == r6(b))
+    assert(r.getDouble(4) == r6(l + 7.0 * b))
+  }
 }
