@@ -334,7 +334,14 @@ object StatsQueries extends QueryPack {
     "q_item_cf" -> ((s, dir) =>
       Graphs.itemCosine(
         Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", minCooc = 2L, k = 20))
+        "l_orderkey", "l_partkey", minCooc = 2L, k = 20)),
+
+    // Benford first-digit audit of extended price — the synthetic-data
+    // detector (TPC-H prices are price-list-derived, so the χ² column
+    // is exactly what flags them as non-natural). String-based digit
+    // extraction, ln/ln(10) expected chain replayed identically.
+    "q_benford" -> ((s, dir) =>
+      Profile.benfordAudit(Tables.lineitem(s, dir), "l_extendedprice"))
   )
 
   /** Unrolled PageRank oracle: the same per-iteration recurrence as
@@ -674,6 +681,22 @@ object StatsQueries extends QueryPack {
 
     "q_kcore" -> kCoreOracleSql(3, 4),
     "q_lpa" -> lpaOracleSql(4),
-    "q_item_cf" -> itemCfOracleSql
+    "q_item_cf" -> itemCfOracleSql,
+
+    // ln/ln(10) replays Spark's log(10, x) lowering exactly; digit by
+    // string on the integer part — no log10 boundary risk.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem WHERE l_extendedprice >= 1),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT *, CAST(SUM(n) OVER () AS DOUBLE) AS tot,
+        |    ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE))
+        |      / ln(CAST(10 AS DOUBLE)) AS e FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS freq,
+        |  round(e, 6) AS expected,
+        |  round(power(CAST(n AS DOUBLE) - tot * e, 2) / (tot * e), 6) AS chi2
+        |FROM t""".stripMargin
   )
 }

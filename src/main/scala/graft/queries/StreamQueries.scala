@@ -145,6 +145,12 @@ object StreamQueries extends QueryPack {
       EventStreams.holtForecast(Tables.events(s, dir),
         alpha = 0.3, beta = 0.2, horizon = 7)),
 
+    // Mann–Kendall monotone-trend test + Theil–Sen median slope over the
+    // same daily series — the nonparametric/robust trend monitor; exact
+    // integer S and tie-corrected variance, explicit median.
+    "q_trend_mk" -> ((s, dir) =>
+      EventStreams.mannKendall(Tables.events(s, dir))),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -404,6 +410,45 @@ object StreamQueries extends QueryPack {
         |FROM holt h
         |JOIN (SELECT event_type, max(n) AS n FROM ser GROUP BY 1) c
         |  ON h.event_type = c.event_type AND h.t = c.n""".stripMargin,
+
+    // Pairwise replay as a day-ranked self-join; identical integer S /
+    // tie term and the same explicit median indexing as the engine.
+    "q_trend_mk" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, date_diff('day', DATE '1970-01-01', day) AS d, x FROM daily),
+        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ser
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |pairs AS (SELECT a.event_type,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+        |    (b.x - a.x) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM ser a JOIN ser b ON a.event_type = b.event_type AND a.d < b.d),
+        |sv AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s,
+        |    list(slope ORDER BY slope) AS ls, CAST(count(*) AS BIGINT) AS m
+        |  FROM pairs GROUP BY 1),
+        |tt AS (SELECT event_type, CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie
+        |  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |    FROM ser GROUP BY 1, 2) g GROUP BY 1),
+        |v AS (SELECT nn.event_type, nn.n, sv.s, sv.ls, sv.m,
+        |    CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - COALESCE(tt.tie, 0) AS DOUBLE)
+        |      / CAST(18 AS DOUBLE) AS var_s
+        |  FROM nn JOIN sv ON nn.event_type = sv.event_type
+        |  LEFT JOIN tt ON nn.event_type = tt.event_type),
+        |z AS (SELECT *, CASE WHEN var_s <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+        |    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |    ELSE CAST(0 AS DOUBLE) END AS zv FROM v)
+        |SELECT event_type, n AS n_days, s, var_s,
+        |  round(zv, 6) + CAST(0 AS DOUBLE) AS z,
+        |  round(CASE WHEN m % 2 = 1 THEN ls[CAST((m - 1) // 2 AS INT) + 1]
+        |    ELSE (ls[CAST(m // 2 AS INT)] + ls[CAST(m // 2 AS INT) + 1])
+        |      / CAST(2 AS DOUBLE) END, 6) + CAST(0 AS DOUBLE) AS sen_slope,
+        |  CASE WHEN round(zv, 6) > CAST(1.96 AS DOUBLE) THEN 'increasing'
+        |       WHEN round(zv, 6) < CAST(-1.96 AS DOUBLE) THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
 
     "q_event_paths" ->
       """WITH x AS (SELECT user_id, ts, event_id, event_type,

@@ -240,4 +240,39 @@ object Profile {
         round((lit(2L) * col("__s1") - (col("n_groups") + 1L) * col("total"))
           .cast("double") /
           (col("n_groups") * col("total")).cast("double"), 6).as("gini"))
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * classic fabricated-/synthetic-data detector: naturally occurring
+    * multi-scale magnitudes follow P(d) = log₁₀(1 + 1/d); data that was
+    * generated uniformly, clipped, or hand-edited does not. A curation
+    * pipeline runs this per SOURCE and flags feeds whose χ² explodes.
+    *
+    * Digit extraction is string-based on the integer part (exact for
+    * values in [1, 2⁵³) — no log10-of-double boundary risk at powers of
+    * ten); rows < 1 are excluded and reported via n_total vs the digit
+    * sum. One combinable 9-cell groupBy + a 9-row window — profile
+    * cost is one scan at any size. χ² contribution per digit
+    * (obs − exp)²/exp with exp = n·P(d); expected-frequency ln/log10
+    * chain is identical correctly-rounded IEEE in both engines, round6.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // 9-row frame: the "bounded window" shape
+    // Spark lowers log(base, x) to ln(x)/ln(base); the oracle replays
+    // that exact quotient rather than DuckDB's native log10
+    val exp = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    digits
+      .withColumn("__tot", sum(col("n")).over(w).cast("double"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("freq"),
+        round(exp, 6).as("expected"),
+        round(pow(col("n").cast("double") - col("__tot") * exp, 2) /
+          (col("__tot") * exp), 6).as("chi2"))
+  }
 }

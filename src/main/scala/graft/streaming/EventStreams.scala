@@ -754,6 +754,81 @@ object EventStreams {
     * days, bounded); types with <2 days are dropped in both engines
     * (no trend is definable).
     */
+  /** Mann–Kendall trend test + Theil–Sen slope of the per-type daily
+    * mean-value series — the ROBUST trend monitor ([[holtForecast]]'s
+    * nonparametric sibling): MK asks "is there a monotone trend?"
+    * without assuming a distribution, Theil–Sen estimates its magnitude
+    * as the median pairwise slope (unaffected by outlier days that
+    * wreck an OLS fit like [[graft.stats.Profile.groupRegression]]).
+    *
+    *   S       = Σ_{i<j} sign(x_j − x_i)                (exact long)
+    *   Var(S)  = [n(n−1)(2n+5) − Σ_p t_p(t_p−1)(2t_p+5)] / 18
+    *             (tie-corrected; the tie term is computed per ELEMENT as
+    *             Σ_i (c_i−1)(2c_i+5), c_i = multiplicity of x_i — each
+    *             group of t equal values contributes t identical terms,
+    *             summing to the textbook per-group formula)
+    *   Z       = (S∓1)/√Var(S), 0 at S=0 — the continuity-corrected
+    *             normal approximation; |Z| > 1.96 ⇒ trend at 5%
+    *   slope   = median over pairs of (x_j − x_i)/(d_j − d_i), day gaps
+    *             in real days (gap-robust), median taken EXPLICITLY
+    *             (middle element, or mean of the two middles) so both
+    *             engines pick identical values
+    *
+    * Everything integer until the final divisions ([[acf]] parity
+    * family); per-type state is the day-indexed series plus its
+    * C(days,2) pair arrays — bounded by corpus days, independent of
+    * event count. Types with <2 days are dropped (no pair exists).
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(Num.dec2(col("value"))).cast("double") /
+        count(lit(1)).cast("double")).as("x"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(expr(
+        """array_sort(collect_list(struct(
+          |  datediff(day, to_date('1970-01-01')) AS d, x)))""".stripMargin)
+        .as("__s"))
+      .withColumn("__n", size(col("__s")))
+      .filter(col("__n") >= 2)
+      .withColumn("__sgn", expr(
+        """aggregate(flatten(transform(sequence(1, __n - 1), i ->
+          |  transform(sequence(i + 1, __n), j ->
+          |    CASE WHEN __s[j - 1].x > __s[i - 1].x THEN 1L
+          |         WHEN __s[j - 1].x < __s[i - 1].x THEN -1L
+          |         ELSE 0L END))), 0L, (a, v) -> a + v)""".stripMargin))
+      .withColumn("__ties", expr(
+        """aggregate(transform(__s, e ->
+          |  size(filter(__s, o -> o.x = e.x))), 0L,
+          |  (a, c) -> a + CAST((c - 1) * (2 * c + 5) AS BIGINT))""".stripMargin))
+      .withColumn("__var", expr(
+        """CAST(CAST(__n AS BIGINT) * (__n - 1) * (2 * __n + 5) - __ties
+          |  AS DOUBLE) / 18D""".stripMargin))
+      .withColumn("__sl", expr(
+        """array_sort(flatten(transform(sequence(1, __n - 1), i ->
+          |  transform(sequence(i + 1, __n), j ->
+          |    (__s[j - 1].x - __s[i - 1].x) /
+          |    CAST(__s[j - 1].d - __s[i - 1].d AS DOUBLE)))))""".stripMargin))
+      .withColumn("__m", size(col("__sl")))
+      .withColumn("__z", expr(
+        """CASE WHEN __var <= 0D THEN 0D
+          |     WHEN __sgn > 0 THEN CAST(__sgn - 1 AS DOUBLE) / sqrt(__var)
+          |     WHEN __sgn < 0 THEN CAST(__sgn + 1 AS DOUBLE) / sqrt(__var)
+          |     ELSE 0D END""".stripMargin))
+      .select(col("event_type"), col("__n").cast("long").as("n_days"),
+        col("__sgn").as("s"), col("__var").as("var_s"),
+        (round(col("__z"), 6) + lit(0.0)).as("z"),
+        (round(expr(
+          """CASE WHEN __m % 2 = 1 THEN __sl[(__m - 1) DIV 2]
+            |ELSE (__sl[__m DIV 2 - 1] + __sl[__m DIV 2]) / 2D END""".stripMargin),
+          6) + lit(0.0)).as("sen_slope"),
+        expr(
+          """CASE WHEN round(__z, 6) > 1.96D THEN 'increasing'
+            |     WHEN round(__z, 6) < -1.96D THEN 'decreasing'
+            |     ELSE 'no_trend' END""".stripMargin).as("trend"))
+  }
+
   def holtForecast(events: DataFrame, alpha: Double = 0.3,
                    beta: Double = 0.2, horizon: Int = 7): DataFrame = {
     // 1-α / 1-β interpolate to their exact short decimal reprs for the

@@ -127,4 +127,22 @@ class ProfileSpec extends SparkSpec {
     val bal = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "x")
     assert(Profile.giniByGroup(bal, "g", "x").head().getDouble(2) == 0.0)
   }
+
+  test("benfordAudit: exact digit counts, sub-1 rows excluded, chi2 formula") {
+    // digits: 1 (×2: 1.5, 199.0), 2 (×1: 23.4), 9 (×1: 9000.0);
+    // 0.5 excluded (< 1). tot = 4.
+    val df = Seq(1.5, 199.0, 23.4, 9000.0, 0.5).toDF("v")
+    val out = Profile.benfordAudit(df, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.keySet == Set(1L, 2L, 9L))
+    def exp(d: Int) = math.log(1.0 + 1.0 / d) / math.log(10.0)
+    def chi(n: Long, d: Int) = {
+      val e = 4.0 * exp(d); r6((n - e) * (n - e) / e)
+    }
+    assert(out(1L) == ((2L, 0.5, r6(exp(1)), chi(2, 1))))
+    assert(out(2L) == ((1L, 0.25, r6(exp(2)), chi(1, 2))))
+    assert(out(9L) == ((1L, 0.25, r6(exp(9)), chi(1, 9))))
+  }
 }

@@ -647,4 +647,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.getDouble(2) == r6(l) && r.getDouble(3) == r6(b))
     assert(r.getDouble(4) == r6(l + 7.0 * b))
   }
+
+  test("mannKendall: hand-computed S, tie-corrected variance, explicit median") {
+    import spark.implicits._
+    // series "a" by day: 1, 3, 2, 4 (no ties) — pairs (i<j):
+    //   signs: +,+,+ (from 1), -,+ (from 3), + (from 2) → S = 4
+    //   var = 4·3·13/18 = 26/3; z = 3/√(26/3)
+    //   slopes: (3-1)/1=2, (2-1)/2=0.5, (4-1)/3=1, (2-3)/1=-1,
+    //           (4-3)/2=0.5, (4-2)/1=2 → sorted [-1,.5,.5,1,2,2],
+    //   even m=6 → median (0.5+1)/2 = 0.75
+    // series "b": 5, 5, 7 — tie pair (t=2) → tie term 2·1·9=18;
+    //   S = 2; var = (3·2·11 − 18)/18 = 48/18; day gaps 1,2,1
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "a", 1.0),
+      (2L, ts("2024-01-02 08:00:00"), "a", 3.0),
+      (3L, ts("2024-01-03 08:00:00"), "a", 2.0),
+      (4L, ts("2024-01-04 08:00:00"), "a", 4.0),
+      (5L, ts("2024-01-01 08:00:00"), "b", 5.0),
+      (6L, ts("2024-01-02 08:00:00"), "b", 5.0),
+      (7L, ts("2024-01-03 08:00:00"), "b", 7.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = EventStreams.mannKendall(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val (na, sa, va, za, sla, ta) = out("a")
+    assert((na, sa) == ((4L, 4L)) && va == 26.0 / 3.0)
+    assert(za == r6(3.0 / math.sqrt(26.0 / 3.0)) && sla == 0.75)
+    assert(ta == "no_trend")
+    val (nb, sb, vb, zb, slb, _) = out("b")
+    assert((nb, sb) == ((3L, 2L)) && vb == 48.0 / 18.0)
+    assert(zb == r6(1.0 / math.sqrt(48.0 / 18.0)))
+    // b slopes: (5-5)/1=0, (7-5)/2=1, (7-5)/1=2 → median 1.0
+    assert(slb == 1.0)
+  }
 }
