@@ -100,32 +100,44 @@ object Graphs {
     // ([[graft.util.Checkpoints]]).
     val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct().cutLineage()
+      .union(e.select(col("v").as("node"))).distinct()
     val nn = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
     val outdeg = e.groupBy(col("u"))
       .agg(count(lit(1)).cast("double").as("deg")).cutLineage()
+    // Dangling-ness is STATIC — resolve it into a 0/1 node flag once so
+    // each round's dangling mass is a plain Σ rank·dang over the rank
+    // table instead of an anti-join + aggregate per round (one fewer
+    // join per iteration; bit-identical — the interleaved rank·0.0
+    // terms add +0.0, an IEEE identity, so the partial sums match the
+    // filtered formulation's exactly).
+    val nd = nodes
+      .join(outdeg.select(col("u").as("node"), lit(0.0).as("__nd")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__nd"), lit(1.0)).as("dang"))
+      .cutLineage()
     // Edge weight 1/outdeg precomputed once; reused every iteration.
     val ew = e.join(outdeg, "u")
       .select(col("u"), col("v"), (lit(1.0) / col("deg")).as("w"))
       .cutLineage()
-    var ranks = nodes.crossJoin(nn)
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    var ranks = nd.crossJoin(nn)
+      .select(col("node"), col("dang"),
+        (lit(1.0) / col("n_nodes")).as("rank"))
     for (_ <- 1 to iters) {
       val r = ranks.cutLineage()
       val contrib = ew.join(r, ew("u") === r("node"))
         .groupBy(col("v").as("node"))
         .agg(sum(col("rank") * col("w")).as("contrib"))
       val dangling = broadcast(
-        r.join(outdeg, r("node") === outdeg("u"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass")))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+        r.agg(coalesce(sum(col("rank") * col("dang")), lit(0.0))
+          .as("dangling_mass")))
+      ranks = nd.join(contrib, Seq("node"), "left")
         .crossJoin(dangling).crossJoin(nn)
-        .select(col("node"),
+        .select(col("node"), col("dang"),
           (lit(1.0 - damping) / col("n_nodes") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) +
               col("dangling_mass") / col("n_nodes"))).as("rank"))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Personalized PageRank: [[pagerank]] with the restart (and dangling
@@ -142,9 +154,16 @@ object Graphs {
     val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
+    val outdeg = e.groupBy(col("u"))
+      .agg(count(lit(1)).cast("double").as("deg")).cutLineage()
+    // Seed AND dangling flags ride the one node table ([[pagerank]]'s
+    // static-flag fusion — no per-round anti-join).
     val sflag = nodes
       .join(seeds.select(col("node"), lit(1.0).as("__is")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__is"), lit(0.0)).as("s"))
+      .join(outdeg.select(col("u").as("node"), lit(0.0).as("__nd")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__is"), lit(0.0)).as("s"),
+        coalesce(col("__nd"), lit(1.0)).as("dang"))
       .cutLineage()
     val ns = broadcast(sflag.agg(sum(col("s")).as("n_seeds")))
     // Fail loudly on an empty seed set: 0/0 would silently make every
@@ -152,29 +171,28 @@ object Graphs {
     // table — no extra shuffle beyond what the first iteration pays.
     require(ns.first().getDouble(0) > 0.0,
       "personalizedPagerank: no seed matched a graph node — ranks would be NaN")
-    val outdeg = e.groupBy(col("u"))
-      .agg(count(lit(1)).cast("double").as("deg")).cutLineage()
     val ew = e.join(outdeg, "u")
       .select(col("u"), col("v"), (lit(1.0) / col("deg")).as("w"))
       .cutLineage()
     var ranks = sflag.crossJoin(ns)
-      .select(col("node"), (col("s") / col("n_seeds")).as("rank"))
+      .select(col("node"), col("s"), col("dang"),
+        (col("s") / col("n_seeds")).as("rank"))
     for (_ <- 1 to iters) {
       val r = ranks.cutLineage()
       val contrib = ew.join(r, ew("u") === r("node"))
         .groupBy(col("v").as("node"))
         .agg(sum(col("rank") * col("w")).as("contrib"))
       val dangling = broadcast(
-        r.join(outdeg, r("node") === outdeg("u"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass")))
+        r.agg(coalesce(sum(col("rank") * col("dang")), lit(0.0))
+          .as("dangling_mass")))
       ranks = sflag.join(contrib, Seq("node"), "left")
         .crossJoin(dangling).crossJoin(ns)
-        .select(col("node"),
+        .select(col("node"), col("s"), col("dang"),
           (lit(1.0 - damping) * col("s") / col("n_seeds") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) +
               col("dangling_mass") * col("s") / col("n_seeds"))).as("rank"))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Bounded-round k-core peeling over a BOTH-DIRECTIONS edge list:
@@ -228,16 +246,16 @@ object Graphs {
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val l = labels.cutLineage()
-      // argmax by (count desc, label asc) via max_by over a (count,
-      // -label) struct — unique per (node, label), so fully deterministic.
-      // Every node appears as some edge's v (the list carries both
-      // directions), so no node is left unlabeled by the join.
+      // the (count desc, label asc) argmax is exactly deterministic
+      // mode() (ties → LOWEST value), which folds the neighbor-label
+      // count and the argmax into ONE combinable aggregation — one
+      // shuffle per round, with the per-node label histogram as the
+      // map-side partial state. Every node appears as some edge's v
+      // (the list carries both directions), so no node is left
+      // unlabeled by the join.
       labels = e.join(l, e("u") === l("node"))
-        .groupBy(col("v"), col("label"))
-        .agg(count(lit(1)).as("__c"))
         .groupBy(col("v").as("node"))
-        .agg(max_by(col("label"),
-          struct(col("__c"), (lit(-1L) * col("label")).as("__nl"))).as("label"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
     }
     labels
   }
