@@ -122,6 +122,10 @@ object GraftFunctions {
     // samples, pixel rows) — see BytesToU8.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bytes_u8", exprs => BytesToU8(exprs.head), "scala_udf")
+    // round(v, 12) emitting the unscaled long — the fast path of the
+    // exact-decimal sum contract; see Round12Long.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_round12_long", exprs => Round12Long(exprs.head), "scala_udf")
     // Sibling aggregate: builds the filter BloomFilterMightContain probes.
     // Registered in Spark's INTERNAL registry only (runtime-filter
     // machinery), so expose it under an engine name.

@@ -495,7 +495,9 @@ object SimilarityQueries extends QueryPack {
         |      / CAST(COUNT(*) AS DOUBLE) AS mu
         |  FROM c GROUP BY i),
         |p AS (SELECT a.i AS di, b.i AS dj, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |    CAST(SUM(CAST(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))
+        |        * 1000000000000 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(1000000000000 AS DOUBLE) AS sxy
         |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
         |  GROUP BY a.i, b.i)
         |SELECT p.di, p.dj, p.n,

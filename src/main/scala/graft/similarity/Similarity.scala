@@ -904,16 +904,25 @@ object Similarity {
     * only d(d+1)/2 cells per map partition regardless of N (the N·d²/2
     * multiply count is the exact-covariance lower bound — there is nothing
     * to push down past it). Means come from a second, d-row-tiny aggregate
-    * broadcast back onto the cells. Float algebra is routed
-    * round(·,12)→DECIMAL(38,12) (the [[labelCentroidSimilarity]] pattern),
-    * so both engines sum identical values in any order.
+    * broadcast back onto the cells. Float algebra is routed through the
+    * round-12 exact-sum contract (the [[labelCentroidSimilarity]]
+    * pattern), but in its FAST form: each product's 12-dp rounding is
+    * emitted as the unscaled LONG by the codegen
+    * [[graft.expressions.Round12Long]] (same half-up semantics as
+    * Spark's Round, proven in its scaladoc) and the cell sums run over
+    * compact decimal(38,0) integers — overflow-free at any corpus size,
+    * and 3× cheaper than Round + decimal(38,12) on the sf0.1 bench
+    * (4.7 → 1.5 s). Both engines sum identical integers in any order;
+    * the sum → double → ÷10¹² chain is the identical two correctly-
+    * rounded IEEE steps in both.
     */
   def covarianceMatrix(embeddings: DataFrame, vecCol: String,
                        dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    GraftFunctions.register(spark)
     // Flat position-encoded product array: the exploded element is a bare
-    // decimal, not a (i, j, pp) struct — 2080 primitive-ish values per row
+    // long, not a (i, j, pp) struct — 2080 primitive values per row
     // instead of 2080 row objects (2.5× on the sf0.1 bench). (i, j) is
     // recovered by joining the broadcast 2080-row decode map.
     val decode = (for { i <- 0 until dim; j <- i until dim }
@@ -922,11 +931,14 @@ object Similarity {
     val flat = embeddings.select(posexplode(flatten(
       transform(sequence(lit(0), lit(dim - 1)), i =>
         transform(sequence(i, lit(dim - 1)), j =>
-          round(element_at(col(vecCol), i + 1).cast("double") *
-            element_at(col(vecCol), j + 1).cast("double"), 12)
-            .cast("decimal(38,12)"))))).as(Seq("pos", "pp")))
+          call_function("graft_round12_long",
+            element_at(col(vecCol), i + 1).cast("double") *
+              element_at(col(vecCol), j + 1).cast("double"))))))
+      .as(Seq("pos", "pp")))
     val cells = flat.groupBy(col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("pp")).cast("double").as("sxy"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("pp").cast("decimal(38,0)")).cast("double") / lit(1.0e12))
+          .as("sxy"))
       .join(broadcast(decode), "pos")
     val means = embeddings
       .select(posexplode(col(vecCol)).as(Seq("mi", "xf")))
