@@ -317,15 +317,22 @@ object Graphs {
     * neighbor, so ln never hits zero.
     */
   def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(edges.sparkSession)
     // the edge list feeds FOUR consumers (degree, both wedge legs, the
     // anti-join) — checkpoint it once or the caller's edge construction
     // (often itself a join) re-executes per consumer (pagerank pattern)
     val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+    // per-w weight as the round-12 UNSCALED long (codegen Round12Long —
+    // deg ≥ 2 for any shared neighbor puts aw ≤ 1/ln 2 well inside its
+    // fast-path domain): the wedge join then ships an 8-byte long per
+    // row instead of a decimal, and the pair sum runs over compact
+    // decimal(38,0) integers — same order-independent exactness, same
+    // sum → double → ÷10¹² chain replayed by the oracle
     val ew = e.join(deg, e("u") === deg("w"))
       .select(col("v").as("n"), col("w"),
-        round(lit(1.0) / log(col("deg").cast("double")), 12)
-          .cast("decimal(38,12)").as("aw"))
+        call_function("graft_round12_long",
+          lit(1.0) / log(col("deg").cast("double"))).as("aw"))
     val pairs = ew.as("a")
       .join(ew.as("b"), col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"), col("a.aw"))
@@ -334,7 +341,8 @@ object Graphs {
         Seq("u", "v"), "left_anti") // predict NEW links only
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"),
-        sum(col("aw")).cast("double").as("aa_raw"))
+        (sum(col("aw").cast("decimal(38,0)")).cast("double") / lit(1.0e12))
+          .as("aa_raw"))
       .select(col("u"), col("v"), col("n_common"),
         round(col("aa_raw"), 6).as("aa"))
       .orderBy(col("aa").desc, col("u").asc, col("v").asc)

@@ -494,15 +494,15 @@ object StatsQueries extends QueryPack {
       |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
       |deg AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
       |ew AS (SELECT e.v AS n, e.u AS w,
-      |    CAST(round(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 12)
-      |      AS DECIMAL(38,12)) AS aw
+      |    CAST(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 12)
+      |      AS DECIMAL(38,12)) * 1000000000000 AS HUGEINT) AS aw
       |  FROM e JOIN deg ON e.u = deg.w),
       |pr AS (SELECT a.n AS u, b.n AS v, a.aw
       |  FROM ew a JOIN ew b ON a.w = b.w AND a.n < b.n),
       |np AS (SELECT * FROM pr p
       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.u AND e.v = p.v))
       |SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
-      |  round(CAST(SUM(aw) AS DOUBLE), 6) AS aa
+      |  round(CAST(SUM(aw) AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6) AS aa
       |FROM np GROUP BY u, v
       |ORDER BY aa DESC, u ASC, v ASC LIMIT 20""".stripMargin
 
