@@ -579,9 +579,17 @@ object Similarity {
     * always exact (full cosine verify). Per vector the candidate count is
     * ≈ probes² × targetClusterSize — CONSTANT as N grows, so candidate
     * volume is O(N) by construction; the Lloyd assign is O(N·k·d) per
-    * round with a broadcast centroid array (at corpus sizes where N/25
-    * centroids stop broadcasting, the assign itself becomes an IVF
-    * two-level tree — same contract, [[ivfAssign]]'s shape). Recall is
+    * round with a broadcast centroid array. At corpus sizes where N/25
+    * centroids stop broadcasting, keep the SINGLE-LEVEL semantics and
+    * shard the centroid scoring (centroid chunks as a joined table —
+    * same O(N·k·d) compute, shuffle transport instead of broadcast):
+    * a refined two-level tree was MEASURED (round-10 continuation,
+    * Lloyd at both levels + multi-probe at both) and loses the
+    * recall-per-candidate trade at this threshold — 0.71 recall at the
+    * single-level budget (~20% candidates), 0.86–0.93 only at 38–59%
+    * candidates vs single-level's 0.93 at 19%; fragmenting the
+    * quantizer splits true neighborhoods across coarse cells faster
+    * than probing recovers them. Recall is
     * MEASURED, never assumed: q_dedup_recall_clustered audits against
     * the exact pairs with a ≥ 0.8 floor in SimilaritySpec (fixture:
     * 13/14 at 19% candidate fraction, target=25, probes=2 — the same
