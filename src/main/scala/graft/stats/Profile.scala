@@ -250,8 +250,9 @@ object Profile {
     * Digit extraction is string-based on the integer part (exact for
     * values in [1, 2⁵³) — no log10-of-double boundary risk at powers of
     * ten); rows < 1 are excluded and reported via n_total vs the digit
-    * sum. One combinable 9-cell groupBy + a 9-row window — profile
-    * cost is one scan at any size. χ² contribution per digit
+    * sum. One combinable 9-cell groupBy + a broadcast 1-row total (the
+    * [[skewAudit]] idiom — no window, no single-partition sort) —
+    * profile cost is one scan at any size. χ² contribution per digit
     * (obs − exp)²/exp with exp = n·P(d); expected-frequency ln/log10
     * chain is identical correctly-rounded IEEE in both engines, round6.
     */
@@ -262,13 +263,12 @@ object Profile {
         .cast("long").as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).cast("long").as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)) // 9-row frame: the "bounded window" shape
+    val tot = digits.agg(sum(col("n")).cast("double").as("__tot"))
     // Spark lowers log(base, x) to ln(x)/ln(base); the oracle replays
     // that exact quotient rather than DuckDB's native log10
     val exp = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
     digits
-      .withColumn("__tot", sum(col("n")).over(w).cast("double"))
+      .crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
         round(col("n").cast("double") / col("__tot"), 6).as("freq"),
         round(exp, 6).as("expected"),
