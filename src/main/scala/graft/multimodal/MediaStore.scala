@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.util.Stamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once persisted media corpora — the binary-column analogue of the
+  * BM25 / SimHash / IVF serving stores: media arrives in a pipeline as
+  * BYTES IN A TABLE (a crawl's image blobs, a video lake's MJPEG segments),
+  * not as something re-encoded per query. The synthetic fixtures exist to
+  * make decode chains oracle-replayable; persisting them once per corpus
+  * makes every downstream query measure what the operator actually costs
+  * at 100 TB — the demux/decode scan — instead of re-paying fixture
+  * ENCODE on every run (the round-9 plan audit made this argument for
+  * q_audio_energy in prose; this store makes it structural).
+  *
+  * Freshness follows the [[graft.util.Stamp]] contract: the stamp of the
+  * source documents table is stored beside the data; a regenerated corpus
+  * at the same path forces a rebuild. Dest is rooted at
+  * `GRAFT_MEDIA_STORE_ROOT` (default `target/media-store-v1`), keyed by
+  * fixture name + sanitized source dir, so SFs never collide.
+  */
+object MediaStore {
+
+  private def destDir(sfDir: String, name: String): String =
+    sys.env.getOrElse("GRAFT_MEDIA_STORE_ROOT", "target/media-store-v1") +
+      "/" + name + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Materialize `build` once per (name, source corpus) and serve the
+    * persisted parquet thereafter. The stamp is written AFTER the data,
+    * so a failed build can never present as fresh.
+    */
+  def ensure(spark: SparkSession, sfDir: String, name: String)
+            (build: => DataFrame): DataFrame = {
+    val dest = destDir(sfDir, name)
+    val stamp = Stamp.sourceStamp(sfDir)
+    if (!Stamp.isFresh(dest, stamp)) {
+      build.write.mode("overwrite").parquet(dest + "/data")
+      Stamp.write(dest, stamp)
+    }
+    spark.read.parquet(dest + "/data")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaStore, Multimodal}
 import graft.text.{Bpe, Curation, Dsir, Lexicons, Spell, TextAnalysis}
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.functions._
@@ -474,7 +474,8 @@ object TextQueries extends QueryPack {
         (col("doc_id") % 24 + 8).cast("long").as("w"),
         (col("doc_id") % 16 + 6).cast("long").as("h"),
         (col("doc_id") % 5 + 2).cast("long").as("nf"))
-      val gif = Multimodal.syntheticGifAnimation(base, "doc_id", "w", "h", "nf")
+      val gif = MediaStore.ensure(s, dir, "gif-anim")(
+        Multimodal.syntheticGifAnimation(base, "doc_id", "w", "h", "nf"))
       graft.expressions.GraftFunctions.register(s)
       Multimodal.gifFrames(gif, "gif", every = 2)
         .where(col("frame_idx") >= 0)
@@ -497,7 +498,8 @@ object TextQueries extends QueryPack {
         (col("doc_id") % 28 + 8).cast("long").as("w"),
         (col("doc_id") % 18 + 6).cast("long").as("h"),
         (col("doc_id") % 5 + 2).cast("long").as("nf"))
-      val avi = Multimodal.syntheticAviAnimation(base, "doc_id", "w", "h", "nf")
+      val avi = MediaStore.ensure(s, dir, "avi-anim")(
+        Multimodal.syntheticAviAnimation(base, "doc_id", "w", "h", "nf"))
       graft.expressions.GraftFunctions.register(s)
       Multimodal.videoFrames(avi, "avi", every = 2)
         .where(col("frame_idx") >= 0)
@@ -522,7 +524,8 @@ object TextQueries extends QueryPack {
         (floor(col("doc_id") / 4) % 6 + 8).cast("long").as("w"),
         (floor(col("doc_id") / 4) % 4 + 6).cast("long").as("h"),
         (col("doc_id") % 5 + 2).cast("long").as("nf"))
-      val gif = Multimodal.syntheticGifFamilies(base, "fam", "w", "h", "nf")
+      val gif = MediaStore.ensure(s, dir, "gif-fam")(
+        Multimodal.syntheticGifFamilies(base, "fam", "w", "h", "nf"))
       Multimodal.videoNearDupPairs(gif, "doc_id", "gif", threshold = 0.5)
     }),
 
@@ -536,7 +539,8 @@ object TextQueries extends QueryPack {
         (col("doc_id") % 20 + 6).cast("long").as("w"),
         (col("doc_id") % 12 + 5).cast("long").as("h"),
         (col("doc_id") % 4 + 4).cast("long").as("nf"))
-      val avi = Multimodal.syntheticAviScenes(base, "doc_id", "w", "h", "nf")
+      val avi = MediaStore.ensure(s, dir, "avi-scenes")(
+        Multimodal.syntheticAviScenes(base, "doc_id", "w", "h", "nf"))
       Multimodal.sceneCuts(avi, "doc_id", "avi", threshold = 30L)
     }),
 
@@ -552,7 +556,8 @@ object TextQueries extends QueryPack {
         (col("doc_id") % 20 + 6).cast("long").as("w"),
         (col("doc_id") % 12 + 5).cast("long").as("h"),
         (col("doc_id") % 4 + 4).cast("long").as("nf"))
-      val gif = Multimodal.syntheticGifScenes(base, "doc_id", "w", "h", "nf")
+      val gif = MediaStore.ensure(s, dir, "gif-scenes")(
+        Multimodal.syntheticGifScenes(base, "doc_id", "w", "h", "nf"))
       Multimodal.sceneCuts(gif, "doc_id", "gif", threshold = 30L)
     }),
 
