@@ -151,6 +151,23 @@ object StreamQueries extends QueryPack {
     "q_trend_mk" -> ((s, dir) =>
       EventStreams.mannKendall(Tables.events(s, dir))),
 
+    // Kaplan–Meier survival over PURCHASE lifetimes (first→last purchase
+    // per user; stopped-purchasing = churn, right-censored in the final
+    // 7 corpus days) — the all-events lifetime is degenerate on this
+    // corpus (every user active daily ⇒ everyone censored); purchases
+    // are sparse, so the curve has real deaths at many t. Integer risk
+    // sets + sequential product fold, no window shuffle.
+    "q_survival" -> ((s, dir) =>
+      EventStreams.kaplanMeier(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        censorDays = 7)),
+
+    // CUPED-adjusted A/B lift: pre-period value as control variate,
+    // pooled theta from exact decimal sums, per-arm adjusted mean
+    // derived algebraically (no per-user double summation anywhere).
+    "q_cuped" -> ((s, dir) =>
+      EventStreams.cupedLift(Tables.events(s, dir), preDays = 7)),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -410,6 +427,66 @@ object StreamQueries extends QueryPack {
         |FROM holt h
         |JOIN (SELECT event_type, max(n) AS n FROM ser GROUP BY 1) c
         |  ON h.event_type = c.event_type AND h.t = c.n""".stripMargin,
+
+    // Windowed relational replay of the same integer risk sets; the
+    // prefix product is list() OVER (ORDER BY t) + list_reduce — the
+    // identical left-to-right fold the engine runs over its array.
+    "q_survival" ->
+      """WITH pe AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT CAST(max(ts) AS DATE) - 7 AS hd FROM pe),
+        |u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+        |  FROM pe GROUP BY 1),
+        |lt AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t, l > h.hd AS cens
+        |  FROM u, h),
+        |cell AS (SELECT t,
+        |    CAST(SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lt GROUP BY 1),
+        |w1 AS (SELECT *, SUM(n) OVER ()
+        |    - COALESCE(SUM(n) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM cell),
+        |w2 AS (SELECT *, CAST(1 AS DOUBLE)
+        |    - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f FROM w1),
+        |w3 AS (SELECT *, list(f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lf
+        |  FROM w2)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events, c AS n_censored,
+        |  round(list_reduce(list_prepend(CAST(1 AS DOUBLE), lf),
+        |    (a, x) -> a * x), 6) AS survival
+        |FROM w3""".stripMargin,
+
+    // Exact-decimal pooled moments; theta and the adjusted means are the
+    // identical double expressions in both engines (theta unrounded
+    // where it feeds mean_y_adj, rounded only as its own column).
+    "q_cuped" ->
+      """WITH cut AS (SELECT CAST(min(ts) AS DATE) + 7 AS cd FROM events),
+        |per AS (SELECT user_id,
+        |    SUM(CASE WHEN CAST(ts AS DATE) < cut.cd
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    SUM(CASE WHEN CAST(ts AS DATE) >= cut.cd
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events, cut GROUP BY user_id),
+        |p AS (SELECT CAST(count(*) AS DOUBLE) AS nd, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM per),
+        |th AS (SELECT nd, sx,
+        |    CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |           * CAST(sx AS DOUBLE) / nd = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+        |    ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |           * CAST(sy AS DOUBLE) / nd)
+        |       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |           * CAST(sx AS DOUBLE) / nd) END AS theta
+        |  FROM p),
+        |a AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    SUM(x) AS sxa, SUM(y) AS sya FROM per GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round(CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_x,
+        |  round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_y,
+        |  round(theta, 6) AS theta,
+        |  round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) - theta
+        |    * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) / nd), 6) AS mean_y_adj
+        |FROM a, th""".stripMargin,
 
     // Pairwise replay as a day-ranked self-join; identical integer S /
     // tie term and the same explicit median indexing as the engine.

@@ -754,6 +754,123 @@ object EventStreams {
     * days, bounded); types with <2 days are dropped in both engines
     * (no trend is definable).
     */
+  /** CUPED-adjusted A/B lift (Deng et al., WSDM 2013 — public method):
+    * the experiment-analysis reducer that uses each user's PRE-PERIOD
+    * value as a control variate — Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X)
+    * pooled across arms — cutting metric variance by the squared
+    * pre/post correlation without biasing the lift. The arm split is
+    * deterministic (user_id parity stands in for the assignment hash).
+    *
+    * Engine parity: per-user X (pre-window value sum) and Y (post) are
+    * exact decimals; θ and X̄ derive from pooled exact sums (Σx, Σy,
+    * Σxy, Σx², n — decimal products of decimals, still exact); and the
+    * per-arm adjusted mean is computed ALGEBRAICALLY as
+    * Ȳ_arm − θ·(X̄_arm − X̄) — never by summing per-user doubles, so no
+    * partition-order dependence anywhere. All divisions happen once, in
+    * double, in the same order in both engines; round6. One user-keyed
+    * groupBy + a broadcast 5-value pooled aggregate + a 2-row arm
+    * aggregate — one shuffle over users at any scale. Degenerate
+    * var(X) = 0 yields θ = 0 (adjustment disabled), not NaN.
+    */
+  def cupedLift(events: DataFrame, preDays: Int = 7): DataFrame = {
+    val cut = broadcast(events.agg(
+      date_add(min(to_date(col("ts"))), preDays).as("__cut")))
+    val zero = lit(0).cast("decimal(18,2)")
+    val per = events.crossJoin(cut)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(to_date(col("ts")) < col("__cut"), Num.dec2(col("value")))
+          .otherwise(zero)).as("__x"),
+        sum(when(to_date(col("ts")) >= col("__cut"), Num.dec2(col("value")))
+          .otherwise(zero)).as("__y"))
+    val pooled = broadcast(per.agg(
+      count(lit(1)).cast("long").as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx")))
+    per
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("__x")).as("__sxa"), sum(col("__y")).as("__sya"))
+      .crossJoin(pooled)
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__theta", expr(
+        """CASE WHEN CAST(__sxx AS DOUBLE) - CAST(__sx AS DOUBLE)
+          |       * CAST(__sx AS DOUBLE) / __nd = 0D THEN 0D
+          |ELSE (CAST(__sxy AS DOUBLE) - CAST(__sx AS DOUBLE)
+          |       * CAST(__sy AS DOUBLE) / __nd)
+          |   / (CAST(__sxx AS DOUBLE) - CAST(__sx AS DOUBLE)
+          |       * CAST(__sx AS DOUBLE) / __nd) END""".stripMargin))
+      .withColumn("__mx", col("__sxa").cast("double") / col("n_users").cast("double"))
+      .withColumn("__my", col("__sya").cast("double") / col("n_users").cast("double"))
+      .select(col("arm"), col("n_users"),
+        round(col("__mx"), 6).as("mean_x"),
+        round(col("__my"), 6).as("mean_y"),
+        round(col("__theta"), 6).as("theta"),
+        round(col("__my") - col("__theta") *
+          (col("__mx") - col("__sx").cast("double") / col("__nd")), 6)
+          .as("mean_y_adj"))
+  }
+
+  /** Kaplan–Meier survival curve over user lifetimes — the retention
+    * statistic [[retention]]'s cohort triangle cannot give: the triangle
+    * counts activity per offset, KM estimates P(user still active after
+    * t days) while handling RIGHT-CENSORING correctly (users whose last
+    * event falls in the final `censorDays` of the corpus aren't dead —
+    * they just haven't been observed long enough; counting them as
+    * churned biases every retention metric downward).
+    *
+    * Lifetime = last-day − first-day per user; a lifetime is an EVENT
+    * (churn) if it ended before the censor horizon, else censored.
+    * Standard product-limit estimator over distinct lifetimes t
+    * ascending: S(t) = Π_{u ≤ t} (1 − d_u / n_u), n_u = users with
+    * lifetime ≥ u (at risk), d_u = churns at u.
+    *
+    * Shape: one user groupBy (min/max day), one combinable lifetime
+    * groupBy (≤ corpus-days rows), then the curve built INSIDE one
+    * collected day-ordered array — risk sets as integer prefix sums,
+    * factors and the prefix product as the [[ewma]]-family sequential
+    * folds (O(days²) lambda ops on a bounded array; no window, no
+    * second shuffle). The oracle replays the same folds via window
+    * `list()` + `list_reduce`. All integers until the final 1 − d/n
+    * divisions; round6 survival.
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val horizon = broadcast(events.agg(
+      date_sub(max(to_date(col("ts"))), censorDays).as("__h")))
+    val lives = events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("__f"), max(to_date(col("ts"))).as("__l"))
+      .crossJoin(horizon)
+      .select(datediff(col("__l"), col("__f")).cast("long").as("t"),
+        (col("__l") > col("__h")).as("__cens"))
+    lives
+      .groupBy(col("t"))
+      .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("c"),
+        count(lit(1)).as("__n"))
+      .agg(expr("array_sort(collect_list(struct(t, d, c, __n)))").as("__a"))
+      .withColumn("__tot", expr("aggregate(__a, 0L, (a, e) -> a + e.__n)"))
+      // at-risk count per index: total minus the users with shorter
+      // lifetimes (integer prefix sums — exact, order-free)
+      .withColumn("__nr", expr(
+        """transform(__a, (e, i) ->
+          |  __tot - aggregate(slice(__a, 1, i), 0L, (a, x) -> a + x.__n))""".stripMargin))
+      .withColumn("__f", expr(
+        """zip_with(__a, __nr, (e, n) ->
+          |  1D - CAST(e.d AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin))
+      .withColumn("__s", expr(
+        """transform(__f, (f, i) ->
+          |  aggregate(slice(__f, 1, i + 1), 1D, (a, x) -> a * x))""".stripMargin))
+      .select(posexplode(expr(
+        "zip_with(__a, zip_with(__nr, __s, (n, s) -> struct(n AS nr, s AS sv))," +
+          " (e, x) -> struct(e.t AS t, x.nr AS nr, e.d AS d, e.c AS c, x.sv AS sv))"))
+        .as(Seq("__p", "__e")))
+      .select(col("__e.t").as("t"), col("__e.nr").as("n_risk"),
+        col("__e.d").as("d_events"), col("__e.c").as("n_censored"),
+        round(col("__e.sv"), 6).as("survival"))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope of the per-type daily
     * mean-value series — the ROBUST trend monitor ([[holtForecast]]'s
     * nonparametric sibling): MK asks "is there a monotone trend?"

@@ -648,6 +648,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.getDouble(4) == r6(l + 7.0 * b))
   }
 
+  test("kaplanMeier: hand risk sets, censoring excluded from deaths") {
+    import spark.implicits._
+    // corpus max = 01-10, censorDays=1 → censored iff last day = 01-10.
+    // lifetimes: u1,u2 t=2 (deaths), u3 t=4 (death), u4 t=9 (censored),
+    // u5 t=5 (censored). Risk sets 5,3,2,1; S = 0.6, 0.4, 0.4, 0.4.
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L), (2L, ts("2024-01-03 08:00:00"), 1L),
+      (3L, ts("2024-01-01 08:00:00"), 2L), (4L, ts("2024-01-03 08:00:00"), 2L),
+      (5L, ts("2024-01-02 08:00:00"), 3L), (6L, ts("2024-01-06 08:00:00"), 3L),
+      (7L, ts("2024-01-01 08:00:00"), 4L), (8L, ts("2024-01-10 08:00:00"), 4L),
+      (9L, ts("2024-01-05 08:00:00"), 5L), (10L, ts("2024-01-10 08:00:00"), 5L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventStreams.kaplanMeier(ev, censorDays = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out(2L) == ((5L, 2L, 0L, 0.6)))
+    assert(out(4L) == ((3L, 1L, 0L, 0.4)))
+    assert(out(5L) == ((2L, 0L, 1L, 0.4)))
+    assert(out(9L) == ((1L, 0L, 1L, 0.4)))
+  }
+
+  test("cupedLift: hand theta from pooled moments, algebraic adjusted means") {
+    import spark.implicits._
+    // pre day = day 1 (preDays=1); X = 1,2,3,4; Y = 2X + arm.
+    // Pooled: Sx=10 Sy=22 Sxy=66 Sxx=30 → θ = 11/5 = 2.2, X̄ = 2.5.
+    // arm0 (u0,u2): x̄=2 ȳ=4 → adj 5.1; arm1 (u1,u3): x̄=3 ȳ=7 → adj 5.9.
+    val rows = for {
+      (u, x, y) <- Seq((0L, 1.0, 2.0), (1L, 2.0, 5.0), (2L, 3.0, 6.0),
+        (3L, 4.0, 9.0))
+      (d, v) <- Seq(("2024-01-01 08:00:00", x), ("2024-01-05 08:00:00", y))
+    } yield (u * 10 + v.toLong, ts(d), u, "purchase", v)
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.cupedLift(ev, preDays = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0L) == ((2L, 2.0, 4.0, 2.2, r6(4.0 - 2.2 * (2.0 - 2.5)))))
+    assert(out(1L) == ((2L, 3.0, 7.0, 2.2, r6(7.0 - 2.2 * (3.0 - 2.5)))))
+  }
+
   test("mannKendall: hand-computed S, tie-corrected variance, explicit median") {
     import spark.implicits._
     // series "a" by day: 1, 3, 2, 4 (no ties) — pairs (i<j):
