@@ -168,6 +168,11 @@ object StreamQueries extends QueryPack {
     "q_cuped" -> ((s, dir) =>
       EventStreams.cupedLift(Tables.events(s, dir), preDays = 7)),
 
+    // Difference-in-differences over the same pre/post cut — the
+    // non-randomized-rollout estimator; 4 exact cells, one row out.
+    "q_did" -> ((s, dir) =>
+      EventStreams.didEstimate(Tables.events(s, dir), preDays = 7)),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -427,6 +432,24 @@ object StreamQueries extends QueryPack {
         |FROM holt h
         |JOIN (SELECT event_type, max(n) AS n FROM ser GROUP BY 1) c
         |  ON h.event_type = c.event_type AND h.t = c.n""".stripMargin,
+
+    "q_did" ->
+      """WITH cut AS (SELECT CAST(min(ts) AS DATE) + 7 AS cd FROM events),
+        |c AS (SELECT user_id % 2 AS arm, CAST(ts AS DATE) >= cut.cd AS post,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS m
+        |  FROM events, cut GROUP BY 1, 2),
+        |w AS (SELECT
+        |    MAX(CASE WHEN arm = 0 AND NOT post THEN m END) AS p0,
+        |    MAX(CASE WHEN arm = 0 AND post THEN m END) AS q0,
+        |    MAX(CASE WHEN arm = 1 AND NOT post THEN m END) AS p1,
+        |    MAX(CASE WHEN arm = 1 AND post THEN m END) AS q1
+        |  FROM c)
+        |SELECT round(p0, 6) AS pre_ctrl, round(q0, 6) AS post_ctrl,
+        |  round(p1, 6) AS pre_treat, round(q1, 6) AS post_treat,
+        |  round(q0 - p0, 6) AS delta_ctrl, round(q1 - p1, 6) AS delta_treat,
+        |  round((q1 - p1) - (q0 - p0), 6) AS did
+        |FROM w""".stripMargin,
 
     // Windowed relational replay of the same integer risk sets; the
     // prefix product is list() OVER (ORDER BY t) + list_reduce — the

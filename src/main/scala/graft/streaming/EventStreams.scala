@@ -754,6 +754,43 @@ object EventStreams {
     * days, bounded); types with <2 days are dropped in both engines
     * (no trend is definable).
     */
+  /** Difference-in-differences estimate over the same pre/post cut as
+    * [[cupedLift]]: the quasi-experimental estimator for when the arms
+    * were NOT randomized (a staged rollout, a geo split) — each arm's
+    * own pre-period mean absorbs its level difference, and
+    * did = (post₁ − pre₁) − (post₀ − pre₀) is the treatment effect
+    * under the parallel-trends assumption. One combinable 4-cell
+    * aggregate (arm × period) from exact decimal sums; every mean and
+    * the estimate are single final double divisions — engine-exact,
+    * round6. Returns one row: the four cell means, each arm's delta,
+    * and the DiD estimate.
+    */
+  def didEstimate(events: DataFrame, preDays: Int = 7): DataFrame = {
+    val cut = broadcast(events.agg(
+      date_add(min(to_date(col("ts"))), preDays).as("__cut")))
+    val cells = events.crossJoin(cut)
+      .groupBy((col("user_id") % 2).as("__arm"),
+        (to_date(col("ts")) >= col("__cut")).as("__post"))
+      .agg(sum(Num.dec2(col("value"))).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__arm"), col("__post"),
+        (col("__s").cast("double") / col("__n").cast("double")).as("__m"))
+    // 4 cells → 1 row; max(when(...)) selects each cell (exactly one
+    // row matches per predicate, so max is selection, not aggregation)
+    def cell(arm: Int, post: Boolean) =
+      max(when(col("__arm") === arm && col("__post") === post, col("__m")))
+    cells.agg(
+        cell(0, post = false).as("__p0"), cell(0, post = true).as("__q0"),
+        cell(1, post = false).as("__p1"), cell(1, post = true).as("__q1"))
+      .select(round(col("__p0"), 6).as("pre_ctrl"),
+        round(col("__q0"), 6).as("post_ctrl"),
+        round(col("__p1"), 6).as("pre_treat"),
+        round(col("__q1"), 6).as("post_treat"),
+        round(col("__q0") - col("__p0"), 6).as("delta_ctrl"),
+        round(col("__q1") - col("__p1"), 6).as("delta_treat"),
+        round((col("__q1") - col("__p1")) - (col("__q0") - col("__p0")), 6)
+          .as("did"))
+  }
+
   /** CUPED-adjusted A/B lift (Deng et al., WSDM 2013 — public method):
     * the experiment-analysis reducer that uses each user's PRE-PERIOD
     * value as a control variate — Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X)

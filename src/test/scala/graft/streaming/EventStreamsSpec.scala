@@ -688,6 +688,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 3.0, 7.0, 2.2, r6(7.0 - 2.2 * (3.0 - 2.5)))))
   }
 
+  test("didEstimate: hand 2x2 cells and the parallel-trends difference") {
+    import spark.implicits._
+    // cut = day 2. ctrl(u0): pre 1,3 → 2; post 2,4 → 3 (Δ 1).
+    // treat(u1): pre 2 → 2; post 5,7 → 6 (Δ 4). DiD = 3.
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 0L, 1.0),
+      (2L, ts("2024-01-01 09:00:00"), 0L, 3.0),
+      (3L, ts("2024-01-03 08:00:00"), 0L, 2.0),
+      (4L, ts("2024-01-04 08:00:00"), 0L, 4.0),
+      (5L, ts("2024-01-01 08:00:00"), 1L, 2.0),
+      (6L, ts("2024-01-03 08:00:00"), 1L, 5.0),
+      (7L, ts("2024-01-04 08:00:00"), 1L, 7.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = EventStreams.didEstimate(ev, preDays = 1).head()
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      == ((2.0, 3.0, 2.0, 6.0)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) == ((1.0, 4.0, 3.0)))
+  }
+
   test("mannKendall: hand-computed S, tie-corrected variance, explicit median") {
     import spark.implicits._
     // series "a" by day: 1, 3, 2, 4 (no ties) — pairs (i<j):
