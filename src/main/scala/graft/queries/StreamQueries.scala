@@ -173,6 +173,13 @@ object StreamQueries extends QueryPack {
     "q_did" -> ((s, dir) =>
       EventStreams.didEstimate(Tables.events(s, dir), preDays = 7)),
 
+    // Rolling-origin 1-step backtest of the Holt model: MAE/RMSE of
+    // out-of-sample daily forecasts per type — prefix-state folds,
+    // errors folded in day order on both engines.
+    "q_holt_backtest" -> ((s, dir) =>
+      EventStreams.holtBacktest(Tables.events(s, dir),
+        alpha = 0.3, beta = 0.2)),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -510,6 +517,38 @@ object StreamQueries extends QueryPack {
         |    * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
         |       - CAST(sx AS DOUBLE) / nd), 6) AS mean_y_adj
         |FROM a, th""".stripMargin,
+
+    // Same recursive state chain as q_holt; state at t−1 forecasts t,
+    // errors folded in day order via list(e ORDER BY t) + list_reduce.
+    "q_holt_backtest" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    x, count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |holt AS (
+        |  SELECT s1.event_type, 1 AS t, s1.x AS l, s2.x - s1.x AS b
+        |  FROM ser s1 JOIN ser s2 ON s1.event_type = s2.event_type AND s1.t = 1 AND s2.t = 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.t + 1,
+        |    CAST(0.3 AS DOUBLE) * s.x + CAST(0.7 AS DOUBLE) * (h.l + h.b),
+        |    CAST(0.2 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * s.x
+        |        + CAST(0.7 AS DOUBLE) * (h.l + h.b)) - h.l)
+        |      + CAST(0.8 AS DOUBLE) * h.b
+        |  FROM holt h JOIN ser s ON s.event_type = h.event_type AND s.t = h.t + 1),
+        |errs AS (SELECT h.event_type, s.t, abs(s.x - (h.l + h.b)) AS e
+        |  FROM holt h JOIN ser s ON s.event_type = h.event_type AND s.t = h.t + 1
+        |  WHERE h.t >= 2),
+        |le AS (SELECT event_type, list(e ORDER BY t) AS ls,
+        |    CAST(count(*) AS BIGINT) AS m FROM errs GROUP BY 1)
+        |SELECT event_type, m AS n_evals,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ls),
+        |    (a, e) -> a + e) / CAST(m AS DOUBLE), 6) AS mae,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ls, e -> e * e)), (a, e) -> a + e)
+        |    / CAST(m AS DOUBLE)), 6) AS rmse
+        |FROM le""".stripMargin,
 
     // Pairwise replay as a day-ranked self-join; identical integer S /
     // tie term and the same explicit median indexing as the engine.

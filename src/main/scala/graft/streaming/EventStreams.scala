@@ -754,6 +754,56 @@ object EventStreams {
     * days, bounded); types with <2 days are dropped in both engines
     * (no trend is definable).
     */
+  /** Rolling-origin 1-step backtest of the [[holtForecast]] model — the
+    * evaluation half of the forecasting story: for every day t ≥ 3 the
+    * model state fitted on days 1..t−1 forecasts day t (l + b, h=1),
+    * and MAE/RMSE over the errors say whether the trend model earns its
+    * keep vs yesterday's value. (Errors start at t = 3: Holt's classic
+    * init b₁ = x₂ − x₁ peeks at x₂, so t = 2 would score in-sample.)
+    *
+    * The per-origin state is a prefix of the SAME sequential fold
+    * [[holtForecast]] runs (O(days²) lambda ops inside one bounded
+    * array — the [[mannKendall]] pair-array budget); the error list is
+    * then folded IN DAY ORDER, so both engines sum identical doubles in
+    * identical order (the oracle replays states from its recursive CTE
+    * and folds `list(e ORDER BY t)`). Types with < 3 days are dropped
+    * (no out-of-sample origin exists). Returns
+    * (event_type, n_evals, mae, rmse).
+    */
+  def holtBacktest(events: DataFrame, alpha: Double = 0.3,
+                   beta: Double = 0.2): DataFrame = {
+    val (a, ca, b, cb) = (alpha, 1.0 - alpha, beta, 1.0 - beta)
+    val merge =
+      s"""(acc, x) -> named_struct(
+         |    'l', ${a}D * x + ${ca}D * (acc.l + acc.b),
+         |    'b', ${b}D * ((${a}D * x + ${ca}D * (acc.l + acc.b)) - acc.l)
+         |      + ${cb}D * acc.b)""".stripMargin
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(Num.dec2(col("value"))).cast("double") /
+        count(lit(1)).cast("double")).as("x"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, x))), e -> e.x)")
+        .as("__xs"))
+      .withColumn("__n", size(col("__xs")))
+      .filter(col("__n") >= 3)
+      .withColumn("__errs", expr(
+        s"""transform(sequence(3, __n), t -> abs(__xs[t - 1] -
+           |  ((aggregate(slice(__xs, 2, t - 2),
+           |      named_struct('l', __xs[0], 'b', __xs[1] - __xs[0]),
+           |      $merge)).l
+           |   + (aggregate(slice(__xs, 2, t - 2),
+           |      named_struct('l', __xs[0], 'b', __xs[1] - __xs[0]),
+           |      $merge)).b)))""".stripMargin))
+      .withColumn("__m", (col("__n") - 2).cast("double"))
+      .select(col("event_type"), (col("__n") - 2).cast("long").as("n_evals"),
+        round(expr("aggregate(__errs, 0D, (s, e) -> s + e)") / col("__m"), 6)
+          .as("mae"),
+        round(sqrt(expr("aggregate(__errs, 0D, (s, e) -> s + e * e)") /
+          col("__m")), 6).as("rmse"))
+  }
+
   /** Difference-in-differences estimate over the same pre/post cut as
     * [[cupedLift]]: the quasi-experimental estimator for when the arms
     * were NOT randomized (a staged rollout, a geo split) — each arm's

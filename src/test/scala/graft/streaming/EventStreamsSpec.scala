@@ -688,6 +688,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 3.0, 7.0, 2.2, r6(7.0 - 2.2 * (3.0 - 2.5)))))
   }
 
+  test("holtBacktest: out-of-sample 1-step errors from prefix states") {
+    import spark.implicits._
+    // series 1, 2, 4, 7 (the holtForecast fixture): states t2 (2.0, 1.0),
+    // t3 (3.3, 1.06); errors t=3: |4−3| = 1, t=4: |7−4.36| = 2.64
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "a", 1.0),
+      (2L, ts("2024-01-02 08:00:00"), "a", 2.0),
+      (3L, ts("2024-01-03 08:00:00"), "a", 4.0),
+      (4L, ts("2024-01-04 08:00:00"), "a", 7.0),
+      (5L, ts("2024-01-01 08:00:00"), "b", 9.0),
+      (6L, ts("2024-01-02 08:00:00"), "b", 8.0) // n=2: no origin, dropped
+    ).toDF("event_id", "ts", "event_type", "value")
+    val rows = EventStreams.holtBacktest(ev, alpha = 0.3, beta = 0.2).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a"))
+    val r = rows.head
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // local reference: run the identical recursion for the prefix states
+    def state(upTo: Int): (Double, Double) = {
+      var (l, b) = (1.0, 2.0 - 1.0)
+      for (x <- Seq(2.0, 4.0, 7.0).take(upTo - 1)) {
+        val ln = 0.3 * x + 0.7 * (l + b)
+        b = 0.2 * (ln - l) + 0.8 * b
+        l = ln
+      }
+      (l, b)
+    }
+    val (l2, b2) = state(2)
+    val (l3, b3) = state(3)
+    val e3 = math.abs(4.0 - (l2 + b2))
+    val e4 = math.abs(7.0 - (l3 + b3))
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == r6((0.0 + e3 + e4) / 2.0))
+    assert(r.getDouble(3) == r6(math.sqrt((0.0 + e3 * e3 + e4 * e4) / 2.0)))
+  }
+
   test("didEstimate: hand 2x2 cells and the parallel-trends difference") {
     import spark.implicits._
     // cut = day 2. ctrl(u0): pre 1,3 → 2; post 2,4 → 3 (Δ 1).
