@@ -180,6 +180,12 @@ object StreamQueries extends QueryPack {
       EventStreams.holtBacktest(Tables.events(s, dir),
         alpha = 0.3, beta = 0.2)),
 
+    // Experiment health panel: SRM chi-square on the arm split + the
+    // minimum detectable effect at alpha=5%/power=80% — the checks
+    // that gate reading any lift. One row out.
+    "q_ab_health" -> ((s, dir) =>
+      EventStreams.abHealth(Tables.events(s, dir))),
+
     // Sliding 1-hour window, 30-minute step: each event lands in 2 windows.
     "q_window_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -517,6 +523,30 @@ object StreamQueries extends QueryPack {
         |    * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
         |       - CAST(sx AS DOUBLE) / nd), 6) AS mean_y_adj
         |FROM a, th""".stripMargin,
+
+    "q_ab_health" ->
+      """WITH per AS (SELECT user_id, user_id % 2 AS arm,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS y FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+        |  FROM per),
+        |a AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat FROM per),
+        |x AS (SELECT a.*, m.*, CAST(n AS DOUBLE) / CAST(2 AS DOUBLE) AS e FROM a, m),
+        |y AS (SELECT *,
+        |    power(CAST(n_ctrl AS DOUBLE) - e, 2) / e
+        |      + power(CAST(n_treat AS DOUBLE) - e, 2) / e AS chi2,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS meanv,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS varv
+        |  FROM x),
+        |z AS (SELECT *, (CAST(1.96 AS DOUBLE) + CAST(0.84 AS DOUBLE))
+        |    * sqrt(varv * (CAST(1 AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+        |      + CAST(1 AS DOUBLE) / CAST(n_treat AS DOUBLE))) AS mde FROM y)
+        |SELECT n_ctrl, n_treat, round(chi2, 6) AS srm_chi2,
+        |  chi2 > CAST(3.841 AS DOUBLE) AS srm,
+        |  round(meanv, 6) AS mean_y, round(varv, 6) AS var_y,
+        |  round(mde, 6) AS mde_abs, round(mde / meanv, 6) AS mde_rel
+        |FROM z""".stripMargin,
 
     // Same recursive state chain as q_holt; state at t−1 forecasts t,
     // errors folded in day order via list(e ORDER BY t) + list_reduce.

@@ -754,6 +754,62 @@ object EventStreams {
     * days, bounded); types with <2 days are dropped in both engines
     * (no trend is definable).
     */
+  /** Experiment health panel: sample-ratio-mismatch χ² + minimum
+    * detectable effect — the two checks an A/B pipeline runs BEFORE
+    * reading any lift ([[cupedLift]]/[[didEstimate]] are meaningless on
+    * a broken assignment or an underpowered test):
+    *
+    *  - SRM: χ² of the arm sizes against the designed 50/50 split,
+    *    (n₀−E)²/E + (n₁−E)²/E with E = n/2; `srm` flags χ² > 3.841
+    *    (the 1-dof 5% critical value) — the single most common silent
+    *    experiment-infrastructure failure.
+    *  - MDE: (z_{α/2} + z_β)·√(s²·(1/n₀+1/n₁)) at the conventional
+    *    α = 5%, power = 80% (1.96 + 0.84 — literals, no quantile
+    *    function needed), s² the pooled per-user metric variance;
+    *    reported absolute and relative to the pooled mean.
+    *
+    * Engine parity: per-user totals are exact decimals; n/Σy/Σy² are
+    * exact aggregates; every double op (χ², variance, √, divisions)
+    * happens once from those exact scalars in the same order in both
+    * engines; round6. One user groupBy + one 2-row arm count + one
+    * broadcast 3-value moment aggregate — one shuffle at any scale.
+    */
+  def abHealth(events: DataFrame): DataFrame = {
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(sum(Num.dec2(col("value"))).as("__y"))
+      .select(col("user_id"), (col("user_id") % 2).as("__arm"), col("__y"))
+    val moments = broadcast(per.agg(
+      count(lit(1)).cast("long").as("__n"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__y") * col("__y")).as("__syy")))
+    per
+      .groupBy()
+      .agg(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_treat"))
+      .crossJoin(moments)
+      .withColumn("__e", col("__n").cast("double") / lit(2.0))
+      .withColumn("__chi2",
+        pow(col("n_ctrl").cast("double") - col("__e"), 2) / col("__e") +
+          pow(col("n_treat").cast("double") - col("__e"), 2) / col("__e"))
+      .withColumn("__mean",
+        col("__sy").cast("double") / col("__n").cast("double"))
+      .withColumn("__var", expr(
+        """(CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE)
+          |  * CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+          |  / CAST(__n - 1 AS DOUBLE)""".stripMargin))
+      .withColumn("__mde", lit(1.96 + 0.84) *
+        sqrt(col("__var") * (lit(1.0) / col("n_ctrl").cast("double") +
+          lit(1.0) / col("n_treat").cast("double"))))
+      .select(col("n_ctrl"), col("n_treat"),
+        round(col("__chi2"), 6).as("srm_chi2"),
+        (col("__chi2") > lit(3.841)).as("srm"),
+        round(col("__mean"), 6).as("mean_y"),
+        round(col("__var"), 6).as("var_y"),
+        round(col("__mde"), 6).as("mde_abs"),
+        round(col("__mde") / col("__mean"), 6).as("mde_rel"))
+  }
+
   /** Rolling-origin 1-step backtest of the [[holtForecast]] model — the
     * evaluation half of the forecasting story: for every day t ≥ 3 the
     * model state fitted on days 1..t−1 forecasts day t (l + b, h=1),

@@ -688,6 +688,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 3.0, 7.0, 2.2, r6(7.0 - 2.2 * (3.0 - 2.5)))))
   }
 
+  test("abHealth: balanced split passes SRM, hand MDE; 7:1 split flags") {
+    import spark.implicits._
+    def ev(users: Seq[(Long, Double)]) = users.zipWithIndex.map {
+      case ((u, v), i) => (i.toLong, ts("2024-01-01 08:00:00"), u, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    // balanced: per-user y = 2,4,6,8 → mean 5, var 20/3, chi2 = 0
+    val r = EventStreams.abHealth(
+      ev(Seq((0L, 2.0), (1L, 4.0), (2L, 6.0), (3L, 8.0)))).head()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.0 && !r.getBoolean(3))
+    assert(r.getDouble(4) == 5.0 && r.getDouble(5) == r6(20.0 / 3.0))
+    val mde = (1.96 + 0.84) * math.sqrt((120.0 - 400.0 / 4.0) / 3.0 * (0.5 + 0.5))
+    assert(r.getDouble(6) == r6(mde) && r.getDouble(7) == r6(mde / 5.0))
+    // 7 control vs 1 treatment: chi2 = 2·(3²/4) = 4.5 > 3.841 → SRM
+    val bad = EventStreams.abHealth(
+      ev((0L to 12L by 2).map(u => (u, 1.0)) :+ (1L, 1.0))).head()
+    assert((bad.getLong(0), bad.getLong(1)) == ((7L, 1L)))
+    assert(bad.getDouble(2) == 4.5 && bad.getBoolean(3))
+  }
+
   test("holtBacktest: out-of-sample 1-step errors from prefix states") {
     import spark.implicits._
     // series 1, 2, 4, 7 (the holtForecast fixture): states t2 (2.0, 1.0),
