@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.util.Checkpoints.CheckpointOps
 import graft.util.Num
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -779,14 +780,21 @@ object EventStreams {
       .groupBy(col("user_id"))
       .agg(sum(Num.dec2(col("value"))).as("__y"))
       .select(col("user_id"), (col("user_id") % 2).as("__arm"), col("__y"))
-    val moments = broadcast(per.agg(
-      count(lit(1)).cast("long").as("__n"),
-      sum(col("__y")).as("__sy"),
-      sum(col("__y") * col("__y")).as("__syy")))
-    per
-      .groupBy()
-      .agg(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
-        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_treat"))
+    // single pass: arm-level moments (2 rows, checkpointed) roll up to
+    // the pooled scalars as exact decimal sums-of-sums
+    val arm = per
+      .groupBy(col("__arm"))
+      .agg(count(lit(1)).cast("long").as("__na"),
+        sum(col("__y")).as("__sya"),
+        sum(col("__y") * col("__y")).as("__syya"))
+      .cutLineage()
+    val moments = broadcast(arm.agg(
+      sum(col("__na")).as("__n"),
+      sum(col("__sya")).as("__sy"),
+      sum(col("__syya")).as("__syy")))
+    arm
+      .agg(sum(when(col("__arm") === 0, col("__na")).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("__arm") === 1, col("__na")).otherwise(0L)).as("n_treat"))
       .crossJoin(moments)
       .withColumn("__e", col("__n").cast("double") / lit(2.0))
       .withColumn("__chi2",
@@ -926,15 +934,22 @@ object EventStreams {
           .otherwise(zero)).as("__x"),
         sum(when(to_date(col("ts")) >= col("__cut"), Num.dec2(col("value")))
           .otherwise(zero)).as("__y"))
-    val pooled = broadcast(per.agg(
-      count(lit(1)).cast("long").as("__n"),
-      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-      sum(col("__x") * col("__y")).as("__sxy"),
-      sum(col("__x") * col("__x")).as("__sxx")))
-    per
+    // ALL moments accumulate per arm first (2 rows, checkpointed so the
+    // heavy user aggregate runs once); the pooled scalars are the exact
+    // decimal sums of the two arm rows — identical values to a direct
+    // pooled aggregate, one events pass instead of two
+    val arm = per
       .groupBy((col("user_id") % 2).as("arm"))
       .agg(count(lit(1)).cast("long").as("n_users"),
-        sum(col("__x")).as("__sxa"), sum(col("__y")).as("__sya"))
+        sum(col("__x")).as("__sxa"), sum(col("__y")).as("__sya"),
+        sum(col("__x") * col("__y")).as("__sxya"),
+        sum(col("__x") * col("__x")).as("__sxxa"))
+      .cutLineage()
+    val pooled = broadcast(arm.agg(
+      sum(col("n_users")).as("__n"),
+      sum(col("__sxa")).as("__sx"), sum(col("__sya")).as("__sy"),
+      sum(col("__sxya")).as("__sxy"), sum(col("__sxxa")).as("__sxx")))
+    arm
       .crossJoin(pooled)
       .withColumn("__nd", col("__n").cast("double"))
       .withColumn("__theta", expr(
@@ -979,11 +994,16 @@ object EventStreams {
     * divisions; round6 survival.
     */
   def kaplanMeier(events: DataFrame, censorDays: Int = 7): DataFrame = {
-    val horizon = broadcast(events.agg(
-      date_sub(max(to_date(col("ts"))), censorDays).as("__h")))
-    val lives = events
+    // one events pass: the corpus max day IS the max of the per-user
+    // last days, so the horizon derives from the (checkpointed,
+    // users-sized) lifetime table instead of a second corpus scan
+    val um = events
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("__f"), max(to_date(col("ts"))).as("__l"))
+      .cutLineage()
+    val horizon = broadcast(um.agg(
+      date_sub(max(col("__l")), censorDays).as("__h")))
+    val lives = um
       .crossJoin(horizon)
       .select(datediff(col("__l"), col("__f")).cast("long").as("t"),
         (col("__l") > col("__h")).as("__cens"))

@@ -247,6 +247,32 @@ class PlanHealthSpec extends SparkSpec {
     walk(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
   }
 
+  test("experiment/series family: bounded exchanges, no window operators") {
+    // the continuation-2 family's design claim: sequential folds run
+    // inside collected bounded arrays, never as window operators, and
+    // each operator pays a fixed small number of exchanges (user/key
+    // groupBys + global scalar aggregates) regardless of input size.
+    // cuped/ab_health checkpoint their 2-row arm frame (single-pass
+    // rollup), so their user/arm groupBy shuffles are paid inside the
+    // checkpoint materialization — this walk pins the post-checkpoint
+    // shape (a regression that adds a visible exchange still fails)
+    val expected = Map(
+      "q_survival" -> 3, "q_cuped" -> 1, "q_did" -> 3,
+      "q_ab_health" -> 2, "q_holt" -> 2, "q_holt_backtest" -> 2)
+    val bad = expected.keys.toSeq.sorted
+      .map(q => q -> countShuffles(q)).filter { case (q, n) => n != expected(q) }
+    assert(bad.isEmpty, bad.map { case (q, n) =>
+      s"$q has $n shuffle exchanges, expected ${expected(q)}"
+    }.mkString("; "))
+    val windowed = Seq("q_survival", "q_holt", "q_holt_backtest", "q_cuped",
+      "q_did", "q_ab_health").filter { q =>
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.exists {
+        case _: WindowExec | _: WindowGroupLimitExec => true; case _ => false
+      }
+    }
+    assert(windowed.isEmpty, s"array-fold operators using windows: $windowed")
+  }
+
   test("q_scd2 / q_cdc_apply / q_gapfill: minimal key-partitioned exchanges") {
     // the round-8 time-series family: each chained step (dedup-keep-first,
     // run collapse, last-writer-wins, LOCF) must reuse the user_id
