@@ -313,23 +313,38 @@ object Graphs {
     * pair groupBy, and a broadcast-able anti-join to drop already-linked
     * pairs. Per-w weights route through round12 decimals so the pair sum
     * is partition-order-independent ([[graft.similarity.Similarity
-    * .covarianceMatrix]] convention). deg(w) ≥ 2 for any common
-    * neighbor, so ln never hits zero.
+    * .covarianceMatrix]] convention). Degree-1 nodes are dropped before
+    * the weight evaluates — they can never be a shared neighbor, and
+    * 1/ln(1) = +Inf would otherwise hit [[graft.expressions.Round12Long]]
+    * outside its domain; the filter is bit-identical AND shrinks both
+    * wedge legs.
+    *
+    * `maxDegree` is the hub guardrail for power-law graphs — the
+    * [[graft.dedup.Dedup.minHashLsh]] `maxShingleDf` pattern applied to
+    * wedge centers: the join cost is Σ deg(w)², so one superhub with
+    * deg 10⁶ alone contributes 10¹² candidate pairs. Capping drops
+    * wedges CENTERED on nodes with deg > maxDegree; each dropped wedge
+    * loses only a 1/ln(deg) → ~0 contribution (the score the metric
+    * itself discounts hardest), so top-k ranking is near-unchanged —
+    * quantified by the skewed-hub spec in GraphsSpec. None = exact.
     */
-  def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+  def adamicAdar(edges: DataFrame, k: Int,
+                 maxDegree: Option[Long] = None): DataFrame = {
     graft.expressions.GraftFunctions.register(edges.sparkSession)
     // the edge list feeds FOUR consumers (degree, both wedge legs, the
     // anti-join) — checkpoint it once or the caller's edge construction
     // (often itself a join) re-executes per consumer (pagerank pattern)
     val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2L) // leaf w can't bridge; keeps ln(deg) > 0
+    val degCapped = maxDegree.fold(deg)(cap => deg.filter(col("deg") <= cap))
     // per-w weight as the round-12 UNSCALED long (codegen Round12Long —
     // deg ≥ 2 for any shared neighbor puts aw ≤ 1/ln 2 well inside its
     // fast-path domain): the wedge join then ships an 8-byte long per
     // row instead of a decimal, and the pair sum runs over compact
     // decimal(38,0) integers — same order-independent exactness, same
     // sum → double → ÷10¹² chain replayed by the oracle
-    val ew = e.join(deg, e("u") === deg("w"))
+    val ew = e.join(degCapped, e("u") === degCapped("w"))
       .select(col("v").as("n"), col("w"),
         call_function("graft_round12_long",
           lit(1.0) / log(col("deg").cast("double"))).as("aw"))

@@ -202,7 +202,12 @@ object AviCodec {
             microSecPerFrame = u32(b, body), totalFrames = u32(b, body + 16).toInt,
             handler = handler, streams = u32(b, body + 24).toInt))
         }
-        o = body + size.toInt + (size.toInt & 1)
+        // a declared size in [2^31, 2^32) turns size.toInt negative and
+        // would walk o backwards forever — advance strictly or bail
+        // (corrupt media must never HANG the job either)
+        val next = body.toLong + size + (size & 1L)
+        if (next <= o || next > Int.MaxValue) return
+        o = next.toInt
       }
     }
     walk(12, b.length)
@@ -272,7 +277,10 @@ object AviCodec {
             frames += g; n += 1
           }
         }
-        o = body + size.toInt + (size.toInt & 1)
+        // same guard as parseInfoUnsafe: strict forward progress only
+        val next = body.toLong + size + (size & 1L)
+        if (next <= o || next > Int.MaxValue) return
+        o = next.toInt
       }
     }
     walk(12, b.length, inMovi = false)

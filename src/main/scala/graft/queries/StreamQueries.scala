@@ -527,17 +527,22 @@ object StreamQueries extends QueryPack {
     "q_ab_health" ->
       """WITH per AS (SELECT user_id, user_id % 2 AS arm,
         |    SUM(CAST(value AS DECIMAL(18,2))) AS y FROM events GROUP BY user_id),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS sy, SUM(y * y) AS syy
-        |  FROM per),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS sy FROM per),
         |a AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
-        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat FROM per),
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |    SUM(CASE WHEN arm = 0 THEN y END) AS sy0,
+        |    SUM(CASE WHEN arm = 1 THEN y END) AS sy1,
+        |    SUM(CASE WHEN arm = 0 THEN y * y END) AS syy0,
+        |    SUM(CASE WHEN arm = 1 THEN y * y END) AS syy1 FROM per),
         |x AS (SELECT a.*, m.*, CAST(n AS DOUBLE) / CAST(2 AS DOUBLE) AS e FROM a, m),
         |y AS (SELECT *,
         |    power(CAST(n_ctrl AS DOUBLE) - e, 2) / e
         |      + power(CAST(n_treat AS DOUBLE) - e, 2) / e AS chi2,
         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS meanv,
-        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-        |       / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS varv
+        |    ((CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE)
+        |        / CAST(n_ctrl AS DOUBLE))
+        |     + (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+        |        / CAST(n_treat AS DOUBLE))) / CAST(n - 2 AS DOUBLE) AS varv
         |  FROM x),
         |z AS (SELECT *, (CAST(1.96 AS DOUBLE) + CAST(0.84 AS DOUBLE))
         |    * sqrt(varv * (CAST(1 AS DOUBLE) / CAST(n_ctrl AS DOUBLE)

@@ -732,29 +732,6 @@ object EventStreams {
         (round(col("__a"), 6) + lit(0.0)).as("acf"))
   }
 
-  /** Holt double-exponential smoothing (level + trend) of the per-type
-    * daily mean-value series — the forecasting model one rung above
-    * [[ewma]]: EWMA flattens a trending series (its forecast is a
-    * constant), Holt carries a trend term so the h-step-ahead forecast
-    * l + h·b tracks drift — capacity planning / ingest-volume projection
-    * over the same daily aggregates the anomaly gates read.
-    *
-    * Standard form (Holt 1957): l₁ = x₁, b₁ = x₂ − x₁; for t ≥ 2
-    * lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁), bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁.
-    *
-    * Determinism contract ([[ewma]]/[[acf]] family): the recursion is a
-    * sequential fold over the day-ordered series array with struct state
-    * (l, b) — Spark's `aggregate` HOF takes an arbitrary zero type, so
-    * the two-field state folds in one pass; bₜ re-states the lₜ
-    * expression verbatim (a struct field cannot reference a sibling),
-    * which both engines evaluate identically. The oracle replays the
-    * SAME ops as a recursive CTE — NOT a struct-state `list_reduce`,
-    * which DuckDB evaluates by mutating the accumulator field-by-field
-    * (field 'b' would see the already-updated 'l'; measured, not
-    * hypothesized). Per-type state is the day-indexed series (~corpus
-    * days, bounded); types with <2 days are dropped in both engines
-    * (no trend is definable).
-    */
   /** Experiment health panel: sample-ratio-mismatch χ² + minimum
     * detectable effect — the two checks an A/B pipeline runs BEFORE
     * reading any lift ([[cupedLift]]/[[didEstimate]] are meaningless on
@@ -766,14 +743,19 @@ object EventStreams {
     *    experiment-infrastructure failure.
     *  - MDE: (z_{α/2} + z_β)·√(s²·(1/n₀+1/n₁)) at the conventional
     *    α = 5%, power = 80% (1.96 + 0.84 — literals, no quantile
-    *    function needed), s² the pooled per-user metric variance;
-    *    reported absolute and relative to the pooled mean.
+    *    function needed), s² the WITHIN-ARM pooled per-user metric
+    *    variance (Σₐ SSₐ)/(n−2) — the standard two-sample power
+    *    formula's s²; the grand variance would fold any between-arm
+    *    mean separation into s² and inflate the reported MDE under a
+    *    real effect. Reported absolute and relative to the pooled mean.
     *
-    * Engine parity: per-user totals are exact decimals; n/Σy/Σy² are
-    * exact aggregates; every double op (χ², variance, √, divisions)
-    * happens once from those exact scalars in the same order in both
-    * engines; round6. One user groupBy + one 2-row arm count + one
-    * broadcast 3-value moment aggregate — one shuffle at any scale.
+    * Engine parity: per-user totals are exact decimals; n/Σy/Σy² and
+    * each arm's (nₐ, Σyₐ, Σyₐ²) are exact aggregates; every double op
+    * (χ², per-arm SS, pooled variance, √, divisions) happens once from
+    * those exact scalars in a FIXED order — ctrl SS + treat SS, never a
+    * row-order-dependent double sum; round6. One user groupBy + one
+    * 2-row arm rollup + one broadcast moment aggregate — one shuffle at
+    * any scale.
     */
   def abHealth(events: DataFrame): DataFrame = {
     val per = events
@@ -790,11 +772,16 @@ object EventStreams {
       .cutLineage()
     val moments = broadcast(arm.agg(
       sum(col("__na")).as("__n"),
-      sum(col("__sya")).as("__sy"),
-      sum(col("__syya")).as("__syy")))
+      sum(col("__sya")).as("__sy")))
     arm
       .agg(sum(when(col("__arm") === 0, col("__na")).otherwise(0L)).as("n_ctrl"),
-        sum(when(col("__arm") === 1, col("__na")).otherwise(0L)).as("n_treat"))
+        sum(when(col("__arm") === 1, col("__na")).otherwise(0L)).as("n_treat"),
+        // per-arm exact moments pinned to NAMED columns so the pooled
+        // SS adds ctrl + treat in one fixed order (bit-determinism)
+        sum(when(col("__arm") === 0, col("__sya"))).as("__sy0"),
+        sum(when(col("__arm") === 1, col("__sya"))).as("__sy1"),
+        sum(when(col("__arm") === 0, col("__syya"))).as("__syy0"),
+        sum(when(col("__arm") === 1, col("__syya"))).as("__syy1"))
       .crossJoin(moments)
       .withColumn("__e", col("__n").cast("double") / lit(2.0))
       .withColumn("__chi2",
@@ -803,9 +790,11 @@ object EventStreams {
       .withColumn("__mean",
         col("__sy").cast("double") / col("__n").cast("double"))
       .withColumn("__var", expr(
-        """(CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE)
-          |  * CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
-          |  / CAST(__n - 1 AS DOUBLE)""".stripMargin))
+        """((CAST(__syy0 AS DOUBLE) - CAST(__sy0 AS DOUBLE)
+          |    * CAST(__sy0 AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+          | + (CAST(__syy1 AS DOUBLE) - CAST(__sy1 AS DOUBLE)
+          |    * CAST(__sy1 AS DOUBLE) / CAST(n_treat AS DOUBLE)))
+          |  / CAST(__n - 2 AS DOUBLE)""".stripMargin))
       .withColumn("__mde", lit(1.96 + 0.84) *
         sqrt(col("__var") * (lit(1.0) / col("n_ctrl").cast("double") +
           lit(1.0) / col("n_treat").cast("double"))))
@@ -852,14 +841,17 @@ object EventStreams {
         .as("__xs"))
       .withColumn("__n", size(col("__xs")))
       .filter(col("__n") >= 3)
+      // fold ONCE per origin t (states array), then zip against the
+      // actuals — one aggregate per origin instead of two (.l and .b
+      // each re-running the identical O(t) fold; ADVICE r10)
+      .withColumn("__sts", expr(
+        s"""transform(sequence(3, __n), t ->
+           |  aggregate(slice(__xs, 2, t - 2),
+           |    named_struct('l', __xs[0], 'b', __xs[1] - __xs[0]),
+           |    $merge))""".stripMargin))
       .withColumn("__errs", expr(
-        s"""transform(sequence(3, __n), t -> abs(__xs[t - 1] -
-           |  ((aggregate(slice(__xs, 2, t - 2),
-           |      named_struct('l', __xs[0], 'b', __xs[1] - __xs[0]),
-           |      $merge)).l
-           |   + (aggregate(slice(__xs, 2, t - 2),
-           |      named_struct('l', __xs[0], 'b', __xs[1] - __xs[0]),
-           |      $merge)).b)))""".stripMargin))
+        "zip_with(__sts, slice(__xs, 3, __n - 2), " +
+          "(st, xv) -> abs(xv - (st.l + st.b)))"))
       .withColumn("__m", (col("__n") - 2).cast("double"))
       .select(col("event_type"), (col("__n") - 2).cast("long").as("n_evals"),
         round(expr("aggregate(__errs, 0D, (s, e) -> s + e)") / col("__m"), 6)
@@ -1109,6 +1101,29 @@ object EventStreams {
             |     ELSE 'no_trend' END""".stripMargin).as("trend"))
   }
 
+  /** Holt double-exponential smoothing (level + trend) of the per-type
+    * daily mean-value series — the forecasting model one rung above
+    * [[ewma]]: EWMA flattens a trending series (its forecast is a
+    * constant), Holt carries a trend term so the h-step-ahead forecast
+    * l + h·b tracks drift — capacity planning / ingest-volume projection
+    * over the same daily aggregates the anomaly gates read.
+    *
+    * Standard form (Holt 1957): l₁ = x₁, b₁ = x₂ − x₁; for t ≥ 2
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁), bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁.
+    *
+    * Determinism contract ([[ewma]]/[[acf]] family): the recursion is a
+    * sequential fold over the day-ordered series array with struct state
+    * (l, b) — Spark's `aggregate` HOF takes an arbitrary zero type, so
+    * the two-field state folds in one pass; bₜ re-states the lₜ
+    * expression verbatim (a struct field cannot reference a sibling),
+    * which both engines evaluate identically. The oracle replays the
+    * SAME ops as a recursive CTE — NOT a struct-state `list_reduce`,
+    * which DuckDB evaluates by mutating the accumulator field-by-field
+    * (field 'b' would see the already-updated 'l'; measured, not
+    * hypothesized). Per-type state is the day-indexed series (~corpus
+    * days, bounded); types with <2 days are dropped in both engines
+    * (no trend is definable).
+    */
   def holtForecast(events: DataFrame, alpha: Double = 0.3,
                    beta: Double = 0.2, horizon: Int = 7): DataFrame = {
     // 1-α / 1-β interpolate to their exact short decimal reprs for the

@@ -133,6 +133,51 @@ class GraphsSpec extends SparkSpec {
     assert(out((4L, 5L)) == ((2L, r6(2 * w3))))
   }
 
+  test("adamicAdar: leaf (degree-1) nodes don't crash and don't score") {
+    import spark.implicits._
+    // path 1-2-3 plus leaf 4 hanging off 3: deg(1)=deg(4)=1. Before the
+    // deg>=2 guard, 1/ln(1)=+Inf hit Round12Long's exact path and threw
+    // NumberFormatException for EVERY graph with a leaf (ADVICE r10).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val out = Graphs.adamicAdar(edges, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // non-adjacent pairs with a common neighbor: (1,3) via 2 [deg 2],
+    // (2,4) via 3 [deg 2]. Leaves 1 and 4 never appear as centers.
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(out((1L, 3L)) == r6(1.0 / math.log(2.0)))
+    assert(out((2L, 4L)) == r6(1.0 / math.log(2.0)))
+  }
+
+  test("adamicAdar: maxDegree drops hub-centered wedges, keeps the rest") {
+    import spark.implicits._
+    // hub 100 connected to 1..8 (deg 8); plus a modest bridge 9 joining
+    // 1 and 2 (deg 2). Uncapped: every pair (i,j) in 1..8 scores via the
+    // hub; (1,2) additionally gets the bridge contribution.
+    val spokes = (1L to 8L).map(i => (100L, i))
+    val und = spokes ++ Seq((9L, 1L), (9L, 2L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val w9 = 1.0 / math.log(2.0)
+    val wHub = 1.0 / math.log(8.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val full = Graphs.adamicAdar(edges, k = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(full((1L, 2L)) == r6(w9 + wHub))
+    assert(full((3L, 4L)) == r6(wHub))
+    assert(full((9L, 100L)) == r6(2 * w9)) // via centers 1 and 2
+    // cap at 4: the 28 hub-CENTERED wedges vanish; wedges centered on
+    // modest nodes (9, 1, 2) stay. The top-1 pair is UNCHANGED — the cap
+    // sheds exactly the weakest, most numerous contributions (the
+    // guardrail's recall contract).
+    val capped = Graphs.adamicAdar(edges, k = 100, maxDegree = Some(4L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(capped.keySet == Set((1L, 2L), (9L, 100L)))
+    assert(capped((1L, 2L)) == r6(w9)) // hub contribution shed
+    assert(capped((9L, 100L)) == r6(2 * w9)) // untouched
+    assert(full.maxBy(_._2)._1 == capped.maxBy(_._2)._1)
+  }
+
   test("labelPropagation: two bridged triangles split into two communities") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; hand-rolled

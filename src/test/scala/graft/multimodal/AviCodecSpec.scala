@@ -99,6 +99,39 @@ class AviCodecSpec extends AnyFunSuite {
     assert(out.length == 3, s"expected 3 surviving frames, got ${out.length}")
   }
 
+  test("a 2^31..2^32 chunk size terminates instead of looping (ADVICE r10)") {
+    // a declared size of 0xFFFFFFF8 made size.toInt = -8, so the walk
+    // offset moved BACKWARDS while staying in bounds — infinite loop, no
+    // exception for the try/catch to convert to None. The guard must
+    // return promptly from both parseInfo and decodeFrames.
+    val avi = AviCodec.encodeMjpeg((0 until 3).map(f => flat(8, 8, f)))
+    // find the first 00dc chunk and declare a huge size on it
+    var i = 12
+    var target = -1
+    while (i + 4 <= avi.length && target < 0) {
+      if (avi(i) == '0' && avi(i + 1) == '0' &&
+          avi(i + 2) == 'd' && avi(i + 3) == 'c') target = i + 4
+      i += 1
+    }
+    assert(target > 0)
+    def withSize(v: Long): Array[Byte] = {
+      val c = avi.clone()
+      c(target) = (v & 0xff).toByte
+      c(target + 1) = ((v >> 8) & 0xff).toByte
+      c(target + 2) = ((v >> 16) & 0xff).toByte
+      c(target + 3) = ((v >> 24) & 0xff).toByte
+      c
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0xFFFFFFFFL)) {
+      val c = withSize(sz)
+      // completes (rather than hanging); the poisoned chunk is skipped
+      assert(AviCodec.decodeFrames(c).get.length <= 3)
+      AviCodec.parseInfo(c) // must terminate too
+    }
+    // size 0 on a non-LIST chunk still advances (next = o + 8 > o)
+    assert(AviCodec.decodeFrames(withSize(0L)).get.length <= 3)
+  }
+
   test("maxFrames bounds the decode") {
     val avi = AviCodec.encodeMjpeg((0 until 10).map(f => flat(8, 8, f)))
     assert(AviCodec.decodeFrames(avi, maxFrames = 3).get.length == 3)

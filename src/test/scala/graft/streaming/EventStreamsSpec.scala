@@ -693,14 +693,18 @@ class EventStreamsSpec extends SparkSpec {
     def ev(users: Seq[(Long, Double)]) = users.zipWithIndex.map {
       case ((u, v), i) => (i.toLong, ts("2024-01-01 08:00:00"), u, v)
     }.toDF("event_id", "ts", "user_id", "value")
-    // balanced: per-user y = 2,4,6,8 → mean 5, var 20/3, chi2 = 0
+    // balanced: per-user y = 2,4,6,8 → mean 5, chi2 = 0. WITHIN-ARM
+    // pooled variance (not grand): arm0 {2,6} SS = 40 − 64/2 = 8,
+    // arm1 {4,8} SS = 80 − 144/2 = 8 → s² = 16/(4−2) = 8 — the arm
+    // mean gap (4 vs 6) stays OUT of s², so MDE isn't inflated by a
+    // real effect (ADVICE r10).
     val r = EventStreams.abHealth(
       ev(Seq((0L, 2.0), (1L, 4.0), (2L, 6.0), (3L, 8.0)))).head()
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
     assert(r.getDouble(2) == 0.0 && !r.getBoolean(3))
-    assert(r.getDouble(4) == 5.0 && r.getDouble(5) == r6(20.0 / 3.0))
-    val mde = (1.96 + 0.84) * math.sqrt((120.0 - 400.0 / 4.0) / 3.0 * (0.5 + 0.5))
+    assert(r.getDouble(4) == 5.0 && r.getDouble(5) == 8.0)
+    val mde = (1.96 + 0.84) * math.sqrt(8.0 * (0.5 + 0.5))
     assert(r.getDouble(6) == r6(mde) && r.getDouble(7) == r6(mde / 5.0))
     // 7 control vs 1 treatment: chi2 = 2·(3²/4) = 4.5 > 3.841 → SRM
     val bad = EventStreams.abHealth(
