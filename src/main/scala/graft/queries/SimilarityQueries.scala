@@ -332,6 +332,17 @@ object SimilarityQueries extends QueryPack {
       Similarity.cosineNearDupPairsClustered(Tables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.45)),
 
+    // The SAME operator on the 100-TB centroid transport: forced 3-way
+    // centroid sharding replaces every broadcast of the centroid table
+    // with a SHUFFLE_HASH equi-join (vector-salt × centroid-shard), and
+    // the oracle is the SAME SQL as q_dedup_embedding_bucketed — the
+    // driver hash gate is the proof that transport is semantics-blind
+    // (identical cosines, identical tie-breaks, identical pairs).
+    "q_dedup_clustered_sharded" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsClustered(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45,
+        centroidShards = Some(3))),
+
     // Recall audit for the banded scale path, mirroring q_dedup_recall's
     // contract for MinHash: exact pairs (capped input, so the oracle's
     // quadratic side stays constant-size) left-joined to the banded
@@ -581,6 +592,9 @@ object SimilarityQueries extends QueryPack {
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
 
     "q_dedup_embedding_bucketed" -> clusteredPairsSql("embeddings"),
+
+    // Sharded transport, same semantics ⇒ literally the same oracle.
+    "q_dedup_clustered_sharded" -> clusteredPairsSql("embeddings"),
 
     "q_dedup_recall_clustered" ->
       s"""WITH capped AS (SELECT * FROM embeddings WHERE vec_id < 500),

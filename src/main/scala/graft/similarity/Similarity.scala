@@ -579,17 +579,21 @@ object Similarity {
     * always exact (full cosine verify). Per vector the candidate count is
     * ≈ probes² × targetClusterSize — CONSTANT as N grows, so candidate
     * volume is O(N) by construction; the Lloyd assign is O(N·k·d) per
-    * round with a broadcast centroid array. At corpus sizes where N/25
-    * centroids stop broadcasting, keep the SINGLE-LEVEL semantics and
-    * shard the centroid scoring (centroid chunks as a joined table —
-    * same O(N·k·d) compute, shuffle transport instead of broadcast):
-    * a refined two-level tree was MEASURED (round-10 continuation,
-    * Lloyd at both levels + multi-probe at both) and loses the
-    * recall-per-candidate trade at this threshold — 0.71 recall at the
-    * single-level budget (~20% candidates), 0.86–0.93 only at 38–59%
-    * candidates vs single-level's 0.93 at 19%; fragmenting the
-    * quantizer splits true neighborhoods across coarse cells faster
-    * than probing recovers them. Recall is
+    * round. At corpus sizes where the N/25 centroids stop broadcasting,
+    * the SAME single-level semantics runs on SHUFFLE transport: set
+    * `centroidShards` (or leave None — auto-engages when the estimated
+    * centroid bytes k·(8d+48) exceed spark.sql.autoBroadcastJoinThreshold)
+    * and every assign — Lloyd rounds AND the final multi-probe — switches
+    * to the sharded equi-join in [[assignTopPRows]]: bit-identical
+    * scores/tie-breaks, same O(N·k·d) compute, per-task centroid build
+    * side k/shards, no broadcast of the centroid table anywhere
+    * (plan-asserted in SimilaritySpec). A refined two-level tree was
+    * MEASURED instead (round-10 continuation, Lloyd at both levels +
+    * multi-probe at both) and loses the recall-per-candidate trade at
+    * this threshold — 0.71 recall at the single-level budget (~20%
+    * candidates), 0.86–0.93 only at 38–59% candidates vs single-level's
+    * 0.93 at 19%; fragmenting the quantizer splits true neighborhoods
+    * across coarse cells faster than probing recovers them. Recall is
     * MEASURED, never assumed: q_dedup_recall_clustered audits against
     * the exact pairs with a ≥ 0.8 floor in SimilaritySpec (fixture:
     * 13/14 at 19% candidate fraction, target=25, probes=2 — the same
@@ -602,11 +606,14 @@ object Similarity {
   def cosineNearDupPairsClustered(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double,
       targetClusterSize: Long = ClusteredPairTarget,
-      probes: Int = ClusteredPairProbes, iters: Int = 2): DataFrame = {
+      probes: Int = ClusteredPairProbes, iters: Int = 2,
+      centroidShards: Option[Int] = None): DataFrame = {
     require(probes >= 1 && iters >= 2,
       "cosineNearDupPairsClustered needs probes >= 1 and iters >= 2")
     GraftFunctions.register(embeddings.sparkSession)
     val k = autoK(embeddings.count(), targetClusterSize)
+    val shards = centroidShards.getOrElse(
+      autoCentroidShards(embeddings, vecCol, k))
     val withVd = embeddings.select(col(idCol), col(vecCol),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
     var cents = withVd.orderBy(col(idCol).asc).limit(k)
@@ -616,9 +623,9 @@ object Similarity {
     // (c0 → a1 → c1 → a2(keep=probes)) value-for-value.
     for (_ <- 1 until iters)
       cents = updateCentroids(
-        assignTopPRows(withVd, cents, 1, idCol)
+        assignTopPRows(withVd, cents, 1, idCol, shards)
           .withColumnRenamed("__cluster", "cluster"))
-    val asg = assignTopPRows(withVd, cents, probes, idCol)
+    val asg = assignTopPRows(withVd, cents, probes, idCol, shards)
       .select(col(idCol), col("__cluster").as("cluster"))
     val cand = asg.select(col("cluster"), col(idCol).as("vec_a"))
       .join(asg.select(col("cluster"), col(idCol).as("vec_b")), Seq("cluster"))
@@ -633,30 +640,95 @@ object Similarity {
   }
 
   /** Top-`p` nearest-centroid assignment as per-(vector, centroid) ROWS:
-    * a broadcast join fans each vector out against the k centroids, the
-    * cosine runs through the codegen [[graft.expressions.FloatVecDot]]
-    * (double-array side support) instead of an interpreted HOF over a
-    * nested struct array, and the per-vector top-p comes from a
-    * `row_number ≤ p` window that WindowGroupLimit prunes MAP-SIDE — the
-    * exchange carries N·p rows, never N·k. This is the assign
+    * each vector fans out against the k centroids, the cosine runs
+    * through the codegen [[graft.expressions.FloatVecDot]] (double-array
+    * side support) instead of an interpreted HOF over a nested struct
+    * array, and the per-vector top-p comes from a `row_number ≤ p`
+    * window that WindowGroupLimit prunes MAP-SIDE — the exchange carries
+    * N·p rows (N·shards·p sharded), never N·k. This is the assign
     * formulation that makes auto-k clustering usable as k grows with N:
     * the round-10 sweep measured the HOF formulation at 45 µs per
     * (vector, centroid) evaluation (733 s for one assign at N=20k,
     * k=800); the row formulation runs the same 16M cosines in seconds.
+    *
+    * TRANSPORT is the knob, the scoring is not: `centroidShards ≤ 1`
+    * fans out with a broadcast cross join (centroid table must fit the
+    * broadcast ceiling — driver + every executor hold all k vectors);
+    * `centroidShards = S > 1` is the 100-TB path — a SHUFFLE_HASH
+    * equi-join on the composite key (vector-salt × centroid-shard):
+    * vectors carry their hash-salt and explode S shard ids, centroids
+    * carry cid % S and explode P salt ids, so every (vector, centroid)
+    * pair meets EXACTLY once, each task builds on k/S centroids (memory
+    * bounded by S), parallelism is P·S tasks, and no broadcast of the
+    * centroid table exists anywhere in the plan (asserted in
+    * SimilaritySpec). Transport: N·S vector rows + k·P centroid rows —
+    * choose S ≈ centroid-bytes / broadcast-threshold ([[
+    * autoCentroidShards]]) so S stays small while each build side fits.
     * Cosine values and (sim desc, cid asc) tie-breaks are bit-identical
-    * to the oracle's `row_number OVER (ORDER BY s DESC, cid ASC)` replay.
+    * between the two transports and to the oracle's `row_number OVER
+    * (ORDER BY s DESC, cid ASC)` replay — same doubles, same rounding,
+    * same total order, so every downstream hash gate is transport-blind.
     * Returns the input columns plus (__cluster, __sim).
     */
-  private def assignTopPRows(withVd: DataFrame, cents: DataFrame,
-      p: Int, idCol: String): DataFrame = {
+  private[graft] def assignTopPRows(withVd: DataFrame, cents: DataFrame,
+      p: Int, idCol: String, centroidShards: Int = 1): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("cid").asc)
-    withVd.crossJoin(broadcast(cents))
+    val fanned =
+      if (centroidShards <= 1) withVd.crossJoin(broadcast(cents))
+      else {
+        val salts = withVd.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt.max(1)
+        val v = withVd
+          .withColumn("__vs", pmod(hash(col(idCol)), lit(salts)).cast("int"))
+          .withColumn("__cs",
+            explode(sequence(lit(0), lit(centroidShards - 1))))
+        val c = cents
+          .withColumn("__cs", pmod(col("cid"), lit(centroidShards)).cast("int"))
+          .withColumn("__vs", explode(sequence(lit(0), lit(salts - 1))))
+        v.join(c.hint("shuffle_hash"), Seq("__vs", "__cs")).drop("__vs", "__cs")
+      }
+    fanned
       .withColumn("__sim", round(cosineFast("__vd", "cv"), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= p)
       .withColumn("__cluster", col("cid"))
       .drop("cv", "cid", "__rn")
+  }
+
+  /** BNLJ→sharded crossover for [[autoCentroidShards]] (measured, see
+    * SCALE.md round 11): at k = 80 the two transports tie within noise
+    * (1.7 vs 2.1 s at sf0.1); at k = 800 the sharded join is 2.5×
+    * faster (22.6 vs 57.5 s at sf1) — the broadcast nested-loop fan-out
+    * degrades before its BYTES stop fitting.
+    */
+  val CentroidShardK = 256L
+
+  /** Shard count for [[assignTopPRows]]'s centroid transport: 1
+    * (broadcast) while the estimated centroid bytes k·(8·dims + 48)
+    * fit spark.sql.autoBroadcastJoinThreshold AND the fan-out stays
+    * under [[CentroidShardK]] centroids (past that the shuffled hash
+    * join is measurably faster than the broadcast nested loop even
+    * though the bytes still fit — 2.5× at k = 800); else the smallest
+    * S whose per-task build side k/S fits the threshold again (≥ 2 at
+    * the compute crossover). The dims probe reads ONE row
+    * (metadata-scale, like the operator's own count()); a disabled
+    * threshold (≤ 0) falls back to the 10 MB default so the guardrail
+    * can't be configured away by the conf that disables broadcast
+    * JOINS (which would need MORE sharding, not none).
+    */
+  private[graft] def autoCentroidShards(embeddings: DataFrame,
+      vecCol: String, k: Long): Int = {
+    val dims = embeddings.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val raw = embeddings.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val thresholdBytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: Exception => 10485760L }
+    val limit = if (thresholdBytes > 0) thresholdBytes else 10485760L
+    val centroidBytes = k * (8L * dims + 48L)
+    val byBytes = math.max(1L, (centroidBytes + limit - 1) / limit).toInt
+    if (k >= CentroidShardK) math.max(2, byBytes) else byBytes
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):

@@ -123,6 +123,50 @@ class SimilaritySpec extends SparkSpec {
     assert(clustered.subsetOf(exact))
   }
 
+  test("sharded centroid assign: bit-identical to broadcast, no broadcast " +
+      "of the centroid table in the plan, recall floor holds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // transport-blind results: forced 3-way sharding must reproduce the
+    // broadcast path's pairs EXACTLY (same cosines, same tie-breaks)
+    def pairs(shards: Option[Int]) = Similarity
+      .cosineNearDupPairsClustered(emb, "vec_id", "embedding", 0.45,
+        centroidShards = shards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = pairs(Some(1))
+    val viaShards = pairs(Some(3))
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShards == viaBroadcast)
+    // recall floor transfers (same pairs ⇒ same recall), pinned anyway
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = viaShards.count(p => exact.contains((p._1, p._2)))
+      .toDouble / exact.size
+    assert(recall >= 0.8, s"sharded recall $recall < 0.8")
+    // the 100-TB contract: in sharded mode the assign's physical plan
+    // carries NO broadcast exchange — centroids travel by shuffle only
+    import org.apache.spark.sql.functions.{col, expr}
+    val withVd = emb.select(col("vec_id"), col("embedding"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__vd"))
+    val cents = withVd.orderBy(col("vec_id").asc).limit(50)
+      .select(col("vec_id").cast("long").as("cid"), col("__vd").as("cv"))
+    val sharded = Similarity.assignTopPRows(withVd, cents, 2, "vec_id",
+      centroidShards = 3)
+    sharded.head() // force execution so AQE finalizes the plan
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"sharded assign plan still broadcasts:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"sharded assign plan lost its shuffle join:\n$plan")
+    val bplan = Similarity.assignTopPRows(withVd, cents, 2, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastExchange")) // and broadcast mode does
+    // auto-selection: tiny corpus fits the threshold → 1 shard; a huge
+    // hypothetical k forces the ceiling division up
+    assert(Similarity.autoCentroidShards(emb, "embedding", 50L) == 1)
+    assert(Similarity.autoCentroidShards(emb, "embedding",
+      50L * 1000 * 1000) > 1)
+  }
+
   test("cluster-bounded near-dup: single-probe candidates are a subset of " +
       "2-probe (monotone recall knob); output pairs are distinct") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
