@@ -69,6 +69,12 @@ object Bench {
     // samples to converge there
     val slowCutoffSec = 1.0
     val extraReps = 2
+    // co-tenancy marker (BASELINE.md's additive-noise model): 1-min system
+    // loadavg at start/end + core count, so a verdict can separate code
+    // regressions from a loaded box without a re-run
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
     val timed = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -103,8 +109,9 @@ object Bench {
     def fmt(v: Double) = "%.3f".formatLocal(Locale.ROOT, v)
     def entry(kv: (String, Double)) = "\"" + kv._1 + "\":" + fmt(kv._2)
     val total = results.values.filter(_ >= 0).sum
+    val loadJson = s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadavg)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val fullQs = results.map(entry).mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},$loadJson,"sf":"$sfDir"}"""
     // failures (-1.0) first so they are never silently omitted, then slowest
     val ranked = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
     val budgetBytes = 1400
@@ -128,7 +135,7 @@ object Bench {
     val fullRef =
       if (only.isEmpty) """"queries_full":"BENCH_LOCAL.json",""" else ""
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"noisy":$noisyJson,$fullRef"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"noisy":$noisyJson,$fullRef$loadJson,"sf":"$sfDir"}"""
     // Redundant copy on disk in case stdout parsing fails again —
     // best-effort only (a backup-path IO failure must never suppress the
     // primary stdout line), and skipped for filtered runs whose partial
