@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.search.{BM25, BM25Index, Collections}
+import graft.search.{BM25, BM25Index, Collections, ServingStores}
 import graft.util.{Num, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -421,6 +421,34 @@ object SearchQueries extends QueryPack {
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         .limit(1000)
         .select(col("c_name"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+
+    // q_hashtag_search SERVED from the persisted posting store: one
+    // bucket-pruned probe instead of an array_contains scan of the
+    // corpus — the request plan a hashtag route runs at production QPS
+    // (round-10 verdict item 7; same oracle as the ad-hoc query).
+    "q_hashtag_served" -> ((s, dir) => {
+      val store = ServingStores.ensureDocPostings(s, dir)
+      ServingStores.postingProbe(s, store, "spark")
+        .orderBy(col("doc_id").asc)
+        .limit(1000)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // q_user_timeline SERVED: the FK expansion reads ONE o_custkey
+    // bucket of the date-sorted timeline layout — no orders-table join
+    // at request time (same oracle as the ad-hoc query).
+    "q_user_timeline_served" -> ((s, dir) => {
+      val store = ServingStores.ensureOrdersTimeline(s, dir)
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_name") === "Customer#000000042")
+        .select(col("c_custkey"), col("c_name")).collect()
+      ServingStores.timelineProbe(s, store, "o_custkey",
+          cust.head.getLong(0))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1000)
+        .select(lit(cust.head.getString(1)).as("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
     })
   )
 
@@ -619,6 +647,18 @@ object SearchQueries extends QueryPack {
         |ORDER BY doc_id ASC LIMIT 1000""".stripMargin,
 
     "q_user_timeline" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_name = 'Customer#000000042'
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1000""".stripMargin,
+
+    // served = stored-layout probes, same results ⇒ same oracles
+    "q_hashtag_served" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE list_contains(str_split(text, ' '), 'spark')
+        |ORDER BY doc_id ASC LIMIT 1000""".stripMargin,
+
+    "q_user_timeline_served" ->
       """SELECT c_name, o_orderkey, o_orderdate, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_name = 'Customer#000000042'

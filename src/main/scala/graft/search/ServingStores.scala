@@ -1,0 +1,136 @@
+package graft.search
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Persisted request-time layouts for the two non-keyword REST routes —
+  * the serving-store treatment [[BM25Index]] gives the keyword route
+  * (round-10 verdict item 7), applied to exact-match and FK-expansion
+  * queries:
+  *
+  *  - POSTING store ([[buildPostings]]/[[postingProbe]]): one row per
+  *    (key, source row) from an exploded key array — the hashtag
+  *    route's `tweetHashtags:'<tag>'` shape. Laid out partitioned by
+  *    `pmod(hash(key), buckets)` and sorted by key within, so a probe
+  *    statically prunes to ONE bucket directory (the partition filter
+  *    folds to a literal) and min/max row-group stats cut inside it —
+  *    request cost is the matching postings, never an `array_contains`
+  *    scan of the corpus.
+  *  - TIMELINE store ([[buildTimeline]]/[[timelineProbe]]): the fact
+  *    table partitioned by a foreign-key bucket and sorted by
+  *    (fk, order cols) within — the user-timeline route's FK expansion
+  *    reads one bucket, one key's row span.
+  *
+  * Both hash `CAST(key AS STRING)` on BOTH build and probe sides so the
+  * bucket function is insensitive to the key column's physical type.
+  * The bucket count is written into the store (`_buckets.txt` — the
+  * underscore keeps it out of the parquet file index) — probes can
+  * never disagree with the layout. At 100 TB these are the layouts
+  * a serving cluster would hold per collection; the stamp-guarded
+  * lifecycle (build-once, [[StoreAdmin]]-truncatable) matches the
+  * engine's other stores.
+  */
+object ServingStores {
+
+  val DefaultBuckets = 64
+
+  private def bucketOf(key: Column, buckets: Int): Column =
+    pmod(hash(key.cast("string")), lit(buckets))
+
+  /** Explode `keysCol` (an array column) into a posting table carrying
+    * every source column, bucket-partitioned and key-sorted.
+    */
+  def buildPostings(df: DataFrame, keysCol: Column, dest: String,
+                    buckets: Int = DefaultBuckets,
+                    dropCols: Seq[String] = Nil): Unit = {
+    // array_distinct: a key repeated within one row must post the row
+    // ONCE — the probe replays `array_contains` semantics, not explode's
+    df.withColumn("__key", explode(array_distinct(keysCol)))
+      .drop(dropCols: _*)
+      .withColumn("__bucket", bucketOf(col("__key"), buckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__key"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dest)
+    writeBuckets(dest, buckets)
+  }
+
+  /** All source rows posted under `key` — a one-bucket pruned scan. */
+  def postingProbe(spark: SparkSession, dest: String, key: String): DataFrame = {
+    val buckets = readBuckets(dest)
+    spark.read.parquet(dest)
+      .filter(col("__bucket") === bucketOf(lit(key), buckets) &&
+        col("__key") === key)
+      .drop("__key", "__bucket")
+  }
+
+  /** Fact rows partitioned by `pmod(hash(fk), buckets)`, sorted by
+    * (fk, sortCols) within each bucket file.
+    */
+  def buildTimeline(df: DataFrame, fkCol: String, dest: String,
+                    sortCols: Seq[Column] = Nil,
+                    buckets: Int = DefaultBuckets): Unit = {
+    df.withColumn("__bucket", bucketOf(col(fkCol), buckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col(fkCol) +: sortCols: _*)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dest)
+    writeBuckets(dest, buckets)
+  }
+
+  /** All fact rows for one FK value — a one-bucket pruned scan plus a
+    * row-group-prunable equality on the sorted fk column.
+    */
+  def timelineProbe(spark: SparkSession, dest: String, fkCol: String,
+                    value: Any): DataFrame = {
+    val buckets = readBuckets(dest)
+    spark.read.parquet(dest)
+      .filter(col("__bucket") === bucketOf(lit(value), buckets) &&
+        col(fkCol) === lit(value))
+      .drop("__bucket")
+  }
+
+  def defaultDir(sfDir: String): String = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${sys.props("user.dir")}/target/serving-store-v1")
+    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+  }
+
+  /** Build-if-stale: word-posting store over the documents table (the
+    * q_hashtag_served layout — `doc_id/source/n_chars` posted under each
+    * whitespace token, FIXTURES.md's stand-in for `tweetHashtags`).
+    */
+  def ensureDocPostings(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "/doc_postings"
+    val stamp = graft.util.Stamp.sourceStamp(sfDir)
+    if (!graft.util.Stamp.isFresh(dest, stamp)) {
+      buildPostings(
+        graft.util.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            split(col("text"), " ").as("__words")),
+        col("__words"), dest, dropCols = Seq("__words"))
+      graft.util.Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** Build-if-stale: orders bucketed by o_custkey, date-sorted within —
+    * the q_user_timeline_served FK-expansion layout.
+    */
+  def ensureOrdersTimeline(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "/orders_by_cust"
+    val stamp = graft.util.Stamp.sourceStamp(sfDir, "orders.parquet")
+    if (!graft.util.Stamp.isFresh(dest, stamp)) {
+      buildTimeline(graft.util.Tables.orders(spark, sfDir), "o_custkey",
+        dest, sortCols = Seq(col("o_orderdate").desc))
+      graft.util.Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  private def writeBuckets(dest: String, buckets: Int): Unit =
+    Files.writeString(Paths.get(dest, "_buckets.txt"), buckets.toString)
+
+  private def readBuckets(dest: String): Int =
+    Files.readString(Paths.get(dest, "_buckets.txt")).trim.toInt
+}

@@ -32,7 +32,8 @@ object StoreAdmin {
     graft.dedup.SimHashStore.defaultDir(sfDir),
     graft.similarity.SrpStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir),
-    graft.similarity.PqStore.defaultDir(sfDir))
+    graft.similarity.PqStore.defaultDir(sfDir),
+    ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
     * other corpora's stores are untouched.

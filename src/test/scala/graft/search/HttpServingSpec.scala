@@ -103,6 +103,37 @@ class HttpServingSpec extends SparkSpec {
     } finally { adhoc.stop(0); served.stop(0) }
   }
 
+  test("stored hashtag/user routes: bucket-pruned probe plans, " +
+      "byte-identical envelopes (round-10 verdict item 7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-tidx").toString
+    HttpServing.buildTweetIndex(tweets, users, dir)
+    // plan shape: the probe reads ONE bucket of the posting store — no
+    // array_contains over the corpus anywhere in the request plan
+    val probe = ServingStores.postingProbe(spark, dir + "/hashtags", "jobs")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("array_contains"),
+      s"stored hashtag plan still scans the corpus:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"stored hashtag plan lost its bucket pruning:\n$plan")
+    // byte-identical envelopes across both non-keyword routes, incl.
+    // empty-match and unknown-user error shapes
+    val adhoc = HttpServing.start(0, HttpServing.referenceRoutes(tweets, users))
+    val served = HttpServing.start(0,
+      HttpServing.referenceRoutes(tweets, users, tweetIndexDir = Some(dir)))
+    try {
+      for (q <- Seq("/api/search/hashtag?tag=jobs",
+          "/api/search/hashtag?tag=perf",
+          "/api/search/hashtag?tag=nosuch",
+          "/api/search/user?id=ada",
+          "/api/search/user?id=bob",
+          "/api/search/user?id=nobody")) {
+        val a = get(adhoc.getAddress.getPort, q).body()
+        val b = get(served.getAddress.getPort, q).body()
+        assert(a == b, s"$q: served envelope differs from ad hoc")
+      }
+    } finally { adhoc.stop(0); served.stop(0) }
+  }
+
   test("missing params and unknown users return the error envelope, HTTP 200") {
     withServer { port =>
       // the reference embeds errors in the body and always answers 200

@@ -22,7 +22,9 @@ class StoreAdminSpec extends SparkSpec {
     "q_simhash_pairs",       // SimHashStore
     "q_ann_lsh_served",      // SrpStore
     "q_ann_ivf_served",      // IvfStore
-    "q_ann_pq_served")       // PqStore
+    "q_ann_pq_served",       // PqStore
+    "q_hashtag_served",      // ServingStores posting layout
+    "q_user_timeline_served") // ServingStores timeline layout
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
