@@ -347,29 +347,36 @@ object StatsQueries extends QueryPack {
   /** Unrolled PageRank oracle: the same per-iteration recurrence as
     * [[Graphs.pagerank]] — weights precomputed as 1/outdeg so both engines
     * run the identical float ops (sum of rank·w, never rank/deg).
+    *
+    * Every CTE is MATERIALIZED — value-identical, but bounded-memory:
+    * DuckDB inlines plain CTEs as views, and with r(k) referenced twice
+    * per step (contrib + dangling) the un-materialized plan re-expands
+    * the whole subtree INCLUDING the co-purchase self-join 2^iters
+    * times — the 80 GB spill the round-10 sf1 sweep hit. Materialized,
+    * each level is computed once and the oracle is sf1-feasible.
     */
   private def pagerankOracleSql(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val head =
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
         |    AS BIGINT) % 100 < 30),
-        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |ce AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
-        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |outdeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY u),
-        |ew AS (SELECT e.u, e.v, CAST(1 AS DOUBLE) / d.deg AS w
+        |e AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+        |nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS MATERIALIZED (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+        |ew AS MATERIALIZED (SELECT e.u, e.v, CAST(1 AS DOUBLE) / d.deg AS w
         |  FROM e JOIN outdeg d ON e.u = d.u),
-        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)""".stripMargin
+        |r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""c$k AS (SELECT ew.v AS node, sum(r.rank * ew.w) AS contrib
+      s"""c$k AS MATERIALIZED (SELECT ew.v AS node, sum(r.rank * ew.w) AS contrib
          |  FROM ew JOIN r${k - 1} r ON ew.u = r.node GROUP BY ew.v),
-         |dg$k AS (SELECT COALESCE(sum(r.rank), CAST(0 AS DOUBLE)) AS m
+         |dg$k AS MATERIALIZED (SELECT COALESCE(sum(r.rank), CAST(0 AS DOUBLE)) AS m
          |  FROM r${k - 1} r LEFT JOIN outdeg d ON r.node = d.u WHERE d.u IS NULL),
-         |r$k AS (SELECT n.node,
+         |r$k AS MATERIALIZED (SELECT n.node,
          |    (1 - $d) / nn.n + $d * (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + dg.m / nn.n) AS rank
          |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node, dg$k dg, nn)""".stripMargin
     }
@@ -379,34 +386,35 @@ object StatsQueries extends QueryPack {
   }
 
   /** Unrolled personalized-PageRank oracle: [[pagerankOracleSql]] with
-    * the restart and dangling teleport directed at the 5%-hash seed set.
+    * the restart and dangling teleport directed at the 5%-hash seed set
+    * (and the same MATERIALIZED-per-CTE memory bound).
     */
   private def pprOracleSql(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val head =
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
         |    AS BIGINT) % 100 < 30),
-        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |ce AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
-        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
-        |sf AS (SELECT node,
+        |e AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+        |nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |sf AS MATERIALIZED (SELECT node,
         |    CASE WHEN CAST(concat('0x', substring(md5(CAST(node AS VARCHAR)), 1, 15))
         |      AS BIGINT) % 100 < 5 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s
         |  FROM nodes),
-        |ns AS (SELECT CAST(sum(s) AS DOUBLE) AS k FROM sf),
-        |outdeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY u),
-        |ew AS (SELECT e.u, e.v, CAST(1 AS DOUBLE) / d.deg AS w
+        |ns AS MATERIALIZED (SELECT CAST(sum(s) AS DOUBLE) AS k FROM sf),
+        |outdeg AS MATERIALIZED (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+        |ew AS MATERIALIZED (SELECT e.u, e.v, CAST(1 AS DOUBLE) / d.deg AS w
         |  FROM e JOIN outdeg d ON e.u = d.u),
-        |r0 AS (SELECT node, s / ns.k AS rank FROM sf, ns)""".stripMargin
+        |r0 AS MATERIALIZED (SELECT node, s / ns.k AS rank FROM sf, ns)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""c$k AS (SELECT ew.v AS node, sum(r.rank * ew.w) AS contrib
+      s"""c$k AS MATERIALIZED (SELECT ew.v AS node, sum(r.rank * ew.w) AS contrib
          |  FROM ew JOIN r${k - 1} r ON ew.u = r.node GROUP BY ew.v),
-         |dg$k AS (SELECT COALESCE(sum(r.rank), CAST(0 AS DOUBLE)) AS m
+         |dg$k AS MATERIALIZED (SELECT COALESCE(sum(r.rank), CAST(0 AS DOUBLE)) AS m
          |  FROM r${k - 1} r LEFT JOIN outdeg d ON r.node = d.u WHERE d.u IS NULL),
-         |r$k AS (SELECT n.node,
+         |r$k AS MATERIALIZED (SELECT n.node,
          |    (1 - $d) * n.s / ns.k + $d * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
          |      + dg.m * n.s / ns.k) AS rank
          |  FROM sf n LEFT JOIN c$k c ON n.node = c.node, dg$k dg, ns)""".stripMargin
