@@ -46,6 +46,49 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched learning cuts driver round-trips: fewer Spark jobs than " +
+      "the sequential loop, identical merges") {
+    // disjoint pairs with strictly decreasing counts — the Zipf shape
+    // the batch acceptance proof is built for: one round accepts all 4
+    // merges (vs 4 sequential rounds), then one empty round stops
+    val docs = (Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(2)("dd"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    class JobCounter extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    def countJobs(body: => Seq[Seq[Any]]): (Int, Seq[Seq[Any]]) = {
+      val c = new JobCounter
+      spark.sparkContext.addSparkListener(c)
+      try {
+        val r = body
+        // the listener bus is async — wait for the count to go quiet
+        var last = -1
+        var spins = 0
+        while (c.n.get != last && spins < 50) {
+          last = c.n.get; Thread.sleep(100); spins += 1
+        }
+        (c.n.get, r)
+      } finally spark.sparkContext.removeSparkListener(c)
+    }
+    val (strictJobs, strict) = countJobs(
+      Bpe.learnMerges(spark, docs, "text", nMerges = 4, batchTopK = 1)
+        .collect().map(_.toSeq).toSeq)
+    val (batchJobs, batched) = countJobs(
+      Bpe.learnMerges(spark, docs, "text", nMerges = 4, batchTopK = 256)
+        .collect().map(_.toSeq).toSeq)
+    assert(batched == strict, "batched diverged from sequential BPE")
+    assert(strict.map(_(3)) == Seq("aa", "bb", "cc", "dd"))
+    // 4 accepted in one round: the batch must spend well under half the
+    // sequential loop's jobs (2 collect rounds vs 5)
+    assert(batchJobs * 2 < strictJobs,
+      s"batch didn't cut round-trips: $batchJobs vs $strictJobs jobs")
+  }
+
   test("tokenize replays learned merges per doc, order preserved") {
     val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("doc_id", "text")
     val learned = Bpe.learnMerges(spark, docs, "text", nMerges = 5)
