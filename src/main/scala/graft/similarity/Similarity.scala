@@ -391,7 +391,10 @@ object Similarity {
     *    k-means|| would be the production seeding, same plan after init);
     *  - assignment: the zero-shuffle broadcast-centroid projection from
     *    [[ivfAssign]] (array_max over (round6 sim, -cid) structs — the
-    *    round6+tiebreak makes the argmax engine-independent);
+    *    round6+tiebreak makes the argmax engine-independent); past the
+    *    [[CentroidShardK]] crossover (or forced via `centroidShards`)
+    *    the value-identical sharded row formulation takes over — no
+    *    broadcast of the centroid table, k/S build side per task;
     *  - update: per-(cluster, dim) means via DECIMAL(38,12) sums (decimal
     *    addition is exact ⇒ order-independent — double sums would vary
     *    with partitioning), then round6 back to double. One posexplode +
@@ -403,8 +406,21 @@ object Similarity {
     * (idCol, cluster, centroid_sim) after `iters` assignment rounds.
     */
   def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+                   k: Int, iters: Int,
+                   centroidShards: Option[Int] = None): DataFrame = {
     require(k > 0 && iters >= 1, "kmeansAssign needs k > 0 and iters >= 1")
+    GraftFunctions.register(embeddings.sparkSession)
+    // transport auto-selection (the [[cosineNearDupPairsClustered]]
+    // contract, one level up): sub-CentroidShardK tables skip the dims
+    // probe — the byte ceiling below 256 centroids would need ≥ 5k dims
+    // (pass explicit shards for such corpora); at or past the crossover
+    // the sharded row formulation replaces the broadcast argmax
+    // projection, which is BOTH the 45 µs/eval interpreted HOF and the
+    // broadcast ceiling. Assignments are value-identical: round6 cosine
+    // + (sim desc, cid asc) tie-break in the window ≡ array_max over
+    // (round6 sim, -cid) structs (spec-asserted in SimilaritySpec).
+    val shards = centroidShards.getOrElse(
+      if (k < CentroidShardK) 1 else autoCentroidShards(embeddings, vecCol, k))
     val withVd = embeddings.select(col(idCol), col(vecCol),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
     // genuinely the first k vectors BY id (TakeOrdered, k rows) — an
@@ -414,7 +430,11 @@ object Similarity {
       .select(col(idCol).cast("long").as("cid"), col("__vd").as("cv"))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assignNearest(withVd, cents)
+      assigned =
+        if (shards <= 1) assignNearest(withVd, cents)
+        else assignTopPRows(withVd, cents, 1, idCol, shards)
+          .withColumnRenamed("__cluster", "cluster")
+          .withColumnRenamed("__sim", "centroid_sim")
       cents = updateCentroids(assigned)
     }
     assigned.select(col(idCol), col("cluster"), col("centroid_sim"))
@@ -745,10 +765,12 @@ object Similarity {
     * Returns one row per vector: (idCol, cluster, kept).
     */
   def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int, threshold: Double): DataFrame = {
+               k: Int, iters: Int, threshold: Double,
+               centroidShards: Option[Int] = None): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val assigned = kmeansAssign(embeddings, idCol, vecCol, k, iters)
-      .select(col(idCol), col("cluster"))
+    val assigned =
+      kmeansAssign(embeddings, idCol, vecCol, k, iters, centroidShards)
+        .select(col(idCol), col("cluster"))
     val withVec = embeddings.select(col(idCol), col(vecCol))
       .join(assigned, Seq(idCol))
     val a = withVec.select(col("cluster"), col(idCol).as("__id_a"),
@@ -775,10 +797,11 @@ object Similarity {
     */
   def semDedupAuto(embeddings: DataFrame, idCol: String, vecCol: String,
                    targetClusterSize: Long, iters: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double,
+                   centroidShards: Option[Int] = None): DataFrame = {
     require(targetClusterSize > 0, "semDedupAuto: targetClusterSize must be positive")
     val k = autoK(embeddings.count(), targetClusterSize)
-    semDedup(embeddings, idCol, vecCol, k, iters, threshold)
+    semDedup(embeddings, idCol, vecCol, k, iters, threshold, centroidShards)
   }
 
   /** The auto-k rule alone (spec-checkable without running the dedup). */
@@ -798,14 +821,16 @@ object Similarity {
     * own cluster).
     *
     * Plan: the Lloyd rounds are broadcast-projection argmaxes (no N×k
-    * shuffle), and the cap is one cluster-partitioned rank window with
-    * WindowGroupLimit's map-side partial top-k. Returns (idCol, cluster)
-    * for the kept rows.
+    * shuffle; sharded row-join transport past the [[CentroidShardK]]
+    * crossover, as everywhere), and the cap is one cluster-partitioned
+    * rank window with WindowGroupLimit's map-side partial top-k.
+    * Returns (idCol, cluster) for the kept rows.
     */
   def topicBalance(embeddings: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int, perClusterCap: Int): DataFrame =
+                   k: Int, iters: Int, perClusterCap: Int,
+                   centroidShards: Option[Int] = None): DataFrame =
     graft.operators.Relational.reservoirSample(
-      kmeansAssign(embeddings, idCol, vecCol, k, iters)
+      kmeansAssign(embeddings, idCol, vecCol, k, iters, centroidShards)
         .select(col(idCol), col("cluster")),
       idCol, "cluster", perClusterCap)
 

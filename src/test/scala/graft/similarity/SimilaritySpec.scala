@@ -167,6 +167,25 @@ class SimilaritySpec extends SparkSpec {
       50L * 1000 * 1000) > 1)
   }
 
+  test("kmeans/semDedup sharded transport: assignments and kept sets " +
+      "identical to the broadcast argmax projection") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def km(shards: Option[Int]) = Similarity
+      .kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2,
+        centroidShards = shards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaProjection = km(Some(1)) // array_max broadcast projection
+    val viaShards = km(Some(2))     // windowed row join, shuffle transport
+    assert(viaProjection.nonEmpty)
+    assert(viaShards == viaProjection,
+      "sharded kmeans assign diverged from the broadcast projection")
+    def sd(shards: Option[Int]) = Similarity
+      .semDedup(emb, "vec_id", "embedding", k = 8, iters = 2,
+        threshold = 0.45, centroidShards = shards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(sd(Some(2)) == sd(Some(1)))
+  }
+
   test("cluster-bounded near-dup: single-probe candidates are a subset of " +
       "2-probe (monotone recall knob); output pairs are distinct") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
