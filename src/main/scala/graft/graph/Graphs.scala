@@ -268,19 +268,33 @@ object Graphs {
     * degree; cosine normalizes by the two ENDPOINTS' popularity).
     *
     * Shape: one distinct projection, one basket self-join (cost
-    * Σ_b |b|² — bounded by the basket-size cap of the domain; for
-    * heavy-tailed baskets apply the minhash df-cap guard pattern
-    * first), one combinable pair groupBy, two broadcast-able joins
-    * against the items-sized count table. `minCooc` floors away
+    * Σ_b |b|² — bounded by the basket-size cap of the domain), one
+    * combinable pair groupBy, two broadcast-able joins against the
+    * items-sized count table. `minCooc` floors away
     * single-co-occurrence noise pairs before the count joins, k bounds
     * the output with a deterministic (cosine desc, u, v) order. The
     * division and √ are identical correctly-rounded IEEE ops in any
     * engine, rounded 6 at the end.
+    *
+    * `maxBasketSize` is the heavy-tail guardrail (the
+    * [[adamicAdar]]-`maxDegree` / `minHashLsh`-`maxShingleDf` pattern
+    * applied to baskets): one bot basket holding 10⁵ items alone
+    * contributes 10¹⁰ self-join pairs. Capping DROPS whole oversized
+    * baskets before the join — the standard CF hygiene rule, since a
+    * basket that co-occurs with everything carries ~zero preference
+    * signal while dominating Σ|b|². n_i counts drop in lockstep (the
+    * capped graph's true incidence), keeping cosine internally
+    * consistent. None = exact over all baskets.
     */
   def itemCosine(baskets: DataFrame, basketCol: String, itemCol: String,
-                 minCooc: Long, k: Int): DataFrame = {
-    val bi = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct().cutLineage()
+                 minCooc: Long, k: Int,
+                 maxBasketSize: Option[Long] = None): DataFrame = {
+    val biAll = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val bi = maxBasketSize.fold(biAll) { cap =>
+      val sizes = biAll.groupBy(col("__b")).agg(count(lit(1)).as("__bs"))
+      biAll.join(sizes.filter(col("__bs") <= cap).select(col("__b")), "__b")
+    }.cutLineage()
     val ni = bi.groupBy(col("__i").as("__j")).agg(count(lit(1)).as("__n"))
     val cooc = bi.as("a")
       .join(bi.as("b"),

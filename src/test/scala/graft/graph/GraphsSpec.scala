@@ -216,4 +216,28 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(hi.toSeq == Seq((1L, 2L)))
   }
+
+  test("itemCosine: maxBasketSize drops oversized baskets and recounts " +
+      "incidence consistently") {
+    import spark.implicits._
+    // same fixture plus a bot basket 99 holding EVERY item — uncapped it
+    // inflates all coocs and popularities; capped at 2 it vanishes whole
+    // and basket 10 (size 3) goes with it
+    val bi = (Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L), (40L, 2L), (40L, 3L), (50L, 1L), (50L, 2L)) ++
+      Seq(1L, 2L, 3L, 4L).map(i => (99L, i))).toDF("basket", "item")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val capped = Graphs.itemCosine(bi, "basket", "item", minCooc = 2L,
+      k = 10, maxBasketSize = Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // surviving baskets: b2{1,2} b3{1,3} b4{2,3} b5{1,2} → n₁=3 n₂=3
+    // n₃=2; cooc (1,2)=2 (1,3)=1 (2,3)=1 → only (1,2) clears the floor,
+    // with the CAPPED graph's own popularities in the denominator
+    assert(capped.toSeq == Seq((1L, 2L, 2L, r6(2.0 / math.sqrt(9.0)))))
+    // None = exact over all baskets: the bot basket inflates every cooc
+    // ((1,2)=4, (1,3)=3, (2,3)=3; item-4 pairs stay under the floor)
+    val full = Graphs.itemCosine(bi, "basket", "item", minCooc = 2L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == Seq((1L, 2L, 4L), (1L, 3L, 3L), (2L, 3L, 3L)))
+  }
 }
