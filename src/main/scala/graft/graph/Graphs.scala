@@ -304,9 +304,13 @@ object Graphs {
       .agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= minCooc)
     cooc
-      .join(broadcast(ni.select(col("__j").as("__ju"), col("__n").as("n_u"))),
+      // NO broadcast hint on the popularity table: it has one row per
+      // DISTINCT ITEM — corpus-scale, the same ceiling class as the
+      // centroid table. AQE broadcasts it from runtime stats while small
+      // and shuffle-joins when the item space outgrows the threshold.
+      .join(ni.select(col("__j").as("__ju"), col("__n").as("n_u")),
         col("u") === col("__ju"))
-      .join(broadcast(ni.select(col("__j").as("__jv"), col("__n").as("n_v"))),
+      .join(ni.select(col("__j").as("__jv"), col("__n").as("n_v")),
         col("v") === col("__jv"))
       .select(col("u"), col("v"), col("cooc"), col("n_u"), col("n_v"),
         round(col("cooc").cast("double") /

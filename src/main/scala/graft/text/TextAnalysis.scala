@@ -509,7 +509,11 @@ object TextAnalysis {
     val lm = lmFromBigrams(bi, unigramVocabSize(docs, textCol), k)
       .select(col("a"), col("b"), col("p_raw"))
     docBi
-      .join(broadcast(lm), Seq("a", "b"))
+      // NO broadcast hint: the LM is CORPUS-derived (distinct bigrams grow
+      // with the corpus), so forcing a broadcast is a 100-TB ceiling. AQE
+      // picks broadcast from the runtime shuffle stats while the LM is
+      // small and falls back to a shuffle join when it isn't.
+      .join(lm, Seq("a", "b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum(round(-log2(col("p_raw")), 6).cast("decimal(28,6)")).as("__s"))
