@@ -435,19 +435,26 @@ object SearchQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
-    // q_user_timeline SERVED: the FK expansion reads ONE o_custkey
-    // bucket of the date-sorted timeline layout — no orders-table join
-    // at request time (same oracle as the ad-hoc query).
+    // q_user_timeline SERVED: the FK expansion reads ONLY the matched
+    // keys' buckets of the date-sorted timeline layout — no orders-table
+    // scan at request time. The name can resolve to SEVERAL custkeys
+    // (the synthesized sf1 mutates keys per copy, like shard/alias
+    // resolution in a real serving tier), so the LITERAL key set
+    // (collected once, distinct) drives the static bucket prune and the
+    // customer frame re-joins the pruned probe so row multiplicity
+    // matches the ad-hoc join exactly. Same oracle as the ad-hoc query.
     "q_user_timeline_served" -> ((s, dir) => {
       val store = ServingStores.ensureOrdersTimeline(s, dir)
       val cust = Tables.customer(s, dir)
         .filter(col("c_name") === "Customer#000000042")
-        .select(col("c_custkey"), col("c_name")).collect()
-      ServingStores.timelineProbe(s, store, "o_custkey",
-          cust.head.getLong(0))
+        .select(col("c_custkey"), col("c_name"))
+      val keys = cust.select(col("c_custkey")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      ServingStores.timelineProbeMany(s, store, "o_custkey", keys)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         .limit(1000)
-        .select(lit(cust.head.getString(1)).as("c_name"), col("o_orderkey"),
+        .select(col("c_name"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
     })
   )

@@ -82,12 +82,24 @@ object ServingStores {
     * row-group-prunable equality on the sorted fk column.
     */
   def timelineProbe(spark: SparkSession, dest: String, fkCol: String,
-                    value: Any): DataFrame = {
+                    value: Any): DataFrame =
+    timelineProbeMany(spark, dest, fkCol, Seq(value))
+
+  /** [[timelineProbe]] for a SET of FK values (an entity resolving to
+    * several keys — shards, aliases, merged accounts): a disjunction of
+    * per-key (bucket literal, fk literal) conjuncts, so the scan prunes
+    * to exactly the keys' bucket directories — request cost is the
+    * matching spans, independent of table size.
+    */
+  def timelineProbeMany(spark: SparkSession, dest: String, fkCol: String,
+                        values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "timelineProbeMany needs at least one key")
     val buckets = readBuckets(dest)
-    spark.read.parquet(dest)
-      .filter(col("__bucket") === bucketOf(lit(value), buckets) &&
-        col(fkCol) === lit(value))
-      .drop("__bucket")
+    val pred = values
+      .map(v => col("__bucket") === bucketOf(lit(v), buckets) &&
+        col(fkCol) === lit(v))
+      .reduce(_ || _)
+    spark.read.parquet(dest).filter(pred).drop("__bucket")
   }
 
   def defaultDir(sfDir: String): String = {
