@@ -429,16 +429,16 @@ object StatsQueries extends QueryPack {
     */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val head =
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
         |    AS BIGINT) % 100 < 30),
-        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |ce AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e0 AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce)""".stripMargin
+        |e0 AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce)""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""k$r AS (SELECT u FROM e${r - 1} GROUP BY u HAVING count(*) >= $k),
-         |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+      s"""k$r AS MATERIALIZED (SELECT u FROM e${r - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
          |  JOIN k$r a ON e.u = a.u JOIN k$r b ON e.v = b.u)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
@@ -452,17 +452,17 @@ object StatsQueries extends QueryPack {
     */
   private def lpaOracleSql(rounds: Int): String = {
     val head =
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
         |    AS BIGINT) % 100 < 30),
-        |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |ce AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
-        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
-        |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+        |e AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+        |nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
     val steps = (1 to rounds).map { k =>
-      s"""l$k AS (SELECT node, label FROM (
+      s"""l$k AS MATERIALIZED (SELECT node, label FROM (
          |  SELECT e.v AS node, r.label,
          |    row_number() OVER (PARTITION BY e.v
          |      ORDER BY count(*) DESC, r.label ASC) AS rn
@@ -477,9 +477,9 @@ object StatsQueries extends QueryPack {
     * the identical correctly-rounded IEEE sequence in both engines.
     */
   private val itemCfOracleSql: String =
-    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-      |ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i),
-      |cooc AS (SELECT a.i AS u, b.i AS v, CAST(count(*) AS BIGINT) AS cooc
+    """WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |ni AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i),
+      |cooc AS MATERIALIZED (SELECT a.i AS u, b.i AS v, CAST(count(*) AS BIGINT) AS cooc
       |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
       |SELECT c.u, c.v, c.cooc, nu.n AS n_u, nv.n AS n_v,
@@ -493,21 +493,21 @@ object StatsQueries extends QueryPack {
     * engine so pair sums are bit-equal.
     */
   private val adamicAdarOracleSql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
       |    AS BIGINT) % 100 < 30),
-      |ce AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |ce AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM li a JOIN li b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      |e AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
-      |deg AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
-      |ew AS (SELECT e.v AS n, e.u AS w,
+      |e AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+      |deg AS MATERIALIZED (SELECT u AS w, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+      |ew AS MATERIALIZED (SELECT e.v AS n, e.u AS w,
       |    CAST(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 12)
       |      AS DECIMAL(38,12)) * 1000000000000 AS HUGEINT) AS aw
       |  FROM e JOIN deg ON e.u = deg.w),
-      |pr AS (SELECT a.n AS u, b.n AS v, a.aw
+      |pr AS MATERIALIZED (SELECT a.n AS u, b.n AS v, a.aw
       |  FROM ew a JOIN ew b ON a.w = b.w AND a.n < b.n),
-      |np AS (SELECT * FROM pr p
+      |np AS MATERIALIZED (SELECT * FROM pr p
       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.u AND e.v = p.v))
       |SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
       |  round(CAST(SUM(aw) AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6) AS aa
