@@ -310,32 +310,67 @@ object Similarity {
     * Scale: the cluster id is a plain int column → write the table
     * partitioned by it; a query prunes to 1/nCentroids of the data (nprobe
     * =1; union more clusters for higher recall). Assignment is one
-    * broadcast of nCentroids vectors × a linear scan.
+    * broadcast of nCentroids vectors × a linear scan — or, past the
+    * [[CentroidShardK]] crossover / broadcast byte ceiling (or when
+    * `centroidShards` forces it), the same sharded shuffle transport as
+    * every other assign in this module, with the FLOAT `graft_dot`
+    * scoring kept verbatim so cluster ids and round6 sims are
+    * value-identical across transports (argmax over (sim, −cid) ≡
+    * window (sim desc, cid asc); spec-asserted).
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-                nCentroids: Int): DataFrame = {
+                nCentroids: Int,
+                centroidShards: Option[Int] = None): DataFrame = {
     // explicit contract: with an empty centroid set every row would get a
     // null cluster (array_max over an empty array) — reject up front
     require(nCentroids > 0, "ivfAssign needs at least one centroid")
     GraftFunctions.register(embeddings.sparkSession)
-    // All centroids as ONE broadcast row (an array of (cid, vec) structs);
-    // the argmax is then a pure projection — array_max over a struct whose
-    // leading field is the similarity (tie-break: -cid, i.e. smallest cid
-    // wins) — so assignment is ZERO-shuffle: no window, no groupBy. The
-    // previous formulation (crossJoin + row_number over partitionBy(id))
-    // shuffled nCentroids copies of the table just to pick the per-row max.
-    val centsArr = embeddings.filter(col(idCol) < nCentroids)
-      .agg(collect_list(struct(col(idCol).as("cid"), col(vecCol).as("cv")))
-        .as("__cents"))
-    embeddings.crossJoin(broadcast(centsArr))
-      .withColumn("__best", expr(
-        s"""array_max(transform(__cents, c -> struct(
-           |  round(graft_dot($vecCol, c.cv) /
-           |    (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
-           |  -c.cid AS ncid)))""".stripMargin))
-      .withColumn("cluster", -col("__best.ncid"))
-      .withColumn("centroid_sim", col("__best.sim"))
-      .drop("__cents", "__best")
+    val simExpr =
+      s"""round(graft_dot($vecCol, cv) /
+         |  (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(cv, cv))), 6)""".stripMargin
+    val shards = centroidShards.getOrElse(
+      if (nCentroids < CentroidShardK) 1
+      else autoCentroidShards(embeddings, vecCol, nCentroids.toLong))
+    if (shards > 1) {
+      val salts = embeddings.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt.max(1)
+      val cents = embeddings.filter(col(idCol) < nCentroids)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+        .withColumn("__cs", pmod(col("cid"), lit(shards)).cast("int"))
+        .withColumn("__vs", explode(sequence(lit(0), lit(salts - 1))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid").asc)
+      embeddings
+        .withColumn("__vs", pmod(hash(col(idCol)), lit(salts)).cast("int"))
+        .withColumn("__cs", explode(sequence(lit(0), lit(shards - 1))))
+        .join(cents.hint("shuffle_hash"), Seq("__vs", "__cs"))
+        .withColumn("__sim", expr(simExpr))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("cluster", col("cid"))
+        .withColumn("centroid_sim", col("__sim"))
+        .drop("cv", "cid", "__rn", "__vs", "__cs", "__sim")
+    } else {
+      // All centroids as ONE broadcast row (an array of (cid, vec)
+      // structs); the argmax is then a pure projection — array_max over a
+      // struct whose leading field is the similarity (tie-break: -cid,
+      // i.e. smallest cid wins) — so assignment is ZERO-shuffle: no
+      // window, no groupBy. The previous formulation (crossJoin +
+      // row_number over partitionBy(id)) shuffled nCentroids copies of
+      // the table just to pick the per-row max.
+      val centsArr = embeddings.filter(col(idCol) < nCentroids)
+        .agg(collect_list(struct(col(idCol).as("cid"), col(vecCol).as("cv")))
+          .as("__cents"))
+      embeddings.crossJoin(broadcast(centsArr))
+        .withColumn("__best", expr(
+          s"""array_max(transform(__cents, c -> struct(
+             |  round(graft_dot($vecCol, c.cv) /
+             |    (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
+             |  -c.cid AS ncid)))""".stripMargin))
+        .withColumn("cluster", -col("__best.ncid"))
+        .withColumn("centroid_sim", col("__best.sim"))
+        .drop("__cents", "__best")
+    }
   }
 
   /** ANN query via IVF clusters: exact rerank within the query's `nprobe`

@@ -167,6 +167,20 @@ class SimilaritySpec extends SparkSpec {
       50L * 1000 * 1000) > 1)
   }
 
+  test("ivfAssign sharded transport: clusters and sims identical to the " +
+      "broadcast float-scored projection") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def asg(shards: Option[Int]) = Similarity
+      .ivfAssign(emb, "vec_id", "embedding", nCentroids = 8,
+        centroidShards = shards)
+      .select("vec_id", "cluster", "centroid_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = asg(Some(1))
+    val b = asg(Some(4))
+    assert(a.nonEmpty && b == a,
+      "sharded ivfAssign diverged from the broadcast projection")
+  }
+
   test("kmeans/semDedup sharded transport: assignments and kept sets " +
       "identical to the broadcast argmax projection") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
