@@ -268,6 +268,26 @@ object StatsQueries extends QueryPack {
       Graphs.adamicAdar(edges, k = 20)
     }),
 
+    // The HUB-CAPPED Adamic–Adar path (maxDegree = 40 binds on the
+    // co-purchase graph's hub tail — degrees run 9..63, median 32):
+    // wedges centered on deg > 40 nodes are dropped, which is the
+    // 100-TB power-law guardrail. Oracle applies the identical cap in
+    // its ew CTE, so the surviving scores are hash-exact — the capped
+    // path is oracle-gated, not just spec-pinned.
+    "q_adamic_adar_capped" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(Graphs.vertexSample(col("l_partkey"), 30))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val ce = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+      Graphs.adamicAdar(edges, k = 20, maxDegree = Some(40L))
+    }),
+
     // Personalized PageRank from a 5%-hash seed set over the sampled
     // co-purchase graph — proximity-to-seeds ("related parts"), top-20.
     // Oracle = the identical unrolled recurrence with seed-directed
@@ -492,8 +512,8 @@ object StatsQueries extends QueryPack {
     * weights route through the identical round12-decimal path as the
     * engine so pair sums are bit-equal.
     */
-  private val adamicAdarOracleSql: String =
-    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  private def adamicAdarOracleSql(maxDegree: Option[Long] = None): String =
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |  WHERE CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
       |    AS BIGINT) % 100 < 30),
       |ce AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -504,7 +524,8 @@ object StatsQueries extends QueryPack {
       |ew AS MATERIALIZED (SELECT e.v AS n, e.u AS w,
       |    CAST(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 12)
       |      AS DECIMAL(38,12)) * 1000000000000 AS HUGEINT) AS aw
-      |  FROM e JOIN deg ON e.u = deg.w),
+      |  FROM e JOIN deg ON e.u = deg.w${
+          maxDegree.fold("")(cap => s" WHERE deg <= $cap")}),
       |pr AS MATERIALIZED (SELECT a.n AS u, b.n AS v, a.aw
       |  FROM ew a JOIN ew b ON a.w = b.w AND a.n < b.n),
       |np AS MATERIALIZED (SELECT * FROM pr p
@@ -673,7 +694,8 @@ object StatsQueries extends QueryPack {
 
     "q_pagerank" -> pagerankOracleSql(5),
 
-    "q_adamic_adar" -> adamicAdarOracleSql,
+    "q_adamic_adar" -> adamicAdarOracleSql(),
+    "q_adamic_adar_capped" -> adamicAdarOracleSql(maxDegree = Some(40L)),
 
     "q_gini" ->
       """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
