@@ -56,6 +56,28 @@ object ServingStores {
     writeBuckets(dest, buckets)
   }
 
+  /** Append a NEW batch's postings into an existing store — the
+    * [[BM25Index.appendSegment]] lifecycle for the exact-match routes:
+    * the batch is exploded/bucketed with the layout's OWN bucket count
+    * (read back from `_buckets.txt`, so an appender can never split the
+    * key space differently) and written `mode(append)` into the same
+    * bucket directories. Probes need no change — they read every file
+    * in the key's bucket, base and appended alike. Per-batch cost is the
+    * batch explode + one write; the store is never rewritten. Compact
+    * periodically by rebuilding (truncate + buildPostings) when small
+    * appended files accumulate — the BM25Index compaction contract.
+    */
+  def appendPostings(batch: DataFrame, keysCol: Column, dest: String,
+                     dropCols: Seq[String] = Nil): Unit = {
+    val buckets = readBuckets(dest)
+    batch.withColumn("__key", explode(array_distinct(keysCol)))
+      .drop(dropCols: _*)
+      .withColumn("__bucket", bucketOf(col("__key"), buckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__key"))
+      .write.mode("append").partitionBy("__bucket").parquet(dest)
+  }
+
   /** All source rows posted under `key` — a one-bucket pruned scan. */
   def postingProbe(spark: SparkSession, dest: String, key: String): DataFrame = {
     val buckets = readBuckets(dest)

@@ -46,6 +46,34 @@ class ServingStoresPropertySpec extends SparkSpec {
     }
   }
 
+  test("appendPostings: probe over base+appended ≡ array_contains over " +
+      "the union; truncate+rebuild unaffected") {
+    val base = Seq((1L, List("jobs", "perf")), (2L, List("jobs")))
+      .toDF("id", "tags")
+    val batch = Seq((3L, List("jobs", "new")), (4L, List("new")))
+      .toDF("id", "tags")
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-post-append").toString
+    ServingStores.buildPostings(base, col("tags"), dest, buckets = 3)
+    ServingStores.appendPostings(batch, col("tags"), dest)
+    val union = base.unionAll(batch)
+    for (tag <- Seq("jobs", "perf", "new", "absent")) {
+      val probed = ServingStores.postingProbe(spark, dest, tag)
+        .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      val expected = union.filter(array_contains(col("tags"), tag))
+        .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(probed == expected, s"tag '$tag': $probed != $expected")
+    }
+    // append uses the STORE's bucket count, not a caller guess: a probe
+    // for an appended-only key still prunes to one bucket directory
+    val plan = ServingStores.postingProbe(spark, dest, "new")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"))
+    // lifecycle: truncate forgets base AND appended
+    StoreAdmin.truncate(dest)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dest)))
+  }
+
   test("timelineProbe/Many(fk) ≡ fk filter, multiplicity preserved") {
     val facts = samples(Gen.listOfN(60, for {
       fk <- Gen.chooseNum(0L, 12L)
