@@ -522,7 +522,7 @@ object StatsQueries extends QueryPack {
       |e AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
       |deg AS MATERIALIZED (SELECT u AS w, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
       |ew AS MATERIALIZED (SELECT e.v AS n, e.u AS w,
-      |    CAST(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 12)
+      |    CAST(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(greatest(deg, 2) AS DOUBLE)), 12)
       |      AS DECIMAL(38,12)) * 1000000000000 AS HUGEINT) AS aw
       |  FROM e JOIN deg ON e.u = deg.w${
           maxDegree.fold("")(cap => s" WHERE deg <= $cap")}),

@@ -1,8 +1,11 @@
 package graft.search
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Persisted request-time layouts for the two non-keyword REST routes —
@@ -27,10 +30,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * bucket function is insensitive to the key column's physical type.
   * The bucket count is written into the store (`_buckets.txt` — the
   * underscore keeps it out of the parquet file index) — probes can
-  * never disagree with the layout. At 100 TB these are the layouts
-  * a serving cluster would hold per collection; the stamp-guarded
-  * lifecycle (build-once, [[StoreAdmin]]-truncatable) matches the
-  * engine's other stores.
+  * never disagree with the layout. The row schema is persisted too
+  * (`_schema.json`), so a store built from an all-empty-keys source
+  * (zero parquet files) still probes to a typed empty frame instead of
+  * a schema-inference error.
+  *
+  * Maintenance lifecycle (the reference's indexer is a CONTINUOUS
+  * keyed-upsert loop — SolrIndexer's addBean+commit per batch — with
+  * Solr compacting segments beneath it; this is that full cycle):
+  * [[appendPostings]]/[[appendTimeline]] add a batch's rows into the
+  * existing bucket dirs at batch cost; [[compactPostings]]/
+  * [[compactTimeline]] fold the accumulated small files back into one
+  * read-optimized generation (bounded file count, restored row-group
+  * pruning); [[rebucketPostings]]/[[rebucketTimeline]] change the
+  * bucket count in place when growth makes buckets hot — the one
+  * remedy short of a full rebuild. All three rewrite atomically with
+  * `_buckets.txt` as the swap sentinel (deleted first, restored last —
+  * the [[BM25Index.compact]] crash contract: a crash mid-swap leaves a
+  * store that fails loudly and rebuilds, never serves a mixed
+  * generation). At 100 TB these are the layouts a serving cluster
+  * holds per collection; the stamp-guarded lifecycle (build-once,
+  * [[StoreAdmin]]-truncatable) matches the engine's other stores.
   */
 object ServingStores {
 
@@ -39,21 +59,38 @@ object ServingStores {
   private def bucketOf(key: Column, buckets: Int): Column =
     pmod(hash(key.cast("string")), lit(buckets))
 
+  /** Bucket-partitioned layout write. The sort leads with `__bucket`:
+    * `repartition(col)` can co-locate several bucket values in one task
+    * and the dynamic-`partitionBy` writer then requires its own sort by
+    * the partition column — which is NOT guaranteed stable, so a
+    * key-only `sortWithinPartitions` could silently lose the documented
+    * within-bucket key order (and the min/max row-group pruning it
+    * enables). Leading with `__bucket` satisfies the writer's required
+    * ordering outright; no re-sort is inserted.
+    */
+  private def writeLayout(rows: DataFrame, sortCols: Seq[Column],
+                          dest: String, mode: String): Unit =
+    rows.repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket") +: sortCols: _*)
+      .write.mode(mode).partitionBy("__bucket").parquet(dest)
+
+  private def postingRows(df: DataFrame, keysCol: Column, buckets: Int,
+                          dropCols: Seq[String]): DataFrame =
+    // array_distinct: a key repeated within one row must post the row
+    // ONCE — the probe replays `array_contains` semantics, not explode's
+    df.withColumn("__key", explode(array_distinct(keysCol)))
+      .drop(dropCols: _*)
+      .withColumn("__bucket", bucketOf(col("__key"), buckets))
+
   /** Explode `keysCol` (an array column) into a posting table carrying
     * every source column, bucket-partitioned and key-sorted.
     */
   def buildPostings(df: DataFrame, keysCol: Column, dest: String,
                     buckets: Int = DefaultBuckets,
                     dropCols: Seq[String] = Nil): Unit = {
-    // array_distinct: a key repeated within one row must post the row
-    // ONCE — the probe replays `array_contains` semantics, not explode's
-    df.withColumn("__key", explode(array_distinct(keysCol)))
-      .drop(dropCols: _*)
-      .withColumn("__bucket", bucketOf(col("__key"), buckets))
-      .repartition(col("__bucket"))
-      .sortWithinPartitions(col("__key"))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(dest)
-    writeBuckets(dest, buckets)
+    val rows = postingRows(df, keysCol, buckets, dropCols)
+    writeLayout(rows, Seq(col("__key")), dest, "overwrite")
+    writeMeta(dest, buckets, rows.schema)
   }
 
   /** Append a NEW batch's postings into an existing store — the
@@ -63,25 +100,49 @@ object ServingStores {
     * key space differently) and written `mode(append)` into the same
     * bucket directories. Probes need no change — they read every file
     * in the key's bucket, base and appended alike. Per-batch cost is the
-    * batch explode + one write; the store is never rewritten. Compact
-    * periodically by rebuilding (truncate + buildPostings) when small
-    * appended files accumulate — the BM25Index compaction contract.
+    * batch explode + one write; the store is never rewritten. When small
+    * appended files accumulate, [[compactPostings]] folds them back into
+    * one read-optimized generation — the BM25Index compaction contract.
     */
   def appendPostings(batch: DataFrame, keysCol: Column, dest: String,
                      dropCols: Seq[String] = Nil): Unit = {
     val buckets = readBuckets(dest)
-    batch.withColumn("__key", explode(array_distinct(keysCol)))
-      .drop(dropCols: _*)
-      .withColumn("__bucket", bucketOf(col("__key"), buckets))
-      .repartition(col("__bucket"))
-      .sortWithinPartitions(col("__key"))
-      .write.mode("append").partitionBy("__bucket").parquet(dest)
+    writeLayout(postingRows(batch, keysCol, buckets, dropCols),
+      Seq(col("__key")), dest, "append")
   }
+
+  /** Fold every file of the store — base build plus any appended
+    * batches — into one freshly sorted generation with the SAME bucket
+    * count: file count drops back to O(buckets), within-bucket key
+    * order (and its min/max row-group pruning) is restored across what
+    * appends interleaved. Pure metadata-layout work: one read + one
+    * shuffle-free re-sort write (rows already carry `__bucket`; the
+    * exchange is the repartition back to bucket dirs), never a source
+    * re-explode. Probe results are byte-identical before/after
+    * (spec-asserted against a fresh rebuild).
+    */
+  def compactPostings(spark: SparkSession, dest: String): Unit =
+    rewriteStore(spark, dest, readBuckets(dest), Seq(col("__key")),
+      reBucket = None)
+
+  /** Change the bucket count of an existing posting store IN PLACE —
+    * the growth remedy when a fixed build-time bucket count leaves hot
+    * buckets at 100 TB: every row's `__bucket` is recomputed from its
+    * `__key` under the new count and the store is atomically rewritten,
+    * `_buckets.txt` updated last so probes can never pair the new
+    * layout with the old count. Appenders read the new count on their
+    * next batch. Probe ≡ `array_contains` across any rebucket
+    * (property-spec-asserted for 1 → 3 → 64).
+    */
+  def rebucketPostings(spark: SparkSession, dest: String,
+                       newBuckets: Int): Unit =
+    rewriteStore(spark, dest, newBuckets, Seq(col("__key")),
+      reBucket = Some(col("__key")))
 
   /** All source rows posted under `key` — a one-bucket pruned scan. */
   def postingProbe(spark: SparkSession, dest: String, key: String): DataFrame = {
     val buckets = readBuckets(dest)
-    spark.read.parquet(dest)
+    readStore(spark, dest)
       .filter(col("__bucket") === bucketOf(lit(key), buckets) &&
         col("__key") === key)
       .drop("__key", "__bucket")
@@ -93,12 +154,38 @@ object ServingStores {
   def buildTimeline(df: DataFrame, fkCol: String, dest: String,
                     sortCols: Seq[Column] = Nil,
                     buckets: Int = DefaultBuckets): Unit = {
-    df.withColumn("__bucket", bucketOf(col(fkCol), buckets))
-      .repartition(col("__bucket"))
-      .sortWithinPartitions(col(fkCol) +: sortCols: _*)
-      .write.mode("overwrite").partitionBy("__bucket").parquet(dest)
-    writeBuckets(dest, buckets)
+    val rows = df.withColumn("__bucket", bucketOf(col(fkCol), buckets))
+    writeLayout(rows, col(fkCol) +: sortCols, dest, "overwrite")
+    writeMeta(dest, buckets, rows.schema)
   }
+
+  /** [[appendPostings]] for the FK-expansion layout: a new fact batch
+    * bucketed with the store's own count and appended into the existing
+    * bucket dirs — the continuous-ingest half the timeline route was
+    * missing. Same contract: probes read base + appended files alike;
+    * compact via [[compactTimeline]] when small files accumulate.
+    */
+  def appendTimeline(batch: DataFrame, fkCol: String, dest: String,
+                     sortCols: Seq[Column] = Nil): Unit = {
+    val buckets = readBuckets(dest)
+    writeLayout(batch.withColumn("__bucket", bucketOf(col(fkCol), buckets)),
+      col(fkCol) +: sortCols, dest, "append")
+  }
+
+  /** [[compactPostings]] for the timeline layout — the caller restates
+    * the layout's (fk, sort) contract because parquet does not persist
+    * it; the fk/sort columns must match the build's.
+    */
+  def compactTimeline(spark: SparkSession, dest: String, fkCol: String,
+                      sortCols: Seq[Column] = Nil): Unit =
+    rewriteStore(spark, dest, readBuckets(dest), col(fkCol) +: sortCols,
+      reBucket = None)
+
+  /** [[rebucketPostings]] for the timeline layout. */
+  def rebucketTimeline(spark: SparkSession, dest: String, fkCol: String,
+                       newBuckets: Int, sortCols: Seq[Column] = Nil): Unit =
+    rewriteStore(spark, dest, newBuckets, col(fkCol) +: sortCols,
+      reBucket = Some(col(fkCol)))
 
   /** All fact rows for one FK value — a one-bucket pruned scan plus a
     * row-group-prunable equality on the sorted fk column.
@@ -111,17 +198,22 @@ object ServingStores {
     * several keys — shards, aliases, merged accounts): a disjunction of
     * per-key (bucket literal, fk literal) conjuncts, so the scan prunes
     * to exactly the keys' bucket directories — request cost is the
-    * matching spans, independent of table size.
+    * matching spans, independent of table size. An EMPTY key set (the
+    * entity resolved to nothing on this corpus) returns a typed empty
+    * frame — served and ad-hoc routes degrade identically.
     */
   def timelineProbeMany(spark: SparkSession, dest: String, fkCol: String,
                         values: Seq[Any]): DataFrame = {
-    require(values.nonEmpty, "timelineProbeMany needs at least one key")
-    val buckets = readBuckets(dest)
-    val pred = values
-      .map(v => col("__bucket") === bucketOf(lit(v), buckets) &&
-        col(fkCol) === lit(v))
-      .reduce(_ || _)
-    spark.read.parquet(dest).filter(pred).drop("__bucket")
+    if (values.isEmpty)
+      readStore(spark, dest).filter(lit(false)).drop("__bucket")
+    else {
+      val buckets = readBuckets(dest)
+      val pred = values
+        .map(v => col("__bucket") === bucketOf(lit(v), buckets) &&
+          col(fkCol) === lit(v))
+        .reduce(_ || _)
+      readStore(spark, dest).filter(pred).drop("__bucket")
+    }
   }
 
   def defaultDir(sfDir: String): String = {
@@ -162,9 +254,90 @@ object ServingStores {
     dest
   }
 
-  private def writeBuckets(dest: String, buckets: Int): Unit =
+  /** Parquet data files currently in the store (bucket dirs only) — the
+    * compaction spec's bounded-file-count evidence.
+    */
+  def dataFileCount(dest: String): Int = {
+    val root = Paths.get(dest)
+    if (!Files.isDirectory(root)) 0
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      finally s.close()
+    }
+  }
+
+  /** Atomic full rewrite shared by compaction (same bucket count, rows
+    * keep their `__bucket`) and rebucketing (`reBucket` = the key column
+    * whose hash re-derives `__bucket` under `newBuckets`). The rewrite
+    * lands in a sibling tmp dir first; the swap deletes `_buckets.txt`
+    * FIRST and restores meta LAST, so a crash anywhere mid-swap leaves a
+    * store without its bucket sentinel — probes fail loudly and the
+    * build-if-stale callers rebuild, never serving a mixed generation
+    * (the [[BM25Index.compact]] ordering argument). The staleness stamp,
+    * when present, survives the rewrite: compaction does not change what
+    * source the store was built from.
+    */
+  private def rewriteStore(spark: SparkSession, dest: String,
+                           newBuckets: Int, sortCols: Seq[Column],
+                           reBucket: Option[Column]): Unit = {
+    val rows0 = readStore(spark, dest)
+    val rows = reBucket match {
+      case Some(key) => rows0.drop("__bucket")
+        .withColumn("__bucket", bucketOf(key, newBuckets))
+      case None => rows0
+    }
+    val stampFile = Paths.get(dest, "source_stamp.txt")
+    val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
+                else None
+    val tmp = dest.stripSuffix("/") + "-rewrite-tmp"
+    writeLayout(rows, sortCols, tmp, "overwrite")
+    val schema = rows.schema
+    Files.deleteIfExists(Paths.get(dest, "_buckets.txt"))
+    deleteRecursively(Paths.get(dest))
+    Files.move(Paths.get(tmp), Paths.get(dest))
+    stamp.foreach(Files.writeString(stampFile, _))
+    writeMeta(dest, newBuckets, schema)
+  }
+
+  /** Read the store's rows (including `__bucket`) through the persisted
+    * schema, so an all-empty store (zero parquet files) yields a typed
+    * empty frame instead of an inference error. Legacy stores without
+    * `_schema.json` fall back to inference.
+    */
+  private def readStore(spark: SparkSession, dest: String): DataFrame =
+    readSchema(dest) match {
+      case Some(s) => spark.read.schema(s).parquet(dest)
+      case None => spark.read.parquet(dest)
+    }
+
+  private def writeMeta(dest: String, buckets: Int, schema: StructType): Unit = {
+    Files.createDirectories(Paths.get(dest))
+    Files.writeString(Paths.get(dest, "_schema.json"), schema.json)
+    // _buckets.txt LAST: it is the store's serve sentinel
     Files.writeString(Paths.get(dest, "_buckets.txt"), buckets.toString)
+  }
 
   private def readBuckets(dest: String): Int =
     Files.readString(Paths.get(dest, "_buckets.txt")).trim.toInt
+
+  private def readSchema(dest: String): Option[StructType] = {
+    val f = Paths.get(dest, "_schema.json")
+    if (Files.exists(f))
+      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+        .asInstanceOf[StructType])
+    else None
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

@@ -789,12 +789,17 @@ object EventStreams {
           pow(col("n_treat").cast("double") - col("__e"), 2) / col("__e"))
       .withColumn("__mean",
         col("__sy").cast("double") / col("__n").cast("double"))
+      // degenerate-experiment guard: one user per arm makes the n−2
+      // denominator 0/0 = NaN, and an empty arm nulls its moment columns;
+      // both cases emit a DELIBERATE NULL variance (and the MDE follows
+      // null through its arithmetic) instead of NaN/garbage
       .withColumn("__var", expr(
-        """((CAST(__syy0 AS DOUBLE) - CAST(__sy0 AS DOUBLE)
+        """CASE WHEN n_ctrl >= 2 AND n_treat >= 2 THEN
+          |((CAST(__syy0 AS DOUBLE) - CAST(__sy0 AS DOUBLE)
           |    * CAST(__sy0 AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
           | + (CAST(__syy1 AS DOUBLE) - CAST(__sy1 AS DOUBLE)
           |    * CAST(__sy1 AS DOUBLE) / CAST(n_treat AS DOUBLE)))
-          |  / CAST(__n - 2 AS DOUBLE)""".stripMargin))
+          |  / CAST(__n - 2 AS DOUBLE) END""".stripMargin))
       .withColumn("__mde", lit(1.96 + 0.84) *
         sqrt(col("__var") * (lit(1.0) / col("n_ctrl").cast("double") +
           lit(1.0) / col("n_treat").cast("double"))))

@@ -74,6 +74,120 @@ class ServingStoresPropertySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dest)))
   }
 
+  test("compactPostings: append×3 → compact ≡ fresh rebuild (probe rows " +
+      "identical), file count bounded back to O(buckets)") {
+    val batches = (0 until 4).map(b =>
+      Seq((b * 10L + 1, List("jobs", s"b$b")), (b * 10L + 2, List("jobs")))
+        .toDF("id", "tags"))
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-post-compact").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-post-fresh").toString
+    ServingStores.buildPostings(batches.head, col("tags"), dest, buckets = 3)
+    batches.tail.foreach(b =>
+      ServingStores.appendPostings(b, col("tags"), dest))
+    val appendedFiles = ServingStores.dataFileCount(dest)
+    ServingStores.compactPostings(spark, dest)
+    val compactFiles = ServingStores.dataFileCount(dest)
+    assert(compactFiles < appendedFiles,
+      s"compaction must shrink the file count ($appendedFiles -> $compactFiles)")
+    assert(compactFiles <= 3, s"post-compact files $compactFiles > buckets")
+    // compacted store ≡ a store freshly built from the unioned source
+    ServingStores.buildPostings(batches.reduce(_ unionAll _), col("tags"),
+      fresh, buckets = 3)
+    for (tag <- Seq("jobs", "b0", "b3", "absent")) {
+      val a = ServingStores.postingProbe(spark, dest, tag)
+        .collect().map(_.toString).sorted.toSeq
+      val b = ServingStores.postingProbe(spark, fresh, tag)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"tag '$tag': compacted $a != fresh $b")
+    }
+    // the staleness stamp survives compaction (compaction does not change
+    // the source generation the store was built from)
+    graft.util.Stamp.write(dest, "stamp-x")
+    ServingStores.compactPostings(spark, dest)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-x"))
+    StoreAdmin.truncate(dest); StoreAdmin.truncate(fresh)
+  }
+
+  test("rebucketPostings 3→7→1: probe ≡ array_contains across every " +
+      "rebucket; appenders pick up the new count") {
+    val base = Seq((1L, List("jobs", "perf")), (2L, List("jobs", "x")),
+      (3L, List("perf"))).toDF("id", "tags")
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-post-rebucket").toString
+    ServingStores.buildPostings(base, col("tags"), dest, buckets = 3)
+    def check(src: org.apache.spark.sql.DataFrame): Unit =
+      for (tag <- Seq("jobs", "perf", "x", "late", "absent")) {
+        val probed = ServingStores.postingProbe(spark, dest, tag)
+          .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+        val expected = src.filter(array_contains(col("tags"), tag))
+          .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+        assert(probed == expected, s"tag '$tag': $probed != $expected")
+      }
+    ServingStores.rebucketPostings(spark, dest, 7)
+    check(base)
+    // an append AFTER the rebucket must split keys with the new count
+    val batch = Seq((9L, List("late", "jobs"))).toDF("id", "tags")
+    ServingStores.appendPostings(batch, col("tags"), dest)
+    check(base.unionAll(batch))
+    ServingStores.rebucketPostings(spark, dest, 1)
+    check(base.unionAll(batch))
+    StoreAdmin.truncate(dest)
+  }
+
+  test("timeline lifecycle: append + compact + rebucket ≡ fk filter over " +
+      "the union, within-bucket (fk, sort) order restored by compact") {
+    val base = Seq((1L, 10, "a"), (1L, 30, "b"), (2L, 20, "c"))
+      .toDF("fk", "seq", "v")
+    val batch = Seq((1L, 20, "d"), (3L, 5, "e")).toDF("fk", "seq", "v")
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-tl-life").toString
+    ServingStores.buildTimeline(base, "fk", dest,
+      sortCols = Seq(col("seq").desc), buckets = 4)
+    ServingStores.appendTimeline(batch, "fk", dest,
+      sortCols = Seq(col("seq").desc))
+    val union = base.unionAll(batch)
+    def check(): Unit = (1L to 4L).foreach { k =>
+      val probed = ServingStores.timelineProbe(spark, dest, "fk", k)
+        .collect().map(_.toString).sorted.toSeq
+      val expected = union.filter(col("fk") === k)
+        .collect().map(_.toString).sorted.toSeq
+      assert(probed == expected, s"fk $k: $probed != $expected")
+    }
+    check()
+    ServingStores.compactTimeline(spark, dest, "fk",
+      sortCols = Seq(col("seq").desc))
+    check()
+    assert(ServingStores.dataFileCount(dest) <= 4)
+    ServingStores.rebucketTimeline(spark, dest, "fk", 2,
+      sortCols = Seq(col("seq").desc))
+    check()
+    StoreAdmin.truncate(dest)
+  }
+
+  test("degenerate stores: all-empty key arrays build a probeable empty " +
+      "store; an empty timeline key set returns a typed empty frame") {
+    val noTags = Seq((1L, List.empty[String]), (2L, List.empty[String]))
+      .toDF("id", "tags")
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-post-empty").toString
+    ServingStores.buildPostings(noTags, col("tags"), dest, buckets = 3)
+    val probed = ServingStores.postingProbe(spark, dest, "anything")
+    assert(probed.columns.toSeq == Seq("id", "tags"))
+    assert(probed.count() == 0L)
+    StoreAdmin.truncate(dest)
+
+    val facts = Seq((1L, 10)).toDF("fk", "v")
+    val tl = java.nio.file.Files
+      .createTempDirectory("graft-tl-empty").toString
+    ServingStores.buildTimeline(facts, "fk", tl, buckets = 2)
+    val none = ServingStores.timelineProbeMany(spark, tl, "fk", Seq.empty)
+    assert(none.columns.toSeq == Seq("fk", "v"))
+    assert(none.count() == 0L)
+    StoreAdmin.truncate(tl)
+  }
+
   test("timelineProbe/Many(fk) ≡ fk filter, multiplicity preserved") {
     val facts = samples(Gen.listOfN(60, for {
       fk <- Gen.chooseNum(0L, 12L)

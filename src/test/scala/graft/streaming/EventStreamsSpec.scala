@@ -713,6 +713,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(bad.getDouble(2) == 4.5 && bad.getBoolean(3))
   }
 
+  test("abHealth degenerate: one user per arm / an empty arm emit NULL " +
+      "variance+MDE, never NaN (ADVICE r11)") {
+    import spark.implicits._
+    def ev(users: Seq[(Long, Double)]) = users.zipWithIndex.map {
+      case ((u, v), i) => (i.toLong, ts("2024-01-01 08:00:00"), u, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    // n=2, one per arm: the n−2 pooled denominator is 0/0 without the guard
+    val tiny = EventStreams.abHealth(ev(Seq((0L, 2.0), (1L, 4.0)))).head()
+    assert((tiny.getLong(0), tiny.getLong(1)) == ((1L, 1L)))
+    assert(tiny.isNullAt(5) && tiny.isNullAt(6) && tiny.isNullAt(7),
+      s"expected NULL var/mde, got $tiny")
+    // empty treatment arm (all even user ids): moments for arm 1 are NULL
+    val oneArm = EventStreams.abHealth(
+      ev(Seq((0L, 2.0), (2L, 4.0), (4L, 6.0)))).head()
+    assert((oneArm.getLong(0), oneArm.getLong(1)) == ((3L, 0L)))
+    assert(oneArm.isNullAt(5) && oneArm.isNullAt(6) && oneArm.isNullAt(7))
+  }
+
   test("holtBacktest: out-of-sample 1-step errors from prefix states") {
     import spark.implicits._
     // series 1, 2, 4, 7 (the holtForecast fixture): states t2 (2.0, 1.0),
