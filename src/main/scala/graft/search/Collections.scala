@@ -155,11 +155,17 @@ object Collections {
     * happens AFTER the k-row cut, so per-request cost is the k lookups,
     * never a corpus scan. Envelopes are byte-identical to the ad-hoc path
     * (the index scoring is value-equal by the served-query oracle).
+    *
+    * Scores through [[BM25Index.topKMerged]], so documents indexed as
+    * appended segments by the live-ingest loop are visible immediately —
+    * Solr's serve-after-commit semantics. With zero segments the merged
+    * plan is [[BM25Index.topK]] plus one no-op union (value-identical,
+    * same oracle).
     */
   def keywordSearchIndexed(tweets: DataFrame, users: DataFrame,
                            indexDir: String, terms: Seq[String],
                            k: Int = 10): DataFrame = {
-    val top = BM25Index.topK(tweets.sparkSession, indexDir, terms, k)
+    val top = BM25Index.topKMerged(tweets.sparkSession, indexDir, terms, k)
     top.join(tweets.withColumnRenamed("id", "doc"), "doc")
       .join(users.withColumnRenamed("id", "uid"),
         col("userID") === col("uid"), "left")

@@ -186,6 +186,38 @@ object HttpServing {
       dest + "/users")
   }
 
+  /** Advance all three serving layouts with a NEW ingest batch — the
+    * continuous half of the reference's indexer loop
+    * (`SolrIndexer.java:152-158`: addBean+commit per collected batch,
+    * forever): each store gets the batch appended with its own persisted
+    * bucket count, probes serve base + appended files immediately.
+    * Contract: batch rows are new ids (the live pipeline's watermarked
+    * dedup guarantees it) — same add-without-delete contract as
+    * [[BM25Index.appendSegment]].
+    */
+  def appendTweetIndex(tweetsBatch: DataFrame, usersBatch: DataFrame,
+                       dest: String): Unit = {
+    ServingStores.appendPostings(tweetsBatch, col("tweetHashtags"),
+      dest + "/hashtags")
+    ServingStores.appendTimeline(tweetsBatch, "userID", dest + "/by_user",
+      sortCols = Seq(col("tweetDateTime").desc))
+    ServingStores.appendPostings(usersBatch, array(col("userScreenName")),
+      dest + "/users")
+  }
+
+  /** Fold accumulated appends in all three layouts back into one
+    * read-optimized generation each — Solr's background segment merge for
+    * the tweet index (probe results identical before/after; LiveIngestSpec
+    * asserts byte-identical HTTP envelopes across the compaction).
+    */
+  def compactTweetIndex(spark: org.apache.spark.sql.SparkSession,
+                        dest: String): Unit = {
+    ServingStores.compactPostings(spark, dest + "/hashtags")
+    ServingStores.compactTimeline(spark, dest + "/by_user", "userID",
+      sortCols = Seq(col("tweetDateTime").desc))
+    ServingStores.compactPostings(spark, dest + "/users")
+  }
+
   private def parseQuery(raw: String): Map[String, String] =
     Option(raw).toSeq.flatMap(_.split('&')).flatMap { kv =>
       kv.split("=", 2) match {
