@@ -63,4 +63,20 @@ object PqStore {
     Similarity.pqServe(withVd, codebook, codes, queryId, k, rerank, M, sd,
       "vec_id")
   }
+
+  /** [[Similarity.pqTopKMulti]] over the persisted artifacts — the
+    * recall audit's served twin: every id < `maxQid` queries the stored
+    * codebook + codes at once; raw vectors only for the exact rerank.
+    */
+  def topKMulti(spark: SparkSession, sfDir: String, maxQid: Long, k: Int,
+                rerank: Int = 40): DataFrame = {
+    val dest = ensureBuilt(spark, sfDir)
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val codes = spark.read.parquet(s"$dest/codes.parquet")
+    val withVd = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("vid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    Similarity.pqTopKMulti(withVd, codebook, codes, maxQid, k, rerank, M, sd)
+  }
 }

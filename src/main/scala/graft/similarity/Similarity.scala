@@ -996,6 +996,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-query face of [[pqServe]] for the recall audit (round-11
+    * verdict item 2 — PQ was the only ANN path whose accuracy was a
+    * Scaladoc claim, and round 7 proved exactly that can hide recall
+    * 0.0): every vector with id < `maxQid` queries the SAME trained
+    * (codebook, codes) pair at once — ONE broadcast LUT of
+    * (queries × m × ksub) subspace dot products, one codes-scan ADC
+    * pass grouped by (query, vector), per-query top-`rerank` exact
+    * rerank, top-`k` kept. Identical scoring algebra to [[pqServe]]
+    * (round-6 LUT entries, DECIMAL(38,12) across-subspace sums, rounded
+    * exact rerank), so the audit measures the path users actually run.
+    * Returns (qid, vec_id).
+    */
+  private[similarity] def pqTopKMulti(withVd: DataFrame, c1: DataFrame,
+                                      codes: DataFrame, maxQid: Long,
+                                      k: Int, rerank: Int, m: Int,
+                                      sd: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qsubs = withVd.filter(col("vid") < maxQid)
+      .select(col("vid").as("qid"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("qid"), col("s"),
+        slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
+    val lut = c1.join(broadcast(qsubs), Seq("s"))
+      .select(col("qid"), col("s"), col("cid"),
+        round(expr("aggregate(zip_with(cv, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+          .as("pdot"),
+        round(expr("aggregate(cv, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2"))
+    val qn = withVd.filter(col("vid") < maxQid)
+      .select(col("vid").as("qid"),
+        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        col("v").as("qv"))
+    val cands = codes.join(broadcast(lut), Seq("s", "cid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("pdot").cast("decimal(38,12)")).cast("double").as("__adc"),
+        sum(col("pnorm2").cast("decimal(38,12)")).cast("double").as("__apx2"))
+      .join(broadcast(qn.select(col("qid"), col("qnorm"))), "qid")
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(col("__adc") / (col("qnorm") * sqrt(col("__apx2"))), 6)
+          .as("adc_cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("adc_cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vid"))
+    cands.join(withVd, "vid")
+      .join(broadcast(qn.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("vid"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("vid").as("vec_id"))
+  }
+
+  /** [[pqTopKMulti]] with in-plan training — the recall audit's ad-hoc
+    * twin of [[pqTopK]] (identical codebook recipe, every id < `maxQid`
+    * as a query at once).
+    */
+  def pqTopKMultiQuery(embeddings: DataFrame, idCol: String, vecCol: String,
+                       maxQid: Long, k: Int, m: Int = 8, ksub: Int = 8,
+                       rerank: Int = 40): DataFrame = {
+    val (withVd, c1, codes, sd) = pqModel(embeddings, idCol, vecCol, m, ksub)
+    pqTopKMulti(withVd, c1, codes, maxQid, k, rerank, m, sd)
+  }
+
   /** Symmetric int8 quantization audit — the serving-side compression
     * every large vector store applies (scale = max|x|/127, q = round(x/s),
     * dequant x̂ = q·s), reported as per-vector reconstruction error so a

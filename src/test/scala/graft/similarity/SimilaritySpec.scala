@@ -364,6 +364,28 @@ class SimilaritySpec extends SparkSpec {
     assert(sims((1, 2)) == 0.0)
   }
 
+  test("pqTopKMultiQuery: recall floor on the clustered fixture — the " +
+      "build-failing guard behind q_ann_recall's pq rows (round-7 lesson: " +
+      "unmeasured ANN accuracy can hide recall 0.0)") {
+    def v(base: Float, d: Int) = Array.tabulate(8)(i => base + 0.01f * i + 0.001f * d)
+    val emb = (
+      (0L to 4L).map(i => (i, v(1.0f, i.toInt))) ++
+      (5L to 9L).map(i => (i, v(-1.0f, i.toInt))) ++
+      (10L to 14L).map(i => (i, v(0.3f, i.toInt)))
+    ).toDF("vec_id", "embedding")
+    val cand = Similarity.pqTopKMultiQuery(emb, "vec_id", "embedding",
+      maxQid = 5, k = 4, m = 2, ksub = 3, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly k rows per query — the serve contract
+    cand.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 4, s"query $q returned ${rows.length} rows") }
+    val truth = (0L until 5L).flatMap(q =>
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 4)
+        .collect().map(r => (q, r.getLong(0)))).toSet
+    val recall = truth.count(cand.toSet.contains).toDouble / truth.size
+    assert(recall >= 0.75, s"pq multi-query recall $recall < 0.75")
+  }
+
   test("pqTopK: re-ranked results carry exact cosines and recover the true top-k") {
     // 3 tight clusters in 8-dim space; query vec 0 sits in cluster A, so
     // its true neighbors are the other A members
