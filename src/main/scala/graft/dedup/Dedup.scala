@@ -343,12 +343,22 @@ object Dedup {
     * number that says so. Plan: distinct (shingle, source) projection
     * (one combinable groupBy), then a shingle equi-join producing only
     * cross-source pairs and one counting groupBy — cost is
-    * O(shingles shared), never pairwise in docs. At 100 TB apply the
-    * same `capShingleDf` guard as MinHash against boilerplate shingles.
+    * O(shingles shared), never pairwise in docs. At 100 TB pass
+    * `maxShingleDf` — the same [[capShingleDf]] guard as
+    * [[minHashLsh]]: shingles appearing in more than that many docs
+    * (boilerplate headers, licence blocks, navigation chrome) are
+    * dropped BEFORE the equi-join, bounding the per-shingle source-set
+    * rows the exchange carries; the overlap signal those shingles carry
+    * is noise (every source shares boilerplate), so the cap sharpens
+    * the statistic while capping the cost. Oracle-gated as
+    * `q_source_overlap_capped` (the cap replayed in the oracle CTE).
     */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
-                    groupCol: String, n: Int = 3): DataFrame = {
-    val sg = shingles(docs, idCol, textCol, n)
+                    groupCol: String, n: Int = 3,
+                    maxShingleDf: Option[Long] = None): DataFrame = {
+    val shAll = shingles(docs, idCol, textCol, n)
+    val sh = maxShingleDf.fold(shAll)(cut => capShingleDf(shAll, cut))
+    val sg = sh
       .join(docs.select(col(idCol).as("doc"), col(groupCol).as("__g")), "doc")
     // per-shingle source SET (bounded by the source count — a handful),
     // then the a<b pairs expand from the sorted set as a pure projection:

@@ -144,6 +144,15 @@ object DedupQueries extends QueryPack {
       Dedup.sourceOverlap(Tables.documents(s, dir), "doc_id", "text",
         "source")),
 
+    // The 100-TB guard on the same statistic: boilerplate shingles
+    // (doc frequency > 4 — binding on this corpus, max df 7) dropped
+    // before the equi-join, the minHashLsh(maxShingleDf) pattern. The
+    // cap is replayed in the oracle's df CTE, so the trade is a
+    // hash-gated knob, not a silent approximation.
+    "q_source_overlap_capped" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir), "doc_id", "text",
+        "source", maxShingleDf = Some(4L))),
+
     // The production banding (r=4: 3 bands of 4 — the corpus-size knob
     // from the round-9 sweep) on the same incremental probe.
     "q_dedup_incr_minhash_r4" -> ((s, dir) => {
@@ -366,6 +375,17 @@ object DedupQueries extends QueryPack {
     "q_source_overlap" -> (shingleCte +
       """, sg AS (SELECT DISTINCT s.shingle, d.source
         |  FROM sh s JOIN documents d ON s.doc = d.doc_id)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY a.source, b.source""".stripMargin),
+
+    "q_source_overlap_capped" -> (shingleCte +
+      """, kept AS (SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING COUNT(*) <= 4),
+        |sg AS (SELECT DISTINCT s.shingle, d.source
+        |  FROM sh s JOIN kept k ON s.shingle = k.shingle
+        |  JOIN documents d ON s.doc = d.doc_id)
         |SELECT a.source AS src_a, b.source AS src_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source

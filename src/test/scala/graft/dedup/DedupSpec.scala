@@ -247,6 +247,30 @@ class DedupSpec extends SparkSpec {
       (2L, 3L, 2L, 4L, 6L)))
   }
 
+  test("sourceOverlap(maxShingleDf): boilerplate shingles above the df cut " +
+      "are dropped; rare shared shingles survive") {
+    import spark.implicits._
+    // "x x x" is boilerplate: present in 4 docs across all 3 sources;
+    // "a b c" is a genuine shared shingle between s1 and s2 (df 2)
+    val docs = Seq(
+      (1L, "x x x a b c", "s1"),
+      (2L, "x x x a b c", "s2"),
+      (3L, "x x x q r t", "s2"),
+      (4L, "x x x u v w", "s3")
+    ).toDF("doc_id", "text", "source")
+    val capped = Dedup.sourceOverlap(docs, "doc_id", "text", "source",
+        maxShingleDf = Some(3L))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // only the rare shingles remain: s1-s2 share "a b c"/"b c x x"… no —
+    // shingles of doc1: "x x x","x x a","x a b","a b c"; doc2 identical;
+    // df("x x x")=4 > 3 dropped, the other three shared shingles (df 2) kept
+    assert(capped == Map(("s1", "s2") -> 3L), s"got $capped")
+    // uncapped: the boilerplate shingle links every source pair
+    val full = Dedup.sourceOverlap(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(full.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+  }
+
   test("sourceOverlap counts distinct shared shingles per source pair") {
     import spark.implicits._
     val docs = Seq(
