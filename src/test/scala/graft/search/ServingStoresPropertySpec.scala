@@ -166,6 +166,54 @@ class ServingStoresPropertySpec extends SparkSpec {
     StoreAdmin.truncate(dest)
   }
 
+  test("q_hashtag_served / q_user_timeline_served stay value-identical " +
+      "when their stores are built by an append+compact cycle instead of " +
+      "one shot (round-11 verdict item 1's driver-query criterion)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-cycle").toString
+
+    // doc postings: 80% base build, 20% appended, then compacted —
+    // probed with the EXACT q_hashtag_served query shape
+    val docs = graft.util.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        split(col("text"), " ").as("__words"))
+    ServingStores.buildPostings(docs.filter(col("doc_id") % 5 =!= 0),
+      col("__words"), s"$tmp/postings", dropCols = Seq("__words"))
+    ServingStores.appendPostings(docs.filter(col("doc_id") % 5 === 0),
+      col("__words"), s"$tmp/postings", dropCols = Seq("__words"))
+    ServingStores.compactPostings(spark, s"$tmp/postings")
+    def hashtagServed(store: String): Seq[String] =
+      ServingStores.postingProbe(spark, store, "spark")
+        .orderBy(col("doc_id").asc).limit(1000)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .collect().map(_.toString).toSeq
+    assert(hashtagServed(s"$tmp/postings") ==
+      hashtagServed(ServingStores.ensureDocPostings(spark, sfDir)))
+
+    // orders timeline: same cycle, probed with the q_user_timeline_served
+    // key-set shape
+    val orders = graft.util.Tables.orders(spark, sfDir)
+    ServingStores.buildTimeline(orders.filter(col("o_orderkey") % 5 =!= 0),
+      "o_custkey", s"$tmp/timeline", sortCols = Seq(col("o_orderdate").desc))
+    ServingStores.appendTimeline(orders.filter(col("o_orderkey") % 5 === 0),
+      "o_custkey", s"$tmp/timeline", sortCols = Seq(col("o_orderdate").desc))
+    ServingStores.compactTimeline(spark, s"$tmp/timeline", "o_custkey",
+      sortCols = Seq(col("o_orderdate").desc))
+    val keys = graft.util.Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).limit(3).collect().map(_.getLong(0)).toSeq
+    def timelineServed(store: String): Seq[String] =
+      ServingStores.timelineProbeMany(spark, store, "o_custkey", keys)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc).limit(1000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .collect().map(_.toString).toSeq
+    assert(timelineServed(s"$tmp/timeline") ==
+      timelineServed(ServingStores.ensureOrdersTimeline(spark, sfDir)))
+    StoreAdmin.truncate(s"$tmp/postings")
+    StoreAdmin.truncate(s"$tmp/timeline")
+  }
+
   test("degenerate stores: all-empty key arrays build a probeable empty " +
       "store; an empty timeline key set returns a typed empty frame") {
     val noTags = Seq((1L, List.empty[String]), (2L, List.empty[String]))
