@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.expressions.GraftFunctions
-import graft.util.{Stamp, Tables}
+import graft.util.{AtomicRewrite, Stamp, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,6 +22,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * centroids for trained ones ([[Similarity.kmeansAssign]]) without
   * changing the layout.
   *
+  * Maintenance lifecycle: [[appendBatch]] assigns a NEW batch against
+  * the store's FROZEN centroids ([[Similarity.assignToCentroids]] —
+  * identical rounding and tie-break to the build's [[Similarity.ivfAssign]],
+  * and since the seed centroids are the base ids < NumCentroids, the
+  * appended store equals a full rebuild over the union exactly,
+  * spec-asserted) and appends into the cluster partitions + forward
+  * table at batch cost; [[compact]] folds accumulated files back into
+  * one sorted generation per sub-table, atomically under the staleness
+  * stamp ([[AtomicRewrite]] — a crash mid-swap drops the stamp, so a
+  * mixed-generation vectors/byid pair can never be served).
+  *
   * The probe-cluster lookup is a 1-row driver fetch (the serving
   * boundary, same as [[graft.search.HttpServing]]'s envelope collects) —
   * it becomes the partition-pruning LITERAL, which is exactly why the
@@ -38,33 +49,75 @@ object IvfStore {
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
+  // cluster leads the sort so the dynamic-partition writer's required
+  // ordering is pre-satisfied (no unstable re-sort that could lose the
+  // within-file vec_id order — the ServingStores writeLayout argument)
+  private def writeVectors(assigned: DataFrame, path: String,
+                           mode: String): Unit =
+    assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("vec_id"))
+      .write.mode(mode).partitionBy("cluster").parquet(path)
+
+  private def writeById(assigned: DataFrame, path: String,
+                        mode: String): Unit =
+    assigned.select(col("vec_id"), col("cluster"))
+      .coalesce(1).sortWithinPartitions(col("vec_id"))
+      .write.mode(mode).parquet(path)
+
+  /** Materialize the cluster-partitioned layout at `dest` — the
+    * dest-level build [[ensureBuilt]] wraps with the staleness stamp.
+    */
+  def buildAt(dest: String, embeddings: DataFrame): Unit = {
+    val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
+      NumCentroids)
+    writeVectors(assigned, s"$dest/vectors.parquet", "overwrite")
+    writeById(assigned, s"$dest/byid.parquet", "overwrite")
+  }
+
+  /** Append a NEW batch assigned against the store's frozen centroids.
+    * Contract: batch ids are new AND outside the seed range
+    * (≥ NumCentroids) — under it, append ≡ full rebuild exactly, because
+    * a rebuild's seeds (base ids < NumCentroids) are unchanged by the
+    * new rows.
+    */
+  def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dest/vectors.parquet")
+      .filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+    val assigned = Similarity.assignToCentroids(batch, "vec_id", "embedding",
+      cents)
+    writeVectors(assigned, s"$dest/vectors.parquet", "append")
+    writeById(assigned, s"$dest/byid.parquet", "append")
+  }
+
+  /** Fold accumulated appended files back into one sorted generation per
+    * sub-table — both swapped in ONE stamp-guarded transaction so a
+    * crash can never pair new vectors with an old forward table.
+    */
+  def compact(spark: SparkSession, dest: String): Unit = {
+    val vectors = spark.read.parquet(s"$dest/vectors.parquet")
+    val byid = spark.read.parquet(s"$dest/byid.parquet")
+    AtomicRewrite.rewriteMany(dest, Seq(
+      s"$dest/vectors.parquet" -> (tmp => writeVectors(vectors, tmp, "overwrite")),
+      s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))))
+  }
+
   /** Build-if-absent-or-stale; returns the store directory. */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
     val dest = defaultDir(sfDir)
     val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
     if (!Stamp.isFresh(dest, stamp)) {
-      val assigned = Similarity.ivfAssign(
-        Tables.embeddings(spark, sfDir), "vec_id", "embedding", NumCentroids)
-      assigned.select(col("vec_id"), col("embedding"), col("cluster"))
-        .repartition(col("cluster"))
-        .sortWithinPartitions(col("vec_id"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$dest/vectors.parquet")
-      assigned.select(col("vec_id"), col("cluster"))
-        .coalesce(1).sortWithinPartitions(col("vec_id"))
-        .write.mode("overwrite").parquet(s"$dest/byid.parquet")
+      buildAt(dest, Tables.embeddings(spark, sfDir))
       Stamp.write(dest, stamp)
     }
     dest
   }
 
-  /** [[Similarity.ivfTopK]] (nprobe = 1) served from the store: identical
-    * results, but the vector scan is pruned to the probe cluster's
-    * partition directory instead of post-filtering a full corpus scan.
-    */
-  def topK(spark: SparkSession, sfDir: String, queryId: Long, k: Int): DataFrame = {
+  /** [[topK]] against an explicit store directory (lifecycle specs). */
+  def topKAt(spark: SparkSession, dest: String, queryId: Long,
+             k: Int): DataFrame = {
     GraftFunctions.register(spark)
-    val dest = ensureBuilt(spark, sfDir)
     // serving-boundary point read: the query's cluster id, needed as a
     // literal so the partition filter prunes at planning time
     val qCluster = spark.read.parquet(s"$dest/byid.parquet")
@@ -82,4 +135,11 @@ object IvfStore {
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** [[Similarity.ivfTopK]] (nprobe = 1) served from the store: identical
+    * results, but the vector scan is pruned to the probe cluster's
+    * partition directory instead of post-filtering a full corpus scan.
+    */
+  def topK(spark: SparkSession, sfDir: String, queryId: Long, k: Int): DataFrame =
+    topKAt(spark, ensureBuilt(spark, sfDir), queryId, k)
 }

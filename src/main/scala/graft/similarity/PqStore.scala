@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.util.{Stamp, Tables}
+import graft.util.{AtomicRewrite, Stamp, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -13,6 +13,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * codebook per query, the right shape only for one-off analytics).
   * Raw vectors are touched only by the exact rerank of the top
   * candidates, via an id join.
+  *
+  * Maintenance lifecycle: [[appendBatch]] encodes a NEW batch against
+  * the FROZEN codebook ([[Similarity.pqEncode]]) and appends its codes —
+  * the standard PQ serving contract: the codebook is part of the index's
+  * identity (retraining it would silently invalidate every existing
+  * code), so appended vectors are quantized in the shipped space and
+  * become immediately searchable, while old codes are untouched
+  * (spec-asserted). Accuracy for appended vectors matches the trained
+  * corpus so long as the batch is drawn from the same distribution —
+  * when drift accumulates, rebuild (the stamp forces it on a source
+  * regeneration anyway). [[compact]] folds accumulated code files back
+  * into one generation, atomically under the staleness stamp.
   *
   * Layout: `codebook.parquet` (s, cid, cv — m × ksub rows),
   * `codes.parquet` (vid, s, cid — m small rows per vector; at true scale
@@ -30,20 +42,66 @@ object PqStore {
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
+  /** Materialize codebook + codes at `dest` — the dest-level build
+    * [[ensureBuilt]] wraps with the staleness stamp.
+    */
+  def buildAt(dest: String, embeddings: DataFrame): Unit = {
+    val (_, codebook, codes, _) = Similarity.pqModel(
+      embeddings, "vec_id", "embedding", M, Ksub)
+    codebook.coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/codebook.parquet")
+    codes.repartition(col("vid"))
+      .write.mode("overwrite").parquet(s"$dest/codes.parquet")
+  }
+
+  /** Encode a NEW batch with the store's frozen codebook and append its
+    * codes. Contract: batch ids are new (the family's add-without-delete
+    * contract); the codebook file is never touched.
+    */
+  def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit = {
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    Similarity.pqEncode(batch, "vec_id", "embedding", codebook, M, sd)
+      .repartition(col("vid"))
+      .write.mode("append").parquet(s"$dest/codes.parquet")
+  }
+
+  /** Fold accumulated appended code files into one generation (bounded
+    * file count), atomically under the staleness stamp. The codebook is
+    * already a single file and part of the index identity — untouched.
+    */
+  def compact(spark: SparkSession, dest: String): Unit = {
+    val codes = spark.read.parquet(s"$dest/codes.parquet")
+    AtomicRewrite.rewrite(dest, s"$dest/codes.parquet") { tmp =>
+      codes.repartition(col("vid"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Build-if-absent-or-stale; returns the store directory. */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
     val dest = defaultDir(sfDir)
     val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
     if (!Stamp.isFresh(dest, stamp)) {
-      val (_, codebook, codes, _) = Similarity.pqModel(
-        Tables.embeddings(spark, sfDir), "vec_id", "embedding", M, Ksub)
-      codebook.coalesce(1)
-        .write.mode("overwrite").parquet(s"$dest/codebook.parquet")
-      codes.repartition(col("vid"))
-        .write.mode("overwrite").parquet(s"$dest/codes.parquet")
+      buildAt(dest, Tables.embeddings(spark, sfDir))
       Stamp.write(dest, stamp)
     }
     dest
+  }
+
+  /** [[topK]] against an explicit store directory and vector frame
+    * (lifecycle specs — the vectors are only read for the exact rerank).
+    */
+  def topKAt(spark: SparkSession, dest: String, emb: DataFrame,
+             queryId: Long, k: Int, rerank: Int = 40): DataFrame = {
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val codes = spark.read.parquet(s"$dest/codes.parquet")
+    val withVd = emb
+      .select(col("vec_id").cast("long").as("vid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    Similarity.pqServe(withVd, codebook, codes, queryId, k, rerank, M, sd,
+      "vec_id")
   }
 
   /** [[Similarity.pqTopK]] served from the persisted codebook + codes —
@@ -52,17 +110,9 @@ object PqStore {
     * codes scan + LUT build, not a codebook re-train.
     */
   def topK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
-           rerank: Int = 40): DataFrame = {
-    val dest = ensureBuilt(spark, sfDir)
-    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
-    val codes = spark.read.parquet(s"$dest/codes.parquet")
-    val withVd = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").cast("long").as("vid"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val sd = codebook.select(size(col("cv"))).head().getInt(0)
-    Similarity.pqServe(withVd, codebook, codes, queryId, k, rerank, M, sd,
-      "vec_id")
-  }
+           rerank: Int = 40): DataFrame =
+    topKAt(spark, ensureBuilt(spark, sfDir), Tables.embeddings(spark, sfDir),
+      queryId, k, rerank)
 
   /** [[Similarity.pqTopKMulti]] over the persisted artifacts — the
     * recall audit's served twin: every id < `maxQid` queries the stored

@@ -955,6 +955,55 @@ object Similarity {
     (withVd, c1, codes, sd)
   }
 
+  /** Encode vectors against a FROZEN codebook — [[pqModel]]'s assignment
+    * projection exposed for incremental [[PqStore.appendBatch]]: a new
+    * batch gets codes under the shipped codebook (retraining per batch
+    * would invalidate every existing code — the standard PQ serving
+    * contract), via the identical round-6 subspace distance and
+    * d-then-cid tie-break. Returns (vid, s, cid).
+    */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, sd: Int): DataFrame = {
+    val withVd = embeddings.select(col(idCol).cast("long").as("vid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val subs = withVd
+      .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("vid"), col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("sv"))
+    val centsArr = codebook
+      .agg(collect_list(struct(col("s").as("cs"), col("cid"), col("cv"))).as("__cents"))
+    subs.crossJoin(broadcast(centsArr))
+      .withColumn("__best", expr(
+        """array_min(transform(filter(__cents, c -> c.cs = s), c -> struct(
+          |  round(aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
+          |    0D, (a, x) -> a + x), 6) AS d,
+          |  c.cid AS cid)))""".stripMargin))
+      .select(col("vid"), col("s"), col("__best.cid").as("cid"))
+  }
+
+  /** [[ivfAssign]]'s broadcast argmax against an EXPLICIT (cid, cv)
+    * centroid frame — the frozen-model assignment an incremental
+    * [[IvfStore.appendBatch]] needs: identical similarity rounding and
+    * smallest-cid tie-break, so appending ids outside the seed range
+    * under the store's own centroids assigns exactly what a full rebuild
+    * would (the seeds are by-construction unchanged by new higher ids).
+    */
+  def assignToCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val centsArr = centroids
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"), col("cv")))
+        .as("__cents"))
+    embeddings.crossJoin(broadcast(centsArr))
+      .withColumn("__best", expr(
+        s"""array_max(transform(__cents, c -> struct(
+           |  round(graft_dot($vecCol, c.cv) /
+           |    (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
+           |  -c.cid AS ncid)))""".stripMargin))
+      .withColumn("cluster", -col("__best.ncid"))
+      .withColumn("centroid_sim", col("__best.sim"))
+      .drop("__cents", "__best")
+  }
+
   /** ADC scoring + exact rerank over a (codebook, codes) pair — shared by
     * the ad-hoc [[pqTopK]] (which trains in-plan) and [[PqStore]] (which
     * reads the persisted artifacts), so both produce the identical

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.util.{Stamp, Tables}
+import graft.util.{AtomicRewrite, Stamp, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -12,6 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every ANN query from a 32-byte-per-row sketch scan + an id-join to the
   * vectors for exact rerank of the Hamming-ball survivors — the raw
   * 256-byte embedding column is never scanned for filtering.
+  *
+  * Maintenance lifecycle (the [[graft.search.ServingStores]] contract
+  * applied to the ANN family): [[appendBatch]] adds a new batch's
+  * signatures at batch cost — EXACT by construction, since a row's
+  * sketch depends only on that row (the hyperplanes are plan-time
+  * md5-derived constants), so append ≡ full rebuild byte-for-byte
+  * (spec-asserted); [[compact]] folds accumulated small files into one
+  * range-sorted generation (vec_id min/max row-group pruning restored
+  * for the query-point lookup), atomically with the staleness stamp as
+  * the swap sentinel ([[AtomicRewrite]]).
   *
   * Freshness follows the family pattern: a (name, size, mtime) stamp of
   * the source parquet; repeated suite runs reuse the artifact, a
@@ -25,33 +35,59 @@ object SrpStore {
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
+  /** Materialize the signature table for `embeddings` at `dest` — the
+    * dest-level build [[ensureBuilt]] wraps with the staleness stamp.
+    */
+  def buildAt(dest: String, embeddings: DataFrame): Unit =
+    Similarity.srpSignature(embeddings, "embedding")
+      .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
+      .write.mode("overwrite").parquet(dest + "/sig.parquet")
+
+  /** Append a NEW batch's signatures into an existing store at batch
+    * cost. Exact by construction: signatures are per-row, so the
+    * appended store is byte-equal to a rebuild over the union. Contract:
+    * batch ids are new (dedup upstream) — the family's
+    * add-without-delete contract.
+    */
+  def appendBatch(dest: String, batch: DataFrame): Unit =
+    Similarity.srpSignature(batch, "embedding")
+      .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
+      .write.mode("append").parquet(dest + "/sig.parquet")
+
+  /** Fold accumulated appended files into one range-sorted generation:
+    * bounded file count, vec_id min/max stats restored. Atomic via the
+    * stamp-sentinel swap; results identical before/after (the scan is
+    * order-insensitive).
+    */
+  def compact(spark: SparkSession, dest: String): Unit = {
+    val sigs = spark.read.parquet(dest + "/sig.parquet")
+    AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
+      sigs.repartitionByRange(col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Build-if-absent-or-stale; returns the (vec_id, __w0..__w3) signature
     * table read from the store.
     */
   def ensureBuilt(spark: SparkSession, sfDir: String): DataFrame = {
     val dest = defaultDir(sfDir)
-    val sigPath = dest + "/sig.parquet"
     val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
     if (!Stamp.isFresh(dest, stamp)) {
-      Similarity.srpSignature(Tables.embeddings(spark, sfDir), "embedding")
-        .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
-        .write.mode("overwrite").parquet(sigPath)
+      buildAt(dest, Tables.embeddings(spark, sfDir))
       Stamp.write(dest, stamp)
     }
-    spark.read.parquet(sigPath)
+    spark.read.parquet(dest + "/sig.parquet")
   }
 
-  /** [[Similarity.srpTopK]] served from the persisted store: identical
-    * results (the signatures are deterministic), but the plan reads the
-    * sketch parquet instead of recomputing 128 projections per row, and
-    * only Hamming-ball survivors touch the vector column via the id-join.
+  /** [[topK]] over explicit signature/vector frames — shared by the
+    * stamped sfDir route and dest-level stores (lifecycle specs).
     */
-  def topK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
-           radius: Int = Similarity.SrpRadius): DataFrame = {
+  def topKOver(sigs: DataFrame, emb: DataFrame, queryId: Long, k: Int,
+               radius: Int = Similarity.SrpRadius): DataFrame = {
     import graft.expressions.GraftFunctions
-    GraftFunctions.register(spark)
-    val sigs = ensureBuilt(spark, sfDir)
-    val emb = Tables.embeddings(spark, sfDir)
+    GraftFunctions.register(emb.sparkSession)
     val q = sigs.filter(col("vec_id") === queryId)
       .join(emb, "vec_id")
       .select((col("embedding").as("__qv") +:
@@ -65,4 +101,14 @@ object SrpStore {
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** [[Similarity.srpTopK]] served from the persisted store: identical
+    * results (the signatures are deterministic), but the plan reads the
+    * sketch parquet instead of recomputing 128 projections per row, and
+    * only Hamming-ball survivors touch the vector column via the id-join.
+    */
+  def topK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
+           radius: Int = Similarity.SrpRadius): DataFrame =
+    topKOver(ensureBuilt(spark, sfDir), Tables.embeddings(spark, sfDir),
+      queryId, k, radius)
 }

@@ -1,0 +1,54 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Crash-safe full-rewrite swap for the stamp-guarded artifact stores
+  * (ANN stores, signature stores — the [[graft.search.BM25Index]]
+  * compaction ordering argument generalized): each step's new generation
+  * is materialized into a sibling `<path>-rewrite-tmp` FIRST, then the
+  * store's `source_stamp.txt` is removed (invalidating it for every
+  * build-if-stale caller), all steps are swapped, and the stamp is
+  * restored LAST. A crash during write leaves the store untouched and
+  * valid; a crash anywhere mid-swap leaves the store without its stamp —
+  * `Stamp.isFresh` fails and the next `ensureBuilt` rebuilds, so a
+  * mixed-generation store (one sub-table new, another old) can never be
+  * served. Rewrites do not change which source the store was built from,
+  * so the stamp's VALUE survives.
+  */
+object AtomicRewrite {
+
+  /** Rewrite several sub-paths of one stamped store in a single
+    * stamp-guarded transaction: `steps` maps each target path to the
+    * writer that materializes its replacement at the tmp location it is
+    * given. All tmps are written before anything is deleted.
+    */
+  def rewriteMany(stampDir: String, steps: Seq[(String, String => Unit)]): Unit = {
+    val stampFile = Paths.get(stampDir, "source_stamp.txt")
+    val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
+                else None
+    val tmps = steps.map { case (path, write) =>
+      val tmp = path.stripSuffix("/") + "-rewrite-tmp"
+      deleteRecursively(Paths.get(tmp))
+      write(tmp)
+      path -> tmp
+    }
+    Files.deleteIfExists(stampFile)
+    tmps.foreach { case (path, tmp) =>
+      deleteRecursively(Paths.get(path))
+      Files.move(Paths.get(tmp), Paths.get(path))
+    }
+    stamp.foreach(Files.writeString(stampFile, _))
+  }
+
+  /** Single-path convenience form of [[rewriteMany]]. */
+  def rewrite(stampDir: String, path: String)(write: String => Unit): Unit =
+    rewriteMany(stampDir, Seq(path -> write))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+}

@@ -1,0 +1,123 @@
+package graft.similarity
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The serving-store maintenance lifecycle ([[graft.search.ServingStores]]'
+  * append/compact contract) applied to the ANN family: each store admits
+  * NEW vectors at batch cost, the appended store serves them immediately,
+  * and compaction bounds the file count without changing a single result.
+  * Contracts differ per store and are asserted as such:
+  *  - SRP: append ≡ full rebuild EXACTLY (signatures are per-row);
+  *  - IVF: append under the store's frozen seed centroids ≡ full rebuild
+  *    EXACTLY (the rebuild's seeds — base ids < NumCentroids — are
+  *    unchanged by new higher ids);
+  *  - PQ: frozen-codebook contract — new codes in the shipped space,
+  *    codebook and existing codes byte-untouched.
+  */
+class AnnStoreLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic 16-dim fixture: 3 loose clusters, ids 0..39;
+  // vector 35 (appended) is a near-duplicate of vector 2 (base), so a
+  // query at 2 must surface 35 once the stores absorb the batch
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(16) { i =>
+      val c = seed % 3
+      (c - 1).toFloat + 0.08f * ((seed * 31 + i * 7) % 11) + 0.01f * i
+    }
+  private lazy val all: DataFrame = ((0 until 40).map {
+    case 35 => (35L, vec(2).map(x => x + 0.001f))
+    case i  => (i.toLong, vec(i))
+  }).toDF("vec_id", "embedding")
+  private lazy val base = all.filter(col("vec_id") < 32)
+  private lazy val batch = all.filter(col("vec_id") >= 32)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def parquetFiles(path: String): Int = {
+    val s = Files.walk(Paths.get(path))
+    try s.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .count().toInt
+    finally s.close()
+  }
+
+  test("SrpStore: append ≡ full rebuild exactly; compact bounds files, " +
+      "results and stamp unchanged") {
+    val dest = Files.createTempDirectory("graft-srp-life").toString
+    val full = Files.createTempDirectory("graft-srp-full").toString
+    SrpStore.buildAt(dest, base)
+    SrpStore.appendBatch(dest, batch)
+    SrpStore.buildAt(full, all)
+    val sigAppended = spark.read.parquet(s"$dest/sig.parquet")
+    val sigRebuilt = spark.read.parquet(s"$full/sig.parquet")
+    assert(rows(sigAppended).sorted == rows(sigRebuilt).sorted,
+      "appended signature table must equal a full rebuild")
+    val served = rows(SrpStore.topKOver(sigAppended, all, queryId = 2L, k = 5))
+    assert(served == rows(SrpStore.topKOver(sigRebuilt, all, 2L, 5)))
+    assert(served.exists(_.contains("[35,")),
+      s"planted near-dup 35 missing from $served")
+    // compact: fewer files, same rows, stamp survives
+    graft.util.Stamp.write(dest, "stamp-s")
+    val before = parquetFiles(s"$dest/sig.parquet")
+    SrpStore.compact(spark, dest)
+    assert(parquetFiles(s"$dest/sig.parquet") < before)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-s"))
+    assert(rows(SrpStore.topKOver(
+      spark.read.parquet(s"$dest/sig.parquet"), all, 2L, 5)) == served)
+  }
+
+  test("IvfStore: frozen-centroid append ≡ full rebuild exactly; single " +
+      "stamp transaction for the two sub-tables on compact") {
+    val dest = Files.createTempDirectory("graft-ivf-life").toString
+    val full = Files.createTempDirectory("graft-ivf-full").toString
+    IvfStore.buildAt(dest, base)
+    IvfStore.appendBatch(spark, dest, batch)
+    IvfStore.buildAt(full, all)
+    // the whole forward table matches a rebuild — assignment is identical
+    assert(rows(spark.read.parquet(s"$dest/byid.parquet")).sorted ==
+      rows(spark.read.parquet(s"$full/byid.parquet")).sorted)
+    val served = rows(IvfStore.topKAt(spark, dest, queryId = 2L, k = 5))
+    assert(served == rows(IvfStore.topKAt(spark, full, 2L, 5)))
+    assert(served.exists(_.startsWith("[35,")),
+      s"planted near-dup 35 missing from $served")
+    graft.util.Stamp.write(dest, "stamp-i")
+    val before = parquetFiles(s"$dest/byid.parquet")
+    IvfStore.compact(spark, dest)
+    assert(parquetFiles(s"$dest/byid.parquet") < before)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-i"))
+    assert(rows(IvfStore.topKAt(spark, dest, 2L, 5)) == served)
+  }
+
+  test("PqStore: frozen-codebook append — new vectors searchable, " +
+      "codebook and old codes byte-untouched; compact preserves results") {
+    val dest = Files.createTempDirectory("graft-pq-life").toString
+    PqStore.buildAt(dest, base)
+    val cbBefore = rows(spark.read.parquet(s"$dest/codebook.parquet")).sorted
+    val oldCodes = rows(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") < 32)).sorted
+    PqStore.appendBatch(spark, dest, batch)
+    assert(rows(spark.read.parquet(s"$dest/codebook.parquet")).sorted
+      == cbBefore, "append must not retrain the codebook")
+    assert(rows(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") < 32)).sorted == oldCodes,
+      "append must not rewrite existing codes")
+    // appended vectors have m codes each and are immediately searchable
+    assert(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") >= 32).count() == 8L * PqStore.M)
+    val served = rows(PqStore.topKAt(spark, dest, all, queryId = 2L, k = 5))
+    assert(served.exists(_.startsWith("[35,")),
+      s"planted near-dup 35 missing from $served")
+    graft.util.Stamp.write(dest, "stamp-p")
+    val before = parquetFiles(s"$dest/codes.parquet")
+    PqStore.compact(spark, dest)
+    assert(parquetFiles(s"$dest/codes.parquet") < before)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-p"))
+    assert(rows(PqStore.topKAt(spark, dest, all, 2L, 5)) == served)
+  }
+}
