@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.util.{Stamp, Tables}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persistent SimHash signature store — the near-dup analogue of the BM25
@@ -40,5 +41,31 @@ object SimHashStore {
       Stamp.write(dest, stamp)
     }
     spark.read.parquet(sigPath)
+  }
+
+  /** Append a NEW doc batch's signatures at batch cost — exact by
+    * construction (a doc's 64-bit SimHash depends only on its own
+    * tokens), so the appended store is value-equal to a rebuild over the
+    * union. Batch ids must be new (dedup upstream — the family's
+    * add-without-delete contract; the STREAMING face of this append,
+    * with the near-dup gate in front, is
+    * [[graft.streaming.StreamSinks.nearDupFilterSink]]).
+    */
+  def appendBatch(dest: String, batch: DataFrame, idCol: String,
+                  textCol: String): Unit =
+    Dedup.simHash(batch, idCol, textCol)
+      .write.mode("append").parquet(dest + "/sig.parquet")
+
+  /** Fold accumulated appended files into one doc-sorted generation —
+    * bounded file count, doc min/max row-group stats restored. Atomic
+    * under the staleness stamp ([[graft.util.AtomicRewrite]]).
+    */
+  def compact(spark: SparkSession, dest: String): Unit = {
+    val sigs = spark.read.parquet(dest + "/sig.parquet")
+    graft.util.AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
+      sigs.repartitionByRange(col("doc"))
+        .sortWithinPartitions(col("doc"))
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 }

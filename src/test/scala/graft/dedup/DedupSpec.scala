@@ -247,6 +247,30 @@ class DedupSpec extends SparkSpec {
       (2L, 3L, 2L, 4L, 6L)))
   }
 
+  test("SimHashStore batch lifecycle: append ≡ rebuild (per-row " +
+      "signatures), compact bounds files with identical rows and a " +
+      "surviving stamp") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "five six seven eight")).toDF("doc_id", "text")
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-simhash-life").toString
+    Dedup.simHash(base, "doc_id", "text")
+      .write.parquet(s"$dest/sig.parquet")
+    SimHashStore.appendBatch(dest, batch, "doc_id", "text")
+    val appended = spark.read.parquet(s"$dest/sig.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    val rebuilt = Dedup.simHash(base.unionAll(batch), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(appended == rebuilt)
+    graft.util.Stamp.write(dest, "stamp-h")
+    SimHashStore.compact(spark, dest)
+    assert(spark.read.parquet(s"$dest/sig.parquet")
+      .collect().map(_.toString).sorted.toSeq == rebuilt)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-h"))
+  }
+
   test("sourceOverlap(maxShingleDf): boilerplate shingles above the df cut " +
       "are dropped; rare shared shingles survive") {
     import spark.implicits._
