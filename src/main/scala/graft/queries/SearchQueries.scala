@@ -435,6 +435,18 @@ object SearchQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // the LIFECYCLE twin: the store is built from 80% of the docs, the
+    // rest appended, then compacted — probed with q_hashtag_served's
+    // oracle VERBATIM, so append+compact ≡ one-shot is a driver hash
+    // gate, not just a spec
+    "q_hashtag_incr" -> ((s, dir) => {
+      val store = ServingStores.ensureDocPostingsIncr(s, dir)
+      ServingStores.postingProbe(s, store, "spark")
+        .orderBy(col("doc_id").asc)
+        .limit(1000)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // q_user_timeline SERVED: the FK expansion reads ONLY the matched
     // keys' buckets of the date-sorted timeline layout — no orders-table
     // scan at request time. The name can resolve to SEVERAL custkeys
@@ -445,6 +457,22 @@ object SearchQueries extends QueryPack {
     // matches the ad-hoc join exactly. Same oracle as the ad-hoc query.
     "q_user_timeline_served" -> ((s, dir) => {
       val store = ServingStores.ensureOrdersTimeline(s, dir)
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_name") === "Customer#000000042")
+        .select(col("c_custkey"), col("c_name"))
+      val keys = cust.select(col("c_custkey")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      ServingStores.timelineProbeMany(s, store, "o_custkey", keys)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1000)
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+    }),
+
+    // lifecycle twin of the timeline route (see q_hashtag_incr)
+    "q_user_timeline_incr" -> ((s, dir) => {
+      val store = ServingStores.ensureOrdersTimelineIncr(s, dir)
       val cust = Tables.customer(s, dir)
         .filter(col("c_name") === "Customer#000000042")
         .select(col("c_custkey"), col("c_name"))
@@ -666,6 +694,18 @@ object SearchQueries extends QueryPack {
         |ORDER BY doc_id ASC LIMIT 1000""".stripMargin,
 
     "q_user_timeline_served" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_name = 'Customer#000000042'
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1000""".stripMargin,
+
+    // lifecycle twins: append+compact must serve the one-shot answer
+    "q_hashtag_incr" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE list_contains(str_split(text, ' '), 'spark')
+        |ORDER BY doc_id ASC LIMIT 1000""".stripMargin,
+
+    "q_user_timeline_incr" ->
       """SELECT c_name, o_orderkey, o_orderdate, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_name = 'Customer#000000042'

@@ -304,6 +304,20 @@ object SimilarityQueries extends QueryPack {
     // store (the BM25Index / SimHashStore build-once split) — the sketch
     // parquet is scanned for the Hamming filter, vectors join in only for
     // the survivors' exact rerank. Same oracle as q_ann_lsh.
+    // The LIFECYCLE twin under the driver hash gate: the store is built
+    // from 80% of the vectors, the rest appended, then compacted — and
+    // the probe must hash-match q_ann_lsh's oracle verbatim (append ≡
+    // rebuild for per-row signatures, checked by the driver, not a spec).
+    "q_ann_lsh_incr" -> ((s, dir) =>
+      SrpStore.topKOver(SrpStore.ensureBuiltIncremental(s, dir),
+        Tables.embeddings(s, dir), queryId = 0L, k = 5)),
+
+    // Same lifecycle gate for IVF: frozen-centroid append ≡ rebuild
+    // exactly (the base keeps every seed id), q_ann_ivf's oracle verbatim.
+    "q_ann_ivf_incr" -> ((s, dir) =>
+      IvfStore.topKAt(s, IvfStore.ensureBuiltIncremental(s, dir),
+        queryId = 0L, k = 5)),
+
     "q_ann_lsh_served" -> ((s, dir) =>
       SrpStore.topK(s, dir, queryId = 0L, k = 5)),
 
@@ -597,6 +611,10 @@ object SimilarityQueries extends QueryPack {
 
     // Served path must reproduce the ad-hoc ranking exactly.
     "q_ann_lsh_served" -> srpTopKSql(Similarity.SrpRadius, 5),
+
+    // lifecycle twins: append+compact must serve the one-shot answer
+    "q_ann_lsh_incr" -> srpTopKSql(Similarity.SrpRadius, 5),
+    "q_ann_ivf_incr" -> ivfOracle,
 
     "q_ann_ivf" -> ivfOracle,
 

@@ -254,6 +254,54 @@ object ServingStores {
     dest
   }
 
+  /** [[ensureDocPostings]]'s INCREMENTAL variant — the maintenance
+    * lifecycle under the driver hash gate (the
+    * [[BM25Index.ensureBuiltIncremental]] pattern): 80% of the corpus
+    * (doc_id % 5 ≠ 0) is the base build, the rest arrives as an appended
+    * batch, then the store compacts — and `q_hashtag_incr` probes it
+    * with `q_hashtag_served`'s oracle VERBATIM, so append+compact ≡
+    * one-shot is checked by the driver's hash compare, not just a spec.
+    * A rebuild wipes dest first so a stale generation can never linger.
+    */
+  def ensureDocPostingsIncr(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "/doc_postings_incr"
+    val stamp = graft.util.Stamp.sourceStamp(sfDir)
+    if (!graft.util.Stamp.isFresh(dest, stamp)) {
+      deleteRecursively(Paths.get(dest))
+      def docs = graft.util.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          split(col("text"), " ").as("__words"))
+      buildPostings(docs.filter(col("doc_id") % 5 =!= 0), col("__words"),
+        dest, dropCols = Seq("__words"))
+      appendPostings(docs.filter(col("doc_id") % 5 === 0), col("__words"),
+        dest, dropCols = Seq("__words"))
+      compactPostings(spark, dest)
+      graft.util.Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** [[ensureOrdersTimeline]]'s incremental variant — same contract as
+    * [[ensureDocPostingsIncr]] for the FK layout (`q_user_timeline_incr`
+    * shares `q_user_timeline_served`'s oracle verbatim).
+    */
+  def ensureOrdersTimelineIncr(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "/orders_by_cust_incr"
+    val stamp = graft.util.Stamp.sourceStamp(sfDir, "orders.parquet")
+    if (!graft.util.Stamp.isFresh(dest, stamp)) {
+      deleteRecursively(Paths.get(dest))
+      def orders = graft.util.Tables.orders(spark, sfDir)
+      val sorts = Seq(col("o_orderdate").desc)
+      buildTimeline(orders.filter(col("o_orderkey") % 5 =!= 0), "o_custkey",
+        dest, sortCols = sorts)
+      appendTimeline(orders.filter(col("o_orderkey") % 5 === 0), "o_custkey",
+        dest, sortCols = sorts)
+      compactTimeline(spark, dest, "o_custkey", sortCols = sorts)
+      graft.util.Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** Parquet data files currently in the store (bucket dirs only) — the
     * compaction spec's bounded-file-count evidence.
     */

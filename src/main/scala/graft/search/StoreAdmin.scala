@@ -31,7 +31,9 @@ object StoreAdmin {
     BM25Index.defaultDir(sfDir) + "__incr",
     graft.dedup.SimHashStore.defaultDir(sfDir),
     graft.similarity.SrpStore.defaultDir(sfDir),
+    graft.similarity.SrpStore.defaultDir(sfDir) + "__incr",
     graft.similarity.IvfStore.defaultDir(sfDir),
+    graft.similarity.IvfStore.defaultDir(sfDir) + "__incr",
     graft.similarity.PqStore.defaultDir(sfDir),
     ServingStores.defaultDir(sfDir))
 

@@ -114,6 +114,28 @@ object IvfStore {
     dest
   }
 
+  /** Incremental build-if-stale: base build over the seed ids plus 80%
+    * of the rest, the remainder appended under the frozen centroids,
+    * then compacted — `q_ann_ivf_incr` serves from it with `q_ann_ivf`'s
+    * oracle verbatim (append ≡ rebuild exactly, because the base keeps
+    * every seed id < NumCentroids). A rebuild wipes dest first.
+    */
+  def ensureBuiltIncremental(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__incr"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Tables.embeddings(spark, sfDir)
+      buildAt(dest, emb.filter(
+        col("vec_id") < NumCentroids || col("vec_id") % 5 =!= 0))
+      appendBatch(spark, dest, emb.filter(
+        col("vec_id") >= NumCentroids && col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** [[topK]] against an explicit store directory (lifecycle specs). */
   def topKAt(spark: SparkSession, dest: String, queryId: Long,
              k: Int): DataFrame = {

@@ -81,6 +81,26 @@ object SrpStore {
     spark.read.parquet(dest + "/sig.parquet")
   }
 
+  /** Incremental build-if-stale: 80% base build + appended batch +
+    * compaction (the [[graft.search.BM25Index.ensureBuiltIncremental]]
+    * pattern) — `q_ann_lsh_incr` serves from it with `q_ann_lsh`'s
+    * oracle verbatim, putting append ≡ rebuild under the driver hash
+    * gate. A rebuild wipes dest first.
+    */
+  def ensureBuiltIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = defaultDir(sfDir) + "__incr"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Tables.embeddings(spark, sfDir)
+      buildAt(dest, emb.filter(col("vec_id") % 5 =!= 0))
+      appendBatch(dest, emb.filter(col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    spark.read.parquet(dest + "/sig.parquet")
+  }
+
   /** [[topK]] over explicit signature/vector frames — shared by the
     * stamped sfDir route and dest-level stores (lifecycle specs).
     */

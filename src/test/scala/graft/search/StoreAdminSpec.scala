@@ -21,10 +21,14 @@ class StoreAdminSpec extends SparkSpec {
     "q_keyword_bm25_incr",   // BM25Index segmented (base + appended segment)
     "q_simhash_pairs",       // SimHashStore
     "q_ann_lsh_served",      // SrpStore
+    "q_ann_lsh_incr",        // SrpStore append+compact lifecycle store
     "q_ann_ivf_served",      // IvfStore
+    "q_ann_ivf_incr",        // IvfStore append+compact lifecycle store
     "q_ann_pq_served",       // PqStore
     "q_hashtag_served",      // ServingStores posting layout
-    "q_user_timeline_served") // ServingStores timeline layout
+    "q_hashtag_incr",        // posting layout append+compact lifecycle
+    "q_user_timeline_served", // ServingStores timeline layout
+    "q_user_timeline_incr")  // timeline layout append+compact lifecycle
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
