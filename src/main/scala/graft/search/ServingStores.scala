@@ -271,11 +271,15 @@ object ServingStores {
       def docs = graft.util.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("n_chars"),
           split(col("text"), " ").as("__words"))
+      // deliberately built UNDER-bucketed, then rebucketed to the default
+      // after the append+compact cycle — every lifecycle op (append,
+      // compact, rebucket) sits in front of the driver's hash compare
       buildPostings(docs.filter(col("doc_id") % 5 =!= 0), col("__words"),
-        dest, dropCols = Seq("__words"))
+        dest, buckets = 16, dropCols = Seq("__words"))
       appendPostings(docs.filter(col("doc_id") % 5 === 0), col("__words"),
         dest, dropCols = Seq("__words"))
       compactPostings(spark, dest)
+      rebucketPostings(spark, dest, DefaultBuckets)
       graft.util.Stamp.write(dest, stamp)
     }
     dest
