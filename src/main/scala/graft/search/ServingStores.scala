@@ -326,13 +326,20 @@ object ServingStores {
   /** Atomic full rewrite shared by compaction (same bucket count, rows
     * keep their `__bucket`) and rebucketing (`reBucket` = the key column
     * whose hash re-derives `__bucket` under `newBuckets`). The rewrite
-    * lands in a sibling tmp dir first; the swap deletes `_buckets.txt`
-    * FIRST and restores meta LAST, so a crash anywhere mid-swap leaves a
-    * store without its bucket sentinel — probes fail loudly and the
-    * build-if-stale callers rebuild, never serving a mixed generation
-    * (the [[BM25Index.compact]] ordering argument). The staleness stamp,
-    * when present, survives the rewrite: compaction does not change what
-    * source the store was built from.
+    * lands in a sibling tmp dir first; then the staleness stamp is the
+    * FIRST thing deleted and the LAST thing restored — the
+    * [[graft.util.AtomicRewrite]] invariant. That ordering is what makes
+    * every crash window recoverable: a crash during the tmp write leaves
+    * the old store untouched (plus an orphan tmp for
+    * [[StoreAdmin.gcOrphans]]); a crash after the stamp delete leaves a
+    * store `Stamp.isFresh` rejects, so the build-if-stale callers
+    * REBUILD — whether probes still serve the old generation (sentinel
+    * intact) or fail loudly (sentinel gone). The inverted order (stamp
+    * restored before `_buckets.txt` is written, or the sentinel deleted
+    * while the stamp survives) would leave a fresh-stamped store with no
+    * bucket sentinel: ensure* skips it and every probe crashes, forever.
+    * The stamp's VALUE survives a completed rewrite: compaction does not
+    * change what source the store was built from.
     */
   private def rewriteStore(spark: SparkSession, dest: String,
                            newBuckets: Int, sortCols: Seq[Column],
@@ -349,11 +356,12 @@ object ServingStores {
     val tmp = dest.stripSuffix("/") + "-rewrite-tmp"
     writeLayout(rows, sortCols, tmp, "overwrite")
     val schema = rows.schema
+    Files.deleteIfExists(stampFile)
     Files.deleteIfExists(Paths.get(dest, "_buckets.txt"))
     deleteRecursively(Paths.get(dest))
     Files.move(Paths.get(tmp), Paths.get(dest))
-    stamp.foreach(Files.writeString(stampFile, _))
     writeMeta(dest, newBuckets, schema)
+    stamp.foreach(Files.writeString(stampFile, _))
   }
 
   /** Read the store's rows (including `__bucket`) through the persisted

@@ -3,6 +3,8 @@ package graft.search
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 /** Serving-store lifecycle admin — the engine's analogue of the
   * reference's collection cleanup (`Ranking Model/src/main/java/Main/
   * SolrCleanup.java:92-105`: `deleteByQuery("*:*")` + collection
@@ -50,6 +52,33 @@ object StoreAdmin {
   /** True iff no store for this corpus holds any artifact. */
   def isEmpty(sfDir: String): Boolean =
     storeDirs(sfDir).forall(d => !Files.exists(Paths.get(d)))
+
+  /** Reclaim rewrite leftovers: every atomic-swap rewrite
+    * ([[graft.util.AtomicRewrite]], [[ServingStores]]' compaction/
+    * rebucketing) materializes its new generation in a sibling
+    * `<path>-rewrite-tmp` before touching the store, so a crash during
+    * the write leaves the store fully valid plus an orphan tmp holding a
+    * dead generation's bytes. This sweep deletes them — correctness
+    * never depends on it (rewrites wipe their own tmp before writing),
+    * it is the disk-reclaim half of crash recovery. Returns the deleted
+    * roots so callers can log them.
+    */
+  def gcOrphans(sfDir: String): Seq[String] =
+    storeDirs(sfDir).flatMap { root =>
+      val p = Paths.get(root)
+      if (!Files.isDirectory(p)) Nil
+      else {
+        val s = Files.walk(p)
+        val orphans =
+          try s.iterator().asScala
+            .filter(q => Files.isDirectory(q) &&
+              q.getFileName.toString.endsWith("-rewrite-tmp"))
+            .toList
+          finally s.close()
+        orphans.foreach(deleteRecursively)
+        orphans.map(_.toString)
+      }
+    }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -57,6 +57,53 @@ class StoreAdminSpec extends SparkSpec {
       assert(Files.exists(Paths.get(d)), s"store $d not rebuilt"))
   }
 
+  test("crash mid-swap is recoverable: stamp-first delete means every " +
+      "window either serves the old generation or rebuilds") {
+    val store = ServingStores.ensureDocPostings(spark, dir)
+    def probe() = ServingStores.postingProbe(spark, store, "the")
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+
+    // window 1: crash after the stamp delete, before the sentinel delete
+    // — the store still serves (old generation, consistent), and the
+    // missing stamp forces the next ensure* to rebuild
+    Files.delete(Paths.get(store, "source_stamp.txt"))
+    assert(probe() == before, "stampless store must still serve old gen")
+    assert(ServingStores.ensureDocPostings(spark, dir) == store)
+    assert(Files.exists(Paths.get(store, "source_stamp.txt")),
+      "ensure did not rebuild the stamp")
+    assert(probe() == before, "rebuild changed the probe result")
+
+    // window 2: crash after the sentinel delete — probes fail LOUDLY
+    // (never a silent wrong answer), and ensure* rebuilds because the
+    // stamp was already gone (stamp-first ordering; a surviving stamp
+    // here would wedge the store forever)
+    Files.delete(Paths.get(store, "source_stamp.txt"))
+    Files.delete(Paths.get(store, "_buckets.txt"))
+    intercept[Exception](probe())
+    assert(ServingStores.ensureDocPostings(spark, dir) == store)
+    assert(probe() == before, "recovered store differs from pre-crash")
+  }
+
+  test("gcOrphans reclaims rewrite-tmp leftovers without touching live " +
+      "stores") {
+    val store = ServingStores.ensureDocPostings(spark, dir)
+    val orphan = Paths.get(store + "-rewrite-tmp")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-dead.parquet"), "junk")
+    val before = ServingStores.postingProbe(spark, store, "the")
+      .collect().map(_.toString).sorted.toSeq
+
+    val removed = StoreAdmin.gcOrphans(dir)
+    assert(removed.contains(orphan.toString), s"gc missed $orphan: $removed")
+    assert(!Files.exists(orphan))
+    assert(ServingStores.postingProbe(spark, store, "the")
+      .collect().map(_.toString).sorted.toSeq == before,
+      "gc changed a live store's probe result")
+    assert(StoreAdmin.gcOrphans(dir).isEmpty, "gc is not idempotent")
+  }
+
   test("truncate is idempotent and scoped: absent store is a no-op, other " +
       "corpora untouched") {
     StoreAdmin.truncate("/tmp/graft-no-such-store") // must not throw
