@@ -60,8 +60,11 @@ object StoreAdmin {
     * the write leaves the store fully valid plus an orphan tmp holding a
     * dead generation's bytes. This sweep deletes them — correctness
     * never depends on it (rewrites wipe their own tmp before writing),
-    * it is the disk-reclaim half of crash recovery. Returns the deleted
-    * roots so callers can log them.
+    * it is the disk-reclaim half of crash recovery. Not safe to run
+    * CONCURRENTLY with an in-flight rewrite (it would delete the tmp
+    * being written; the rewrite's swap then fails loudly, store
+    * untouched) — run it like [[truncate]], between jobs. Returns the
+    * deleted roots so callers can log them.
     */
   def gcOrphans(sfDir: String): Seq[String] =
     storeDirs(sfDir).flatMap { root =>
