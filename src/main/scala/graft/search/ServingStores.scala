@@ -125,6 +125,32 @@ object ServingStores {
     rewriteStore(spark, dest, readBuckets(dest), Seq(col("__key")),
       reBucket = None)
 
+  /** [[compactPostings]] scoped to the buckets that NEED it — the
+    * 100-TB maintenance shape: a full-store rewrite is O(store) per
+    * cycle, but appends only fragment the buckets they touched, and
+    * bucket dirs are independent, so compaction can pay O(hot buckets)
+    * instead. Buckets with ≥ `minFiles` data files are each folded to
+    * one key-sorted file; cold buckets' files are left byte-untouched.
+    * Crash contract (same invariant, stronger downtime trade: all tmps
+    * are materialized FIRST, then the stamp and the `_buckets.txt`
+    * sentinel come down for the per-bucket swaps and are restored last —
+    * so unlike the full rewrite, probes fail loudly DURING the swap
+    * window rather than serving the old generation; a crash anywhere
+    * mid-swap leaves a loud store a build-if-stale caller rebuilds).
+    * Returns the compacted bucket ids.
+    */
+  def compactHotBuckets(spark: SparkSession, dest: String,
+                        minFiles: Int = 4): Seq[Int] =
+    compactHot(spark, dest, Seq(col("__key")), minFiles)
+
+  /** [[compactHotBuckets]] for the timeline layout — the caller
+    * restates the (fk, sort) contract like [[compactTimeline]].
+    */
+  def compactHotTimeline(spark: SparkSession, dest: String, fkCol: String,
+                         sortCols: Seq[Column] = Nil,
+                         minFiles: Int = 4): Seq[Int] =
+    compactHot(spark, dest, col(fkCol) +: sortCols, minFiles)
+
   /** Change the bucket count of an existing posting store IN PLACE —
     * the growth remedy when a fixed build-time bucket count leaves hot
     * buckets at 100 TB: every row's `__bucket` is recomputed from its
@@ -273,12 +299,15 @@ object ServingStores {
           split(col("text"), " ").as("__words"))
       // deliberately built UNDER-bucketed, then rebucketed to the default
       // after the append+compact cycle — every lifecycle op (append,
-      // compact, rebucket) sits in front of the driver's hash compare
+      // selective hot-bucket compact, full-rewrite rebucket) sits in
+      // front of the driver's hash compare. minFiles=2 makes every
+      // appended-into bucket hot; the full-compact flavor is covered by
+      // the rebucket (same rewrite) and the timeline chain.
       buildPostings(docs.filter(col("doc_id") % 5 =!= 0), col("__words"),
         dest, buckets = 16, dropCols = Seq("__words"))
       appendPostings(docs.filter(col("doc_id") % 5 === 0), col("__words"),
         dest, dropCols = Seq("__words"))
-      compactPostings(spark, dest)
+      compactHotBuckets(spark, dest, minFiles = 2)
       rebucketPostings(spark, dest, DefaultBuckets)
       graft.util.Stamp.write(dest, stamp)
     }
@@ -362,6 +391,64 @@ object ServingStores {
     Files.move(Paths.get(tmp), Paths.get(dest))
     writeMeta(dest, newBuckets, schema)
     stamp.foreach(Files.writeString(stampFile, _))
+  }
+
+  /** Bucket-local selective rewrite shared by the two layouts: every
+    * bucket dir holding ≥ `minFiles` parquet files is read through the
+    * persisted row schema (minus the partition column, which the files
+    * do not carry), folded to ONE sorted file in a sibling tmp, and the
+    * dirs are swapped under the downed stamp+sentinel pair. Work and
+    * I/O are proportional to the HOT buckets only.
+    */
+  private def compactHot(spark: SparkSession, dest: String,
+                         sortCols: Seq[Column], minFiles: Int): Seq[Int] = {
+    val buckets = readBuckets(dest) // fails loudly on a mid-swap store
+    val hot = (0 until buckets).filter(b =>
+      bucketFileCount(dest, b) >= minFiles)
+    if (hot.nonEmpty) {
+      val rowSchema = readSchema(dest).getOrElse(
+        spark.read.parquet(dest).schema)
+      val fileSchema = StructType(rowSchema.filterNot(_.name == "__bucket"))
+      val tmpRoot = dest.stripSuffix("/") + "-rewrite-tmp"
+      deleteRecursively(Paths.get(tmpRoot))
+      // 1. materialize every replacement before touching the store
+      hot.foreach { b =>
+        spark.read.schema(fileSchema).parquet(s"$dest/__bucket=$b")
+          .coalesce(1).sortWithinPartitions(sortCols: _*)
+          .write.mode("overwrite").parquet(s"$tmpRoot/__bucket=$b")
+      }
+      // 2. stamp first, sentinel second (the rewriteStore ordering)
+      val stampFile = Paths.get(dest, "source_stamp.txt")
+      val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
+                  else None
+      Files.deleteIfExists(stampFile)
+      Files.deleteIfExists(Paths.get(dest, "_buckets.txt"))
+      hot.foreach { b =>
+        deleteRecursively(Paths.get(dest, s"__bucket=$b"))
+        Files.move(Paths.get(tmpRoot, s"__bucket=$b"),
+          Paths.get(dest, s"__bucket=$b"))
+      }
+      deleteRecursively(Paths.get(tmpRoot))
+      // 3. sentinel back, stamp last
+      Files.writeString(Paths.get(dest, "_buckets.txt"), buckets.toString)
+      stamp.foreach(Files.writeString(stampFile, _))
+    }
+    hot
+  }
+
+  /** Parquet data files currently in one bucket dir. */
+  def bucketFileCount(dest: String, bucket: Int): Int = {
+    val dir = Paths.get(dest, s"__bucket=$bucket")
+    if (!Files.isDirectory(dir)) 0
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      finally s.close()
+    }
   }
 
   /** Read the store's rows (including `__bucket`) through the persisted

@@ -1,5 +1,7 @@
 package graft.search
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -108,6 +110,92 @@ class ServingStoresPropertySpec extends SparkSpec {
     ServingStores.compactPostings(spark, dest)
     assert(graft.util.Stamp.isFresh(dest, "stamp-x"))
     StoreAdmin.truncate(dest); StoreAdmin.truncate(fresh)
+  }
+
+  test("compactHotBuckets: only fragmented buckets are rewritten — cold " +
+      "bucket files byte-untouched, hot buckets folded to one file, " +
+      "probe ≡ fresh rebuild, stamp survives") {
+    // one-bucket-per-key layout so appends fragment ONLY the keys they
+    // carry: "hot" appears in every batch, "cold" only in the base
+    val batches = (0 until 4).map(b =>
+      Seq((b * 10L + 1, List("hot")) ) ++
+        (if (b == 0) Seq((100L, List("cold"))) else Nil))
+      .map(_.toDF("id", "tags"))
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-post-hot").toString
+    ServingStores.buildPostings(batches.head, col("tags"), dest,
+      buckets = 64)
+    batches.tail.foreach(b =>
+      ServingStores.appendPostings(b, col("tags"), dest))
+    def filesOf(b: Int): Seq[String] = {
+      val dir = java.nio.file.Paths.get(dest, s"__bucket=$b")
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+          .toSeq.sorted
+        finally s.close()
+      }
+    }
+    val hotBucket = (0 until 64)
+      .filter(b => ServingStores.bucketFileCount(dest, b) >= 2)
+    assert(hotBucket.nonEmpty, "fixture built no fragmented bucket")
+    val coldBuckets = (0 until 64)
+      .filter(b => ServingStores.bucketFileCount(dest, b) == 1)
+    val coldBefore = coldBuckets.map(b => b -> filesOf(b)).toMap
+
+    graft.util.Stamp.write(dest, "stamp-hot")
+    val compacted = ServingStores.compactHotBuckets(spark, dest,
+      minFiles = 2)
+    assert(compacted.sorted == hotBucket.sorted,
+      s"compacted $compacted, expected $hotBucket")
+    hotBucket.foreach(b => assert(
+      ServingStores.bucketFileCount(dest, b) == 1,
+      s"hot bucket $b not folded to one file"))
+    coldBuckets.foreach(b => assert(filesOf(b) == coldBefore(b),
+      s"cold bucket $b files changed"))
+    assert(graft.util.Stamp.isFresh(dest, "stamp-hot"),
+      "stamp did not survive the selective compact")
+
+    // probe ≡ a store freshly built from the unioned source
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-post-hot-fresh").toString
+    ServingStores.buildPostings(batches.reduce(_ unionAll _), col("tags"),
+      fresh, buckets = 64)
+    for (tag <- Seq("hot", "cold", "absent")) {
+      val a = ServingStores.postingProbe(spark, dest, tag)
+        .collect().map(_.toString).sorted.toSeq
+      val b = ServingStores.postingProbe(spark, fresh, tag)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"tag '$tag': selective-compacted $a != fresh $b")
+    }
+    // nothing hot anymore: second pass is a no-op
+    assert(ServingStores.compactHotBuckets(spark, dest, minFiles = 2).isEmpty)
+
+    // timeline flavor: same fold + equivalence through the fk probe
+    val base = Seq((1L, 10, "a"), (2L, 20, "b")).toDF("fk", "seq", "v")
+    val batch = Seq((1L, 20, "c")).toDF("fk", "seq", "v")
+    val tl = java.nio.file.Files
+      .createTempDirectory("graft-tl-hot").toString
+    ServingStores.buildTimeline(base, "fk", tl,
+      sortCols = Seq(col("seq").desc), buckets = 8)
+    ServingStores.appendTimeline(batch, "fk", tl,
+      sortCols = Seq(col("seq").desc))
+    val tlHot = ServingStores.compactHotTimeline(spark, tl, "fk",
+      sortCols = Seq(col("seq").desc), minFiles = 2)
+    assert(tlHot.nonEmpty)
+    val union = base.unionAll(batch)
+    (1L to 2L).foreach { k =>
+      val probed = ServingStores.timelineProbe(spark, tl, "fk", k)
+        .collect().map(_.toString).sorted.toSeq
+      val expected = union.filter(col("fk") === k)
+        .collect().map(_.toString).sorted.toSeq
+      assert(probed == expected, s"fk $k: $probed != $expected")
+    }
+    StoreAdmin.truncate(dest); StoreAdmin.truncate(fresh)
+    StoreAdmin.truncate(tl)
   }
 
   test("rebucketPostings 3→7→1: probe ≡ array_contains across every " +
