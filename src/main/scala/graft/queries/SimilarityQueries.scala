@@ -175,16 +175,18 @@ object SimilarityQueries extends QueryPack {
     * yields emb$sfx (vec_id, v), sub$sfx, c1$sfx (s, cid, cv),
     * codes$sfx (vec_id, s, cid).
     */
-  private def pqTrainCtes(sfx: String): String =
+  private def pqTrainCtes(sfx: String, train: String = "TRUE"): String =
     s"""emb$sfx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sub$sfx AS (SELECT vec_id, ss.s, v[ss.s*8+1:ss.s*8+8] AS sv
        |  FROM emb$sfx CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
        |seeds$sfx AS (SELECT s, CAST(vec_id AS BIGINT) AS cid, sv AS cv FROM sub$sfx
-       |  WHERE vec_id IN (SELECT vec_id FROM emb$sfx ORDER BY vec_id ASC LIMIT 8)),
+       |  WHERE vec_id IN (SELECT vec_id FROM emb$sfx WHERE $train
+       |                   ORDER BY vec_id ASC LIMIT 8)),
        |d0$sfx AS (SELECT x.vec_id, x.s, c.cid, x.sv,
        |    round(list_sum(list_transform(range(1, 9),
        |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
-       |  FROM sub$sfx x JOIN seeds$sfx c ON x.s = c.s),
+       |  FROM sub$sfx x JOIN seeds$sfx c ON x.s = c.s
+       |  WHERE ${train.replace("vec_id", "x.vec_id")}),
        |a0$sfx AS (SELECT vec_id, s, cid, sv FROM (SELECT *,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
        |  FROM d0$sfx) WHERE rn = 1),
@@ -201,8 +203,16 @@ object SimilarityQueries extends QueryPack {
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
        |  FROM d1$sfx) WHERE rn = 1)""".stripMargin
 
-  private lazy val pqOracle: String =
-    s"""WITH ${pqTrainCtes("")},
+  private lazy val pqOracle: String = pqOracleTrainedOn("TRUE")
+
+  /** The PQ serve oracle over a codebook trained on the `train` subset
+    * (codes still assigned for ALL vectors in that frozen space) —
+    * `train = TRUE` is the full-corpus recipe shared by q_ann_pq and
+    * q_ann_pq_served; q_ann_pq_incr replays the 80%-base incremental
+    * build with `vec_id % 5 <> 0`.
+    */
+  private def pqOracleTrainedOn(train: String): String =
+    s"""WITH ${pqTrainCtes("", train)},
        |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
        |lut AS (SELECT c.s, c.cid,
        |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
@@ -317,6 +327,15 @@ object SimilarityQueries extends QueryPack {
     "q_ann_ivf_incr" -> ((s, dir) =>
       IvfStore.topKAt(s, IvfStore.ensureBuiltIncremental(s, dir),
         queryId = 0L, k = 5)),
+
+    // PQ's lifecycle gate: codebook trained on the 80% base, the rest
+    // frozen-codebook-appended, codes compacted. Append ≢ full rebuild
+    // here BY DESIGN (retraining would invalidate every existing code),
+    // so this carries its OWN oracle replaying the incremental
+    // construction — train CTEs over the base, codes for all vectors.
+    "q_ann_pq_incr" -> ((s, dir) =>
+      PqStore.topKAt(s, PqStore.ensureBuiltIncremental(s, dir),
+        Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40)),
 
     "q_ann_lsh_served" -> ((s, dir) =>
       SrpStore.topK(s, dir, queryId = 0L, k = 5)),
@@ -615,6 +634,7 @@ object SimilarityQueries extends QueryPack {
     // lifecycle twins: append+compact must serve the one-shot answer
     "q_ann_lsh_incr" -> srpTopKSql(Similarity.SrpRadius, 5),
     "q_ann_ivf_incr" -> ivfOracle,
+    "q_ann_pq_incr" -> pqOracleTrainedOn("vec_id % 5 <> 0"),
 
     "q_ann_ivf" -> ivfOracle,
 

@@ -37,6 +37,7 @@ object StoreAdmin {
     graft.similarity.IvfStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir) + "__incr",
     graft.similarity.PqStore.defaultDir(sfDir),
+    graft.similarity.PqStore.defaultDir(sfDir) + "__incr",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and

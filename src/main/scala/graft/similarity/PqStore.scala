@@ -78,6 +78,30 @@ object PqStore {
     }
   }
 
+  /** [[ensureBuilt]]'s INCREMENTAL variant — the driver-gated lifecycle
+    * ([[IvfStore.ensureBuiltIncremental]]'s pattern): the codebook trains
+    * on the 80% base (vec_id % 5 ≠ 0), the rest arrives as a
+    * frozen-codebook appended batch, then the codes compact. Unlike the
+    * SRP/IVF twins, append ≢ full rebuild here BY DESIGN (a rebuild over
+    * the union would train different Lloyd means — the exact thing the
+    * frozen-codebook contract forbids), so `q_ann_pq_incr` carries its
+    * OWN oracle replaying this construction: train CTEs restricted to
+    * the base, codes assigned for ALL vectors in the frozen space.
+    */
+  def ensureBuiltIncremental(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__incr"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Tables.embeddings(spark, sfDir)
+      buildAt(dest, emb.filter(col("vec_id") % 5 =!= 0))
+      appendBatch(spark, dest, emb.filter(col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** Build-if-absent-or-stale; returns the store directory. */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
     val dest = defaultDir(sfDir)

@@ -25,6 +25,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_ivf_served",      // IvfStore
     "q_ann_ivf_incr",        // IvfStore append+compact lifecycle store
     "q_ann_pq_served",       // PqStore
+    "q_ann_pq_incr",         // PqStore frozen-codebook append lifecycle
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout
