@@ -175,18 +175,19 @@ object SimilarityQueries extends QueryPack {
     * yields emb$sfx (vec_id, v), sub$sfx, c1$sfx (s, cid, cv),
     * codes$sfx (vec_id, s, cid).
     */
-  private def pqTrainCtes(sfx: String, train: String = "TRUE"): String =
+  private def pqTrainCtes(sfx: String,
+                          train: String => String = _ => "TRUE"): String =
     s"""emb$sfx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sub$sfx AS (SELECT vec_id, ss.s, v[ss.s*8+1:ss.s*8+8] AS sv
        |  FROM emb$sfx CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
        |seeds$sfx AS (SELECT s, CAST(vec_id AS BIGINT) AS cid, sv AS cv FROM sub$sfx
-       |  WHERE vec_id IN (SELECT vec_id FROM emb$sfx WHERE $train
+       |  WHERE vec_id IN (SELECT vec_id FROM emb$sfx WHERE ${train("vec_id")}
        |                   ORDER BY vec_id ASC LIMIT 8)),
        |d0$sfx AS (SELECT x.vec_id, x.s, c.cid, x.sv,
        |    round(list_sum(list_transform(range(1, 9),
        |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
        |  FROM sub$sfx x JOIN seeds$sfx c ON x.s = c.s
-       |  WHERE ${train.replace("vec_id", "x.vec_id")}),
+       |  WHERE ${train("x.vec_id")}),
        |a0$sfx AS (SELECT vec_id, s, cid, sv FROM (SELECT *,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
        |  FROM d0$sfx) WHERE rn = 1),
@@ -203,15 +204,17 @@ object SimilarityQueries extends QueryPack {
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
        |  FROM d1$sfx) WHERE rn = 1)""".stripMargin
 
-  private lazy val pqOracle: String = pqOracleTrainedOn("TRUE")
+  private lazy val pqOracle: String = pqOracleTrainedOn(_ => "TRUE")
 
   /** The PQ serve oracle over a codebook trained on the `train` subset
-    * (codes still assigned for ALL vectors in that frozen space) —
-    * `train = TRUE` is the full-corpus recipe shared by q_ann_pq and
-    * q_ann_pq_served; q_ann_pq_incr replays the 80%-base incremental
-    * build with `vec_id % 5 <> 0`.
+    * (codes still assigned for ALL vectors in that frozen space). `train`
+    * is a predicate TEMPLATE over the qualified vec_id reference — the
+    * CTE chain instantiates it per scope, so a predicate can never be
+    * mangled by substring surgery. `_ => "TRUE"` is the full-corpus
+    * recipe shared by q_ann_pq and q_ann_pq_served; q_ann_pq_incr
+    * replays the 80%-base incremental build with `id => s"$id % 5 <> 0"`.
     */
-  private def pqOracleTrainedOn(train: String): String =
+  private def pqOracleTrainedOn(train: String => String): String =
     s"""WITH ${pqTrainCtes("", train)},
        |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
        |lut AS (SELECT c.s, c.cid,
@@ -634,7 +637,7 @@ object SimilarityQueries extends QueryPack {
     // lifecycle twins: append+compact must serve the one-shot answer
     "q_ann_lsh_incr" -> srpTopKSql(Similarity.SrpRadius, 5),
     "q_ann_ivf_incr" -> ivfOracle,
-    "q_ann_pq_incr" -> pqOracleTrainedOn("vec_id % 5 <> 0"),
+    "q_ann_pq_incr" -> pqOracleTrainedOn(id => s"$id % 5 <> 0"),
 
     "q_ann_ivf" -> ivfOracle,
 

@@ -539,10 +539,11 @@ object StreamQueries extends QueryPack {
         |    power(CAST(n_ctrl AS DOUBLE) - e, 2) / e
         |      + power(CAST(n_treat AS DOUBLE) - e, 2) / e AS chi2,
         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS meanv,
+        |    CASE WHEN n_ctrl >= 2 AND n_treat >= 2 THEN
         |    ((CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE)
         |        / CAST(n_ctrl AS DOUBLE))
         |     + (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
-        |        / CAST(n_treat AS DOUBLE))) / CAST(n - 2 AS DOUBLE) AS varv
+        |        / CAST(n_treat AS DOUBLE))) / CAST(n - 2 AS DOUBLE) END AS varv
         |  FROM x),
         |z AS (SELECT *, (CAST(1.96 AS DOUBLE) + CAST(0.84 AS DOUBLE))
         |    * sqrt(varv * (CAST(1 AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
