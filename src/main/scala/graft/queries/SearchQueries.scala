@@ -470,9 +470,44 @@ object SearchQueries extends QueryPack {
           col("o_orderdate"), col("o_totalprice"))
     }),
 
+    // the UPSERT lifecycle twin (round-12 verdict item 2): build from
+    // the original corpus, re-post every doc_id % 7 == 0 doc EDITED
+    // under its SAME id (tombstone + re-add), full-compact (tombstones
+    // folded physically), then probe — the oracle queries the edited
+    // corpus directly, so upsert+compact ≡ rebuild-from-updated-source
+    // is a driver hash gate. Half the edits REMOVE the probed token
+    // (the doc must vanish), half ADD it (must appear), and all shift a
+    // served column (one stale version anywhere = hash mismatch).
+    "q_hashtag_upsert" -> ((s, dir) => {
+      val store = ServingStores.ensureDocPostingsUpsert(s, dir)
+      ServingStores.postingProbe(s, store, "spark")
+        .orderBy(col("doc_id").asc)
+        .limit(1000)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // lifecycle twin of the timeline route (see q_hashtag_incr)
     "q_user_timeline_incr" -> ((s, dir) => {
       val store = ServingStores.ensureOrdersTimelineIncr(s, dir)
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_name") === "Customer#000000042")
+        .select(col("c_custkey"), col("c_name"))
+      val keys = cust.select(col("c_custkey")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      ServingStores.timelineProbeMany(s, store, "o_custkey", keys)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1000)
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+    }),
+
+    // upsert twin of the timeline route (see q_hashtag_upsert): every
+    // o_orderkey % 7 == 0 order re-posted under its same key with
+    // o_totalprice + 1000000, tombstones folded at compact — the probe
+    // must serve exactly the edited orders, driver-hash-checked
+    "q_user_timeline_upsert" -> ((s, dir) => {
+      val store = ServingStores.ensureOrdersTimelineUpsert(s, dir)
       val cust = Tables.customer(s, dir)
         .filter(col("c_name") === "Customer#000000042")
         .select(col("c_custkey"), col("c_name"))
@@ -708,6 +743,31 @@ object SearchQueries extends QueryPack {
     "q_user_timeline_incr" ->
       """SELECT c_name, o_orderkey, o_orderdate, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_name = 'Customer#000000042'
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1000""".stripMargin,
+
+    // upsert twins: the oracle queries the EDITED corpus directly, so a
+    // store serving any stale (or ghost) row version hash-fails
+    "q_hashtag_upsert" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000000
+        |         ELSE n_chars END AS n_chars,
+        |    CASE WHEN doc_id % 14 = 0
+        |           THEN regexp_replace(text, 'spark', 'flink', 'g')
+        |         WHEN doc_id % 14 = 7 THEN text || ' spark'
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM docs
+        |WHERE list_contains(str_split(text, ' '), 'spark')
+        |ORDER BY doc_id ASC LIMIT 1000""".stripMargin,
+
+    "q_user_timeline_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000000
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice
+        |FROM o JOIN customer ON o_custkey = c_custkey
         |WHERE c_name = 'Customer#000000042'
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1000""".stripMargin
   )
