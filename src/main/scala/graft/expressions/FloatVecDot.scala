@@ -122,6 +122,10 @@ object GraftFunctions {
     // samples, pixel rows) — see BytesToU8.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bytes_u8", exprs => BytesToU8(exprs.head), "scala_udf")
+    // Packing inverse for the PQ store's byte-per-subquantizer codes —
+    // see U8sToBytes.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_u8_bytes", exprs => U8sToBytes(exprs.head), "scala_udf")
     // round(v, 12) emitting the unscaled long — the fast path of the
     // exact-decimal sum contract; see Round12Long.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

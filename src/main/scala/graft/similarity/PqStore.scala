@@ -1,6 +1,7 @@
 package graft.similarity
 
-import graft.util.{AtomicRewrite, Stamp, Tables}
+import graft.util.{AtomicRewrite, Stamp, StoreLock, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,14 +23,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * become immediately searchable, while old codes are untouched
   * (spec-asserted). Accuracy for appended vectors matches the trained
   * corpus so long as the batch is drawn from the same distribution —
-  * when drift accumulates, rebuild (the stamp forces it on a source
-  * regeneration anyway). [[compact]] folds accumulated code files back
-  * into one generation, atomically under the staleness stamp.
+  * measured under deliberate drift by `q_ann_drift`; when drift
+  * accumulates, rebuild (the stamp forces it on a source regeneration
+  * anyway). [[compact]] folds accumulated code files back into one
+  * generation, atomically under the staleness stamp; append and compact
+  * exclude each other via the store's [[graft.util.StoreLock]] (the
+  * whole-table rewrite has no segment model — a racing append would be
+  * destroyed, so the collision fails loudly instead).
   *
-  * Layout: `codebook.parquet` (s, cid, cv — m × ksub rows),
-  * `codes.parquet` (vid, s, cid — m small rows per vector; at true scale
-  * pivot to a packed byte array per vector and bucket by vid).
-  * Freshness follows the family's (name, size, mtime) stamp.
+  * Layout (the Jégou et al. 2011 serving shape): `codebook.parquet`
+  * (s, cid, cv, ord — m × ksub rows; `ord` is the subspace rank-by-cid
+  * that PACKS into a byte), `codes.parquet` (vid, code — ONE row per
+  * vector, `code` = m bytes of per-subspace ordinals via
+  * [[graft.expressions.U8sToBytes]]). The packed form cuts ADC scan
+  * bytes ~10× vs the previous m-rows-of-(vid, s, cid) layout and makes
+  * the candidate stage a shuffle-free projection
+  * ([[Similarity.pqServePacked]]); scoring algebra is unchanged, so the
+  * same DuckDB oracles gate both. Freshness follows the family's
+  * (name, size, mtime) stamp.
   */
 object PqStore {
 
@@ -38,45 +49,54 @@ object PqStore {
 
   def defaultDir(sfDir: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/pq-store-v1")
+      s"${sys.props("user.dir")}/target/pq-store-v2")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
-  /** Materialize codebook + codes at `dest` — the dest-level build
+  /** Materialize codebook + packed codes at `dest` — the dest-level build
     * [[ensureBuilt]] wraps with the staleness stamp.
     */
   def buildAt(dest: String, embeddings: DataFrame): Unit = {
     val (_, codebook, codes, _) = Similarity.pqModel(
       embeddings, "vec_id", "embedding", M, Ksub)
-    codebook.coalesce(1)
+    val cbOrd = codebook.withColumn("ord",
+      row_number().over(Window.partitionBy("s").orderBy("cid")) - 1)
+    cbOrd.coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/codebook.parquet")
-    codes.repartition(col("vid"))
+    Similarity.pqPack(codes, cbOrd)
+      .repartition(col("vid"))
       .write.mode("overwrite").parquet(s"$dest/codes.parquet")
   }
 
   /** Encode a NEW batch with the store's frozen codebook and append its
-    * codes. Contract: batch ids are new (the family's add-without-delete
-    * contract); the codebook file is never touched.
+    * packed codes. Contract: batch ids are new ([[deleteIds]] +
+    * re-append expresses an update); the codebook file is never touched.
     */
-  def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit = {
-    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
-    val sd = codebook.select(size(col("cv"))).head().getInt(0)
-    Similarity.pqEncode(batch, "vec_id", "embedding", codebook, M, sd)
-      .repartition(col("vid"))
-      .write.mode("append").parquet(s"$dest/codes.parquet")
-  }
+  def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
+    StoreLock.withLock(dest, "append") {
+      val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+      val sd = codebook.select(size(col("cv"))).head().getInt(0)
+      Similarity.pqPack(
+        Similarity.pqEncode(batch, "vec_id", "embedding", codebook, M, sd),
+          codebook)
+        .repartition(col("vid"))
+        .write.mode("append").parquet(s"$dest/codes.parquet")
+    }
 
   /** Fold accumulated appended code files into one generation (bounded
     * file count), atomically under the staleness stamp. The codebook is
     * already a single file and part of the index identity — untouched.
+    * Holds the store lock: a concurrent append would land inside the
+    * rewrite's delete window, so it must fail loudly instead.
     */
-  def compact(spark: SparkSession, dest: String): Unit = {
-    val codes = spark.read.parquet(s"$dest/codes.parquet")
-    AtomicRewrite.rewrite(dest, s"$dest/codes.parquet") { tmp =>
-      codes.repartition(col("vid"))
-        .write.mode("overwrite").parquet(tmp)
+  def compact(spark: SparkSession, dest: String): Unit =
+    StoreLock.withLock(dest, "compact") {
+      val codes = spark.read.parquet(s"$dest/codes.parquet")
+      AtomicRewrite.rewrite(dest, s"$dest/codes.parquet") { tmp =>
+        codes.repartition(col("vid"))
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
-  }
 
   /** [[ensureBuilt]]'s INCREMENTAL variant — the driver-gated lifecycle
     * ([[IvfStore.ensureBuiltIncremental]]'s pattern): the codebook trains
@@ -124,14 +144,14 @@ object PqStore {
       .select(col("vec_id").cast("long").as("vid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
-    Similarity.pqServe(withVd, codebook, codes, queryId, k, rerank, M, sd,
-      "vec_id")
+    Similarity.pqServePacked(withVd, codebook, codes, queryId, k, rerank,
+      M, sd, "vec_id")
   }
 
   /** [[Similarity.pqTopK]] served from the persisted codebook + codes —
-    * identical ranking (the scoring is the shared [[Similarity.pqServe]];
-    * the artifacts are deterministic), but the per-query cost is the
-    * codes scan + LUT build, not a codebook re-train.
+    * identical ranking (the packed serve reproduces the shared scoring
+    * algebra exactly; the artifacts are deterministic), but the per-query
+    * cost is the m-byte codes scan + LUT, not a codebook re-train.
     */
   def topK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
            rerank: Int = 40): DataFrame =
@@ -140,7 +160,8 @@ object PqStore {
 
   /** [[Similarity.pqTopKMulti]] over the persisted artifacts — the
     * recall audit's served twin: every id < `maxQid` queries the stored
-    * codebook + codes at once; raw vectors only for the exact rerank.
+    * codebook + packed codes at once; raw vectors only for the exact
+    * rerank.
     */
   def topKMulti(spark: SparkSession, sfDir: String, maxQid: Long, k: Int,
                 rerank: Int = 40): DataFrame = {
@@ -151,6 +172,7 @@ object PqStore {
       .select(col("vec_id").cast("long").as("vid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
-    Similarity.pqTopKMulti(withVd, codebook, codes, maxQid, k, rerank, M, sd)
+    Similarity.pqTopKMultiPacked(withVd, codebook, codes, maxQid, k, rerank,
+      M, sd)
   }
 }

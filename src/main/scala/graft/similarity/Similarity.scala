@@ -1112,6 +1112,159 @@ object Similarity {
     pqTopKMulti(withVd, c1, codes, maxQid, k, rerank, m, sd)
   }
 
+  /** Pack row-form PQ codes into the byte-per-subquantizer layout the
+    * Jégou paper stores (one `(vid, code)` row, `code` = m bytes of
+    * per-subspace codebook ORDINALS): the persisted serving shape
+    * [[PqStore]] writes, cutting the ADC pass's scan bytes ~m× vs the
+    * (vid, s, cid) row form. Ordinals, not raw cids, because cids are
+    * seed VECTOR ids (unbounded); `cbOrd` is the codebook with its
+    * per-subspace rank-by-cid `ord` column, so the mapping is part of
+    * the persisted codebook and probe-side unpacking can never disagree
+    * with the packer. Requires every subspace's codebook ≤ 256 entries.
+    */
+  private[similarity] def pqPack(codes: DataFrame, cbOrd: DataFrame): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    codes
+      .join(broadcast(cbOrd.select(col("s"), col("cid"), col("ord"))),
+        Seq("s", "cid"))
+      .groupBy(col("vid"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, ord))), e -> e.ord)")
+        .as("__o"))
+      .select(col("vid"), call_function("graft_u8_bytes", col("__o")).as("code"))
+  }
+
+  /** The packed codebook's query-time LUT as ONE nested broadcast array
+    * (`__lut[s + 1][ord + 1] = (pdot, pnorm2)`), shared by the single-
+    * and multi-query packed serves.
+    */
+  private def packedLutRows(c1Ord: DataFrame, qsubs: DataFrame,
+                            extraKey: Seq[String]): DataFrame = {
+    val keyCols = extraKey.map(col)
+    val m = "aggregate(transform(__flat, x -> x.s), 0, (a, x) -> greatest(a, x)) + 1"
+    // ONE collect_list aggregation (the LUT is m × ksub ≤ a few KB), then
+    // the nested [s][ord] shape is carved out locally — a grouped
+    // pre-aggregation here would add a whole tiny shuffle stage per query
+    c1Ord.join(broadcast(qsubs), Seq("s"))
+      .select(keyCols ++ Seq(col("s"), col("ord"),
+        round(expr("aggregate(zip_with(cv, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+          .as("pdot"),
+        round(expr("aggregate(cv, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2")): _*)
+      .groupBy(keyCols: _*)
+      .agg(collect_list(struct(col("s"), col("ord"), col("pdot"), col("pnorm2")))
+        .as("__flat"))
+      .select(keyCols :+ expr(
+        s"""transform(sequence(0, $m - 1), s ->
+           |  transform(array_sort(filter(__flat, e -> e.s = s)),
+           |    e -> struct(e.pdot, e.pnorm2)))""".stripMargin).as("__lut"): _*)
+  }
+
+  /** The packed ADC fold: sum a LUT field across the m unpacked entries
+    * with the exact-decimal contract, HOF-shaped. A decimal accumulator
+    * cannot ride a HOF (decimal addition widens its type per step), so
+    * this uses the [[graft.expressions.Round12Long]] route the
+    * covariance operator established: each round-6 addend becomes its
+    * exact unscaled long, the long fold is exact, and the final double
+    * division reproduces the decimal(38,12)-sum-then-cast value the
+    * row-form groupBy (and the DuckDB oracle) computes.
+    */
+  private def packedFoldSql(field: String): String =
+    s"""CAST(aggregate(transform(__e, x -> graft_round12_long(x.$field)),
+       |  CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / 1.0e12""".stripMargin
+
+  /** [[pqServe]] over the PACKED codes layout — identical scoring algebra
+    * (round-6 LUT entries, exact DECIMAL(38,12) across-subspace sums —
+    * a HOF fold of exact decimals equals the row-form groupBy sum in any
+    * order, so the same DuckDB oracle gates both layouts), but the ADC
+    * pass is now a pure PROJECTION over the m-byte codes scan: unpack
+    * the byte per subspace, index the one broadcast nested LUT, fold.
+    * No join, no shuffle, no groupBy before the top-`rerank` cut — at
+    * 100 TB the candidate stage reads m bytes per vector and nothing
+    * else. Raw vectors join in only for the exact rerank, as before.
+    */
+  private[similarity] def pqServePacked(withVd: DataFrame, c1Ord: DataFrame,
+                                        packed: DataFrame, queryId: Long,
+                                        k: Int, rerank: Int, m: Int, sd: Int,
+                                        idCol: String): DataFrame = {
+    GraftFunctions.register(withVd.sparkSession)
+    val qsubs = withVd.filter(col("vid") === queryId)
+      .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
+    val lutArr = packedLutRows(c1Ord, qsubs, extraKey = Nil)
+    val qn = withVd.filter(col("vid") === queryId)
+      .select(sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        col("v").as("qv"))
+    val cands = packed.crossJoin(broadcast(lutArr))
+      .select(col("vid"), expr("transform(graft_bytes_u8(code), " +
+        "(o, s) -> element_at(element_at(__lut, s + 1), o + 1))").as("__e"))
+      .select(col("vid"),
+        expr(packedFoldSql("pdot")).as("__adc"),
+        expr(packedFoldSql("pnorm2")).as("__apx2"))
+      .crossJoin(broadcast(qn.select(col("qnorm"))))
+      .filter(col("vid") =!= queryId)
+      .select(col("vid"),
+        round(col("__adc") / (col("qnorm") * sqrt(col("__apx2"))), 6).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vid").asc)
+      .limit(rerank)
+    cands.join(withVd, "vid")
+      .crossJoin(broadcast(qn.select(col("qv"))))
+      .select(col("vid").as(idCol), col("adc_cosine"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[pqTopKMulti]] over the packed layout — one broadcast of the
+    * per-query nested LUTs, one codes-scan explode to (vector, query)
+    * pairs, the same exact-decimal fold per pair. Returns (qid, vec_id).
+    */
+  private[similarity] def pqTopKMultiPacked(withVd: DataFrame, c1Ord: DataFrame,
+                                            packed: DataFrame, maxQid: Long,
+                                            k: Int, rerank: Int, m: Int,
+                                            sd: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(withVd.sparkSession)
+    val qsubs = withVd.filter(col("vid") < maxQid)
+      .select(col("vid").as("qid"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("qid"), col("s"),
+        slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
+    val luts = packedLutRows(c1Ord, qsubs, extraKey = Seq("qid"))
+      .agg(collect_list(struct(col("qid"), col("__lut"))).as("__qs"))
+    val qn = withVd.filter(col("vid") < maxQid)
+      .select(col("vid").as("qid"),
+        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        col("v").as("qv"))
+    val cands = packed.crossJoin(broadcast(luts))
+      .select(col("vid"), col("code"), explode(col("__qs")).as("__q"))
+      .select(col("vid"), col("__q.qid").as("qid"),
+        expr("transform(graft_bytes_u8(code), " +
+          "(o, s) -> element_at(element_at(__q.__lut, s + 1), o + 1))").as("__e"))
+      .select(col("qid"), col("vid"),
+        expr(packedFoldSql("pdot")).as("__adc"),
+        expr(packedFoldSql("pnorm2")).as("__apx2"))
+      .join(broadcast(qn.select(col("qid"), col("qnorm"))), "qid")
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(col("__adc") / (col("qnorm") * sqrt(col("__apx2"))), 6)
+          .as("adc_cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("adc_cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vid"))
+    cands.join(withVd, "vid")
+      .join(broadcast(qn.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("vid"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("vid").as("vec_id"))
+  }
+
   /** Symmetric int8 quantization audit — the serving-side compression
     * every large vector store applies (scale = max|x|/127, q = round(x/s),
     * dequant x̂ = q·s), reported as per-vector reconstruction error so a

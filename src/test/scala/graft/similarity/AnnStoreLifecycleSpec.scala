@@ -98,18 +98,26 @@ class AnnStoreLifecycleSpec extends SparkSpec {
       "codebook and old codes byte-untouched; compact preserves results") {
     val dest = Files.createTempDirectory("graft-pq-life").toString
     PqStore.buildAt(dest, base)
+    // codes are PACKED: one row per vector, m bytes of subspace ordinals
+    // (hex for value comparison — Row.toString of a byte array is
+    // reference identity)
+    def codeRows(pred: org.apache.spark.sql.Column) =
+      rows(spark.read.parquet(s"$dest/codes.parquet").filter(pred)
+        .select(col("vid"), hex(col("code")))).sorted
     val cbBefore = rows(spark.read.parquet(s"$dest/codebook.parquet")).sorted
-    val oldCodes = rows(spark.read.parquet(s"$dest/codes.parquet")
-      .filter(col("vid") < 32)).sorted
+    val oldCodes = codeRows(col("vid") < 32)
     PqStore.appendBatch(spark, dest, batch)
     assert(rows(spark.read.parquet(s"$dest/codebook.parquet")).sorted
       == cbBefore, "append must not retrain the codebook")
-    assert(rows(spark.read.parquet(s"$dest/codes.parquet")
-      .filter(col("vid") < 32)).sorted == oldCodes,
+    assert(codeRows(col("vid") < 32) == oldCodes,
       "append must not rewrite existing codes")
-    // appended vectors have m codes each and are immediately searchable
-    assert(spark.read.parquet(s"$dest/codes.parquet")
-      .filter(col("vid") >= 32).count() == 8L * PqStore.M)
+    // appended vectors have ONE m-byte code row each, immediately
+    // searchable
+    val appended = spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") >= 32)
+    assert(appended.count() == 8L)
+    assert(appended.select(length(col("code"))).distinct().head().getInt(0)
+      == PqStore.M)
     val served = rows(PqStore.topKAt(spark, dest, all, queryId = 2L, k = 5))
     assert(served.exists(_.startsWith("[35,")),
       s"planted near-dup 35 missing from $served")
