@@ -1,7 +1,10 @@
 package graft.dedup
 
-import graft.util.{Stamp, Tables}
+import java.nio.file.{Files, Paths}
+
+import graft.util.{Stamp, StoreLock, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persistent SimHash signature store — the near-dup analogue of the BM25
@@ -15,15 +18,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * probe joins prune to single buckets
   * ([[Dedup.simHashIncremental]] reads the same layout).
   *
+  * Lifecycle: [[appendBatch]] adds NEW ids at batch cost (exact by
+  * construction — a doc's 64-bit SimHash depends only on its own
+  * tokens); [[upsertBatch]] REPLACES existing ids (the reference
+  * indexer's overwrite semantics — an EDITED doc must carry its new
+  * signature, or the near-dup gate would compare live traffic against a
+  * stale sketch): rows carry a store generation, the batch's ids are
+  * tombstoned first at a fresh generation, and [[read]] drops rows any
+  * newer tombstone outranks — the [[graft.search.ServingStores]]
+  * tombstone contract. [[compact]] folds the table into one doc-sorted
+  * generation with the deletes applied physically and the tombstones
+  * cleared; upsert and compact exclude each other via the store lock
+  * (a whole-table rewrite has no segment model — the collision fails
+  * loudly instead of losing the racing batch).
+  *
   * Freshness follows the index pattern: a (name, size, mtime) stamp of the
   * source parquet — a regenerated corpus forces a rebuild, repeated runs
   * within one suite reuse the artifact.
   */
 object SimHashStore {
 
+  private val tombSchema = StructType(Seq(
+    StructField("__id", StringType), StructField("__gen", LongType)))
+
   def defaultDir(sfDir: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/simhash-sig-v1")
+      s"${sys.props("user.dir")}/target/simhash-sig-v2")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -33,39 +53,101 @@ object SimHashStore {
     */
   def ensureBuilt(spark: SparkSession, sfDir: String): DataFrame = {
     val dest = defaultDir(sfDir)
-    val sigPath = dest + "/sig.parquet"
     val stamp = Stamp.sourceStamp(sfDir)
     if (!Stamp.isFresh(dest, stamp)) {
-      Dedup.simHash(Tables.documents(spark, sfDir), "doc_id", "text")
-        .write.mode("overwrite").parquet(sigPath)
+      buildAt(dest, Tables.documents(spark, sfDir), "doc_id", "text")
       Stamp.write(dest, stamp)
     }
-    spark.read.parquet(sigPath)
+    read(spark, dest)
+  }
+
+  /** Materialize the signature table at `dest` (generation 0; stale
+    * tombstones from any previous generation cleared).
+    */
+  def buildAt(dest: String, docs: DataFrame, idCol: String,
+              textCol: String): Unit = {
+    deleteRecursively(Paths.get(dest, "_tombstones"))
+    Files.deleteIfExists(Paths.get(dest, "_gen.txt"))
+    Dedup.simHash(docs, idCol, textCol)
+      .withColumn("__gen", lit(0L))
+      .write.mode("overwrite").parquet(dest + "/sig.parquet")
+  }
+
+  /** The store's (doc, simhash) rows with live deletes applied — what
+    * every consumer reads. Never-upserted stores skip the anti-join.
+    */
+  def read(spark: SparkSession, dest: String): DataFrame = {
+    val sigs = spark.read.parquet(dest + "/sig.parquet")
+    val tomb = Paths.get(dest, "_tombstones")
+    val filtered =
+      if (!Files.isDirectory(tomb)) sigs
+      else {
+        val tb = spark.read.schema(tombSchema).parquet(tomb.toString)
+        sigs.join(broadcast(tb),
+          sigs("doc").cast("string") === tb("__id") &&
+            sigs("__gen") < tb("__gen"), "left_anti")
+      }
+    filtered.drop("__gen")
   }
 
   /** Append a NEW doc batch's signatures at batch cost — exact by
-    * construction (a doc's 64-bit SimHash depends only on its own
-    * tokens), so the appended store is value-equal to a rebuild over the
-    * union. Batch ids must be new (dedup upstream — the family's
-    * add-without-delete contract; the STREAMING face of this append,
-    * with the near-dup gate in front, is
-    * [[graft.streaming.StreamSinks.nearDupFilterSink]]).
+    * construction, so the appended store is value-equal to a rebuild
+    * over the union. Batch ids must be new (dedup upstream); an EDITED
+    * id goes through [[upsertBatch]] instead.
     */
   def appendBatch(dest: String, batch: DataFrame, idCol: String,
                   textCol: String): Unit =
     Dedup.simHash(batch, idCol, textCol)
+      .withColumn("__gen", lit(nextGen(dest)))
       .write.mode("append").parquet(dest + "/sig.parquet")
 
-  /** Fold accumulated appended files into one doc-sorted generation —
-    * bounded file count, doc min/max row-group stats restored. Atomic
-    * under the staleness stamp ([[graft.util.AtomicRewrite]]).
+  /** Replace the stored signatures of the batch's (existing or new) ids
+    * with signatures of the batch's text — tombstone-first, so a crash
+    * between the writes deletes rather than double-serves, and a retry
+    * converges at a higher generation.
     */
-  def compact(spark: SparkSession, dest: String): Unit = {
-    val sigs = spark.read.parquet(dest + "/sig.parquet")
-    graft.util.AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
-      sigs.repartitionByRange(col("doc"))
-        .sortWithinPartitions(col("doc"))
-        .write.mode("overwrite").parquet(tmp)
+  def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame,
+                  idCol: String, textCol: String): Unit =
+    StoreLock.withLock(dest, "append") {
+      val gen = nextGen(dest)
+      batch.select(col(idCol).cast("string").as("__id")).distinct()
+        .withColumn("__gen", lit(gen))
+        .coalesce(1).write.mode("append").parquet(dest + "/_tombstones")
+      Dedup.simHash(batch, idCol, textCol)
+        .withColumn("__gen", lit(gen))
+        .write.mode("append").parquet(dest + "/sig.parquet")
     }
+
+  /** Fold accumulated appended files into one doc-sorted generation with
+    * tombstoned versions physically purged and the tombstones cleared —
+    * bounded file count, doc min/max row-group stats restored. Atomic
+    * under the staleness stamp ([[graft.util.AtomicRewrite]]); excludes
+    * concurrent upserts via the store lock.
+    */
+  def compact(spark: SparkSession, dest: String): Unit =
+    StoreLock.withLock(dest, "compact") {
+      val sigs = read(spark, dest).withColumn("__gen", lit(0L))
+      graft.util.AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
+        sigs.repartitionByRange(col("doc"))
+          .sortWithinPartitions(col("doc"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      deleteRecursively(Paths.get(dest, "_tombstones"))
+    }
+
+  private def nextGen(dest: String): Long = {
+    val f = Paths.get(dest, "_gen.txt")
+    val g = (if (Files.exists(f)) Files.readString(f).trim.toLong else 0L) + 1
+    Files.createDirectories(f.getParent)
+    Files.writeString(f, g.toString)
+    g
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

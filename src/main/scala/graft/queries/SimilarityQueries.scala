@@ -176,8 +176,9 @@ object SimilarityQueries extends QueryPack {
     * codes$sfx (vec_id, s, cid).
     */
   private def pqTrainCtes(sfx: String,
-                          train: String => String = _ => "TRUE"): String =
-    s"""emb$sfx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                          train: String => String = _ => "TRUE",
+                          src: String = "embeddings"): String =
+    s"""emb$sfx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        |sub$sfx AS (SELECT vec_id, ss.s, v[ss.s*8+1:ss.s*8+8] AS sv
        |  FROM emb$sfx CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
        |seeds$sfx AS (SELECT s, CAST(vec_id AS BIGINT) AS cid, sv AS cv FROM sub$sfx
@@ -551,6 +552,44 @@ object SimilarityQueries extends QueryPack {
         .unionByName(recallOf("ivf_mp", topPerQuery(ivfMpCand)))
         .unionByName(recallOf("pq", pqCand))
         .unionByName(recallOf("pq_served", pqServedCand))
+    }),
+
+    // Recall-under-DRIFT audit (round-12 verdict item 4): the 20% append
+    // batch arrives from a SHIFTED distribution (+0.25 per coordinate),
+    // runs through PqStore's own incremental chain (codebook frozen on
+    // the 80% base), and its recall@10 over 20 queries is measured next
+    // to a codebook RETRAINED on the drifted corpus — the gap is the
+    // measured price of the frozen-space append contract, the row that
+    // says when a rebuild stops being optional. PQ only: SRP signatures
+    // are per-row (append ≡ rebuild bit-for-bit on any data) and IVF's
+    // incr chain keeps every seed id in the base, so incr and rebuild
+    // assign against identical centroids — zero delta by construction
+    // for both (argued in the driftedEmbeddings scaladoc), measured for
+    // the one store with trained state.
+    "q_ann_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
+      val destIncr = PqStore.ensureBuiltDrift(s, dir)
+      val destFull = PqStore.ensureBuiltDriftRebuild(s, dir)
+      val qs = drifted.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val truth = drifted.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      def recallOf(method: String, cand: DataFrame): DataFrame =
+        cand.join(truth, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .select(lit(method).as("method"), col("hits"),
+            lit(20L).as("n_queries"), lit(10L).as("k"),
+            round(col("hits").cast("double") / 200.0, 6).as("avg_recall"))
+      recallOf("pq_incr_drift",
+          PqStore.topKMultiAt(s, destIncr, drifted, maxQid = 20, k = 10))
+        .unionByName(recallOf("pq_rebuild_drift",
+          PqStore.topKMultiAt(s, destFull, drifted, maxQid = 20, k = 10)))
     })
   )
 
@@ -740,6 +779,65 @@ object SimilarityQueries extends QueryPack {
         |  round(list_max(list_transform(d, x -> abs(x))), 6) AS max_abs_err,
         |  round(list_sum(list_transform(d, x -> x * x)) / n, 6) AS mse
         |FROM err""".stripMargin,
+
+    "q_ann_drift" -> {
+      // the drift fixture in FLOAT, bit-matching the engine's
+      // CAST(CAST(x AS DOUBLE) + 0.25D AS FLOAT) per element
+      val driftCte =
+        """embdrift AS (SELECT vec_id,
+          |    CASE WHEN vec_id % 5 = 0
+          |      THEN list_transform(embedding,
+          |             x -> CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT))
+          |      ELSE embedding END AS embedding
+          |  FROM embeddings)""".stripMargin
+      // the multi-query ADC + exact-rerank chain of the q_ann_recall
+      // oracle, suffix-parameterized so the incr- and rebuild-trained
+      // codebooks replay side by side over the drifted corpus
+      def pqChain(x: String): String =
+        s"""qp$x AS (SELECT vec_id AS qid, s, sv AS qsv FROM sub$x WHERE vec_id < 20),
+           |lut$x AS (SELECT q.qid, c.s, c.cid,
+           |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
+           |    round(list_sum(list_transform(c.cv, x -> x * x)), 6) AS pnorm2
+           |  FROM c1$x c JOIN qp$x q ON c.s = q.s),
+           |qn$x AS (SELECT vec_id AS qid,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm, v AS qv
+           |  FROM emb$x WHERE vec_id < 20),
+           |adc$x AS (SELECT l.qid, k.vec_id,
+           |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+           |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+           |  FROM codes$x k JOIN lut$x l ON k.s = l.s AND k.cid = l.cid
+           |  GROUP BY l.qid, k.vec_id),
+           |cands$x AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
+           |    row_number() OVER (PARTITION BY a.qid
+           |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
+           |        a.vec_id ASC) AS rn
+           |  FROM adc$x a JOIN qn$x n ON a.qid = n.qid WHERE a.vec_id <> a.qid)
+           |  WHERE rn <= 40),
+           |pqr$x AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+           |    row_number() OVER (PARTITION BY c.qid
+           |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
+           |  FROM cands$x c JOIN emb$x e ON c.vec_id = e.vec_id
+           |  JOIN qn$x n ON c.qid = n.qid) WHERE rn <= 10)""".stripMargin
+      def method(name: String, cte: String): String =
+        s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
+           |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
+           |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id""".stripMargin
+      s"""WITH $driftCte,
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embdrift WHERE vec_id < 20),
+         |scored AS (SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+         |  FROM embdrift e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+         |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10),
+         |${pqTrainCtes("di", id => s"$id % 5 <> 0", src = "embdrift")},
+         |${pqChain("di")},
+         |${pqTrainCtes("df", _ => "TRUE", src = "embdrift")},
+         |${pqChain("df")}
+         |${method("pq_incr_drift", "pqrdi")}
+         |UNION ALL
+         |${method("pq_rebuild_drift", "pqrdf")}""".stripMargin
+    },
 
     "q_ann_recall" -> {
       def method(name: String, cte: String): String =

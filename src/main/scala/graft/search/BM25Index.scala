@@ -1,7 +1,8 @@
 package graft.search
 
-import graft.util.{Stamp, Tables}
+import graft.util.{Stamp, StoreLock, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import java.nio.file.{Files, Paths}
@@ -66,6 +67,10 @@ object BM25Index {
     * division's rounding error per segment.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dest: String): Unit = {
+    // a rebuild starts from a clean delete state: stale tombstones would
+    // exclude rebuilt docs whose upsert segments no longer exist
+    deleteRecursively(Paths.get(dest, "_tombstones"))
+    Files.deleteIfExists(Paths.get(dest, "_gen.txt"))
     // positional postings (Lucene stores positions alongside tf the same
     // way): tf and the sorted position list come out of ONE aggregation
     // over the positional token stream, so adding positions costs no extra
@@ -112,6 +117,112 @@ object BM25Index {
                     dest: String, name: String): Unit =
     build(docs, idCol, textCol, s"$dest/segments/$name")
 
+  /** Id-keyed OVERWRITE — the reference indexer's `addBean`-with-existing-
+    * id semantics (`SolrIndexer.java:47-59`), expressed the way Lucene
+    * expresses it: delete + add with tombstones folded at merge. The
+    * batch's ids are tombstoned at a fresh generation with the NEW
+    * segment recorded as the one part their postings may still be served
+    * from, then the batch indexes as a normal segment. Serving
+    * ([[topKMerged]]/[[topKPhrase]]) drops a tombstoned doc's rows from
+    * every part EXCEPT that segment, so exactly the latest version
+    * scores; corpus statistics (df/N/avglen) keep counting the dead
+    * version until [[compact]] — precisely Lucene's deleted-docs-in-
+    * stats behavior, and compaction is the stats-refresh event (after
+    * it the index equals a fresh build over the updated corpus,
+    * spec-asserted bit-equal). Tombstone-first ordering: a crash between
+    * the two writes leaves the doc ABSENT (recoverable — retry the
+    * upsert with the SAME segment name and it converges at a higher
+    * generation) rather than serving two versions.
+    */
+  def upsertSegment(docs: DataFrame, idCol: String, textCol: String,
+                    dest: String, name: String): Unit = {
+    require(name.nonEmpty, "upsert segment needs a name")
+    StoreLock.withLock(dest, "append") {
+      writeTombstones(docs.select(col(idCol).cast("string").as("__id")),
+        dest, exceptPart = name)
+      appendSegment(docs, idCol, textCol, dest, name)
+    }
+  }
+
+  /** Tombstone-only delete (Solr's deleteById): the ids stop being
+    * served on the next query and their postings are physically purged
+    * (and stats refreshed) at the next [[compact]].
+    */
+  def deleteDocs(spark: SparkSession, dest: String, ids: Seq[Any]): Unit =
+    StoreLock.withLock(dest, "append") {
+      import spark.implicits._
+      writeTombstones(ids.map(String.valueOf).toDF("__id"), dest,
+        exceptPart = NoPart)
+    }
+
+  // never a valid part tag (base = "", segment names are required
+  // nonempty), so a delete's tombstone excludes the doc from every part
+  private val NoPart = " "
+
+  private val tombSchema = StructType(Seq(
+    StructField("__id", StringType), StructField("__gen", LongType),
+    StructField("__except", StringType)))
+
+  private def writeTombstones(ids: DataFrame, dest: String,
+                              exceptPart: String): Unit = {
+    val gen = {
+      val f = Paths.get(dest, "_gen.txt")
+      val g = (if (Files.exists(f)) Files.readString(f).trim.toLong else 0L) + 1
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, g.toString)
+      g
+    }
+    ids.select(col(ids.columns.head).cast("string").as("__id")).distinct()
+      .withColumn("__gen", lit(gen))
+      .withColumn("__except", lit(exceptPart))
+      .coalesce(1).write.mode("append").parquet(s"$dest/_tombstones")
+  }
+
+  /** The LATEST tombstone per doc id (an id upserted twice is governed
+    * only by its newest tombstone — applying both would kill every
+    * version), broadcast-sized by the same argument as Lucene's live-docs
+    * bitmaps: proportional to deletes since the last merge.
+    */
+  private def latestTombstones(spark: SparkSession,
+                               dest: String): Option[DataFrame] = {
+    val dir = Paths.get(dest, "_tombstones")
+    if (!Files.isDirectory(dir)) None
+    else {
+      import org.apache.spark.sql.expressions.Window
+      Some(spark.read.schema(tombSchema).parquet(dir.toString)
+        .withColumn("__rn", row_number().over(Window.partitionBy("__id")
+          .orderBy(col("__gen").desc, col("__except").asc)))
+        .filter(col("__rn") === 1).drop("__rn", "__gen"))
+    }
+  }
+
+  /** Part-tagged postings union with the tombstone exclusion applied: a
+    * tombstoned doc's rows survive only in the tombstone's `__except`
+    * part. No-op (no tag column, no join) when the index has never seen
+    * an upsert/delete.
+    */
+  private def livePostings(spark: SparkSession, dest: String,
+                           parts: Seq[String],
+                           prune: DataFrame => DataFrame): DataFrame = {
+    latestTombstones(spark, dest) match {
+      case None =>
+        parts.map(p => prune(spark.read.parquet(s"$p/postings")))
+          .reduce(_.unionAll(_))
+      case Some(tomb) =>
+        val tagged = parts.map(p =>
+            prune(spark.read.parquet(s"$p/postings"))
+              .withColumn("__part", lit(partTag(dest, p))))
+          .reduce(_.unionAll(_))
+        tagged.join(broadcast(tomb),
+            tagged("doc").cast("string") === tomb("__id") &&
+              tagged("__part") =!= tomb("__except"), "left_anti")
+          .drop("__part")
+    }
+  }
+
+  private def partTag(dest: String, part: String): String =
+    if (part == dest) "" else Paths.get(part).getFileName.toString
+
   /** Segment compaction — fold every appended segment back into the base,
     * WITHOUT re-tokenizing any document: postings rows are already the
     * per-(doc, term) ground truth, so the merged index is just the unioned
@@ -122,16 +233,21 @@ object BM25Index {
     * appends into one read-optimized base. Cost: one read+shuffle+write of
     * index METADATA (postings), never a corpus scan.
     */
-  def compact(spark: SparkSession, dest: String): Unit = {
+  def compact(spark: SparkSession, dest: String): Unit = StoreLock.withLock(dest, "compact") {
     val parts = partDirs(dest)
-    if (parts.size > 1) {
-      val post = parts.map(p => spark.read.parquet(s"$p/postings"))
-        .reduce(_.unionAll(_)).drop("tb").persist()
-      val corpus = parts.map(p => spark.read.parquet(s"$p/corpus"))
-        .reduce(_.unionAll(_))
-        .agg(sum(col("n")).as("n"),
-          (sum(col("total_len")).cast("double") / sum(col("n"))).as("avglen"),
-          sum(col("total_len")).cast("long").as("total_len"))
+    val purging = Files.isDirectory(Paths.get(dest, "_tombstones"))
+    if (parts.size > 1 || purging) {
+      val post = livePostings(spark, dest, parts, identity)
+        .drop("tb").persist()
+      // corpus stats recomputed from the SURVIVING per-(doc, term) ground
+      // truth — on a tombstone-free index this equals the per-part
+      // (n, total_len) summation exactly (disjoint docs, integer-valued
+      // doubles), and with tombstones it is the stats refresh that makes
+      // compact ≡ rebuild-over-the-updated-corpus
+      val corpus = post.select(col("doc"), col("len")).distinct()
+        .agg(count(lit(1)).cast("double").as("n"),
+          (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"),
+          sum(col("len")).cast("long").as("total_len"))
       try {
         val tmp = s"$dest/compact-tmp"
         post
@@ -157,6 +273,9 @@ object BM25Index {
         val swapOrder = Seq("corpus", "postings", "termstats")
         swapOrder.foreach(sub => deleteRecursively(Paths.get(dest, sub)))
         deleteRecursively(Paths.get(dest, "segments"))
+        // tombstones go with the segments: their deletes are now folded
+        // physically (and the stats refreshed), like Lucene's merge
+        deleteRecursively(Paths.get(dest, "_tombstones"))
         swapOrder.reverse.foreach(sub =>
           Files.move(Paths.get(tmp, sub), Paths.get(dest, sub)))
         deleteRecursively(Paths.get(tmp))
@@ -186,12 +305,12 @@ object BM25Index {
     require(terms.nonEmpty, "no query terms survive analysis")
     val tbs = terms.map(termBucket).distinct
     val parts = partDirs(dest)
-    def readPruned(sub: String): DataFrame = parts
-      .map(p => spark.read.parquet(s"$p/$sub")
+    val post = livePostings(spark, dest, parts,
+      df => df.filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+    val tstats = parts
+      .map(p => spark.read.parquet(s"$p/termstats")
         .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
       .reduce(_.unionAll(_))
-    val post = readPruned("postings")
-    val tstats = readPruned("termstats")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val corpus = parts
       .map(p => spark.read.parquet(s"$p/corpus"))
@@ -299,9 +418,8 @@ object BM25Index {
     val terms = ordered.distinct
     val tbs = terms.map(termBucket).distinct
     val parts = partDirs(dest)
-    val post = parts.map(p => spark.read.parquet(s"$p/postings")
-        .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
-      .reduce(_.unionAll(_))
+    val post = livePostings(spark, dest, parts,
+      df => df.filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
     val slot = terms.zipWithIndex.toMap
     val joined = terms.zipWithIndex.map { case (t, i) =>
         val keep = Seq(col("doc")) ++ (if (i == 0) Seq(col("len")) else Nil) ++

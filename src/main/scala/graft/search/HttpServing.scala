@@ -205,6 +205,25 @@ object HttpServing {
       dest + "/users")
   }
 
+  /** [[appendTweetIndex]] for a batch of EDITED tweets — the reference
+    * indexer's overwrite-on-add (`SolrIndexer.java:47-59`: `addBean`
+    * with an existing id replaces the stored doc): the tweets' ids are
+    * tombstoned-and-re-added in the hashtag and timeline layouts, and
+    * the users lookup is upserted by user id (an edit can change the
+    * author's counters). Every route serves ONLY the new version
+    * immediately; the dead versions fold out at the next
+    * [[compactTweetIndex]].
+    */
+  def upsertTweetIndex(tweetsBatch: DataFrame, usersBatch: DataFrame,
+                       dest: String): Unit = {
+    ServingStores.upsertPostings(tweetsBatch, "id", col("tweetHashtags"),
+      dest + "/hashtags")
+    ServingStores.upsertTimeline(tweetsBatch, "id", "userID",
+      dest + "/by_user", sortCols = Seq(col("tweetDateTime").desc))
+    ServingStores.upsertPostings(usersBatch, "id",
+      array(col("userScreenName")), dest + "/users")
+  }
+
   /** Fold accumulated appends in all three layouts back into one
     * read-optimized generation each — Solr's background segment merge for
     * the tweet index (probe results identical before/after; LiveIngestSpec

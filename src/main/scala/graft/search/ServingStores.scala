@@ -456,7 +456,10 @@ object ServingStores {
         dest, sortCols = sorts)
       appendTimeline(orders.filter(col("o_orderkey") % 5 === 0), "o_custkey",
         dest, sortCols = sorts)
-      compactTimeline(spark, dest, "o_custkey", sortCols = sorts)
+      // the fold arrives via the one-call MAINTENANCE SWEEP, not a direct
+      // compact call — so the driver's hash gate exercises the sweep's
+      // policy decisions (hot-bucket selection here) every round
+      graft.search.StoreAdmin.maintain(spark, sfDir, minFiles = 2)
       graft.util.Stamp.write(dest, stamp)
     }
     dest
@@ -524,7 +527,8 @@ object ServingStores {
         orders.filter(col("o_orderkey") % 7 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 1000000),
         "o_orderkey", "o_custkey", dest, sortCols = sorts)
-      compactTimeline(spark, dest, "o_custkey", sortCols = sorts)
+      // via the sweep (tombstones present → it runs the FULL purge fold)
+      graft.search.StoreAdmin.maintain(spark, sfDir, minFiles = 2)
       graft.util.Stamp.write(dest, stamp)
     }
     dest

@@ -38,6 +38,8 @@ object StoreAdmin {
     graft.similarity.IvfStore.defaultDir(sfDir) + "__incr",
     graft.similarity.PqStore.defaultDir(sfDir),
     graft.similarity.PqStore.defaultDir(sfDir) + "__incr",
+    graft.similarity.PqStore.defaultDir(sfDir) + "__drift",
+    graft.similarity.PqStore.defaultDir(sfDir) + "__driftfull",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -53,6 +55,119 @@ object StoreAdmin {
   /** True iff no store for this corpus holds any artifact. */
   def isEmpty(sfDir: String): Boolean =
     storeDirs(sfDir).forall(d => !Files.exists(Paths.get(d)))
+
+  /** ONE-CALL maintenance sweep across every store family of a corpus —
+    * the merge policy a real serving tier runs on a timer (Lucene's
+    * TieredMergePolicy; the reference gets it from Solr's background
+    * merges), where round 12 left only per-store verbs and nothing
+    * deciding WHEN. Policy per family:
+    *
+    *  - FLAT artifact tables (SimHash/SRP signatures, PQ codes, IVF
+    *    vectors+byid): fold when the table holds ≥ 2 WRITE GENERATIONS
+    *    (distinct parquet job UUIDs — an absolute file count would
+    *    misread a parallel base write as fragmentation).
+    *  - BM25 indexes: fold when any appended segment exists (the
+    *    per-query merge-read cost is per segment, so the policy is
+    *    segment count, not file count; compact ≡ merged-serve is
+    *    spec-pinned, so folding never changes results).
+    *  - Serving layouts (postings/timelines, incl. the incr/upsert
+    *    twins): selective hot-bucket compaction at `minFiles`, upgraded
+    *    to a FULL fold whenever tombstones exist (a full pass is what
+    *    clears them). The corpus stores' (fk, sort) contracts are
+    *    restated here — parquet does not persist them.
+    *
+    * Idempotent: a second sweep finds one generation everywhere and no
+    * hot buckets, and does nothing. Runs between jobs like [[gcOrphans]]
+    * (which it ends with) — individual ops still take their store locks,
+    * so a forgotten concurrent maintainer fails loudly, not silently.
+    * Wired into the driver-gated incr/upsert chains
+    * ([[ServingStores.ensureOrdersTimelineIncr]] /
+    * [[ServingStores.ensureOrdersTimelineUpsert]]), so the hash gate
+    * exercises the sweep itself every round. Returns the actions taken.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+               minFiles: Int = 4): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val log = scala.collection.mutable.Buffer[String]()
+    def sweepFlat(root: String, sub: String, fold: String => Unit): Unit = {
+      val d = Paths.get(root, sub)
+      if (Files.isDirectory(d) && writeGenerations(d) >= 2) {
+        fold(root)
+        log += s"fold $root/$sub"
+      }
+    }
+    val simhash = graft.dedup.SimHashStore.defaultDir(sfDir)
+    sweepFlat(simhash, "sig.parquet",
+      d => graft.dedup.SimHashStore.compact(spark, d))
+    for (suffix <- Seq("", "__incr")) {
+      val srp = graft.similarity.SrpStore.defaultDir(sfDir) + suffix
+      sweepFlat(srp, "sig.parquet",
+        d => graft.similarity.SrpStore.compact(spark, d))
+      val ivf = graft.similarity.IvfStore.defaultDir(sfDir) + suffix
+      sweepFlat(ivf, "byid.parquet",
+        d => graft.similarity.IvfStore.compact(spark, d))
+    }
+    for (suffix <- Seq("", "__incr", "__drift", "__driftfull")) {
+      val pq = graft.similarity.PqStore.defaultDir(sfDir) + suffix
+      sweepFlat(pq, "codes.parquet",
+        d => graft.similarity.PqStore.compact(spark, d))
+    }
+    // the BASE index only: the __incr twin's identity IS "base + open
+    // segment" (its ensure re-checks the segments dir and would rebuild
+    // from scratch every time a sweep folded it — q_keyword_bm25_incr
+    // tests merged serving, which compaction is spec-equal to but must
+    // not replace under the gate)
+    locally {
+      val bm = BM25Index.defaultDir(sfDir)
+      if (Files.isDirectory(Paths.get(bm, "segments"))) {
+        BM25Index.compact(spark, bm)
+        log += s"fold $bm (segments)"
+      }
+    }
+    val serving = ServingStores.defaultDir(sfDir)
+    def sweepLayout(name: String, full: String => Unit,
+                    hot: String => Seq[Int]): Unit = {
+      val d = s"$serving/$name"
+      if (Files.isDirectory(Paths.get(d))) {
+        if (ServingStores.hasTombstones(d)) {
+          full(d); log += s"purge $d"
+        } else {
+          val h = hot(d)
+          if (h.nonEmpty) log += s"fold $d buckets=${h.mkString(",")}"
+        }
+      }
+    }
+    for (name <- Seq("doc_postings", "doc_postings_incr", "doc_postings_upsert"))
+      sweepLayout(name,
+        d => ServingStores.compactPostings(spark, d),
+        d => ServingStores.compactHotBuckets(spark, d, minFiles))
+    val orderSorts = Seq(col("o_orderdate").desc)
+    for (name <- Seq("orders_by_cust", "orders_by_cust_incr",
+        "orders_by_cust_upsert"))
+      sweepLayout(name,
+        d => ServingStores.compactTimeline(spark, d, "o_custkey", orderSorts),
+        d => ServingStores.compactHotTimeline(spark, d, "o_custkey",
+          orderSorts, minFiles))
+    gcOrphans(sfDir).foreach(o => log += s"gc $o")
+    log.toSeq
+  }
+
+  /** Distinct parquet write jobs that contributed files to `dir` — the
+    * fragmentation signal [[maintain]] folds on: Spark names every data
+    * file `part-NNNNN-<job uuid>-…`, so distinct UUIDs count appends
+    * since the last fold, independent of write parallelism.
+    */
+  private def writeGenerations(dir: Path): Int = {
+    val re = "part-\\d+-([0-9a-f-]{36})".r
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1)))
+      .toSet.size
+    finally s.close()
+  }
 
   /** Reclaim rewrite leftovers: every atomic-swap rewrite
     * ([[graft.util.AtomicRewrite]], [[ServingStores]]' compaction/

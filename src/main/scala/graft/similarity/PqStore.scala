@@ -122,6 +122,60 @@ object PqStore {
     dest
   }
 
+  /** The DRIFT-AUDIT incremental store (`q_ann_drift`): the exact
+    * [[ensureBuiltIncremental]] chain, but the appended 20% batch is the
+    * [[Similarity.driftedEmbeddings]] shifted distribution — so the
+    * frozen base-trained codebook quantizes vectors it never saw the
+    * likes of. Recall against [[ensureBuiltDriftRebuild]] (codebook
+    * retrained on the drifted corpus) is the measured price of the
+    * frozen-space append contract under drift, and the row that says
+    * when a rebuild stops being optional.
+    */
+  def ensureBuiltDrift(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__drift"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir))
+      buildAt(dest, emb.filter(col("vec_id") % 5 =!= 0))
+      appendBatch(spark, dest, emb.filter(col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** [[ensureBuiltDrift]]'s rebuild twin: codebook trained on the FULL
+    * drifted corpus — what a maintenance policy buys by rebuilding.
+    */
+  def ensureBuiltDriftRebuild(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__driftfull"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      buildAt(dest,
+        Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir)))
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** [[topKMulti]] against an explicit store directory and vector frame
+    * — the drift audit probes the incr and rebuild stores over the SAME
+    * (drifted) corpus frame. Returns (qid, vec_id).
+    */
+  def topKMultiAt(spark: SparkSession, dest: String, emb: DataFrame,
+                  maxQid: Long, k: Int, rerank: Int = 40): DataFrame = {
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val codes = spark.read.parquet(s"$dest/codes.parquet")
+    val withVd = emb
+      .select(col("vec_id").cast("long").as("vid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    Similarity.pqTopKMultiPacked(withVd, codebook, codes, maxQid, k, rerank,
+      M, sd)
+  }
+
   /** Build-if-absent-or-stale; returns the store directory. */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
     val dest = defaultDir(sfDir)
@@ -164,15 +218,7 @@ object PqStore {
     * rerank.
     */
   def topKMulti(spark: SparkSession, sfDir: String, maxQid: Long, k: Int,
-                rerank: Int = 40): DataFrame = {
-    val dest = ensureBuilt(spark, sfDir)
-    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
-    val codes = spark.read.parquet(s"$dest/codes.parquet")
-    val withVd = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").cast("long").as("vid"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val sd = codebook.select(size(col("cv"))).head().getInt(0)
-    Similarity.pqTopKMultiPacked(withVd, codebook, codes, maxQid, k, rerank,
-      M, sd)
-  }
+                rerank: Int = 40): DataFrame =
+    topKMultiAt(spark, ensureBuilt(spark, sfDir),
+      Tables.embeddings(spark, sfDir), maxQid, k, rerank)
 }

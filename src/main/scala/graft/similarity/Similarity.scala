@@ -1112,6 +1112,28 @@ object Similarity {
     pqTopKMulti(withVd, c1, codes, maxQid, k, rerank, m, sd)
   }
 
+  /** The deterministic DRIFT fixture behind `q_ann_drift` (round-12
+    * verdict item 4): the 20%% append batch (vec_id % 5 == 0) shifts by
+    * +0.25 in every coordinate — a hard mean drift, in FLOAT so the
+    * DuckDB oracle reproduces it bit-exactly — while the 80%% base is
+    * untouched. Feeding this corpus through a store's own incremental
+    * chain measures what frozen-space quantization loses when the data
+    * moves: the PQ codebook (Lloyd means trained on the base) is the one
+    * store with trained state to go stale. SRP needs no audit — its
+    * signatures are per-row with plan-time constant planes, so append ≡
+    * rebuild bit-for-bit on ANY data; IVF likewise — its "training" is
+    * seed selection (ids < NumCentroids), and the incremental chain
+    * keeps every seed id in the base, so incr and rebuild assign against
+    * the SAME centroid vectors and the stores are identical by
+    * construction, drift or not. Zero by proof beats zero by
+    * measurement for those two; PQ's delta is measured.
+    */
+  def driftedEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("embedding",
+      when(col("vec_id") % 5 === 0,
+        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.25D AS FLOAT))"))
+        .otherwise(col("embedding")))
+
   /** Pack row-form PQ codes into the byte-per-subquantizer layout the
     * Jégou paper stores (one `(vid, code)` row, `code` = m bytes of
     * per-subspace codebook ORDINALS): the persisted serving shape

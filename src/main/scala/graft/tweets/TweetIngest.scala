@@ -47,6 +47,8 @@ object TweetIngest {
     * watermarked dedup (SURVEY.md §2.10's streaming column).
     */
   def socketPipeline(spark: SparkSession, host: String, port: Int,
-                     watermark: String = "1 day"): DataFrame =
-    TweetNormalize.processStreaming(socketStream(spark, host, port), watermark)
+                     watermark: String = "1 day",
+                     dedupKeys: Seq[String] = Seq("org_id")): DataFrame =
+    TweetNormalize.processStreaming(socketStream(spark, host, port), watermark,
+      dedupKeys)
 }

@@ -188,11 +188,16 @@ object TweetNormalize {
     * future rows; with the file source replaying batches in event-time
     * order, first-seen == the reference's sequential-file behavior).
     */
-  def processStreaming(raw: DataFrame, watermark: String = "1 day"): DataFrame =
+  def processStreaming(raw: DataFrame, watermark: String = "1 day",
+                       dedupKeys: Seq[String] = Seq("org_id")): DataFrame =
     hiringFilter(normalize(raw))
       .withWatermark("samp_datetime", watermark)
       // WithinWatermark bounds the dedup state: plain dropDuplicates keeps
       // one state row per org_id forever (the watermark only evicts when
-      // the event-time column is part of the dedup key).
-      .dropDuplicatesWithinWatermark("org_id")
+      // the event-time column is part of the dedup key). An UPSERT-aware
+      // downstream (the reference indexer's overwrite loop) dedups on
+      // (org_id, samp_datetime) instead: an at-least-once re-delivery of
+      // the same observation is dropped, but an EDIT — same id, newer
+      // timestamp — passes through to the stores' tombstone-upsert path.
+      .dropDuplicatesWithinWatermark(dedupKeys)
 }

@@ -256,19 +256,35 @@ class DedupSpec extends SparkSpec {
     val batch = Seq((3L, "five six seven eight")).toDF("doc_id", "text")
     val dest = java.nio.file.Files
       .createTempDirectory("graft-simhash-life").toString
-    Dedup.simHash(base, "doc_id", "text")
-      .write.parquet(s"$dest/sig.parquet")
+    SimHashStore.buildAt(dest, base, "doc_id", "text")
     SimHashStore.appendBatch(dest, batch, "doc_id", "text")
-    val appended = spark.read.parquet(s"$dest/sig.parquet")
+    val appended = SimHashStore.read(spark, dest)
       .collect().map(_.toString).sorted.toSeq
     val rebuilt = Dedup.simHash(base.unionAll(batch), "doc_id", "text")
       .collect().map(_.toString).sorted.toSeq
     assert(appended == rebuilt)
     graft.util.Stamp.write(dest, "stamp-h")
     SimHashStore.compact(spark, dest)
-    assert(spark.read.parquet(s"$dest/sig.parquet")
+    assert(SimHashStore.read(spark, dest)
       .collect().map(_.toString).sorted.toSeq == rebuilt)
     assert(graft.util.Stamp.isFresh(dest, "stamp-h"))
+    // id-keyed overwrite: an EDITED doc's signature replaces its
+    // predecessor (read-side tombstone, folded physically at compact) —
+    // read ≡ a rebuild over the edited corpus throughout
+    val edited = Seq((2L, "completely different replacement text"))
+      .toDF("doc_id", "text")
+    SimHashStore.upsertBatch(spark, dest, edited, "doc_id", "text")
+    val editedRebuild = Dedup.simHash(
+        base.filter($"doc_id" =!= 2L).unionAll(edited).unionAll(batch),
+        "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(SimHashStore.read(spark, dest)
+      .collect().map(_.toString).sorted.toSeq == editedRebuild)
+    SimHashStore.compact(spark, dest)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest, "_tombstones")))
+    assert(SimHashStore.read(spark, dest)
+      .collect().map(_.toString).sorted.toSeq == editedRebuild)
   }
 
   test("sourceOverlap(maxShingleDf): boilerplate shingles above the df cut " +

@@ -124,6 +124,46 @@ class BM25Spec extends SparkSpec {
     assert(merged.map(_._1).contains(5L))
   }
 
+  test("upsertSegment: a SAME-id edited doc replaces its predecessor in " +
+      "merged serving; compact folds the delete and equals a rebuild " +
+      "over the edited corpus, scores bit-equal") {
+    val dest = java.nio.file.Files.createTempDirectory("bm25ups").toString
+    val full = java.nio.file.Files.createTempDirectory("bm25upsfull").toString
+    BM25Index.build(docs, "doc_id", "text", dest)
+    // edit doc 2: loses every 'spark', becomes a 'query' doc
+    val edited = Seq((2L, "query rewrite query planner")).toDF("doc_id", "text")
+    BM25Index.upsertSegment(edited, "doc_id", "text", dest, "seg-edit01")
+    // pre-compact: membership is already latest-version-only (Lucene's
+    // deleted-docs state — stats stale, postings filtered)
+    val sparkTop = BM25Index.topKMerged(spark, dest, Seq("spark"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!sparkTop.contains(2L),
+      "the edited-away version must stop matching its old terms")
+    assert(BM25Index.topKMerged(spark, dest, Seq("rewrite"), 5)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the new version must be searchable immediately")
+    // post-compact: the index IS a rebuild over the edited corpus —
+    // stats refreshed, scores bit-equal
+    BM25Index.compact(spark, dest)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest, "_tombstones")))
+    BM25Index.build(docs.filter("doc_id <> 2").unionAll(edited),
+      "doc_id", "text", full)
+    for (terms <- Seq(Seq("spark", "query"), Seq("rewrite"), Seq("filler")))
+      assert(BM25Index.topK(spark, dest, terms, 5)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq ==
+        BM25Index.topK(spark, full, terms, 5)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq,
+        s"terms $terms diverge from the edited-corpus rebuild")
+    // deleteDocs: the id vanishes from serving; compact purges physically
+    BM25Index.deleteDocs(spark, dest, Seq(3L))
+    assert(!BM25Index.topKMerged(spark, dest, Seq("query"), 5)
+      .collect().map(_.getLong(0)).contains(3L))
+    BM25Index.compact(spark, dest)
+    assert(!BM25Index.topK(spark, dest, Seq("query"), 5)
+      .collect().map(_.getLong(0)).contains(3L))
+  }
+
   test("compaction folds segments into the base with identical serving") {
     val dest = java.nio.file.Files.createTempDirectory("bm25cpt").toString
     BM25Index.build(docs.filter("doc_id <= 3"), "doc_id", "text", dest)

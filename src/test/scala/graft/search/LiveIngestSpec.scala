@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * against the advancing SimHash store, survivors are appended into
   * EVERY serving store (BM25 segments, hashtag postings, user timeline,
   * users lookup, collection snapshots), and the three HTTP routes serve
-  * the new document immediately — then a full compaction cycle leaves
-  * every envelope byte-identical. Round-11 verdict item 3: each hop was
-  * proven separately before; this is the one continuous test.
+  * the new document immediately — then a SAME-id EDIT arrives and must
+  * REPLACE its predecessor in every store (the reference indexer's
+  * `addBean` overwrite, round-12 verdict item 2: an edited tweet
+  * bypasses the near-dup gate — it is an update, not a re-post — and
+  * goes through the tombstone-upsert path of each store), and a full
+  * compaction cycle leaves every envelope byte-identical.
   */
 class LiveIngestSpec extends SparkSpec {
   import spark.implicits._
@@ -78,8 +81,30 @@ class LiveIngestSpec extends SparkSpec {
       |  "profile_background_image_url": null}}""".stripMargin
       .replaceAll("\n", " ")
 
+  // the EDIT: tweet 9001 again — SAME id, rewritten text (still passing
+  // the hiring-terms filter via "is hiring"), new hashtag. Must replace
+  // its predecessor everywhere, never serve alongside it.
+  private val editedTweet =
+    """{"id": 9001, "created_at": "Sat Oct 23 09:20:00 +0000 2021",
+      |"text": "Quantumloop pivoted and is hiring llvm compiler wizards",
+      |"truncated": false, "possibly_sensitive": null,
+      |"is_quote_status": false, "quoted_status_id": null,
+      |"quoted_status_permalink": null, "quoted_status": null,
+      |"retweeted_status": null, "favorite_count": 2, "quote_count": 0,
+      |"reply_count": 0, "retweet_count": 0,
+      |"entities": {"hashtags": [{"text": "llvmjobs"}],
+      |  "user_mentions": [], "urls": []},
+      |"extended_entities": null, "extended_tweet": null,
+      |"user": {"id": 77, "name": "Zoe Q", "screen_name": "zoe",
+      |  "verified": false, "followers_count": 6, "friends_count": 2,
+      |  "profile_image_url": "http://img/z.jpg",
+      |  "profile_banner_url": null,
+      |  "profile_background_image_url": null}}""".stripMargin
+      .replaceAll("\n", " ")
+
   test("socket ingest → near-dup gate → appended stores → three HTTP " +
-      "routes serve the new doc; compaction keeps envelopes identical") {
+      "routes serve the new doc; a SAME-id edit replaces it everywhere; " +
+      "compaction keeps envelopes identical") {
     val root = Files.createTempDirectory("graft-live").toString
     val bmDir = s"$root/bm25"; val tidx = s"$root/tidx"
     val sigDir = s"$root/sig"
@@ -98,20 +123,28 @@ class LiveIngestSpec extends SparkSpec {
     u0.write.parquet(s"$collU/v0")
 
     @volatile var latest = 0L
+    @volatile var feed: PrintWriter = null
     val server = new ServerSocket(0)
     val feeder = new Thread(() => {
       val sock = server.accept()
-      val out = new PrintWriter(sock.getOutputStream, true)
-      out.println(freshTweet)
-      out.println(repostTweet)
-      out.flush()
-      Thread.sleep(60000) // source treats close as end-of-stream
+      feed = new PrintWriter(sock.getOutputStream, true)
+      feed.println(freshTweet)
+      feed.println(repostTweet)
+      feed.flush()
+      Thread.sleep(120000) // source treats close as end-of-stream
       sock.close()
     })
     feeder.setDaemon(true)
     feeder.start()
 
-    val q = TweetIngest.socketPipeline(spark, "localhost", server.getLocalPort)
+    // the reference indexer's continuous loop, upsert-aware: ids already
+    // in the collection are UPDATES (bypass the near-dup gate — an edit
+    // is usually a near-dup of its own predecessor — and tombstone-
+    // replace in every store); new ids pass the gate and append
+    // dedup on (id, time), not id alone: re-deliveries of one observation
+    // are dropped, a same-id EDIT (newer timestamp) passes to the upsert
+    val q = TweetIngest.socketPipeline(spark, "localhost", server.getLocalPort,
+        dedupKeys = Seq("org_id", "samp_datetime"))
       .writeStream.option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -119,29 +152,50 @@ class LiveIngestSpec extends SparkSpec {
         val uB = Collections.users(batch)
         if (!tB.isEmpty) {
           val v = latest
-          // near-dup gate against the signature store so far: a re-post
-          // with a new id never reaches any index
-          val kept = Dedup.simHashIncremental(
-            s.read.parquet(s"$sigDir/v$v"), tB, "id", "tweetText")
-          kept.write.mode("overwrite").parquet(s"$sigDir/kept_$batchId")
-          val keptSig = s.read.parquet(s"$sigDir/kept_$batchId")
-          val tKeep = tB.join(
-            keptSig.select(col("doc").cast("string").as("id")),
-            Seq("id"), "left_semi").persist()
-          if (!tKeep.isEmpty) {
+          val known = s.read.parquet(s"$collT/v$v").select(col("id"))
+          val tUpd = tB.join(known, Seq("id"), "left_semi").persist()
+          val tNew = tB.join(known, Seq("id"), "left_anti")
+          val baseSig = s.read.parquet(s"$sigDir/v$v")
+          // gate only batches that HAVE new ids (an empty parquet dump
+          // cannot be re-read); an edit-only batch skips it entirely
+          val (tKeep, sigWithNew) =
+            if (tNew.isEmpty) (tB.limit(0).persist(), baseSig)
+            else {
+              val kept = Dedup.simHashIncremental(baseSig, tNew, "id", "tweetText")
+              kept.write.mode("overwrite").parquet(s"$sigDir/kept_$batchId")
+              val keptSig = s.read.parquet(s"$sigDir/kept_$batchId")
+              (tB.join(keptSig.select(col("doc").cast("string").as("id")),
+                Seq("id"), "left_semi").persist(),
+                baseSig.unionByName(keptSig))
+            }
+          if (!tKeep.isEmpty || !tUpd.isEmpty) {
             val next = v + 1
-            BM25Index.appendSegment(tKeep, "id", "tweetText", bmDir,
-              f"live$batchId%04d")
-            HttpServing.appendTweetIndex(tKeep, uB, tidx)
-            s.read.parquet(s"$sigDir/v$v").unionByName(keptSig)
+            if (!tKeep.isEmpty) {
+              BM25Index.appendSegment(tKeep, "id", "tweetText", bmDir,
+                f"live$batchId%04d")
+              HttpServing.appendTweetIndex(tKeep,
+                uB.join(tKeep.select(col("userID").as("id")),
+                  Seq("id"), "left_semi"), tidx)
+            }
+            if (!tUpd.isEmpty) {
+              BM25Index.upsertSegment(tUpd, "id", "tweetText", bmDir,
+                f"edit$batchId%04d")
+              HttpServing.upsertTweetIndex(tUpd,
+                uB.join(tUpd.select(col("userID").as("id")),
+                  Seq("id"), "left_semi"), tidx)
+            }
+            // versioned side tables: updates replace same-id rows
+            Collections.upsert(sigWithNew,
+                Dedup.simHash(tUpd, "id", "tweetText"), "doc")
               .write.mode("overwrite").parquet(s"$sigDir/v$next")
-            Collections.upsert(s.read.parquet(s"$collT/v$v"), tKeep, "id")
+            Collections.upsert(s.read.parquet(s"$collT/v$v"),
+                tKeep.unionByName(tUpd), "id")
               .write.mode("overwrite").parquet(s"$collT/v$next")
             Collections.upsert(s.read.parquet(s"$collU/v$v"), uB, "id")
               .write.mode("overwrite").parquet(s"$collU/v$next")
             latest = next
           }
-          tKeep.unpersist()
+          tKeep.unpersist(); tUpd.unpersist()
         }
         ()
       }
@@ -174,7 +228,8 @@ class LiveIngestSpec extends SparkSpec {
         .filter(col("id") === "9002").count() == 0)
 
       val http = HttpServing.start(0, HttpServing.referenceRoutes(
-        tweetsNow, usersNow,
+        spark.read.parquet(s"$collT/v$latest"),
+        spark.read.parquet(s"$collU/v$latest"),
         bm25IndexDir = Some(bmDir), tweetIndexDir = Some(tidx)))
       try {
         val port = http.getAddress.getPort
@@ -191,13 +246,80 @@ class LiveIngestSpec extends SparkSpec {
         assert(json(tl, "$.user.userScreenName") == "zoe", tl)
         assert(json(tl, "$.tweets[0].tweet_id") == "9001", tl)
 
-        // the full append+compact cycle: fold the live segment and the
-        // appended posting/timeline files back in; envelopes identical
+        // ——— the SAME-id edit arrives live, over the same socket ———
+        val editDeadline = System.currentTimeMillis() + 60000
+        while (feed == null && System.currentTimeMillis() < editDeadline)
+          Thread.sleep(50)
+        feed.println(editedTweet); feed.flush()
+        var edited = false
+        while (!edited && System.currentTimeMillis() < editDeadline) {
+          q.processAllAvailable()
+          edited = ServingStores.postingProbe(spark, s"$tidx/hashtags",
+            "llvmjobs").limit(1).count() > 0
+          if (!edited) Thread.sleep(200)
+        }
+        assert(edited, "the edit never reached the hashtag store")
+
+        // every store serves ONLY the new version of 9001
+        val tweetsUpd = spark.read.parquet(s"$collT/v$latest")
+        assert(tweetsUpd.filter(col("id") === "9001").count() == 1)
+        assert(tweetsUpd.filter(col("id") === "9001")
+          .head().getAs[String]("tweetText").contains("wizards"))
+        val sigUpd = spark.read.parquet(s"$sigDir/v$latest")
+        assert(sigUpd.filter(col("doc") === "9001").count() == 1)
+        assert(sigUpd.filter(col("doc") === "9001").head().getLong(1) ==
+          Dedup.simHash(tweetsUpd.filter(col("id") === "9001"),
+            "id", "tweetText").head().getLong(1),
+          "the stored signature must be the EDITED text's")
+        // old hashtag: tombstoned out of the posting store
+        assert(ServingStores.postingProbe(spark, s"$tidx/hashtags",
+          "quantumjobs").filter(col("id") === "9001").count() == 0,
+          "the edited doc still serves under its OLD hashtag")
+        val htNew = get(port, "/api/search/hashtag?tag=llvmjobs")
+        assert(json(htNew, "$.count") == "1" &&
+          json(htNew, "$.data[0].tweet.id") == "9001", htNew)
+        // keyword route: old terms dead, new terms live (the HTTP routes
+        // captured the pre-edit collection frames, so probe the index
+        // directly for membership)
+        assert(!BM25Index.topKMerged(spark, bmDir, Seq("distributed"), 10)
+          .collect().map(_.get(0).toString).contains("9001"),
+          "the edited doc still matches its OLD text")
+        assert(BM25Index.topKMerged(spark, bmDir, Seq("wizards"), 10)
+          .collect().map(_.get(0).toString).contains("9001"),
+          "the edited doc's NEW text is not searchable")
+        // timeline: one 9001 row, the edited text
+        val tlRows = ServingStores.timelineProbe(spark, s"$tidx/by_user",
+          "userID", tweetsUpd.filter(col("id") === "9001")
+            .head().getAs[String]("userID"))
+          .filter(col("id") === "9001").collect()
+        assert(tlRows.length == 1, "timeline serves two versions")
+        assert(tlRows.head.getAs[String]("tweetText").contains("wizards"))
+
+        // the full append+compact cycle over the post-edit state: fold
+        // segments, postings, timeline (tombstones purged). The score-free
+        // envelopes are byte-identical; the KEYWORD route's scores REFRESH
+        // at compaction (the dead version leaves df/N/avglen — Lucene's
+        // deleted-docs-until-merge behavior), so its contract is stronger:
+        // same members, and the compacted index ≡ a fresh build over the
+        // edited corpus, scores bit-equal.
+        val kw2 = get(port, "/api/search/query?query=wizards")
+        val tl2 = get(port, "/api/search/user?id=zoe")
         BM25Index.compact(spark, bmDir)
         HttpServing.compactTweetIndex(spark, tidx)
-        assert(get(port, "/api/search/query?query=quantumloop") == kw)
-        assert(get(port, "/api/search/hashtag?tag=quantumjobs") == ht)
-        assert(get(port, "/api/search/user?id=zoe") == tl)
+        assert(!ServingStores.hasTombstones(s"$tidx/hashtags"))
+        assert(!ServingStores.hasTombstones(s"$tidx/by_user"))
+        val kw3 = get(port, "/api/search/query?query=wizards")
+        assert(json(kw3, "$.data[0].tweet.tweet_id") ==
+          json(kw2, "$.data[0].tweet.tweet_id"), s"$kw2 vs $kw3")
+        val freshIdx = s"$root/bm25-fresh"
+        BM25Index.build(tweetsUpd, "id", "tweetText", freshIdx)
+        assert(BM25Index.topKMerged(spark, bmDir, Seq("wizards"), 10)
+            .collect().map(_.toString).toSeq ==
+          BM25Index.topK(spark, freshIdx, Seq("wizards"), 10)
+            .collect().map(_.toString).toSeq,
+          "compacted upserted index must equal a rebuild over the edited corpus")
+        assert(get(port, "/api/search/hashtag?tag=llvmjobs") == htNew)
+        assert(get(port, "/api/search/user?id=zoe") == tl2)
       } finally http.stop(0)
     } finally {
       q.stop()

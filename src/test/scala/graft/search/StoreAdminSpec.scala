@@ -26,6 +26,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_ivf_incr",        // IvfStore append+compact lifecycle store
     "q_ann_pq_served",       // PqStore
     "q_ann_pq_incr",         // PqStore frozen-codebook append lifecycle
+    "q_ann_drift",           // PqStore drift-audit stores (incr + rebuild)
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout
@@ -103,6 +104,48 @@ class StoreAdminSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq == before,
       "gc changed a live store's probe result")
     assert(StoreAdmin.gcOrphans(dir).isEmpty, "gc is not idempotent")
+  }
+
+  test("maintain: the one-call sweep folds fragmented stores, purges " +
+      "tombstoned layouts, spares the segmented-gate fixture, and is " +
+      "idempotent") {
+    // the gated chains run the sweep INTERNALLY — after them the upsert
+    // layouts hold zero tombstones (the sweep's full purge ran) and the
+    // appended-into timeline buckets are folded
+    val upsertRows = snapshot("q_user_timeline_upsert")
+    val incrRows = snapshot("q_user_timeline_incr")
+    val bmIncrRows = snapshot("q_keyword_bm25_incr")
+    assert(upsertRows.nonEmpty && incrRows.nonEmpty)
+    val serving = ServingStores.defaultDir(dir)
+    assert(!ServingStores.hasTombstones(s"$serving/orders_by_cust_upsert"),
+      "the chain-wired sweep did not purge the upsert tombstones")
+
+    // legitimately fragment a FLAT store (2 write generations), sweep,
+    // assert the fold ran and a re-sweep is a no-op
+    val simhash = graft.dedup.SimHashStore.defaultDir(dir)
+    graft.dedup.SimHashStore.ensureBuilt(spark, dir)
+    import spark.implicits._
+    graft.dedup.SimHashStore.appendBatch(simhash,
+      Seq((900001L, "maintain sweep fragmentation probe")).toDF("id", "text"),
+      "id", "text")
+    val actions = StoreAdmin.maintain(spark, dir)
+    assert(actions.exists(_.contains("sig.parquet")),
+      s"sweep did not fold the fragmented signature store: $actions")
+    // the bm25 __incr fixture keeps its open segment across a sweep (its
+    // identity IS base+segment; folding would force a rebuild loop)
+    assert(Files.isDirectory(
+      Paths.get(BM25Index.defaultDir(dir) + "__incr", "segments")),
+      "maintain folded the segmented gate fixture")
+    assert(snapshot("q_keyword_bm25_incr") == bmIncrRows)
+    assert(snapshot("q_user_timeline_upsert") == upsertRows,
+      "maintain changed served results")
+    assert(snapshot("q_user_timeline_incr") == incrRows)
+    val again = StoreAdmin.maintain(spark, dir)
+    assert(again.isEmpty, s"maintain is not idempotent: $again")
+    // the fragmented-then-folded signature store now diverges from its
+    // source (the probe batch was synthetic) — drop it so later suites
+    // rebuild from the corpus
+    StoreAdmin.truncate(simhash)
   }
 
   test("truncate is idempotent and scoped: absent store is a no-op, other " +
