@@ -42,6 +42,45 @@ class HttpServingSpec extends SparkSpec {
     if (row.isNullAt(0)) null else row.getString(0)
   }
 
+  test("requests racing store maintenance serve the old generation or " +
+      "the error envelope — never a mixed generation — and the first " +
+      "request after the swap succeeds (round-12 verdict item 6)") {
+    val tidx = java.nio.file.Files.createTempDirectory("graft-http-maint").toString
+    HttpServing.buildTweetIndex(tweets, users, tidx)
+    ServingStores.appendPostings(
+      Seq(("14", "7", "more jobs news", Seq("jobs"), "2021-03-04T10:00:00Z"))
+        .toDF("id", "userID", "tweetText", "tweetHashtags", "tweetDateTime"),
+      col("tweetHashtags"), s"$tidx/hashtags")
+    val server = HttpServing.start(0, HttpServing.referenceRoutes(
+      tweets, users, tweetIndexDir = Some(tidx)))
+    try {
+      val port = server.getAddress.getPort
+      val before = get(port, "/api/search/hashtag?tag=jobs").body()
+      assert(json(before, "$.count") == "3")
+      var duringTmp: String = null
+      var duringSwap: String = null
+      ServingStores.testHookBeforeSwap = d => if (d.endsWith("/hashtags")) {
+        // tmp materialized, store untouched: a racing request serves the
+        // complete OLD generation
+        duringTmp = get(port, "/api/search/hashtag?tag=jobs").body()
+        // mid-swap (sentinel down): the route answers with the reference
+        // error envelope — HTTP 200, status_code 500 — never a partial set
+        val sentinel = java.nio.file.Paths.get(d, "_buckets.txt")
+        val saved = java.nio.file.Files.readString(sentinel)
+        java.nio.file.Files.delete(sentinel)
+        duringSwap = get(port, "/api/search/hashtag?tag=jobs").body()
+        java.nio.file.Files.writeString(sentinel, saved)
+      }
+      try ServingStores.compactPostings(spark, s"$tidx/hashtags")
+      finally ServingStores.testHookBeforeSwap = _ => ()
+      assert(duringTmp == before, "mid-maintenance request diverged from the old generation")
+      assert(json(duringSwap, "$.status_code") == "500", duringSwap)
+      // first request after the swap: the new generation, same rows
+      assert(get(port, "/api/search/hashtag?tag=jobs").body() == before,
+        "first request after the swap must serve the full new generation")
+    } finally server.stop(0)
+  }
+
   test("GET /api/search/query serves the keyword envelope over HTTP") {
     withServer { port =>
       val resp = get(port, "/api/search/query?query=spark%20engines")
