@@ -51,6 +51,25 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q_ann_pq_served: packed ADC is shuffle-free — no hashpartitioning " +
+      "exchange before the top-rerank cut (the round-13 layout's point)") {
+    val p = plan("q_ann_pq_served")
+    assert(p.contains("bytestou8"), "packed unpack missing from the plan")
+    assert(!p.contains("hashpartitioning(vid"),
+      "ADC regressed to the row-form groupBy(vid) shuffle")
+    assert(p.contains("TakeOrderedAndProject(limit=40"),
+      "rerank cut is not a TakeOrdered")
+  }
+
+  test("q_hashtag_upsert: the compacted upserted store probes as a pure " +
+      "one-bucket pruned scan — tombstones folded, no join, no shuffle") {
+    val p = plan("q_hashtag_upsert")
+    assert(p.contains("PartitionFilters: [isnotnull(__bucket"),
+      "bucket partition prune missing")
+    assert(!p.contains("Join"), s"post-compact probe should be join-free: $p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q_ann_ivf: centroid assignment has no Window operator") {
     val p = plan("q_ann_ivf")
     assert(!p.contains("Window"), "assignment regressed to a windowed argmax")
