@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.expressions.GraftFunctions
-import graft.util.{AtomicRewrite, Stamp, Tables}
+import graft.util.{AtomicRewrite, Stamp, StoreLock, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -54,23 +54,26 @@ object IvfStore {
   // within-file vec_id order — the ServingStores writeLayout argument)
   private def writeVectors(assigned: DataFrame, path: String,
                            mode: String): Unit =
-    assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+    assigned.select(col("vec_id"), col("embedding"), col("__gen"), col("cluster"))
       .repartition(col("cluster"))
       .sortWithinPartitions(col("cluster"), col("vec_id"))
       .write.mode(mode).partitionBy("cluster").parquet(path)
 
   private def writeById(assigned: DataFrame, path: String,
                         mode: String): Unit =
-    assigned.select(col("vec_id"), col("cluster"))
+    assigned.select(col("vec_id"), col("cluster"), col("__gen"))
       .coalesce(1).sortWithinPartitions(col("vec_id"))
       .write.mode(mode).parquet(path)
 
   /** Materialize the cluster-partitioned layout at `dest` — the
     * dest-level build [[ensureBuilt]] wraps with the staleness stamp.
+    * Rows at generation 0; stale tombstones cleared.
     */
   def buildAt(dest: String, embeddings: DataFrame): Unit = {
+    AnnTombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
-      NumCentroids)
+        NumCentroids)
+      .withColumn("__gen", lit(0L))
     writeVectors(assigned, s"$dest/vectors.parquet", "overwrite")
     writeById(assigned, s"$dest/byid.parquet", "overwrite")
   }
@@ -79,29 +82,69 @@ object IvfStore {
     * Contract: batch ids are new AND outside the seed range
     * (≥ NumCentroids) — under it, append ≡ full rebuild exactly, because
     * a rebuild's seeds (base ids < NumCentroids) are unchanged by the
-    * new rows.
+    * new rows. [[upsertBatch]] is the id-keyed overwrite.
     */
-  def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$dest/vectors.parquet")
+  def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
+    StoreLock.withLock(dest, "append") {
+      appendAssigned(spark, dest, batch, AnnTombstones.nextGen(dest))
+    }
+
+  /** Id-keyed overwrite ([[AnnTombstones]] contract): tombstone the
+    * batch's ids, re-assign them against the frozen centroids at the
+    * same generation. Contract: ids outside the seed range (a seed
+    * vector IS a centroid; editing one invalidates the index identity —
+    * rebuild instead).
+    */
+  def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
+    StoreLock.withLock(dest, "append") {
+      val gen = AnnTombstones.nextGen(dest)
+      AnnTombstones.write(batch.select(col("vec_id")), dest, gen)
+      appendAssigned(spark, dest, batch, gen)
+    }
+
+  /** Tombstone-only delete; purged at the next [[compact]]. */
+  def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
+    StoreLock.withLock(dest, "append") {
+      import spark.implicits._
+      AnnTombstones.write(ids.toDF("vec_id"), dest,
+        AnnTombstones.nextGen(dest))
+    }
+
+  private def appendAssigned(spark: SparkSession, dest: String,
+                             batch: DataFrame, gen: Long): Unit = {
+    val cents = liveVectors(spark, dest)
       .filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
     val assigned = Similarity.assignToCentroids(batch, "vec_id", "embedding",
-      cents)
+        cents)
+      .withColumn("__gen", lit(gen))
     writeVectors(assigned, s"$dest/vectors.parquet", "append")
     writeById(assigned, s"$dest/byid.parquet", "append")
   }
 
+  private def liveVectors(spark: SparkSession, dest: String): DataFrame =
+    AnnTombstones.dropDead(spark, dest,
+      spark.read.parquet(s"$dest/vectors.parquet"), "vec_id")
+
+  private def liveById(spark: SparkSession, dest: String): DataFrame =
+    AnnTombstones.dropDead(spark, dest,
+      spark.read.parquet(s"$dest/byid.parquet"), "vec_id")
+
   /** Fold accumulated appended files back into one sorted generation per
-    * sub-table — both swapped in ONE stamp-guarded transaction so a
-    * crash can never pair new vectors with an old forward table.
+    * sub-table with tombstoned rows physically purged and the tombstones
+    * cleared — both sub-tables swapped in ONE stamp-guarded transaction
+    * so a crash can never pair new vectors with an old forward table.
+    * Excludes concurrent writers via the store lock.
     */
-  def compact(spark: SparkSession, dest: String): Unit = {
-    val vectors = spark.read.parquet(s"$dest/vectors.parquet")
-    val byid = spark.read.parquet(s"$dest/byid.parquet")
-    AtomicRewrite.rewriteMany(dest, Seq(
-      s"$dest/vectors.parquet" -> (tmp => writeVectors(vectors, tmp, "overwrite")),
-      s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))))
-  }
+  def compact(spark: SparkSession, dest: String): Unit =
+    StoreLock.withLock(dest, "compact") {
+      val vectors = liveVectors(spark, dest).withColumn("__gen", lit(0L))
+      val byid = liveById(spark, dest).withColumn("__gen", lit(0L))
+      AtomicRewrite.rewriteMany(dest, Seq(
+        s"$dest/vectors.parquet" -> (tmp => writeVectors(vectors, tmp, "overwrite")),
+        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))))
+      AnnTombstones.clear(dest)
+    }
 
   /** Build-if-absent-or-stale; returns the store directory. */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
@@ -142,13 +185,13 @@ object IvfStore {
     GraftFunctions.register(spark)
     // serving-boundary point read: the query's cluster id, needed as a
     // literal so the partition filter prunes at planning time
-    val qCluster = spark.read.parquet(s"$dest/byid.parquet")
+    val qCluster = liveById(spark, dest)
       .filter(col("vec_id") === queryId)
       .head().getAs[Number]("cluster").longValue()
-    val qv = spark.read.parquet(s"$dest/vectors.parquet")
+    val qv = liveVectors(spark, dest)
       .filter(col("cluster") === qCluster && col("vec_id") === queryId)
       .select(col("embedding").as("__qv"))
-    spark.read.parquet(s"$dest/vectors.parquet")
+    liveVectors(spark, dest)
       .filter(col("cluster") === qCluster)
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))

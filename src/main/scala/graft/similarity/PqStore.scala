@@ -54,9 +54,12 @@ object PqStore {
   }
 
   /** Materialize codebook + packed codes at `dest` — the dest-level build
-    * [[ensureBuilt]] wraps with the staleness stamp.
+    * [[ensureBuilt]] wraps with the staleness stamp. Rows are written at
+    * generation 0; stale tombstones from any previous generation are
+    * cleared (the [[graft.search.BM25Index.build]] contract).
     */
   def buildAt(dest: String, embeddings: DataFrame): Unit = {
+    AnnTombstones.clear(dest)
     val (_, codebook, codes, _) = Similarity.pqModel(
       embeddings, "vec_id", "embedding", M, Ksub)
     val cbOrd = codebook.withColumn("ord",
@@ -64,38 +67,79 @@ object PqStore {
     cbOrd.coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/codebook.parquet")
     Similarity.pqPack(codes, cbOrd)
+      .withColumn("__gen", lit(0L))
       .repartition(col("vid"))
       .write.mode("overwrite").parquet(s"$dest/codes.parquet")
   }
 
   /** Encode a NEW batch with the store's frozen codebook and append its
-    * packed codes. Contract: batch ids are new ([[deleteIds]] +
-    * re-append expresses an update); the codebook file is never touched.
+    * packed codes. Contract: batch ids are new ([[upsertBatch]] is the
+    * id-keyed overwrite); the codebook file is never touched.
     */
   def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
-      val codebook = spark.read.parquet(s"$dest/codebook.parquet")
-      val sd = codebook.select(size(col("cv"))).head().getInt(0)
-      Similarity.pqPack(
-        Similarity.pqEncode(batch, "vec_id", "embedding", codebook, M, sd),
-          codebook)
-        .repartition(col("vid"))
-        .write.mode("append").parquet(s"$dest/codes.parquet")
+      appendCodes(spark, dest, batch, AnnTombstones.nextGen(dest))
     }
 
+  /** Id-keyed OVERWRITE (the reference indexer's addBean semantics
+    * applied to the ANN family): tombstone the batch's ids at a fresh
+    * generation, then re-encode them in the FROZEN codebook space at
+    * that same generation — probes serve only the newest vectors, the
+    * dead codes fold out at [[compact]]. Tombstone-first, so a crash
+    * between the writes deletes rather than double-serves.
+    */
+  def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
+    StoreLock.withLock(dest, "append") {
+      val gen = AnnTombstones.nextGen(dest)
+      AnnTombstones.write(batch.select(col("vec_id")), dest, gen)
+      appendCodes(spark, dest, batch, gen)
+    }
+
+  /** Tombstone-only delete: the vectors stop being served on the next
+    * probe and their codes are purged at the next [[compact]].
+    */
+  def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
+    StoreLock.withLock(dest, "append") {
+      import spark.implicits._
+      AnnTombstones.write(ids.toDF("vec_id"), dest,
+        AnnTombstones.nextGen(dest))
+    }
+
+  private def appendCodes(spark: SparkSession, dest: String,
+                          batch: DataFrame, gen: Long): Unit = {
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    Similarity.pqPack(
+      Similarity.pqEncode(batch, "vec_id", "embedding", codebook, M, sd),
+        codebook)
+      .withColumn("__gen", lit(gen))
+      .repartition(col("vid"))
+      .write.mode("append").parquet(s"$dest/codes.parquet")
+  }
+
+  /** The store's live packed codes — dead generations dropped (no join
+    * at all for never-upserted stores), `__gen` stripped for the serve
+    * algebra.
+    */
+  private def liveCodes(spark: SparkSession, dest: String): DataFrame =
+    AnnTombstones.dropDead(spark, dest,
+      spark.read.parquet(s"$dest/codes.parquet"), "vid").drop("__gen")
+
   /** Fold accumulated appended code files into one generation (bounded
-    * file count), atomically under the staleness stamp. The codebook is
-    * already a single file and part of the index identity — untouched.
-    * Holds the store lock: a concurrent append would land inside the
-    * rewrite's delete window, so it must fail loudly instead.
+    * file count) with tombstoned codes physically purged and the
+    * tombstones cleared, atomically under the staleness stamp. The
+    * codebook is already a single file and part of the index identity —
+    * untouched. Holds the store lock: a concurrent append would land
+    * inside the rewrite's delete window, so it must fail loudly instead.
     */
   def compact(spark: SparkSession, dest: String): Unit =
     StoreLock.withLock(dest, "compact") {
-      val codes = spark.read.parquet(s"$dest/codes.parquet")
+      val codes = liveCodes(spark, dest).withColumn("__gen", lit(0L))
       AtomicRewrite.rewrite(dest, s"$dest/codes.parquet") { tmp =>
         codes.repartition(col("vid"))
           .write.mode("overwrite").parquet(tmp)
       }
+      AnnTombstones.clear(dest)
     }
 
   /** [[ensureBuilt]]'s INCREMENTAL variant — the driver-gated lifecycle
@@ -167,7 +211,7 @@ object PqStore {
   def topKMultiAt(spark: SparkSession, dest: String, emb: DataFrame,
                   maxQid: Long, k: Int, rerank: Int = 40): DataFrame = {
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
-    val codes = spark.read.parquet(s"$dest/codes.parquet")
+    val codes = liveCodes(spark, dest)
     val withVd = emb
       .select(col("vec_id").cast("long").as("vid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -193,7 +237,7 @@ object PqStore {
   def topKAt(spark: SparkSession, dest: String, emb: DataFrame,
              queryId: Long, k: Int, rerank: Int = 40): DataFrame = {
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
-    val codes = spark.read.parquet(s"$dest/codes.parquet")
+    val codes = liveCodes(spark, dest)
     val withVd = emb
       .select(col("vec_id").cast("long").as("vid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

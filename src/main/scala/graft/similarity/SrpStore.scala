@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.util.{AtomicRewrite, Stamp, Tables}
+import graft.util.{AtomicRewrite, Stamp, StoreLock, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -37,36 +37,73 @@ object SrpStore {
 
   /** Materialize the signature table for `embeddings` at `dest` — the
     * dest-level build [[ensureBuilt]] wraps with the staleness stamp.
+    * Rows at generation 0; stale tombstones cleared.
     */
-  def buildAt(dest: String, embeddings: DataFrame): Unit =
+  def buildAt(dest: String, embeddings: DataFrame): Unit = {
+    AnnTombstones.clear(dest)
     Similarity.srpSignature(embeddings, "embedding")
       .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
+      .withColumn("__gen", lit(0L))
       .write.mode("overwrite").parquet(dest + "/sig.parquet")
+  }
 
   /** Append a NEW batch's signatures into an existing store at batch
     * cost. Exact by construction: signatures are per-row, so the
-    * appended store is byte-equal to a rebuild over the union. Contract:
-    * batch ids are new (dedup upstream) — the family's
-    * add-without-delete contract.
+    * appended store is value-equal to a rebuild over the union.
+    * Contract: batch ids are new — [[upsertBatch]] is the id-keyed
+    * overwrite.
     */
   def appendBatch(dest: String, batch: DataFrame): Unit =
     Similarity.srpSignature(batch, "embedding")
       .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
+      .withColumn("__gen", lit(AnnTombstones.nextGen(dest)))
       .write.mode("append").parquet(dest + "/sig.parquet")
 
-  /** Fold accumulated appended files into one range-sorted generation:
-    * bounded file count, vec_id min/max stats restored. Atomic via the
-    * stamp-sentinel swap; results identical before/after (the scan is
-    * order-insensitive).
+  /** Id-keyed overwrite ([[AnnTombstones]] contract): the batch's ids
+    * are tombstoned then re-signed at the same generation — an EDITED
+    * vector's sketch replaces its predecessor on the next read.
     */
-  def compact(spark: SparkSession, dest: String): Unit = {
-    val sigs = spark.read.parquet(dest + "/sig.parquet")
-    AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
-      sigs.repartitionByRange(col("vec_id"))
-        .sortWithinPartitions(col("vec_id"))
-        .write.mode("overwrite").parquet(tmp)
+  def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
+    StoreLock.withLock(dest, "append") {
+      val gen = AnnTombstones.nextGen(dest)
+      AnnTombstones.write(batch.select(col("vec_id")), dest, gen)
+      Similarity.srpSignature(batch, "embedding")
+        .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
+        .withColumn("__gen", lit(gen))
+        .write.mode("append").parquet(dest + "/sig.parquet")
     }
-  }
+
+  /** Tombstone-only delete; purged at the next [[compact]]. */
+  def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
+    StoreLock.withLock(dest, "append") {
+      import spark.implicits._
+      AnnTombstones.write(ids.toDF("vec_id"), dest,
+        AnnTombstones.nextGen(dest))
+    }
+
+  /** The store's live signatures — dead generations dropped, `__gen`
+    * stripped (what [[topK]]/[[ensureBuilt]] hand to consumers).
+    */
+  def read(spark: SparkSession, dest: String): DataFrame =
+    AnnTombstones.dropDead(spark, dest,
+      spark.read.parquet(dest + "/sig.parquet"), "vec_id").drop("__gen")
+
+  /** Fold accumulated appended files into one range-sorted generation
+    * with tombstoned rows physically purged and the tombstones cleared:
+    * bounded file count, vec_id min/max stats restored. Atomic via the
+    * stamp-sentinel swap; excludes concurrent writers via the store
+    * lock.
+    */
+  def compact(spark: SparkSession, dest: String): Unit =
+    StoreLock.withLock(dest, "compact") {
+      val sigs = read(spark, dest).withColumn("__gen", lit(0L))
+      AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
+        sigs.repartitionByRange(col("vec_id"))
+          .sortWithinPartitions(col("vec_id"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      AnnTombstones.clear(dest)
+    }
 
   /** Build-if-absent-or-stale; returns the (vec_id, __w0..__w3) signature
     * table read from the store.
@@ -78,7 +115,7 @@ object SrpStore {
       buildAt(dest, Tables.embeddings(spark, sfDir))
       Stamp.write(dest, stamp)
     }
-    spark.read.parquet(dest + "/sig.parquet")
+    read(spark, dest)
   }
 
   /** Incremental build-if-stale: 80% base build + appended batch +
@@ -98,7 +135,7 @@ object SrpStore {
       compact(spark, dest)
       Stamp.write(dest, stamp)
     }
-    spark.read.parquet(dest + "/sig.parquet")
+    read(spark, dest)
   }
 
   /** [[topK]] over explicit signature/vector frames — shared by the

@@ -54,8 +54,8 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     SrpStore.buildAt(dest, base)
     SrpStore.appendBatch(dest, batch)
     SrpStore.buildAt(full, all)
-    val sigAppended = spark.read.parquet(s"$dest/sig.parquet")
-    val sigRebuilt = spark.read.parquet(s"$full/sig.parquet")
+    val sigAppended = SrpStore.read(spark, dest)
+    val sigRebuilt = SrpStore.read(spark, full)
     assert(rows(sigAppended).sorted == rows(sigRebuilt).sorted,
       "appended signature table must equal a full rebuild")
     val served = rows(SrpStore.topKOver(sigAppended, all, queryId = 2L, k = 5))
@@ -68,8 +68,23 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     SrpStore.compact(spark, dest)
     assert(parquetFiles(s"$dest/sig.parquet") < before)
     assert(graft.util.Stamp.isFresh(dest, "stamp-s"))
-    assert(rows(SrpStore.topKOver(
-      spark.read.parquet(s"$dest/sig.parquet"), all, 2L, 5)) == served)
+    assert(rows(SrpStore.topKOver(SrpStore.read(spark, dest), all, 2L, 5))
+      == served)
+    // id-keyed overwrite: move vector 35 FAR from 2 — the near-dup hit
+    // must vanish from the served ranking; delete+compact purges
+    SrpStore.upsertBatch(spark, dest,
+      Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding"))
+    val afterEdit = rows(SrpStore.topKOver(SrpStore.read(spark, dest), 
+      all.filter(col("vec_id") =!= 35L).unionAll(
+        Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding")),
+      2L, 5))
+    assert(!afterEdit.exists(_.startsWith("[35,")),
+      s"edited-away vector still served as a neighbor: $afterEdit")
+    SrpStore.deleteIds(spark, dest, Seq(34L))
+    assert(!rows(SrpStore.read(spark, dest)).exists(_.startsWith("[34,")))
+    SrpStore.compact(spark, dest)
+    assert(!Files.exists(Paths.get(dest, "_tombstones")))
+    assert(!rows(SrpStore.read(spark, dest)).exists(_.startsWith("[34,")))
   }
 
   test("IvfStore: frozen-centroid append ≡ full rebuild exactly; single " +
@@ -80,8 +95,9 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     IvfStore.appendBatch(spark, dest, batch)
     IvfStore.buildAt(full, all)
     // the whole forward table matches a rebuild — assignment is identical
-    assert(rows(spark.read.parquet(s"$dest/byid.parquet")).sorted ==
-      rows(spark.read.parquet(s"$full/byid.parquet")).sorted)
+    def byid(d: String) = rows(spark.read.parquet(s"$d/byid.parquet")
+      .select(col("vec_id"), col("cluster"))).sorted
+    assert(byid(dest) == byid(full))
     val served = rows(IvfStore.topKAt(spark, dest, queryId = 2L, k = 5))
     assert(served == rows(IvfStore.topKAt(spark, full, 2L, 5)))
     assert(served.exists(_.startsWith("[35,")),
@@ -92,6 +108,17 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     assert(parquetFiles(s"$dest/byid.parquet") < before)
     assert(graft.util.Stamp.isFresh(dest, "stamp-i"))
     assert(rows(IvfStore.topKAt(spark, dest, 2L, 5)) == served)
+    // id-keyed overwrite in the frozen-centroid space: 35 moves away,
+    // the near-dup hit vanishes; deleteIds + compact purges physically
+    IvfStore.upsertBatch(spark, dest,
+      Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding"))
+    assert(!rows(IvfStore.topKAt(spark, dest, 2L, 5)).exists(_.startsWith("[35,")))
+    IvfStore.deleteIds(spark, dest, Seq(34L))
+    IvfStore.compact(spark, dest)
+    assert(!Files.exists(Paths.get(dest, "_tombstones")))
+    assert(spark.read.parquet(s"$dest/byid.parquet")
+      .filter(col("vec_id") === 34L).count() == 0,
+      "deleted id must be physically purged at compact")
   }
 
   test("PqStore: frozen-codebook append — new vectors searchable, " +
@@ -127,5 +154,18 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     assert(parquetFiles(s"$dest/codes.parquet") < before)
     assert(graft.util.Stamp.isFresh(dest, "stamp-p"))
     assert(rows(PqStore.topKAt(spark, dest, all, 2L, 5)) == served)
+    // id-keyed overwrite in the frozen-codebook space: 35 re-encodes far
+    // from 2 and leaves the neighborhood; deleteIds + compact purges
+    val moved = Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding")
+    PqStore.upsertBatch(spark, dest, moved)
+    val allEdited = all.filter(col("vec_id") =!= 35L).unionAll(moved)
+    assert(!rows(PqStore.topKAt(spark, dest, allEdited, 2L, 5))
+      .exists(_.startsWith("[35,")))
+    PqStore.deleteIds(spark, dest, Seq(34L))
+    PqStore.compact(spark, dest)
+    assert(!Files.exists(Paths.get(dest, "_tombstones")))
+    assert(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") === 34L).count() == 0,
+      "deleted id's codes must be physically purged at compact")
   }
 }
