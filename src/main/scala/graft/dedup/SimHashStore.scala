@@ -2,9 +2,8 @@ package graft.dedup
 
 import java.nio.file.{Files, Paths}
 
-import graft.util.{Stamp, StoreLock, Tables}
+import graft.util.{Stamp, StoreLock, Tables, Tombstones}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persistent SimHash signature store — the near-dup analogue of the BM25
@@ -38,9 +37,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SimHashStore {
 
-  private val tombSchema = StructType(Seq(
-    StructField("__id", StringType), StructField("__gen", LongType)))
-
   def defaultDir(sfDir: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       s"${sys.props("user.dir")}/target/simhash-sig-v2")
@@ -66,8 +62,7 @@ object SimHashStore {
     */
   def buildAt(dest: String, docs: DataFrame, idCol: String,
               textCol: String): Unit = {
-    deleteRecursively(Paths.get(dest, "_tombstones"))
-    Files.deleteIfExists(Paths.get(dest, "_gen.txt"))
+    Tombstones.clear(dest)
     Dedup.simHash(docs, idCol, textCol)
       .withColumn("__gen", lit(0L))
       .write.mode("overwrite").parquet(dest + "/sig.parquet")
@@ -76,19 +71,11 @@ object SimHashStore {
   /** The store's (doc, simhash) rows with live deletes applied — what
     * every consumer reads. Never-upserted stores skip the anti-join.
     */
-  def read(spark: SparkSession, dest: String): DataFrame = {
-    val sigs = spark.read.parquet(dest + "/sig.parquet")
-    val tomb = Paths.get(dest, "_tombstones")
-    val filtered =
-      if (!Files.isDirectory(tomb)) sigs
-      else {
-        val tb = spark.read.schema(tombSchema).parquet(tomb.toString)
-        sigs.join(broadcast(tb),
-          sigs("doc").cast("string") === tb("__id") &&
-            sigs("__gen") < tb("__gen"), "left_anti")
-      }
-    filtered.drop("__gen")
-  }
+  def read(spark: SparkSession, dest: String): DataFrame =
+    Tombstones.dropDead(spark, dest,
+        spark.read.parquet(dest + "/sig.parquet"), "doc",
+        Tombstones.StringKey)
+      .drop("__gen")
 
   /** Append a NEW doc batch's signatures at batch cost — exact by
     * construction, so the appended store is value-equal to a rebuild
@@ -97,9 +84,11 @@ object SimHashStore {
     */
   def appendBatch(dest: String, batch: DataFrame, idCol: String,
                   textCol: String): Unit =
-    Dedup.simHash(batch, idCol, textCol)
-      .withColumn("__gen", lit(nextGen(dest)))
-      .write.mode("append").parquet(dest + "/sig.parquet")
+    StoreLock.withLock(dest, "append") {
+      Dedup.simHash(batch, idCol, textCol)
+        .withColumn("__gen", lit(Tombstones.nextGen(dest)))
+        .write.mode("append").parquet(dest + "/sig.parquet")
+    }
 
   /** Replace the stored signatures of the batch's (existing or new) ids
     * with signatures of the batch's text — tombstone-first, so a crash
@@ -109,10 +98,9 @@ object SimHashStore {
   def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame,
                   idCol: String, textCol: String): Unit =
     StoreLock.withLock(dest, "append") {
-      val gen = nextGen(dest)
-      batch.select(col(idCol).cast("string").as("__id")).distinct()
-        .withColumn("__gen", lit(gen))
-        .coalesce(1).write.mode("append").parquet(dest + "/_tombstones")
+      val gen = Tombstones.nextGen(dest)
+      Tombstones.write(batch.select(col(idCol)), dest, gen,
+        Tombstones.StringKey)
       Dedup.simHash(batch, idCol, textCol)
         .withColumn("__gen", lit(gen))
         .write.mode("append").parquet(dest + "/sig.parquet")
@@ -132,22 +120,6 @@ object SimHashStore {
           .sortWithinPartitions(col("doc"))
           .write.mode("overwrite").parquet(tmp)
       }
-      deleteRecursively(Paths.get(dest, "_tombstones"))
-    }
-
-  private def nextGen(dest: String): Long = {
-    val f = Paths.get(dest, "_gen.txt")
-    val g = (if (Files.exists(f)) Files.readString(f).trim.toLong else 0L) + 1
-    Files.createDirectories(f.getParent)
-    Files.writeString(f, g.toString)
-    g
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
+      Tombstones.clear(dest)
     }
 }

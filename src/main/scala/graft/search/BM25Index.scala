@@ -115,6 +115,16 @@ object BM25Index {
     */
   def appendSegment(docs: DataFrame, idCol: String, textCol: String,
                     dest: String, name: String): Unit =
+    // under the store lock: compact's partDirs snapshot + whole-dir
+    // segment delete is a whole-index rewrite with no segment-file
+    // model, so a racing append must collide loudly, not vanish
+    StoreLock.withLock(dest, "append") {
+      appendSegmentUnlocked(docs, idCol, textCol, dest, name)
+    }
+
+  private def appendSegmentUnlocked(docs: DataFrame, idCol: String,
+                                    textCol: String, dest: String,
+                                    name: String): Unit =
     build(docs, idCol, textCol, s"$dest/segments/$name")
 
   /** Id-keyed OVERWRITE — the reference indexer's `addBean`-with-existing-
@@ -136,11 +146,13 @@ object BM25Index {
     */
   def upsertSegment(docs: DataFrame, idCol: String, textCol: String,
                     dest: String, name: String): Unit = {
-    require(name.nonEmpty, "upsert segment needs a name")
+    // trim-nonEmpty: NoPart (a single space) must never be a legal
+    // segment name, or a delete tombstone could exempt a real segment
+    require(name.trim.nonEmpty, "upsert segment needs a non-blank name")
     StoreLock.withLock(dest, "append") {
       writeTombstones(docs.select(col(idCol).cast("string").as("__id")),
         dest, exceptPart = name)
-      appendSegment(docs, idCol, textCol, dest, name)
+      appendSegmentUnlocked(docs, idCol, textCol, dest, name)
     }
   }
 

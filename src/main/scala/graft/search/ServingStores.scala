@@ -585,22 +585,28 @@ object ServingStores {
       val stampFile = Paths.get(dest, "source_stamp.txt")
       val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
                   else None
-      val gen = readGen(dest)
-      val idc = readIdColOpt(dest)
       val tmp = dest.stripSuffix("/") + "-rewrite-tmp"
       writeLayout(rows, sortCols, tmp, "overwrite")
       val schema = rows.schema
       testHookBeforeSwap(dest)
       Files.deleteIfExists(stampFile)
       Files.deleteIfExists(Paths.get(dest, "_buckets.txt"))
-      // the dest delete takes the lock file with it; the sentinel is
-      // already down, so any colliding writer/maintainer in this short
-      // window still fails loudly at readBuckets
-      deleteRecursively(Paths.get(dest))
-      Files.move(Paths.get(tmp), Paths.get(dest))
+      // wipe the old generation's CONTENT but keep the maintenance lock
+      // (deleting it mid-swap would void the writers' entry AND
+      // post-write race checks — a batch landing here would be silently
+      // destroyed with no one throwing) and the generation counter +
+      // identity column (a fresh upsert racing the counter's restore
+      // would mint a tombstone that never outranks the surviving rows).
+      // The sentinel is already down, so anything that slips past the
+      // lock check still fails loudly at readBuckets.
+      val keep = Set(StoreLock.LockFile, "_gen.txt", "_idcol.txt")
+      listDir(Paths.get(dest))
+        .filterNot(p => keep.contains(p.getFileName.toString))
+        .foreach(deleteRecursively)
+      listDir(Paths.get(tmp)).foreach(p =>
+        Files.move(p, Paths.get(dest).resolve(p.getFileName)))
+      Files.deleteIfExists(Paths.get(tmp))
       writeMeta(dest, newBuckets, schema)
-      if (gen > 0L) writeGen(dest, gen)
-      idc.foreach(c => Files.writeString(Paths.get(dest, "_idcol.txt"), c))
       stamp.foreach(Files.writeString(stampFile, _))
     }
 
@@ -814,4 +820,9 @@ object ServingStores {
         .forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
 }

@@ -119,7 +119,15 @@ object StoreAdmin {
     // not replace under the gate)
     locally {
       val bm = BM25Index.defaultDir(sfDir)
-      if (Files.isDirectory(Paths.get(bm, "segments"))) {
+      val segs = Paths.get(bm, "segments")
+      // nonempty LISTING, not directory existence: an empty segments dir
+      // (crashed append) would otherwise make every sweep log a no-op
+      // fold forever, breaking idempotence
+      val hasSegments = Files.isDirectory(segs) && {
+        val s = Files.list(segs)
+        try s.iterator().hasNext finally s.close()
+      }
+      if (hasSegments) {
         BM25Index.compact(spark, bm)
         log += s"fold $bm (segments)"
       }

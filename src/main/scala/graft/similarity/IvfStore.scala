@@ -70,7 +70,7 @@ object IvfStore {
     * Rows at generation 0; stale tombstones cleared.
     */
   def buildAt(dest: String, embeddings: DataFrame): Unit = {
-    AnnTombstones.clear(dest)
+    graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
         NumCentroids)
       .withColumn("__gen", lit(0L))
@@ -86,10 +86,10 @@ object IvfStore {
     */
   def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
-      appendAssigned(spark, dest, batch, AnnTombstones.nextGen(dest))
+      appendAssigned(spark, dest, batch, graft.util.Tombstones.nextGen(dest))
     }
 
-  /** Id-keyed overwrite ([[AnnTombstones]] contract): tombstone the
+  /** Id-keyed overwrite ([[graft.util.Tombstones]] contract): tombstone the
     * batch's ids, re-assign them against the frozen centroids at the
     * same generation. Contract: ids outside the seed range (a seed
     * vector IS a centroid; editing one invalidates the index identity —
@@ -97,17 +97,23 @@ object IvfStore {
     */
   def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
-      val gen = AnnTombstones.nextGen(dest)
-      AnnTombstones.write(batch.select(col("vec_id")), dest, gen)
+      require(batch.filter(col("vec_id") < NumCentroids).isEmpty,
+        s"cannot upsert a seed id (< $NumCentroids): a seed IS a centroid" +
+          " — editing one changes the index identity; rebuild instead")
+      val gen = graft.util.Tombstones.nextGen(dest)
+      graft.util.Tombstones.write(batch.select(col("vec_id")), dest, gen)
       appendAssigned(spark, dest, batch, gen)
     }
 
   /** Tombstone-only delete; purged at the next [[compact]]. */
   def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
     StoreLock.withLock(dest, "append") {
+      require(ids.forall(_ >= NumCentroids),
+        s"cannot delete a seed id (< $NumCentroids): a seed IS a centroid" +
+          " — removing one changes every later assignment; rebuild instead")
       import spark.implicits._
-      AnnTombstones.write(ids.toDF("vec_id"), dest,
-        AnnTombstones.nextGen(dest))
+      graft.util.Tombstones.write(ids.toDF("vec_id"), dest,
+        graft.util.Tombstones.nextGen(dest))
     }
 
   private def appendAssigned(spark: SparkSession, dest: String,
@@ -123,11 +129,11 @@ object IvfStore {
   }
 
   private def liveVectors(spark: SparkSession, dest: String): DataFrame =
-    AnnTombstones.dropDead(spark, dest,
+    graft.util.Tombstones.dropDead(spark, dest,
       spark.read.parquet(s"$dest/vectors.parquet"), "vec_id")
 
   private def liveById(spark: SparkSession, dest: String): DataFrame =
-    AnnTombstones.dropDead(spark, dest,
+    graft.util.Tombstones.dropDead(spark, dest,
       spark.read.parquet(s"$dest/byid.parquet"), "vec_id")
 
   /** Fold accumulated appended files back into one sorted generation per
@@ -143,7 +149,7 @@ object IvfStore {
       AtomicRewrite.rewriteMany(dest, Seq(
         s"$dest/vectors.parquet" -> (tmp => writeVectors(vectors, tmp, "overwrite")),
         s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))))
-      AnnTombstones.clear(dest)
+      graft.util.Tombstones.clear(dest)
     }
 
   /** Build-if-absent-or-stale; returns the store directory. */

@@ -59,7 +59,7 @@ object PqStore {
     * cleared (the [[graft.search.BM25Index.build]] contract).
     */
   def buildAt(dest: String, embeddings: DataFrame): Unit = {
-    AnnTombstones.clear(dest)
+    graft.util.Tombstones.clear(dest)
     val (_, codebook, codes, _) = Similarity.pqModel(
       embeddings, "vec_id", "embedding", M, Ksub)
     val cbOrd = codebook.withColumn("ord",
@@ -78,7 +78,7 @@ object PqStore {
     */
   def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
-      appendCodes(spark, dest, batch, AnnTombstones.nextGen(dest))
+      appendCodes(spark, dest, batch, graft.util.Tombstones.nextGen(dest))
     }
 
   /** Id-keyed OVERWRITE (the reference indexer's addBean semantics
@@ -90,8 +90,8 @@ object PqStore {
     */
   def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
-      val gen = AnnTombstones.nextGen(dest)
-      AnnTombstones.write(batch.select(col("vec_id")), dest, gen)
+      val gen = graft.util.Tombstones.nextGen(dest)
+      graft.util.Tombstones.write(batch.select(col("vec_id")), dest, gen)
       appendCodes(spark, dest, batch, gen)
     }
 
@@ -101,8 +101,8 @@ object PqStore {
   def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
     StoreLock.withLock(dest, "append") {
       import spark.implicits._
-      AnnTombstones.write(ids.toDF("vec_id"), dest,
-        AnnTombstones.nextGen(dest))
+      graft.util.Tombstones.write(ids.toDF("vec_id"), dest,
+        graft.util.Tombstones.nextGen(dest))
     }
 
   private def appendCodes(spark: SparkSession, dest: String,
@@ -122,7 +122,7 @@ object PqStore {
     * algebra.
     */
   private def liveCodes(spark: SparkSession, dest: String): DataFrame =
-    AnnTombstones.dropDead(spark, dest,
+    graft.util.Tombstones.dropDead(spark, dest,
       spark.read.parquet(s"$dest/codes.parquet"), "vid").drop("__gen")
 
   /** Fold accumulated appended code files into one generation (bounded
@@ -139,7 +139,7 @@ object PqStore {
         codes.repartition(col("vid"))
           .write.mode("overwrite").parquet(tmp)
       }
-      AnnTombstones.clear(dest)
+      graft.util.Tombstones.clear(dest)
     }
 
   /** [[ensureBuilt]]'s INCREMENTAL variant — the driver-gated lifecycle

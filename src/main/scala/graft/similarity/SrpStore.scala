@@ -40,7 +40,7 @@ object SrpStore {
     * Rows at generation 0; stale tombstones cleared.
     */
   def buildAt(dest: String, embeddings: DataFrame): Unit = {
-    AnnTombstones.clear(dest)
+    graft.util.Tombstones.clear(dest)
     Similarity.srpSignature(embeddings, "embedding")
       .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
       .withColumn("__gen", lit(0L))
@@ -54,19 +54,21 @@ object SrpStore {
     * overwrite.
     */
   def appendBatch(dest: String, batch: DataFrame): Unit =
-    Similarity.srpSignature(batch, "embedding")
-      .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
-      .withColumn("__gen", lit(AnnTombstones.nextGen(dest)))
-      .write.mode("append").parquet(dest + "/sig.parquet")
+    StoreLock.withLock(dest, "append") {
+      Similarity.srpSignature(batch, "embedding")
+        .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
+        .withColumn("__gen", lit(graft.util.Tombstones.nextGen(dest)))
+        .write.mode("append").parquet(dest + "/sig.parquet")
+    }
 
-  /** Id-keyed overwrite ([[AnnTombstones]] contract): the batch's ids
+  /** Id-keyed overwrite ([[graft.util.Tombstones]] contract): the batch's ids
     * are tombstoned then re-signed at the same generation — an EDITED
     * vector's sketch replaces its predecessor on the next read.
     */
   def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
-      val gen = AnnTombstones.nextGen(dest)
-      AnnTombstones.write(batch.select(col("vec_id")), dest, gen)
+      val gen = graft.util.Tombstones.nextGen(dest)
+      graft.util.Tombstones.write(batch.select(col("vec_id")), dest, gen)
       Similarity.srpSignature(batch, "embedding")
         .select(col("vec_id"), col("__w0"), col("__w1"), col("__w2"), col("__w3"))
         .withColumn("__gen", lit(gen))
@@ -77,15 +79,15 @@ object SrpStore {
   def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
     StoreLock.withLock(dest, "append") {
       import spark.implicits._
-      AnnTombstones.write(ids.toDF("vec_id"), dest,
-        AnnTombstones.nextGen(dest))
+      graft.util.Tombstones.write(ids.toDF("vec_id"), dest,
+        graft.util.Tombstones.nextGen(dest))
     }
 
   /** The store's live signatures — dead generations dropped, `__gen`
     * stripped (what [[topK]]/[[ensureBuilt]] hand to consumers).
     */
   def read(spark: SparkSession, dest: String): DataFrame =
-    AnnTombstones.dropDead(spark, dest,
+    graft.util.Tombstones.dropDead(spark, dest,
       spark.read.parquet(dest + "/sig.parquet"), "vec_id").drop("__gen")
 
   /** Fold accumulated appended files into one range-sorted generation
@@ -102,7 +104,7 @@ object SrpStore {
           .sortWithinPartitions(col("vec_id"))
           .write.mode("overwrite").parquet(tmp)
       }
-      AnnTombstones.clear(dest)
+      graft.util.Tombstones.clear(dest)
     }
 
   /** Build-if-absent-or-stale; returns the (vec_id, __w0..__w3) signature

@@ -40,7 +40,12 @@ object StoreLock {
 
   /** Acquire the lock for `op`, stealing a stale one; throws
     * [[IllegalStateException]] (holder + age in the message) when a live
-    * holder exists — the loud-failure contract.
+    * holder exists — the loud-failure contract. The steal is an ATOMIC
+    * RENAME of the stale file, so exactly ONE of several concurrent
+    * stealers wins; losers find either the winner's fresh lock or the
+    * rename already done, and both paths end in the loud throw — a
+    * naive delete+create steal would let a second stealer delete the
+    * first's freshly minted lock and leave two live holders.
     */
   def acquire(dest: String, op: String,
               staleMs: Long = DefaultStaleMs): Unit = {
@@ -57,15 +62,26 @@ object StoreLock {
         val parts = content.split(' ')
         val age = System.currentTimeMillis() -
           (if (parts.length > 1) parts(1).toLong else 0L)
-        if (age > staleMs) {
-          // stale holder: crashed mid-maintenance; its swap ordering left
-          // the store valid-or-rebuildable, so the lock is just debris
-          Files.deleteIfExists(f)
-          Files.writeString(f, s"$op ${System.currentTimeMillis()}",
-            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        } else throw new IllegalStateException(
+        def reject(): Nothing = throw new IllegalStateException(
           s"store at $dest is locked by '${parts.head}' (${age} ms old); " +
             s"concurrent maintenance would lose data — retry after it ends")
+        if (age <= staleMs) reject()
+        // stale holder: crashed mid-maintenance; its swap ordering left
+        // the store valid-or-rebuildable, so the lock is just debris —
+        // but only ONE stealer may reap it
+        val grave = Paths.get(dest,
+          s"$LockFile.stale.${System.nanoTime()}.${Thread.currentThread().getId}")
+        try {
+          Files.move(f, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(grave)
+        } catch {
+          case _: java.io.IOException => reject() // a rival stole it first
+        }
+        try Files.writeString(f, s"$op ${System.currentTimeMillis()}",
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => reject()
+        }
     }
   }
 

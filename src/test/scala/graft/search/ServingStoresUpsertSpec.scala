@@ -92,6 +92,14 @@ class ServingStoresUpsertSpec extends SparkSpec {
       "a rebucket is a full rewrite — tombstones folded and cleared")
     assert(probe(dest, "jobs") == Seq("[1,v2]"))
     assert(spark.read.parquet(dest).filter(col("ver") === "v1").count() == 0)
+    // the generation counter SURVIVES the rebucket in place (it is never
+    // deleted with the store content): a fresh upsert's tombstone must
+    // outrank the surviving v2 rows, or the stale version serves forever
+    ServingStores.upsertPostings(
+      Seq((1L, "v3", List("jobs"))).toDF("id", "ver", "tags"),
+      "id", col("tags"), dest, dropCols = Seq("tags"))
+    assert(probe(dest, "jobs") == Seq("[1,v3]"),
+      "post-rebucket upsert lost to a pre-rebucket generation")
     StoreAdmin.truncate(dest)
   }
 
