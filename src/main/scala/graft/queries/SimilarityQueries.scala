@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.similarity.{IvfStore, PqStore, Similarity, SrpStore}
+import graft.similarity.{IvfPqStore, IvfStore, PqStore, Similarity, SrpStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -236,6 +236,64 @@ object SimilarityQueries extends QueryPack {
        |CROSS JOIN (SELECT v AS qv FROM emb WHERE vec_id = 0) qe
        |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin
 
+  /** IVF-PQ (residual / IVFADC) oracle — coarse assignment (the IVF
+    * oracle's CTEs), residual r = v − c(cluster) in exact doubles, the
+    * SAME PQ train chain over the residual frame ([[pqTrainCtes]] with
+    * `src = resid` — one codebook shared across clusters, the FAISS
+    * default), then flat-PQ ADC over the probe cluster's SHIFTED codebook
+    * cv′ = c_s + cv: since subspaces partition the coordinates,
+    * dot(q, ĉ+r̂) = Σ_s dot(q_s, c_s+cv) and ‖ĉ+r̂‖² = Σ_s ‖c_s+cv‖², so
+    * the serve CTEs are [[pqOracleTrainedOn]]'s with one extra shift CTE
+    * and the candidate set restricted to the probe cluster. Shared by the
+    * ad-hoc and served twins; the incremental twin replays the
+    * 80%-base-trained codebook via the train template.
+    */
+  private def ivfPqOracleTrainedOn(train: String => String): String =
+    s"""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim) WHERE rn = 1),
+       |resid AS (SELECT e.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+       |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+       |  JOIN cents c ON a.cluster = c.cid),
+       |${pqTrainCtes("", train, src = "resid")},
+       |embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qc AS (SELECT cluster FROM asg WHERE vec_id = 0),
+       |csl AS (SELECT ss.s, c.cv[ss.s*8+1:ss.s*8+8] AS csv
+       |  FROM cents c JOIN qc ON c.cid = qc.cluster
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+       |csh AS (SELECT c.s, c.cid,
+       |    list_transform(range(1, 9), i -> l.csv[i] + c.cv[i]) AS cv
+       |  FROM c1 c JOIN csl l ON c.s = l.s),
+       |q AS (SELECT ss.s, v[ss.s*8+1:ss.s*8+8] AS qsv FROM embq
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss WHERE vec_id = 0),
+       |lut AS (SELECT c.s, c.cid,
+       |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
+       |    round(list_sum(list_transform(c.cv, x -> x * x)), 6) AS pnorm2
+       |  FROM csh c JOIN q ON c.s = q.s),
+       |qn AS (SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+       |  FROM embq WHERE vec_id = 0),
+       |adc AS (SELECT k.vec_id,
+       |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+       |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+       |  FROM codes k JOIN asg a ON k.vec_id = a.vec_id
+       |  JOIN qc ON a.cluster = qc.cluster
+       |  JOIN lut l ON k.s = l.s AND k.cid = l.cid GROUP BY k.vec_id),
+       |cands AS (SELECT vec_id, round(adc_dot / (qnorm * sqrt(apx2)), 6) AS adc_cosine
+       |  FROM adc, qn WHERE vec_id <> 0
+       |  ORDER BY adc_cosine DESC, vec_id ASC LIMIT 40)
+       |SELECT c.vec_id, c.adc_cosine, ${cosSql("e.v", "qe.qv")} AS cosine
+       |FROM cands c JOIN embq e ON c.vec_id = e.vec_id
+       |CROSS JOIN (SELECT v AS qv FROM embq WHERE vec_id = 0) qe
+       |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin
+
+  private lazy val ivfPqOracle: String = ivfPqOracleTrainedOn(_ => "TRUE")
+
   /** IVF nprobe=1 oracle — shared by the ad-hoc and the
     * partition-pruned-store paths (the store is a layout, not a
     * semantics change).
@@ -343,6 +401,29 @@ object SimilarityQueries extends QueryPack {
 
     "q_ann_lsh_served" -> ((s, dir) =>
       SrpStore.topK(s, dir, queryId = 0L, k = 5)),
+
+    // IVF-PQ with residual encoding (IVFADC): coarse centroid + PQ over
+    // residuals — the ANN layout whose candidate pass reads
+    // m bytes × N/nCentroids (the IVF and PQ savings COMPOUND). Ad-hoc
+    // twin trains in-plan; scoring is flat-PQ ADC over the probe
+    // cluster's shifted codebook, so the oracle chain is shared.
+    "q_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 5, nCentroids = 8, m = 8, ksub = 8, rerank = 40)),
+
+    // Served from the persisted store: probe cluster resolves from the
+    // forward table and prunes the packed-codes scan to ONE partition
+    // directory at planning time. Same oracle as q_ann_ivfpq.
+    "q_ann_ivfpq_served" -> ((s, dir) =>
+      IvfPqStore.topK(s, dir, queryId = 0L, k = 5, rerank = 40)),
+
+    // The lifecycle gate: centroids + residual codebook train on the 80%
+    // base, the rest arrives as a frozen-space appended batch, then the
+    // store compacts. Like PQ, append ≢ rebuild BY DESIGN, so this
+    // carries its OWN oracle replaying the incremental construction.
+    "q_ann_ivfpq_incr" -> ((s, dir) =>
+      IvfPqStore.topKAt(s, IvfPqStore.ensureBuiltIncremental(s, dir),
+        Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40)),
 
     // All-pairs cosine is the LABELED BASELINE cross-check for the
     // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
@@ -545,6 +626,13 @@ object SimilarityQueries extends QueryPack {
         maxQid = 20, k = 10, m = 8, ksub = 8, rerank = 40)
       val pqServedCand = PqStore.topKMulti(s, dir, maxQid = 20, k = 10,
         rerank = 40)
+      // IVF-PQ residual (IVFADC): own-cluster candidates scored by the
+      // per-query shifted-codebook ADC — the compounding layout's recall
+      // sits next to its two parents (ivf = same candidates, exact
+      // scores; pq = all candidates, ADC scores)
+      val ivfPqCand = Similarity.ivfPqTopKMultiQuery(emb, "vec_id",
+        "embedding", maxQid = 20, k = 10, nCentroids = 8, m = 8, ksub = 8,
+        rerank = 40)
       recallOf("lsh", topPerQuery(scored.filter(col("__ham") <= Similarity.SrpRadius)))
         .unionByName(recallOf("lsh_mp",
           topPerQuery(scored.filter(col("__ham") <= Similarity.SrpRadiusWide))))
@@ -552,6 +640,7 @@ object SimilarityQueries extends QueryPack {
         .unionByName(recallOf("ivf_mp", topPerQuery(ivfMpCand)))
         .unionByName(recallOf("pq", pqCand))
         .unionByName(recallOf("pq_served", pqServedCand))
+        .unionByName(recallOf("ivfpq", ivfPqCand))
     }),
 
     // Recall-under-DRIFT audit (round-12 verdict item 4): the 20% append
@@ -768,6 +857,18 @@ object SimilarityQueries extends QueryPack {
     // ranking (the artifacts are deterministic; scoring is shared code).
     "q_ann_pq_served" -> pqOracle,
 
+    "q_ann_ivfpq" -> ivfPqOracle,
+
+    // The partition-pruned packed store must land on the identical
+    // ranking — same artifacts, same shifted-codebook ADC algebra.
+    "q_ann_ivfpq_served" -> ivfPqOracle,
+
+    // Incremental twin: residual codebook trained on the base only
+    // (seed ids stay in the base, so the coarse assignment is identical
+    // to the full build's); codes for ALL vectors in the frozen space.
+    "q_ann_ivfpq_incr" ->
+      ivfPqOracleTrainedOn(id => s"($id < 8 OR $id % 5 <> 0)"),
+
     "q_embedding_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
@@ -906,6 +1007,43 @@ object SimilarityQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY c.qid
          |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
          |  FROM candsp c JOIN embp e ON c.vec_id = e.vec_id
+         |  JOIN qnp n ON c.qid = n.qid) WHERE rn <= 10),
+         |centsd AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |residv AS (SELECT e.vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - cd.cv[i]) AS embedding
+         |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+         |  JOIN centsd cd ON a.cluster = cd.cid),
+         |${pqTrainCtes("v", _ => "TRUE", src = "residv")},
+         |cslv AS (SELECT cd.cid, ss.s, cd.cv[ss.s*8+1:ss.s*8+8] AS csv
+         |  FROM centsd cd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+         |qclv AS (SELECT vec_id AS qid, cluster FROM assigned WHERE vec_id < 20),
+         |lutv AS (SELECT q.qid, c.s, c.cid,
+         |    round(list_sum(list_transform(range(1, 9),
+         |      i -> (l.csv[i] + c.cv[i]) * q.qsv[i])), 6) AS pdot,
+         |    round(list_sum(list_transform(range(1, 9),
+         |      i -> (l.csv[i] + c.cv[i]) * (l.csv[i] + c.cv[i]))), 6) AS pnorm2
+         |  FROM c1v c JOIN qp q ON c.s = q.s
+         |  JOIN qclv qc ON q.qid = qc.qid
+         |  JOIN cslv l ON l.cid = qc.cluster AND l.s = c.s),
+         |adcv AS (SELECT l.qid, k.vec_id,
+         |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+         |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+         |  FROM codesv k JOIN lutv l ON k.s = l.s AND k.cid = l.cid
+         |  GROUP BY l.qid, k.vec_id),
+         |candsv AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
+         |    row_number() OVER (PARTITION BY a.qid
+         |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
+         |        a.vec_id ASC) AS rn
+         |  FROM adcv a JOIN qnp n ON a.qid = n.qid
+         |  JOIN assigned av ON a.vec_id = av.vec_id
+         |  JOIN qclv qc ON a.qid = qc.qid AND av.cluster = qc.cluster
+         |  WHERE a.vec_id <> a.qid) WHERE rn <= 40),
+         |pqrv AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
+         |  FROM candsv c JOIN embp e ON c.vec_id = e.vec_id
          |  JOIN qnp n ON c.qid = n.qid) WHERE rn <= 10)
          |${method("lsh", "lsh")}
          |UNION ALL
@@ -917,7 +1055,9 @@ object SimilarityQueries extends QueryPack {
          |UNION ALL
          |${method("pq", "pqr")}
          |UNION ALL
-         |${method("pq_served", "pqr")}""".stripMargin
+         |${method("pq_served", "pqr")}
+         |UNION ALL
+         |${method("ivfpq", "pqrv")}""".stripMargin
     }
   )
 }

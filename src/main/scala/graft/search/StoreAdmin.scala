@@ -40,6 +40,8 @@ object StoreAdmin {
     graft.similarity.PqStore.defaultDir(sfDir) + "__incr",
     graft.similarity.PqStore.defaultDir(sfDir) + "__drift",
     graft.similarity.PqStore.defaultDir(sfDir) + "__driftfull",
+    graft.similarity.IvfPqStore.defaultDir(sfDir),
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__incr",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -106,6 +108,9 @@ object StoreAdmin {
       val ivf = graft.similarity.IvfStore.defaultDir(sfDir) + suffix
       sweepFlat(ivf, "byid.parquet",
         d => graft.similarity.IvfStore.compact(spark, d))
+      val ivfpq = graft.similarity.IvfPqStore.defaultDir(sfDir) + suffix
+      sweepFlat(ivfpq, "byid.parquet",
+        d => graft.similarity.IvfPqStore.compact(spark, d))
     }
     for (suffix <- Seq("", "__incr", "__drift", "__driftfull")) {
       val pq = graft.similarity.PqStore.defaultDir(sfDir) + suffix

@@ -1,0 +1,260 @@
+package graft.similarity
+
+import graft.expressions.GraftFunctions
+import graft.util.{AtomicRewrite, Stamp, StoreLock, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistent IVF-PQ (residual) index — the IVFADC serving layout
+  * (Jégou et al. 2011 §V; what FAISS ships as IndexIVFPQ) and the member
+  * of the engine's ANN store family a 100-TB corpus would actually
+  * deploy: [[IvfStore]] bought partition pruning (read nprobe/k of the
+  * corpus, but 4d bytes/vector); [[PqStore]] bought code compression
+  * (m bytes/vector, but scan ALL N). This store compounds them — the ADC
+  * pass reads m bytes × N/nCentroids, pruned to the probe cluster's
+  * PARTITION DIRECTORY at planning time.
+  *
+  * Layout:
+  *   - `centroids.parquet` (cid, cv double[dim]) — the coarse quantizer,
+  *     persisted as its own artifact (unlike [[IvfStore]], which reads
+  *     seeds back out of the live vectors): the index identity survives
+  *     upserts to any data row, including the seed-id rows.
+  *   - `codebook.parquet` (s, cid, cv, ord) — ONE shared PQ codebook
+  *     trained on RESIDUALS r = v − c(cluster) (residuals concentrate
+  *     near the origin, so ksub codewords quantize them far tighter than
+  *     raw vectors — the reason IVFADC beats flat PQ at equal bits).
+  *   - `codes.parquet`, PARTITIONED BY cluster: one `(vid, code)` row per
+  *     vector, `code` = m packed ordinal bytes ([[PqStore]]'s layout).
+  *   - `byid.parquet` (vid, cluster) forward table sorted by vid — the
+  *     query's probe cluster resolves via a row-group-pruned point read
+  *     and becomes the partition-pruning literal.
+  *
+  * Serving reuses the flat-PQ machinery VERBATIM through the shifted
+  * codebook cv′ = c_s + cv ([[Similarity.shiftCodebook]]): subspaces
+  * partition the coordinates, so dot(q, ĉ+r̂) = Σ_s dot(q_s, c_s+cv) and
+  * ‖ĉ+r̂‖² = Σ_s ‖c_s+cv‖² — [[Similarity.pqServePacked]] over cv′ IS the
+  * IVFADC approximation, exact-decimal fold and all, which is also why
+  * one DuckDB oracle chain gates ad-hoc, served, and incremental twins.
+  *
+  * Maintenance lifecycle (the family contract): [[appendBatch]] assigns
+  * a NEW batch against the FROZEN centroids and encodes its residuals in
+  * the FROZEN codebook — batch cost, immediately searchable;
+  * [[upsertBatch]]/[[deleteIds]] are id-keyed overwrite/delete via the
+  * shared [[graft.util.Tombstones]] contract (tombstone-first, probe-side
+  * anti-join only when tombstones exist); [[compact]] folds codes + byid
+  * to one generation per sub-table in ONE stamp-guarded transaction and
+  * purges tombstoned rows physically. Writers and compactions exclude
+  * each other via [[graft.util.StoreLock]] (whole-table rewrites have no
+  * segment model — a racing append must fail loudly, never silently
+  * vanish). Accuracy of frozen-space appends under drift is the measured
+  * `q_ann_drift` story (PqStore), which this store inherits: both its
+  * trained artifacts (centroids are deterministic seeds; the codebook is
+  * Lloyd means) freeze at build time.
+  */
+object IvfPqStore {
+
+  val NumCentroids = 8
+  val M = 8
+  val Ksub = 8
+
+  def defaultDir(sfDir: String): String = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${sys.props("user.dir")}/target/ivfpq-store-v1")
+    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+  }
+
+  // cluster leads the sort so the dynamic-partition writer's required
+  // ordering is pre-satisfied (the ServingStores writeLayout argument)
+  private def writeCodes(packed: DataFrame, path: String, mode: String): Unit =
+    packed.select(col("vid"), col("code"), col("__gen"), col("cluster"))
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("vid"))
+      .write.mode(mode).partitionBy("cluster").parquet(path)
+
+  private def writeById(assigned: DataFrame, path: String, mode: String): Unit =
+    assigned.select(col("vid"), col("cluster"), col("__gen"))
+      .coalesce(1).sortWithinPartitions(col("vid"))
+      .write.mode(mode).parquet(path)
+
+  /** Materialize centroids + residual codebook + packed cluster-partitioned
+    * codes at `dest` — [[ensureBuilt]] wraps with the staleness stamp.
+    * Rows at generation 0; stale tombstones cleared.
+    */
+  def buildAt(dest: String, embeddings: DataFrame): Unit = {
+    graft.util.Tombstones.clear(dest)
+    val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
+        NumCentroids)
+      .select(col("vec_id"), col("cluster"))
+    val cents = Similarity.centroidFrame(embeddings, "vec_id", "embedding",
+      NumCentroids)
+    val resid = Similarity.residualFrame(embeddings, "vec_id", "embedding",
+      assigned, cents)
+    val (_, codebook, codes, _) =
+      Similarity.pqModel(resid, "vec_id", "embedding", M, Ksub)
+    val cbOrd = codebook.withColumn("ord",
+      row_number().over(Window.partitionBy("s").orderBy("cid")) - 1)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids.parquet")
+    cbOrd.coalesce(1).write.mode("overwrite").parquet(s"$dest/codebook.parquet")
+    val byCluster = assigned
+      .select(col("vec_id").cast("long").as("vid"), col("cluster"))
+      .withColumn("__gen", lit(0L))
+    writeCodes(Similarity.pqPack(codes, cbOrd).join(byCluster, "vid"),
+      s"$dest/codes.parquet", "overwrite")
+    writeById(byCluster, s"$dest/byid.parquet", "overwrite")
+  }
+
+  /** Append a NEW batch: frozen-centroid coarse assignment + frozen-
+    * codebook residual encode — batch cost, immediately searchable, both
+    * trained artifacts byte-untouched (the PQ serving contract; drift
+    * economics measured by `q_ann_drift`).
+    */
+  def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
+    StoreLock.withLock(dest, "append") {
+      appendEncoded(spark, dest, batch, graft.util.Tombstones.nextGen(dest))
+    }
+
+  /** Id-keyed OVERWRITE (the shared [[graft.util.Tombstones]] contract):
+    * tombstone the batch's ids, re-assign + re-encode them in the frozen
+    * (centroids, codebook) space at the same generation. Tombstone-first,
+    * so a crash between the writes deletes rather than double-serves.
+    * Any id is editable — unlike [[IvfStore]], the coarse centroids are a
+    * persisted artifact, so editing a seed-id DATA row never changes the
+    * index identity.
+    */
+  def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
+    StoreLock.withLock(dest, "append") {
+      val gen = graft.util.Tombstones.nextGen(dest)
+      graft.util.Tombstones.write(batch.select(col("vec_id")), dest, gen)
+      appendEncoded(spark, dest, batch, gen)
+    }
+
+  /** Tombstone-only delete; purged physically at the next [[compact]]. */
+  def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
+    StoreLock.withLock(dest, "append") {
+      import spark.implicits._
+      graft.util.Tombstones.write(ids.toDF("vec_id"), dest,
+        graft.util.Tombstones.nextGen(dest))
+    }
+
+  private def appendEncoded(spark: SparkSession, dest: String,
+                            batch: DataFrame, gen: Long): Unit = {
+    val cents = spark.read.parquet(s"$dest/centroids.parquet")
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    val assigned = Similarity.assignToCentroids(batch, "vec_id", "embedding",
+        cents)
+      .select(col("vec_id"), col("cluster"))
+    val resid = Similarity.residualFrame(batch, "vec_id", "embedding",
+      assigned, cents)
+    val byCluster = assigned
+      .select(col("vec_id").cast("long").as("vid"), col("cluster"))
+      .withColumn("__gen", lit(gen))
+    writeCodes(
+      Similarity.pqPack(
+        Similarity.pqEncode(resid, "vec_id", "embedding", codebook, M, sd),
+        codebook)
+        .join(byCluster, "vid"),
+      s"$dest/codes.parquet", "append")
+    writeById(byCluster, s"$dest/byid.parquet", "append")
+  }
+
+  private def liveCodes(spark: SparkSession, dest: String): DataFrame =
+    graft.util.Tombstones.dropDead(spark, dest,
+      spark.read.parquet(s"$dest/codes.parquet"), "vid")
+
+  private def liveById(spark: SparkSession, dest: String): DataFrame =
+    graft.util.Tombstones.dropDead(spark, dest,
+      spark.read.parquet(s"$dest/byid.parquet"), "vid")
+
+  /** Fold accumulated files to one generation per sub-table with
+    * tombstoned rows physically purged — codes and byid swap in ONE
+    * stamp-guarded transaction ([[IvfStore.compact]]'s invariant: a crash
+    * can never pair new codes with an old forward table). Centroids and
+    * codebook are single files and part of the index identity — untouched.
+    * Holds the store lock (whole-table rewrite, no segment model).
+    */
+  def compact(spark: SparkSession, dest: String): Unit =
+    StoreLock.withLock(dest, "compact") {
+      val codes = liveCodes(spark, dest).withColumn("__gen", lit(0L))
+      val byid = liveById(spark, dest).withColumn("__gen", lit(0L))
+      AtomicRewrite.rewriteMany(dest, Seq(
+        s"$dest/codes.parquet" -> (tmp => writeCodes(codes, tmp, "overwrite")),
+        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))))
+      graft.util.Tombstones.clear(dest)
+    }
+
+  /** Build-if-absent-or-stale; returns the store directory. */
+  def ensureBuilt(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir)
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      buildAt(dest, Tables.embeddings(spark, sfDir))
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** The driver-gated lifecycle twin ([[PqStore.ensureBuiltIncremental]]'s
+    * pattern): centroids + codebook train on the base (seed ids plus 80%
+    * of the rest), the remainder arrives as a frozen-space appended
+    * batch, then the store compacts. Like PQ, append ≢ full rebuild BY
+    * DESIGN (a rebuild would retrain the residual codebook on all rows),
+    * so `q_ann_ivfpq_incr` carries its OWN oracle replaying this
+    * construction: residual-train CTEs restricted to the base, codes
+    * assigned for ALL vectors in the frozen space.
+    */
+  def ensureBuiltIncremental(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__incr"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Tables.embeddings(spark, sfDir)
+      buildAt(dest, emb.filter(
+        col("vec_id") < NumCentroids || col("vec_id") % 5 =!= 0))
+      appendBatch(spark, dest, emb.filter(
+        col("vec_id") >= NumCentroids && col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** [[topK]] against an explicit store directory and vector frame (the
+    * vectors are read only for the query's LUT slices and the exact
+    * rerank — the candidate pass reads m-byte codes from ONE partition
+    * directory).
+    */
+  def topKAt(spark: SparkSession, dest: String, emb: DataFrame,
+             queryId: Long, k: Int, rerank: Int = 40): DataFrame = {
+    GraftFunctions.register(spark)
+    // serving-boundary point read: the probe cluster id, needed as a
+    // literal so the codes scan partition-prunes at planning time
+    val qCluster = liveById(spark, dest)
+      .filter(col("vid") === queryId)
+      .head().getAs[Number]("cluster").longValue()
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    val qCent = spark.read.parquet(s"$dest/centroids.parquet")
+      .filter(col("cid") === qCluster).select(col("cv"))
+    val cshift = Similarity.shiftCodebook(codebook, qCent, M, sd)
+    val packed = liveCodes(spark, dest)
+      .filter(col("cluster") === qCluster)
+      .select(col("vid"), col("code"))
+    val withVd = emb.select(col("vec_id").cast("long").as("vid"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    Similarity.pqServePacked(withVd, cshift, packed, queryId, k, rerank,
+      M, sd, "vec_id")
+  }
+
+  /** [[Similarity.ivfPqTopK]] served from the persisted artifacts —
+    * identical ranking (shared scoring algebra over deterministic
+    * artifacts), but the per-query cost is ONE partition directory of
+    * m-byte codes + a broadcast shifted LUT, never a retrain or a
+    * full-corpus scan.
+    */
+  def topK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
+           rerank: Int = 40): DataFrame =
+    topKAt(spark, ensureBuilt(spark, sfDir), Tables.embeddings(spark, sfDir),
+      queryId, k, rerank)
+}

@@ -1112,6 +1112,180 @@ object Similarity {
     pqTopKMulti(withVd, c1, codes, maxQid, k, rerank, m, sd)
   }
 
+  /** The coarse-centroid frame (cid, cv) as DOUBLEs — the first
+    * `nCentroids` vectors by id, [[ivfAssign]]'s seed contract. Doubles
+    * because every downstream use (residual subtraction, codebook shift)
+    * is double math; the float→double cast is exact, so assignment
+    * against these equals assignment against the raw floats.
+    */
+  private[similarity] def centroidFrame(embeddings: DataFrame, idCol: String,
+                                        vecCol: String,
+                                        nCentroids: Int): DataFrame =
+    embeddings.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("cid"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("cv"))
+
+  /** Residuals r = v − c(cluster) for IVF-PQ: each vector minus its
+    * assigned coarse centroid, elementwise in double (exact float casts,
+    * so the DuckDB oracle reproduces every coordinate bit-for-bit).
+    * `assigned` is (idCol, cluster); `cents` is [[centroidFrame]]'s
+    * (cid, cv). Returns (idCol, embedding=residual double[]).
+    */
+  private[similarity] def residualFrame(embeddings: DataFrame, idCol: String,
+                                        vecCol: String, assigned: DataFrame,
+                                        cents: DataFrame): DataFrame =
+    embeddings.join(assigned, Seq(idCol))
+      .join(broadcast(cents), col("cluster") === col("cid"))
+      .select(col(idCol),
+        expr(s"zip_with(transform($vecCol, x -> CAST(x AS DOUBLE)), cv," +
+          " (x, y) -> x - y)").as("embedding"))
+
+  /** Shift a PQ codebook by one coarse centroid: cv′ = c_s + cv per
+    * subspace — the algebraic trick that makes residual-PQ (IVFADC)
+    * serving reuse the flat-PQ machinery verbatim. Since subspaces
+    * partition the coordinates, dot(q, ĉ+r̂) = Σ_s dot(q_s, c_s+cv) and
+    * ‖ĉ+r̂‖² = Σ_s ‖c_s+cv‖², so [[pqServe]] / [[pqServePacked]] over the
+    * shifted codebook compute exactly the IVFADC approximation — and the
+    * flat-PQ DuckDB oracle chain gates it with one extra CTE. `centroid`
+    * is a 1-row (cv double[dim]) frame (the probed cluster); all other
+    * codebook columns (cid, ord) pass through.
+    */
+  private[similarity] def shiftCodebook(codebook: DataFrame,
+                                        centroid: DataFrame, m: Int,
+                                        sd: Int): DataFrame = {
+    val csl = centroid
+      .select(explode(sequence(lit(0), lit(m - 1))).as("__cs"), col("cv").as("__cv"))
+      .select(col("__cs"), slice(col("__cv"), col("__cs") * sd + 1, lit(sd)).as("__csv"))
+    codebook.join(broadcast(csl), codebook("s") === csl("__cs"))
+      .withColumn("cv", expr("zip_with(__csv, cv, (x, y) -> x + y)"))
+      .drop("__cs", "__csv")
+  }
+
+  /** IVF-PQ with residual encoding (Jégou et al. 2011 §V, "IVFADC" — the
+    * coarse-quantizer + product-quantized-residual layout FAISS ships as
+    * IndexIVFPQ, and the one a 100-TB vector corpus actually deploys):
+    * every vector is assigned to its nearest coarse centroid
+    * ([[ivfAssign]]), the PQ codebook is trained on the RESIDUAL
+    * r = v − c(cluster) — residuals concentrate around the origin, so the
+    * same ksub codewords quantize them far tighter than raw vectors —
+    * and a query ADC-scans ONLY its probe cluster's codes.
+    *
+    * Scale shape: the two knobs COMPOUND — the candidate pass reads
+    * nprobe/nCentroids of the corpus (a partition-pruned directory read
+    * in [[IvfPqStore]], never a post-filter) at m bytes per vector
+    * (packed codes + one broadcast LUT). Flat PQ reads m bytes × N;
+    * plain IVF reads 4d bytes × N/nCentroids; this reads
+    * m bytes × N/nCentroids. The serve algebra is [[pqServe]] over the
+    * probed cluster's SHIFTED codebook ([[shiftCodebook]]), so accuracy
+    * and determinism contracts are inherited unchanged, and the top
+    * `rerank` candidates re-rank exactly against raw vectors as always.
+    */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, nCentroids: Int = 8, m: Int = 8,
+                ksub: Int = 8, rerank: Int = 40): DataFrame = {
+    require(rerank >= k, "ivfPqTopK: rerank must be >= k")
+    val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
+      .select(col(idCol), col("cluster"))
+    val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
+    val resid = residualFrame(embeddings, idCol, vecCol, assigned, cents)
+    val (_, cb, codes, sd) = pqModel(resid, idCol, "embedding", m, ksub)
+    // serving-boundary point read (IvfStore.topKAt's idiom): the probe
+    // cluster id becomes the literal that prunes the candidate set — in
+    // the persisted layout, to a partition directory at planning time
+    val qCluster = assigned.filter(col(idCol) === queryId)
+      .head().getAs[Number]("cluster").longValue()
+    val cshift = shiftCodebook(cb,
+      cents.filter(col("cid") === qCluster).select(col("cv")), m, sd)
+    val clusterIds = assigned.filter(col("cluster") === qCluster)
+      .select(col(idCol).cast("long").as("vid"))
+    // pqModel's vectors are RESIDUALS; rerank + the query's LUT slices
+    // need the RAW vectors — dot(q_s, c_s + cv) takes the full query's
+    // subspaces, and the exact rerank scores raw cosines
+    val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    pqServe(rawVd, cshift, codes.join(clusterIds, "vid"), queryId, k, rerank,
+      m, sd, idCol)
+  }
+
+  /** Multi-query face of [[ivfPqTopK]] for the recall audit — every ANN
+    * path in the engine carries a measured recall row (the round-7
+    * lesson: unmeasured ANN accuracy can be 0.0). Each query qid < maxQid
+    * probes its OWN cluster (nprobe = 1) with a per-query SHIFTED
+    * codebook LUT; scoring algebra is [[pqTopKMulti]]'s (round-6 LUT
+    * entries, DECIMAL(38,12) across-subspace sums, exact rerank of the
+    * top `rerank`). The ADC scores all (query, vector) pairs and the
+    * cluster restriction filters BEFORE the rank cut — value-identical
+    * to scoring only own-cluster pairs, and the audit is bounded to
+    * maxQid queries, so the wasted pairs stay constant-size. Returns
+    * (qid, vec_id).
+    */
+  def ivfPqTopKMultiQuery(embeddings: DataFrame, idCol: String, vecCol: String,
+                          maxQid: Long, k: Int, nCentroids: Int = 8,
+                          m: Int = 8, ksub: Int = 8,
+                          rerank: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
+      .select(col(idCol), col("cluster"))
+    val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
+    val resid = residualFrame(embeddings, idCol, vecCol, assigned, cents)
+    val (_, cb, codes, sd) = pqModel(resid, idCol, "embedding", m, ksub)
+    val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val qcl = assigned.filter(col(idCol) < maxQid)
+      .select(col(idCol).cast("long").as("qid"), col("cluster").as("__qc"))
+    val qsubs = rawVd.filter(col("vid") < maxQid)
+      .select(col("vid").as("qid"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("qid"), col("s"),
+        slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
+    val csl = cents
+      .select(col("cid").as("__ccid"),
+        explode(sequence(lit(0), lit(m - 1))).as("__cs"), col("cv").as("__ccv"))
+      .select(col("__ccid"), col("__cs"),
+        slice(col("__ccv"), col("__cs") * sd + 1, lit(sd)).as("csv"))
+    // per-query LUT over the query's own cluster's shifted codebook
+    val lut = cb.join(broadcast(qsubs), Seq("s"))
+      .join(broadcast(qcl), Seq("qid"))
+      .join(broadcast(csl),
+        col("__qc") === col("__ccid") && col("s") === col("__cs"))
+      .withColumn("__cvs", expr("zip_with(csv, cv, (x, y) -> x + y)"))
+      .select(col("qid"), col("s"), col("cid"),
+        round(expr("aggregate(zip_with(__cvs, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+          .as("pdot"),
+        round(expr("aggregate(__cvs, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2"))
+    val qn = rawVd.filter(col("vid") < maxQid)
+      .select(col("vid").as("qid"),
+        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        col("v").as("qv"))
+    val vidCluster = assigned
+      .select(col(idCol).cast("long").as("vid"), col("cluster").as("__vc"))
+    val cands = codes.join(broadcast(lut), Seq("s", "cid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("pdot").cast("decimal(38,12)")).cast("double").as("__adc"),
+        sum(col("pnorm2").cast("decimal(38,12)")).cast("double").as("__apx2"))
+      .join(vidCluster, "vid")
+      .join(broadcast(qcl), "qid")
+      .filter(col("__vc") === col("__qc") && col("vid") =!= col("qid"))
+      .join(broadcast(qn.select(col("qid"), col("qnorm"))), "qid")
+      .select(col("qid"), col("vid"),
+        round(col("__adc") / (col("qnorm") * sqrt(col("__apx2"))), 6)
+          .as("adc_cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("adc_cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vid"))
+    cands.join(rawVd, "vid")
+      .join(broadcast(qn.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("vid"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("vid").as("vec_id"))
+  }
+
   /** The deterministic DRIFT fixture behind `q_ann_drift` (round-12
     * verdict item 4): the 20%% append batch (vec_id % 5 == 0) shifts by
     * +0.25 in every coordinate — a hard mean drift, in FLOAT so the

@@ -6,10 +6,10 @@ import graft.{SparkEntry, SparkSpec}
 
 /** The serving-store lifecycle contract (SolrCleanup analogue): every
   * persisted store can be emptied and rebuilt cleanly, and the rebuilt
-  * store serves results identical to the first build — the five store
-  * families the engine persists (BM25 index + segmented variant,
-  * SimHash signatures, SRP / IVF / PQ ANN stores), each exercised
-  * through its real `q_*_served`-style driver query.
+  * store serves results identical to the first build — every store
+  * family the engine persists (BM25 index + segmented variant,
+  * SimHash signatures, SRP / IVF / PQ / IVF-PQ ANN stores), each
+  * exercised through its real `q_*_served`-style driver query.
   */
 class StoreAdminSpec extends SparkSpec {
 
@@ -27,6 +27,8 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_pq_served",       // PqStore
     "q_ann_pq_incr",         // PqStore frozen-codebook append lifecycle
     "q_ann_drift",           // PqStore drift-audit stores (incr + rebuild)
+    "q_ann_ivfpq_served",    // IvfPqStore (residual IVFADC)
+    "q_ann_ivfpq_incr",      // IvfPqStore frozen-space append lifecycle
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout

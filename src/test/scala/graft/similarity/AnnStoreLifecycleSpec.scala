@@ -121,6 +121,62 @@ class AnnStoreLifecycleSpec extends SparkSpec {
       "deleted id must be physically purged at compact")
   }
 
+  test("IvfPqStore: frozen-space append — trained artifacts untouched, " +
+      "probe partition-pruned, compact preserves results, upsert/delete") {
+    val dest = Files.createTempDirectory("graft-ivfpq-life").toString
+    IvfPqStore.buildAt(dest, base)
+    def codeRows(pred: org.apache.spark.sql.Column) =
+      rows(spark.read.parquet(s"$dest/codes.parquet").filter(pred)
+        .select(col("vid"), hex(col("code")), col("cluster"))).sorted
+    val centsBefore = rows(spark.read.parquet(s"$dest/centroids.parquet")).sorted
+    val cbBefore = rows(spark.read.parquet(s"$dest/codebook.parquet")).sorted
+    val oldCodes = codeRows(col("vid") < 32)
+    IvfPqStore.appendBatch(spark, dest, batch)
+    assert(rows(spark.read.parquet(s"$dest/centroids.parquet")).sorted
+      == centsBefore, "append must not move the coarse centroids")
+    assert(rows(spark.read.parquet(s"$dest/codebook.parquet")).sorted
+      == cbBefore, "append must not retrain the residual codebook")
+    assert(codeRows(col("vid") < 32) == oldCodes,
+      "append must not rewrite existing codes")
+    // appended vectors: one m-byte packed row each, cluster-partitioned,
+    // immediately searchable — the planted near-dup surfaces for query 2
+    val appended = spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") >= 32)
+    assert(appended.count() == 8L)
+    assert(appended.select(length(col("code"))).distinct().head().getInt(0)
+      == IvfPqStore.M)
+    val probe = IvfPqStore.topKAt(spark, dest, all, queryId = 2L, k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"IVFPQ probe must prune the codes scan to the probe cluster's " +
+        s"partition directory:\n$plan")
+    val served = rows(probe)
+    assert(served.exists(_.startsWith("[35,")),
+      s"planted near-dup 35 missing from $served")
+    graft.util.Stamp.write(dest, "stamp-ip")
+    val before = parquetFiles(s"$dest/byid.parquet")
+    IvfPqStore.compact(spark, dest)
+    assert(parquetFiles(s"$dest/byid.parquet") < before)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-ip"))
+    assert(rows(IvfPqStore.topKAt(spark, dest, all, 2L, 5)) == served)
+    // id-keyed overwrite in the frozen space: 35 re-assigns + re-encodes
+    // far from 2 and leaves the neighborhood; deleteIds + compact purges
+    val moved = Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding")
+    IvfPqStore.upsertBatch(spark, dest, moved)
+    val allEdited = all.filter(col("vec_id") =!= 35L).unionAll(moved)
+    assert(!rows(IvfPqStore.topKAt(spark, dest, allEdited, 2L, 5))
+      .exists(_.startsWith("[35,")))
+    IvfPqStore.deleteIds(spark, dest, Seq(34L))
+    IvfPqStore.compact(spark, dest)
+    assert(!Files.exists(Paths.get(dest, "_tombstones")))
+    assert(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") === 34L).count() == 0,
+      "deleted id's codes must be physically purged at compact")
+    assert(spark.read.parquet(s"$dest/byid.parquet")
+      .filter(col("vid") === 34L).count() == 0,
+      "deleted id must leave the forward table at compact")
+  }
+
   test("PqStore: frozen-codebook append — new vectors searchable, " +
       "codebook and old codes byte-untouched; compact preserves results") {
     val dest = Files.createTempDirectory("graft-pq-life").toString
