@@ -222,29 +222,45 @@ object IvfPqStore {
 
   /** [[topK]] against an explicit store directory and vector frame (the
     * vectors are read only for the query's LUT slices and the exact
-    * rerank — the candidate pass reads m-byte codes from ONE partition
-    * directory).
+    * rerank — the candidate pass reads m-byte codes from `nprobe`
+    * partition directories). nprobe is the IVFADC recall/cost knob: each
+    * probe adds one cluster directory (~N/nCentroids of the corpus); the
+    * knob curve is measured in SCALE.md.
     */
   def topKAt(spark: SparkSession, dest: String, emb: DataFrame,
-             queryId: Long, k: Int, rerank: Int = 40): DataFrame = {
+             queryId: Long, k: Int, rerank: Int = 40,
+             nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= NumCentroids, "topKAt: bad nprobe")
     GraftFunctions.register(spark)
-    // serving-boundary point read: the probe cluster id, needed as a
-    // literal so the codes scan partition-prunes at planning time
-    val qCluster = liveById(spark, dest)
-      .filter(col("vid") === queryId)
-      .head().getAs[Number]("cluster").longValue()
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
-    val qCent = spark.read.parquet(s"$dest/centroids.parquet")
-      .filter(col("cid") === qCluster).select(col("cv"))
-    val cshift = Similarity.shiftCodebook(codebook, qCent, M, sd)
+    val cents = spark.read.parquet(s"$dest/centroids.parquet")
+    // serving-boundary point reads: the probe cluster ids, needed as
+    // literals so the codes scans partition-prune at planning time. For
+    // nprobe = 1 the forward table answers directly (rank 1 IS the
+    // assigned cluster); wider probes rank the (tiny) centroid table by
+    // the exact ivfAssign sim formula against the query vector.
+    val probes: Seq[Long] =
+      if (nprobe == 1)
+        Seq(liveById(spark, dest).filter(col("vid") === queryId)
+          .head().getAs[Number]("cluster").longValue())
+      else {
+        val qv = emb.filter(col("vec_id") === queryId)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__qv"))
+        cents.crossJoin(broadcast(qv))
+          .select(col("cid"), expr(
+            """round(graft_dot(__qv, cv) /
+              |  (sqrt(graft_dot(__qv, __qv)) * sqrt(graft_dot(cv, cv))), 6)"""
+              .stripMargin).as("__sim"))
+          .orderBy(col("__sim").desc, col("cid").asc)
+          .limit(nprobe)
+          .collect().map(_.getAs[Number]("cid").longValue()).toSeq
+      }
     val packed = liveCodes(spark, dest)
-      .filter(col("cluster") === qCluster)
-      .select(col("vid"), col("code"))
     val withVd = emb.select(col("vec_id").cast("long").as("vid"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    Similarity.pqServePacked(withVd, cshift, packed, queryId, k, rerank,
-      M, sd, "vec_id")
+    Similarity.ivfPqServePacked(withVd, codebook, cents, packed, probes,
+      queryId, k, rerank, M, sd, "vec_id")
   }
 
   /** [[Similarity.ivfPqTopK]] served from the persisted artifacts —

@@ -1210,20 +1210,25 @@ object Similarity {
   /** Multi-query face of [[ivfPqTopK]] for the recall audit — every ANN
     * path in the engine carries a measured recall row (the round-7
     * lesson: unmeasured ANN accuracy can be 0.0). Each query qid < maxQid
-    * probes its OWN cluster (nprobe = 1) with a per-query SHIFTED
-    * codebook LUT; scoring algebra is [[pqTopKMulti]]'s (round-6 LUT
-    * entries, DECIMAL(38,12) across-subspace sums, exact rerank of the
-    * top `rerank`). The ADC scores all (query, vector) pairs and the
-    * cluster restriction filters BEFORE the rank cut — value-identical
-    * to scoring only own-cluster pairs, and the audit is bounded to
-    * maxQid queries, so the wasted pairs stay constant-size. Returns
-    * (qid, vec_id).
+    * probes its top-`nprobe` clusters (ranked by the exact [[ivfAssign]]
+    * sim formula, so rank 1 IS the assigned cluster) with a per-(query,
+    * cluster) SHIFTED codebook LUT — the shift is the CANDIDATE cluster's
+    * centroid, because the reconstruction is x̂ = c_x + r̂_x. Scoring
+    * algebra is [[pqTopKMulti]]'s (round-6 LUT entries, DECIMAL(38,12)
+    * across-subspace sums, exact rerank of the top `rerank`). The ADC
+    * scores all (query, probed cluster, vector) triples and the
+    * membership restriction filters BEFORE the rank cut —
+    * value-identical to scoring only in-cluster pairs, and the audit is
+    * bounded to maxQid queries, so the wasted pairs stay constant-size.
+    * Returns (qid, vec_id).
     */
   def ivfPqTopKMultiQuery(embeddings: DataFrame, idCol: String, vecCol: String,
                           maxQid: Long, k: Int, nCentroids: Int = 8,
-                          m: Int = 8, ksub: Int = 8,
-                          rerank: Int = 40): DataFrame = {
+                          m: Int = 8, ksub: Int = 8, rerank: Int = 40,
+                          nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= nCentroids, "ivfPqTopKMultiQuery: bad nprobe")
+    GraftFunctions.register(embeddings.sparkSession)
     val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
       .select(col(idCol), col("cluster"))
     val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
@@ -1231,8 +1236,22 @@ object Similarity {
     val (_, cb, codes, sd) = pqModel(resid, idCol, "embedding", m, ksub)
     val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
-    val qcl = assigned.filter(col(idCol) < maxQid)
-      .select(col(idCol).cast("long").as("qid"), col("cluster").as("__qc"))
+    // per-query probe set: top-nprobe clusters by the EXACT ivfAssign sim
+    // formula (round-6 graft_dot cosine, cid-asc tie-break), so rank 1 is
+    // the assigned cluster by construction
+    val centsArr = cents
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
+    val probes = rawVd.filter(col("vid") < maxQid)
+      .crossJoin(broadcast(centsArr))
+      .select(col("vid").as("qid"), explode(expr(
+        """transform(__cents, c -> struct(
+          |  round(graft_dot(v, c.cv) /
+          |    (sqrt(graft_dot(v, v)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
+          |  c.cid AS cid))""".stripMargin)).as("__p"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("__p.sim").desc, col("__p.cid").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__p.cid").as("__qc"))
     val qsubs = rawVd.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
@@ -1243,13 +1262,15 @@ object Similarity {
         explode(sequence(lit(0), lit(m - 1))).as("__cs"), col("cv").as("__ccv"))
       .select(col("__ccid"), col("__cs"),
         slice(col("__ccv"), col("__cs") * sd + 1, lit(sd)).as("csv"))
-    // per-query LUT over the query's own cluster's shifted codebook
+    // per-(query, probed cluster) LUT over that cluster's shifted codebook
+    // — the shift is the CANDIDATE cluster's centroid (x̂ = c_x + r̂_x),
+    // which for nprobe = 1 coincides with the query's own cluster
     val lut = cb.join(broadcast(qsubs), Seq("s"))
-      .join(broadcast(qcl), Seq("qid"))
+      .join(broadcast(probes), Seq("qid"))
       .join(broadcast(csl),
         col("__qc") === col("__ccid") && col("s") === col("__cs"))
       .withColumn("__cvs", expr("zip_with(csv, cv, (x, y) -> x + y)"))
-      .select(col("qid"), col("s"), col("cid"),
+      .select(col("qid"), col("__qc"), col("s"), col("cid"),
         round(expr("aggregate(zip_with(__cvs, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
           .as("pdot"),
         round(expr("aggregate(__cvs, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2"))
@@ -1260,11 +1281,10 @@ object Similarity {
     val vidCluster = assigned
       .select(col(idCol).cast("long").as("vid"), col("cluster").as("__vc"))
     val cands = codes.join(broadcast(lut), Seq("s", "cid"))
-      .groupBy(col("qid"), col("vid"))
+      .groupBy(col("qid"), col("__qc"), col("vid"))
       .agg(sum(col("pdot").cast("decimal(38,12)")).cast("double").as("__adc"),
         sum(col("pnorm2").cast("decimal(38,12)")).cast("double").as("__apx2"))
       .join(vidCluster, "vid")
-      .join(broadcast(qcl), "qid")
       .filter(col("__vc") === col("__qc") && col("vid") =!= col("qid"))
       .join(broadcast(qn.select(col("qid"), col("qnorm"))), "qid")
       .select(col("qid"), col("vid"),
@@ -1459,6 +1479,59 @@ object Similarity {
         .orderBy(col("cosine").desc, col("vid").asc)))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("vid").as("vec_id"))
+  }
+
+  /** Packed IVFADC serve over an explicit probe-cluster list: per-cluster
+    * shifted-codebook LUT + the shuffle-free ADC projection over that
+    * cluster's packed codes (each a partition-pruned directory read),
+    * unioned, ONE global top-`rerank` cut (ADC cosines are comparable
+    * across clusters — each approximates the same raw cosine), exact
+    * rerank. For nprobe = 1 this is algebraically [[pqServePacked]] over
+    * the probe cluster's shifted codebook; each extra probe adds one
+    * partition directory (~N/nCentroids of the corpus at m bytes/vector)
+    * to the scan — the IVFADC recall/cost knob.
+    */
+  private[similarity] def ivfPqServePacked(withVd: DataFrame, cbOrd: DataFrame,
+                                           cents: DataFrame, packed: DataFrame,
+                                           probes: Seq[Long], queryId: Long,
+                                           k: Int, rerank: Int, m: Int,
+                                           sd: Int, idCol: String): DataFrame = {
+    require(probes.nonEmpty, "ivfPqServePacked: empty probe list")
+    GraftFunctions.register(withVd.sparkSession)
+    val qsubs = withVd.filter(col("vid") === queryId)
+      .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
+    val qn = withVd.filter(col("vid") === queryId)
+      .select(sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        col("v").as("qv"))
+    val scores = probes.map { c =>
+      val cshift = shiftCodebook(cbOrd,
+        cents.filter(col("cid") === c).select(col("cv")), m, sd)
+      val lutArr = packedLutRows(cshift, qsubs, extraKey = Nil)
+      packed.filter(col("cluster") === c)
+        .select(col("vid"), col("code"))
+        .crossJoin(broadcast(lutArr))
+        .select(col("vid"), expr("transform(graft_bytes_u8(code), " +
+          "(o, s) -> element_at(element_at(__lut, s + 1), o + 1))").as("__e"))
+        .select(col("vid"),
+          expr(packedFoldSql("pdot")).as("__adc"),
+          expr(packedFoldSql("pnorm2")).as("__apx2"))
+    }.reduce(_ unionAll _)
+    val cands = scores
+      .crossJoin(broadcast(qn.select(col("qnorm"))))
+      .filter(col("vid") =!= queryId)
+      .select(col("vid"),
+        round(col("__adc") / (col("qnorm") * sqrt(col("__apx2"))), 6).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vid").asc)
+      .limit(rerank)
+    cands.join(withVd, "vid")
+      .crossJoin(broadcast(qn.select(col("qv"))))
+      .select(col("vid").as(idCol), col("adc_cosine"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Symmetric int8 quantization audit — the serving-side compression

@@ -159,6 +159,19 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     assert(parquetFiles(s"$dest/byid.parquet") < before)
     assert(graft.util.Stamp.isFresh(dest, "stamp-ip"))
     assert(rows(IvfPqStore.topKAt(spark, dest, all, 2L, 5)) == served)
+    // nprobe (the IVFADC recall/cost knob): the multi-probe SERVED path
+    // must agree with the ad-hoc multi-query path over the same one-shot
+    // artifacts (deterministic train ⇒ identical codebooks/codes)
+    val destFull = Files.createTempDirectory("graft-ivfpq-np").toString
+    IvfPqStore.buildAt(destFull, all)
+    val servedNp = rows(IvfPqStore.topKAt(spark, destFull, all, queryId = 2L,
+      k = 5, rerank = 40, nprobe = 3).select(col("vec_id"))).sorted
+    val adhocNp = rows(Similarity.ivfPqTopKMultiQuery(all, "vec_id",
+      "embedding", maxQid = 3, k = 5, nCentroids = 8, m = 8, ksub = 8,
+      rerank = 40, nprobe = 3).filter(col("qid") === 2L)
+      .select(col("vec_id"))).sorted
+    assert(servedNp == adhocNp,
+      s"served nprobe=3 $servedNp must equal the ad-hoc multi path $adhocNp")
     // id-keyed overwrite in the frozen space: 35 re-assigns + re-encodes
     // far from 2 and leaves the neighborhood; deleteIds + compact purges
     val moved = Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding")
