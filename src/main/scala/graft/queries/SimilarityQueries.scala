@@ -162,6 +162,39 @@ object SimilarityQueries extends QueryPack {
       s"\nSELECT pick_order, vec_id FROM sel${k - 1}"
   }
 
+  /** Greedy MMR oracle, rounds unrolled as CTEs (the [[kcenterOracle]]
+    * pattern): pool = top-`poolSize` by round-6 cosine to query 0; round
+    * r scores every unselected pool member's
+    * round6(λ·qsim − (1−λ)·max cos to sel(r−1)) and picks the argmax
+    * (ties on id) — mirroring [[graft.similarity.Similarity.mmrSelect]]
+    * value-for-value (cosines round(6) BEFORE the max, like the engine).
+    */
+  private def mmrOracle(k: Int, poolSize: Int, lambda: Double): String = {
+    val oneMinus = 1.0 - lambda
+    val rounds = (1 until k).map { r =>
+      s"""m$r AS (SELECT p.vec_id, p.qsim, MAX(${cosSql("pe.v", "se.v")}) AS ms
+         |  FROM pool p JOIN emb pe ON p.vec_id = pe.vec_id, emb se
+         |  WHERE se.vec_id IN (SELECT vec_id FROM sel${r - 1})
+         |    AND p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY p.vec_id, p.qsim),
+         |p$r AS (SELECT vec_id, qsim FROM m$r
+         |  ORDER BY round($lambda * qsim - $oneMinus * ms, 6) DESC, vec_id ASC
+         |  LIMIT 1),
+         |sel$r AS (SELECT vec_id, qsim, pick_order FROM sel${r - 1}
+         |  UNION ALL SELECT vec_id, qsim, CAST($r AS BIGINT) FROM p$r)""".stripMargin
+    }
+    (Seq(
+      "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"""pool AS (SELECT e.vec_id, ${cosSql("e.v", "q.v")} AS qsim
+         |  FROM emb e CROSS JOIN (SELECT v FROM emb WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY qsim DESC, e.vec_id ASC LIMIT $poolSize)""".stripMargin,
+      """sel0 AS (SELECT vec_id, qsim, CAST(0 AS BIGINT) AS pick_order FROM pool
+        |  ORDER BY qsim DESC, vec_id ASC LIMIT 1)""".stripMargin)
+      ++ rounds).mkString(",\n") +
+      s"\nSELECT pick_order, vec_id, qsim FROM sel${k - 1}"
+  }
+
   /** PQ train/encode/ADC/rerank oracle — shared by the ad-hoc
     * (`q_ann_pq`, trains in-plan) and store-served (`q_ann_pq_served`)
     * paths: the codebook train is deterministic, so persisting it
@@ -371,6 +404,27 @@ object SimilarityQueries extends QueryPack {
     "q_ann_multiprobe" -> ((s, dir) =>
       Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, radius = Similarity.SrpRadiusWide)),
+
+    // FILTERED vector search (the vector-DB metadata-predicate primitive):
+    // top-5 among vectors sharing query 0's label — the predicate rides
+    // the sketch candidate scan, shrinking (never diluting) the rerank.
+    // The query label is a serving-boundary point read, so the predicate
+    // is a literal both engines apply identically.
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qLabel = emb.filter(col("vec_id") === 0L)
+        .select(col("label")).head().getInt(0)
+      Similarity.srpTopKFiltered(emb, "vec_id", "embedding", queryId = 0L,
+        k = 5, pred = col("label") === lit(qLabel))
+    }),
+
+    // MMR diversity rerank (Carbonell–Goldstein): greedy λ-tradeoff over
+    // a 20-candidate relevance pool — the post-ANN rerank every RAG
+    // serving stack runs; constant-size rounds, corpus cost lives in the
+    // candidate generator.
+    "q_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 5, poolSize = 20, lambda = 0.5)),
 
     // The SERVED ANN path: identical ranking from the persisted sketch
     // store (the BM25Index / SimHashStore build-once split) — the sketch
@@ -773,6 +827,21 @@ object SimilarityQueries extends QueryPack {
     "q_ann_ivf_served" -> ivfOracle,
 
     "q_ann_multiprobe" -> srpTopKSql(Similarity.SrpRadiusWide, 5),
+
+    // Filtered search: the label predicate lands INSIDE the candidate
+    // scan, before the rerank — same sketch algebra as q_ann_lsh.
+    "q_ann_filtered" ->
+      s"""WITH ${sigCtes()},
+         |q AS (SELECT e.embedding AS qv, e.label AS ql,
+         |    s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+         |FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id CROSS JOIN q
+         |WHERE e.vec_id <> 0 AND e.label = q.ql
+         |  AND ${hamSql("s", "q")} <= ${Similarity.SrpRadius}
+         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_mmr" -> mmrOracle(k = 5, poolSize = 20, lambda = 0.5),
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1112,6 +1112,93 @@ object Similarity {
     pqTopKMulti(withVd, c1, codes, maxQid, k, rerank, m, sd)
   }
 
+  /** FILTERED vector search — the vector-DB primitive every retrieval
+    * deployment needs (FAISS IDSelector / Elastic kNN filter): SRP sketch
+    * candidates within Hamming `radius`, restricted by an arbitrary
+    * candidate-row predicate BEFORE the exact rerank, so the filter
+    * shrinks (never dilutes) the rerank budget and the returned k are
+    * all predicate-true. The predicate rides the same candidate scan as
+    * the Hamming filter — one pass, no extra join when it references the
+    * embedding table's own columns. At 100 TB a highly selective
+    * predicate should ALSO prune physically (write the table partitioned
+    * or z-ordered by the filter column — the layout story of
+    * `q_bucket_pruning`/`q_zorder`); the sketch+filter+rerank algebra is
+    * unchanged by the layout. Recall caveat measured in the scaladoc of
+    * [[srpTopK]] applies per-stratum: the sketch's candidate set is
+    * filter-agnostic, so a predicate selecting a tiny stratum wants a
+    * wider radius (the knob, not a new code path).
+    */
+  def srpTopKFiltered(embeddings: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, pred: Column,
+                      radius: Int = SrpRadius): DataFrame = {
+    val sigs = srpSignature(embeddings, vecCol)
+    val q = sigs.filter(col(idCol) === queryId)
+      .select((col(vecCol).as("__qv") +:
+        (0 until 4).map(w => col(s"__w$w").as(s"__qw$w"))): _*)
+    sigs.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId && srpHamming("__w", "__qw") <= radius)
+      .filter(pred)
+      .select(col(idCol), round(cosineFast(vecCol, "__qv"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity-aware top-k every retrieval/RAG serving stack runs
+    * after candidate generation: greedily select `k` of a `poolSize`
+    * relevance pool, each round maximizing
+    * λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) (ties: smaller id).
+    * λ = 1 is pure relevance; λ = 0 pure diversity.
+    *
+    * Plan shape ([[kCenterSelect]]'s): the pool is ONE scored scan +
+    * top-`poolSize` cut; each greedy round is a broadcast of the ≤ k
+    * selected vectors against the ≤ poolSize pool — constant-size work
+    * per round regardless of corpus size, because diversification is a
+    * RERANK, not a scan (the 100-TB cost lives in the candidate
+    * generator, which is any of the ANN paths). Deterministic: cosines
+    * round(6) before max, the marginal score round(6) before the argmax,
+    * so the DuckDB oracle replays the greedy selection exactly.
+    * Returns (pick_order, idCol, qsim).
+    */
+  def mmrSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, poolSize: Int = 20,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && poolSize >= k, "mmrSelect: need 1 <= k <= poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, "mmrSelect: lambda in [0, 1]")
+    GraftFunctions.register(embeddings.sparkSession)
+    val emb = embeddings
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val qv = emb.filter(col("vid") === queryId).select(col("v").as("__qv"))
+    val pool = emb.filter(col("vid") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vid"), col("v"),
+        round(cosineFast("v", "__qv"), 6).as("qsim"))
+      .orderBy(col("qsim").desc, col("vid").asc)
+      .limit(poolSize)
+      .cutLineageEager()
+    var sel = pool.orderBy(col("qsim").desc, col("vid").asc).limit(1)
+      .select(col("vid"), col("v"), col("qsim"), lit(0).as("pick_order"))
+      .cutLineageEager()
+    for (r <- 1 until k) {
+      val picked = broadcast(
+        sel.select(col("vid").as("svid"), col("v").as("sv")))
+      val next = pool
+        .join(sel.select(col("vid")), Seq("vid"), "left_anti")
+        .crossJoin(picked)
+        .groupBy(col("vid"))
+        .agg(max(round(cosineFast("v", "sv"), 6)).as("__ms"),
+          first(col("v")).as("v"), first(col("qsim")).as("qsim"))
+        .orderBy(
+          round(lit(lambda) * col("qsim") - lit(1.0 - lambda) * col("__ms"), 6).desc,
+          col("vid").asc)
+        .limit(1)
+        .select(col("vid"), col("v"), col("qsim"), lit(r).as("pick_order"))
+      sel = sel.unionByName(next).cutLineageEager()
+    }
+    sel.select(col("pick_order").cast("long").as("pick_order"),
+      col("vid").as(idCol), col("qsim"))
+  }
+
   /** The coarse-centroid frame (cid, cv) as DOUBLEs — the first
     * `nCentroids` vectors by id, [[ivfAssign]]'s seed contract. Doubles
     * because every downstream use (residual subtraction, codebook shift)

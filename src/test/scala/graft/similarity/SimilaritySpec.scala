@@ -45,6 +45,59 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
   }
 
+  test("mmrSelect: pick 0 is the top-relevance candidate; a near-duplicate " +
+      "of it is skipped for a diverse lower-relevance pick at λ=0.5") {
+    // query 0; candidates: 1 ≈ 2 (a near-dup pair, most relevant but
+    // distinct from the query — a pick equal to the query would collapse
+    // every marginal to ~0), 3 diverse at moderate relevance, 4
+    // orthogonal to everything selected. Pure relevance top-2 = {1, 2};
+    // MMR(λ=0.5) must take 1 then 3 (2's marginal ≈ 0.5·0.99 − 0.5·1.0
+    // < 3's 0.5·0.71 − 0.5·0.64)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.11f, 0.0f, 0.0f)),
+      (3L, Array(0.7f, 0.0f, 0.7f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(df, "vec_id", "embedding", queryId = 0L,
+      k = 3, poolSize = 4, lambda = 0.5)
+      .orderBy(col("pick_order")).collect().map(_.getLong(1)).toSeq
+    val rel = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rel == Seq(1L, 2L), s"fixture broke: relevance top-2 was $rel")
+    assert(picks == Seq(1L, 3L, 4L),
+      s"λ=0.5 must skip the near-dup 2 for diverse 3 then orthogonal 4: $picks")
+    // λ = 1 is pure relevance: the near-dup comes right back
+    val pure = Similarity.mmrSelect(df, "vec_id", "embedding", 0L,
+      k = 2, poolSize = 4, lambda = 1.0)
+      .orderBy(col("pick_order")).collect().map(_.getLong(1)).toSeq
+    assert(pure == Seq(1L, 2L), s"λ=1 must reduce to relevance order: $pure")
+  }
+
+  test("srpTopKFiltered: every result satisfies the predicate, ranking " +
+      "matches the unfiltered scan restricted to the stratum") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val df = (0L until 12L).map { i =>
+      val v = Array.tabulate(64)(j =>
+        (math.sin(j + 1) + 0.03 * math.sin(i * 17 + j)).toFloat)
+      (i, v, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val qLabel = 0
+    val got = Similarity.srpTopKFiltered(df, "vec_id", "embedding",
+      queryId = 0L, k = 3, pred = col("label") === lit(qLabel),
+      radius = Similarity.SrpBits)
+      .collect().map(_.getLong(0)).toSeq
+    // radius = SrpBits admits every candidate, so the filtered result is
+    // exactly the brute-force ranking over the label-0 stratum
+    val want = Similarity.bruteForceTopK(
+      df.filter(col("label") === qLabel
+        || col("vec_id") === 0L), "vec_id", "embedding", 0L, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"filtered ranking $got != stratum brute force $want")
+    assert(got.forall(_ % 3 == 0), s"a non-label-0 id leaked: $got")
+  }
+
   test("srp sketch Hamming estimates angle: 0 for identical, SrpBits for antipodal, ~half for orthogonal") {
     val sigs = Similarity.srpSignature(srpVecs, "embedding")
     val ham = sigs.as("a").crossJoin(sigs.as("b"))
