@@ -107,7 +107,12 @@ object IvfPqStore {
   /** Append a NEW batch: frozen-centroid coarse assignment + frozen-
     * codebook residual encode — batch cost, immediately searchable, both
     * trained artifacts byte-untouched (the PQ serving contract; drift
-    * economics measured by `q_ann_drift`).
+    * economics measured by `q_ann_drift`). Crash contract: the codes and
+    * byid writes are two jobs, so a crash between them can leave a
+    * half-applied generation — recover by re-applying the SAME batch via
+    * [[upsertBatch]] (its tombstone is written at a fresh generation and
+    * kills any strictly-older half-applied rows before re-adding), never
+    * by re-running appendBatch, which would double-serve the ids.
     */
   def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {

@@ -82,7 +82,11 @@ object IvfStore {
     * Contract: batch ids are new AND outside the seed range
     * (≥ NumCentroids) — under it, append ≡ full rebuild exactly, because
     * a rebuild's seeds (base ids < NumCentroids) are unchanged by the
-    * new rows. [[upsertBatch]] is the id-keyed overwrite.
+    * new rows. [[upsertBatch]] is the id-keyed overwrite. Crash
+    * contract: the vectors and byid writes are two jobs — a crash
+    * between them recovers by re-applying the batch via [[upsertBatch]]
+    * (tombstone-first kills the half-applied generation), never by
+    * re-running the append, which would double-serve the ids.
     */
   def appendBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
