@@ -325,7 +325,13 @@ object SimilarityQueries extends QueryPack {
        |CROSS JOIN (SELECT v AS qv FROM embq WHERE vec_id = 0) qe
        |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin
 
-  private lazy val ivfPqOracle: String = ivfPqOracleTrainedOn(_ => "TRUE")
+  // Base train predicate: NON-centroid ids only — a centroid's residual
+  // is exactly zero, and seeding the Lloyd round with 8 copies of the
+  // zero vector collapses every subspace codebook to one codeword
+  // (constant ADC scores; the engine excludes them identically in
+  // Similarity.ivfPqCodebookAndCodes). Codes still cover ALL ids.
+  private lazy val ivfPqOracle: String =
+    ivfPqOracleTrainedOn(id => s"$id >= 8")
 
   /** IVF nprobe=1 oracle — shared by the ad-hoc and the
     * partition-pruned-store paths (the store is a layout, not a
@@ -932,11 +938,12 @@ object SimilarityQueries extends QueryPack {
     // ranking — same artifacts, same shifted-codebook ADC algebra.
     "q_ann_ivfpq_served" -> ivfPqOracle,
 
-    // Incremental twin: residual codebook trained on the base only
-    // (seed ids stay in the base, so the coarse assignment is identical
-    // to the full build's); codes for ALL vectors in the frozen space.
+    // Incremental twin: residual codebook trained on the base's
+    // non-centroid rows (centroid ids excluded for the zero-residual
+    // reason above; they stay in the base so the coarse assignment is
+    // identical to the full build's); codes for ALL vectors.
     "q_ann_ivfpq_incr" ->
-      ivfPqOracleTrainedOn(id => s"($id < 8 OR $id % 5 <> 0)"),
+      ivfPqOracleTrainedOn(id => s"($id >= 8 AND $id % 5 <> 0)"),
 
     "q_embedding_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1084,7 +1091,7 @@ object SimilarityQueries extends QueryPack {
          |      i -> CAST(e.embedding[i] AS DOUBLE) - cd.cv[i]) AS embedding
          |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
          |  JOIN centsd cd ON a.cluster = cd.cid),
-         |${pqTrainCtes("v", _ => "TRUE", src = "residv")},
+         |${pqTrainCtes("v", id => s"$id >= 8", src = "residv")},
          |cslv AS (SELECT cd.cid, ss.s, cd.cv[ss.s*8+1:ss.s*8+8] AS csv
          |  FROM centsd cd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
          |qclv AS (SELECT vec_id AS qid, cluster FROM assigned WHERE vec_id < 20),

@@ -11,13 +11,14 @@ import scala.jdk.CollectionConverters._
   * deletion). The reference empties and drops Solr collections so a
   * pipeline can rebuild from scratch; here every persisted serving
   * artifact (BM25 inverted index + its segmented variant, SimHash
-  * signature store, SRP / IVF / PQ ANN stores) lives under a
+  * signature store, SRP / IVF / PQ / IVF-PQ ANN stores, and the
+  * posting/timeline serving layouts) lives under a
   * [[graft.util.Stamp]]-guarded directory, so the lifecycle op is:
   * delete the directory INCLUDING its stamp. The next `ensureBuilt`
   * then rebuilds from the source corpus and serves — and because every
   * build is deterministic, a truncate + rebuild round trip is
-  * byte-identical (spec-pinned in StoreAdminSpec for all five store
-  * families, and the `q_*_served` driver queries re-run green).
+  * byte-identical (spec-pinned in StoreAdminSpec for every store
+  * family, and the `q_*_served` driver queries re-run green).
   *
   * Deleting the stamp WITH the data matters: a truncate that left a
   * fresh stamp behind would make the store look built while empty (the

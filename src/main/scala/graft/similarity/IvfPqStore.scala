@@ -59,8 +59,13 @@ object IvfPqStore {
   val Ksub = 8
 
   def defaultDir(sfDir: String): String = {
+    // v2: the residual codebook trains on NON-centroid ids (v1's
+    // first-ksub-by-id seeds were the centroids' zero residuals — a
+    // degenerate one-codeword codebook); the version bump orphans any
+    // v1 store rather than serving its collapsed artifacts under a
+    // still-fresh source stamp
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivfpq-store-v1")
+      s"${sys.props("user.dir")}/target/ivfpq-store-v2")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -90,8 +95,11 @@ object IvfPqStore {
       NumCentroids)
     val resid = Similarity.residualFrame(embeddings, "vec_id", "embedding",
       assigned, cents)
-    val (_, codebook, codes, _) =
-      Similarity.pqModel(resid, "vec_id", "embedding", M, Ksub)
+    // the codebook trains on NON-centroid residuals only (a centroid's
+    // residual is the zero vector — seeding with them collapses the
+    // codebook; see Similarity.ivfPqCodebookAndCodes)
+    val (codebook, codes, _) =
+      Similarity.ivfPqCodebookAndCodes(resid, "vec_id", NumCentroids, M, Ksub)
     val cbOrd = codebook.withColumn("ord",
       row_number().over(Window.partitionBy("s").orderBy("cid")) - 1)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids.parquet")

@@ -1227,6 +1227,34 @@ object Similarity {
         expr(s"zip_with(transform($vecCol, x -> CAST(x AS DOUBLE)), cv," +
           " (x, y) -> x - y)").as("embedding"))
 
+  /** Train the residual PQ codebook and encode ALL rows — the one
+    * correct seeding for IVFADC: the train set EXCLUDES the coarse-
+    * centroid ids (< nCentroids), because a centroid's residual is
+    * exactly the zero vector — seeding [[pqModel]]'s first-ksub-by-id
+    * Lloyd round with them collapses every subspace codebook to a single
+    * codeword and makes every ADC score constant (found by an
+    * adversarial review: the oracle replayed the same degenerate algebra,
+    * so hash gates alone never caught it). Seeds are therefore the first
+    * ksub NON-centroid ids' residuals; the excluded centroid rows are
+    * still corpus members and get codes in the same frozen-codebook
+    * [[pqEncode]] pass as everyone else (their zero residual lands on
+    * the codeword nearest the origin). ONE encode pass over the full
+    * residual frame — [[pqModel]]'s own assignment projection and
+    * [[pqEncode]] share the identical round-6/d-then-cid algebra, so
+    * encoding the train rows again is value-equal to keeping pqModel's
+    * codes, and the residual subtree is scanned once instead of once per
+    * union branch. Returns (codebook, codes-for-all, subdim).
+    */
+  private[similarity] def ivfPqCodebookAndCodes(resid: DataFrame,
+                                                idCol: String,
+                                                nCentroids: Int, m: Int,
+                                                ksub: Int)
+      : (DataFrame, DataFrame, Int) = {
+    val (_, cb, _, sd) = pqModel(
+      resid.filter(col(idCol) >= nCentroids), idCol, "embedding", m, ksub)
+    (cb, pqEncode(resid, idCol, "embedding", cb, m, sd), sd)
+  }
+
   /** Shift a PQ codebook by one coarse centroid: cv′ = c_s + cv per
     * subspace — the algebraic trick that makes residual-PQ (IVFADC)
     * serving reuse the flat-PQ machinery verbatim. Since subspaces
@@ -1275,7 +1303,8 @@ object Similarity {
       .select(col(idCol), col("cluster"))
     val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
     val resid = residualFrame(embeddings, idCol, vecCol, assigned, cents)
-    val (_, cb, codes, sd) = pqModel(resid, idCol, "embedding", m, ksub)
+    val (cb, codes, sd) =
+      ivfPqCodebookAndCodes(resid, idCol, nCentroids, m, ksub)
     // serving-boundary point read (IvfStore.topKAt's idiom): the probe
     // cluster id becomes the literal that prunes the candidate set — in
     // the persisted layout, to a partition directory at planning time
@@ -1320,7 +1349,8 @@ object Similarity {
       .select(col(idCol), col("cluster"))
     val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
     val resid = residualFrame(embeddings, idCol, vecCol, assigned, cents)
-    val (_, cb, codes, sd) = pqModel(resid, idCol, "embedding", m, ksub)
+    val (cb, codes, sd) =
+      ivfPqCodebookAndCodes(resid, idCol, nCentroids, m, ksub)
     val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     // per-query probe set: top-nprobe clusters by the EXACT ivfAssign sim

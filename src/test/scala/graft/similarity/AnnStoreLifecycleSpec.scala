@@ -125,6 +125,20 @@ class AnnStoreLifecycleSpec extends SparkSpec {
       "probe partition-pruned, compact preserves results, upsert/delete") {
     val dest = Files.createTempDirectory("graft-ivfpq-life").toString
     IvfPqStore.buildAt(dest, base)
+    // non-degeneracy guards (the adversarial-review lesson: seeding the
+    // residual Lloyd round with the centroids' ZERO residuals used to
+    // collapse every subspace codebook to one codeword, making all ADC
+    // scores constant — while every hash gate stayed green, because the
+    // oracle replayed the same degenerate algebra)
+    val minCodewords = spark.read.parquet(s"$dest/codebook.parquet")
+      .groupBy(col("s")).agg(countDistinct(col("cid")).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    assert(minCodewords >= 2,
+      s"residual codebook degenerate: min codewords/subspace = $minCodewords")
+    val adcDistinct = IvfPqStore.topKAt(spark, dest, base, queryId = 2L, k = 5)
+      .select(col("adc_cosine")).distinct().count()
+    assert(adcDistinct > 1,
+      "ADC scores constant across candidates — the codebook carries no discrimination")
     def codeRows(pred: org.apache.spark.sql.Column) =
       rows(spark.read.parquet(s"$dest/codes.parquet").filter(pred)
         .select(col("vid"), hex(col("code")), col("cluster"))).sorted
@@ -143,8 +157,9 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     val appended = spark.read.parquet(s"$dest/codes.parquet")
       .filter(col("vid") >= 32)
     assert(appended.count() == 8L)
-    assert(appended.select(length(col("code"))).distinct().head().getInt(0)
-      == IvfPqStore.M)
+    val lens = appended.select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(IvfPqStore.M), s"appended code byte-lengths: $lens")
     val probe = IvfPqStore.topKAt(spark, dest, all, queryId = 2L, k = 5)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
@@ -212,8 +227,9 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     val appended = spark.read.parquet(s"$dest/codes.parquet")
       .filter(col("vid") >= 32)
     assert(appended.count() == 8L)
-    assert(appended.select(length(col("code"))).distinct().head().getInt(0)
-      == PqStore.M)
+    val pqLens = appended.select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(pqLens == Seq(PqStore.M), s"appended code byte-lengths: $pqLens")
     val served = rows(PqStore.topKAt(spark, dest, all, queryId = 2L, k = 5))
     assert(served.exists(_.startsWith("[35,")),
       s"planted near-dup 35 missing from $served")
