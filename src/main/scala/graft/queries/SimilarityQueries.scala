@@ -717,6 +717,10 @@ object SimilarityQueries extends QueryPack {
     // the one store with trained state.
     "q_ann_drift" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // register up front: every store ensure* may be stamp-fresh (and
+      // thus register nothing) in a scoped run, while the truth frame's
+      // cosineFast analyzes eagerly
+      graft.expressions.GraftFunctions.register(s)
       val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
       val destIncr = PqStore.ensureBuiltDrift(s, dir)
       val destFull = PqStore.ensureBuiltDriftRebuild(s, dir)
@@ -735,10 +739,20 @@ object SimilarityQueries extends QueryPack {
           .select(lit(method).as("method"), col("hits"),
             lit(20L).as("n_queries"), lit(10L).as("k"),
             round(col("hits").cast("double") / 200.0, 6).as("avg_recall"))
+      // IVF-PQ rows: the coarse centroids (ids < 8 of the drifted corpus)
+      // are IDENTICAL for incr and rebuild by construction, so this pair
+      // isolates exactly the residual-codebook staleness — the clean
+      // experiment PQ's single-artifact space can't run
+      val ipIncr = IvfPqStore.ensureBuiltDrift(s, dir)
+      val ipFull = IvfPqStore.ensureBuiltDriftRebuild(s, dir)
       recallOf("pq_incr_drift",
           PqStore.topKMultiAt(s, destIncr, drifted, maxQid = 20, k = 10))
         .unionByName(recallOf("pq_rebuild_drift",
           PqStore.topKMultiAt(s, destFull, drifted, maxQid = 20, k = 10)))
+        .unionByName(recallOf("ivfpq_incr_drift",
+          IvfPqStore.topKMultiAt(s, ipIncr, drifted, maxQid = 20, k = 10)))
+        .unionByName(recallOf("ivfpq_rebuild_drift",
+          IvfPqStore.topKMultiAt(s, ipFull, drifted, maxQid = 20, k = 10)))
     })
   )
 
@@ -1000,6 +1014,40 @@ object SimilarityQueries extends QueryPack {
            |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
            |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
            |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id""".stripMargin
+      // the ivfpq drift chains: shared coarse space over the drifted
+      // corpus (centroids = ids < 8, identical for incr and rebuild), a
+      // residual frame, two codebooks trained with the incr/rebuild
+      // templates (non-centroid ids only — the degenerate-seeding rule),
+      // and the per-query shifted-LUT ADC + exact rerank of the recall
+      // oracle. Query subspaces/norms reuse the RAW drifted chains
+      // (qpdi/qndi/embdi) the PQ rows already build.
+      def ivfPqDriftChain(x: String): String =
+        s"""lut$x AS (SELECT q.qid, c.s, c.cid,
+           |    round(list_sum(list_transform(range(1, 9),
+           |      i -> (l.csv[i] + c.cv[i]) * q.qsv[i])), 6) AS pdot,
+           |    round(list_sum(list_transform(range(1, 9),
+           |      i -> (l.csv[i] + c.cv[i]) * (l.csv[i] + c.cv[i]))), 6) AS pnorm2
+           |  FROM c1$x c JOIN qpdi q ON c.s = q.s
+           |  JOIN qcldd qc ON q.qid = qc.qid
+           |  JOIN csldd l ON l.cid = qc.cluster AND l.s = c.s),
+           |adc$x AS (SELECT l.qid, k.vec_id,
+           |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+           |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+           |  FROM codes$x k JOIN lut$x l ON k.s = l.s AND k.cid = l.cid
+           |  GROUP BY l.qid, k.vec_id),
+           |cands$x AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
+           |    row_number() OVER (PARTITION BY a.qid
+           |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
+           |        a.vec_id ASC) AS rn
+           |  FROM adc$x a JOIN qndi n ON a.qid = n.qid
+           |  JOIN asgdd av ON a.vec_id = av.vec_id
+           |  JOIN qcldd qc ON a.qid = qc.qid AND av.cluster = qc.cluster
+           |  WHERE a.vec_id <> a.qid) WHERE rn <= 40),
+           |pqr$x AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+           |    row_number() OVER (PARTITION BY c.qid
+           |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
+           |  FROM cands$x c JOIN embdi e ON c.vec_id = e.vec_id
+           |  JOIN qndi n ON c.qid = n.qid) WHERE rn <= 10)""".stripMargin
       s"""WITH $driftCte,
          |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embdrift WHERE vec_id < 20),
          |scored AS (SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
@@ -1010,10 +1058,33 @@ object SimilarityQueries extends QueryPack {
          |${pqTrainCtes("di", id => s"$id % 5 <> 0", src = "embdrift")},
          |${pqChain("di")},
          |${pqTrainCtes("df", _ => "TRUE", src = "embdrift")},
-         |${pqChain("df")}
+         |${pqChain("df")},
+         |centsdd AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embdrift WHERE vec_id < 8),
+         |csimdd AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+         |  FROM embdrift e CROSS JOIN centsdd c),
+         |asgdd AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |  FROM csimdd) WHERE rn = 1),
+         |residdd AS (SELECT e.vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+         |  FROM embdrift e JOIN asgdd a ON e.vec_id = a.vec_id
+         |  JOIN centsdd c ON a.cluster = c.cid),
+         |${pqTrainCtes("vi", id => s"($id >= 8 AND $id % 5 <> 0)", src = "residdd")},
+         |${pqTrainCtes("vf", id => s"$id >= 8", src = "residdd")},
+         |csldd AS (SELECT cd.cid, ss.s, cd.cv[ss.s*8+1:ss.s*8+8] AS csv
+         |  FROM centsdd cd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+         |qcldd AS (SELECT vec_id AS qid, cluster FROM asgdd WHERE vec_id < 20),
+         |${ivfPqDriftChain("vi")},
+         |${ivfPqDriftChain("vf")}
          |${method("pq_incr_drift", "pqrdi")}
          |UNION ALL
-         |${method("pq_rebuild_drift", "pqrdf")}""".stripMargin
+         |${method("pq_rebuild_drift", "pqrdf")}
+         |UNION ALL
+         |${method("ivfpq_incr_drift", "pqrvi")}
+         |UNION ALL
+         |${method("ivfpq_rebuild_drift", "pqrvf")}""".stripMargin
     },
 
     "q_ann_recall" -> {

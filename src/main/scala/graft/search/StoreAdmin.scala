@@ -43,6 +43,8 @@ object StoreAdmin {
     graft.similarity.PqStore.defaultDir(sfDir) + "__driftfull",
     graft.similarity.IvfPqStore.defaultDir(sfDir),
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__incr",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__drift",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__driftfull",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -109,6 +111,8 @@ object StoreAdmin {
       val ivf = graft.similarity.IvfStore.defaultDir(sfDir) + suffix
       sweepFlat(ivf, "byid.parquet",
         d => graft.similarity.IvfStore.compact(spark, d))
+    }
+    for (suffix <- Seq("", "__incr", "__drift", "__driftfull")) {
       val ivfpq = graft.similarity.IvfPqStore.defaultDir(sfDir) + suffix
       sweepFlat(ivfpq, "byid.parquet",
         d => graft.similarity.IvfPqStore.compact(spark, d))

@@ -233,6 +233,77 @@ object IvfPqStore {
     dest
   }
 
+  /** The DRIFT-AUDIT incremental store (`q_ann_drift`'s ivfpq rows —
+    * [[PqStore.ensureBuiltDrift]]'s pattern): the exact
+    * [[ensureBuiltIncremental]] chain over [[Similarity.driftedEmbeddings]]
+    * — so BOTH frozen artifacts (coarse centroids are ids < 8 of the
+    * drifted corpus, identical for incr and rebuild by construction;
+    * the residual codebook trains on the base only) quantize appended
+    * vectors they never saw the likes of. Because the coarse space is
+    * shared, the measured recall gap vs [[ensureBuiltDriftRebuild]]
+    * isolates exactly the RESIDUAL-codebook staleness — the clean
+    * experiment the PQ rows can't run (their whole space is one
+    * artifact).
+    */
+  def ensureBuiltDrift(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__drift"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir))
+      buildAt(dest, emb.filter(
+        col("vec_id") < NumCentroids || col("vec_id") % 5 =!= 0))
+      appendBatch(spark, dest, emb.filter(
+        col("vec_id") >= NumCentroids && col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** [[ensureBuiltDrift]]'s rebuild twin: residual codebook retrained on
+    * the FULL drifted corpus (coarse centroids identical — ids < 8).
+    */
+  def ensureBuiltDriftRebuild(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__driftfull"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      buildAt(dest,
+        Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir)))
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** Multi-query serve over an explicit store directory and vector frame
+    * (the drift audit probes the incr and rebuild stores over the SAME
+    * drifted corpus frame): the persisted packed codes unpack to the
+    * row form via the codebook's own persisted `ord` map, then run the
+    * identical [[Similarity.ivfPqMultiFromParts]] chain as the in-plan
+    * audit. Returns (qid, vec_id).
+    */
+  def topKMultiAt(spark: SparkSession, dest: String, emb: DataFrame,
+                  maxQid: Long, k: Int, rerank: Int = 40,
+                  nprobe: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    val codebook = spark.read.parquet(s"$dest/codebook.parquet")
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    val cents = spark.read.parquet(s"$dest/centroids.parquet")
+    val codesRows = liveCodes(spark, dest)
+      .select(col("vid"),
+        posexplode(call_function("graft_bytes_u8", col("code"))))
+      .select(col("vid"), col("pos").as("s"), col("col").as("ord"))
+      .join(broadcast(codebook.select(col("s"), col("cid"), col("ord"))),
+        Seq("s", "ord"))
+      .select(col("vid"), col("s"), col("cid"))
+    val assigned = liveById(spark, dest).select(col("vid"), col("cluster"))
+    val rawVd = emb.select(col("vec_id").cast("long").as("vid"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    Similarity.ivfPqMultiFromParts(rawVd, cents, codebook, codesRows,
+      assigned, maxQid, k, rerank, nprobe, M, sd)
+  }
+
   /** [[topK]] against an explicit store directory and vector frame (the
     * vectors are read only for the query's LUT slices and the exact
     * rerank — the candidate pass reads m-byte codes from `nprobe`

@@ -1342,17 +1342,38 @@ object Similarity {
                           maxQid: Long, k: Int, nCentroids: Int = 8,
                           m: Int = 8, ksub: Int = 8, rerank: Int = 40,
                           nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1 && nprobe <= nCentroids, "ivfPqTopKMultiQuery: bad nprobe")
     GraftFunctions.register(embeddings.sparkSession)
     val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
-      .select(col(idCol), col("cluster"))
+      .select(col(idCol).cast("long").as("vid"), col("cluster"))
     val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
-    val resid = residualFrame(embeddings, idCol, vecCol, assigned, cents)
+    val resid = residualFrame(embeddings, idCol, vecCol,
+      assigned.select(col("vid").as(idCol), col("cluster")), cents)
     val (cb, codes, sd) =
       ivfPqCodebookAndCodes(resid, idCol, nCentroids, m, ksub)
     val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    ivfPqMultiFromParts(rawVd, cents, cb, codes, assigned, maxQid, k, rerank,
+      nprobe, m, sd)
+  }
+
+  /** The multi-query IVFADC scoring chain over EXPLICIT parts — shared by
+    * the in-plan [[ivfPqTopKMultiQuery]] and [[IvfPqStore.topKMultiAt]]
+    * (which reads persisted artifacts and unpacks its codes to this row
+    * form), so the recall and drift audits measure the identical algebra
+    * users serve with. `rawVd` = (vid, v doubles); `cents` = (cid, cv);
+    * `cb` = codebook (s, cid, cv[, ord]); `codes` = row-form
+    * (vid, s, cid); `assigned` = (vid, cluster). Returns (qid, vec_id).
+    */
+  private[similarity] def ivfPqMultiFromParts(rawVd: DataFrame,
+                                              cents: DataFrame,
+                                              cb: DataFrame, codes: DataFrame,
+                                              assigned: DataFrame,
+                                              maxQid: Long, k: Int,
+                                              rerank: Int, nprobe: Int,
+                                              m: Int, sd: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, "ivfPqMultiFromParts: bad nprobe")
+    GraftFunctions.register(rawVd.sparkSession)
     // per-query probe set: top-nprobe clusters by the EXACT ivfAssign sim
     // formula (round-6 graft_dot cosine, cid-asc tie-break), so rank 1 is
     // the assigned cluster by construction
@@ -1396,7 +1417,7 @@ object Similarity {
         sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
         col("v").as("qv"))
     val vidCluster = assigned
-      .select(col(idCol).cast("long").as("vid"), col("cluster").as("__vc"))
+      .select(col("vid").cast("long").as("vid"), col("cluster").as("__vc"))
     val cands = codes.join(broadcast(lut), Seq("s", "cid"))
       .groupBy(col("qid"), col("__qc"), col("vid"))
       .agg(sum(col("pdot").cast("decimal(38,12)")).cast("double").as("__adc"),
