@@ -200,8 +200,8 @@ object StoreAdmin {
     * untouched) — run it like [[truncate]], between jobs. Returns the
     * deleted roots so callers can log them.
     */
-  def gcOrphans(sfDir: String): Seq[String] =
-    storeDirs(sfDir).flatMap { root =>
+  def gcOrphans(sfDir: String): Seq[String] = {
+    val tmps = storeDirs(sfDir).flatMap { root =>
       val p = Paths.get(root)
       if (!Files.isDirectory(p)) Nil
       else {
@@ -216,6 +216,17 @@ object StoreAdmin {
         orphans.map(_.toString)
       }
     }
+    // legacy reclaim: the IVF-PQ store's whole v1 ROOT (its residual
+    // codebook trained degenerate — orphaned wholesale by the v2
+    // defaultDir bump, so no storeDirs entry ever lists it again).
+    // Default-path layout only: under GRAFT_INDEX_DIR the path carries
+    // no version and there is nothing stale to reclaim.
+    val legacy = Paths.get(s"${sys.props("user.dir")}/target/ivfpq-store-v1")
+    val legacySwept =
+      if (sys.env.contains("GRAFT_INDEX_DIR") || !Files.isDirectory(legacy)) Nil
+      else { deleteRecursively(legacy); Seq(legacy.toString) }
+    tmps ++ legacySwept
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -286,6 +286,7 @@ object IvfPqStore {
   def topKMultiAt(spark: SparkSession, dest: String, emb: DataFrame,
                   maxQid: Long, k: Int, rerank: Int = 40,
                   nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= NumCentroids, "topKMultiAt: bad nprobe")
     GraftFunctions.register(spark)
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val sd = codebook.select(size(col("cv"))).head().getInt(0)

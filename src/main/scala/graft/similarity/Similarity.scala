@@ -1250,8 +1250,16 @@ object Similarity {
                                                 nCentroids: Int, m: Int,
                                                 ksub: Int)
       : (DataFrame, DataFrame, Int) = {
-    val (_, cb, _, sd) = pqModel(
-      resid.filter(col(idCol) >= nCentroids), idCol, "embedding", m, ksub)
+    val train = resid.filter(col(idCol) >= nCentroids)
+    // loud guard, not a degenerate build: with 0 train rows pqModel's
+    // dim probe throws an opaque empty-head error, and with 1 the
+    // codebook is one-codeword-per-subspace — the constant-ADC collapse
+    // this helper exists to prevent. A corpus this small has no business
+    // in an IVFADC index (brute force or flat PQ instead).
+    val n = train.limit(2).count()
+    require(n >= 2, s"ivfPq: need >= 2 non-centroid vectors to train the " +
+      s"residual codebook (got $n) — corpus too small for IVFADC")
+    val (_, cb, _, sd) = pqModel(train, idCol, "embedding", m, ksub)
     (cb, pqEncode(resid, idCol, "embedding", cb, m, sd), sd)
   }
 
@@ -1342,6 +1350,8 @@ object Similarity {
                           maxQid: Long, k: Int, nCentroids: Int = 8,
                           m: Int = 8, ksub: Int = 8, rerank: Int = 40,
                           nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      "ivfPqTopKMultiQuery: bad nprobe")
     GraftFunctions.register(embeddings.sparkSession)
     val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
       .select(col(idCol).cast("long").as("vid"), col("cluster"))
