@@ -115,11 +115,14 @@ object SimHashStore {
   def compact(spark: SparkSession, dest: String): Unit =
     StoreLock.withLock(dest, "compact") {
       val sigs = read(spark, dest).withColumn("__gen", lit(0L))
-      graft.util.AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
+      // tombstone clear inside the stamp-guarded transaction (folded rows
+      // are at generation 0 — a crash between swap and clear would leave
+      // gen >= 1 tombstones anti-joining live rows away)
+      graft.util.AtomicRewrite.rewrite(dest, dest + "/sig.parquet",
+        inTxn = () => Tombstones.clear(dest)) { tmp =>
         sigs.repartitionByRange(col("doc"))
           .sortWithinPartitions(col("doc"))
           .write.mode("overwrite").parquet(tmp)
       }
-      Tombstones.clear(dest)
     }
 }

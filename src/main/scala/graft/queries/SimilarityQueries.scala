@@ -200,25 +200,28 @@ object SimilarityQueries extends QueryPack {
     * paths: the codebook train is deterministic, so persisting it
     * changes cost, never the ranking.
     */
-  /** PQ codebook-train + encode CTE chain (m=8, ksub=8, dim 64 → sd 8) —
-    * the exact engine recipe ([[Similarity.pqModel]]): first-8-by-id
-    * seeds, one Lloyd round with round-6 subspace distances and
-    * DECIMAL(38,12) mean sums. `sfx` suffixes every CTE name so the
-    * q_ann_recall oracle can embed the chain next to its own CTEs:
-    * yields emb$sfx (vec_id, v), sub$sfx, c1$sfx (s, cid, cv),
-    * codes$sfx (vec_id, s, cid).
+  /** PQ codebook-train + encode CTE chain (defaults m=8, ksub=8, dim 64
+    * → sd 8) — the exact engine recipe ([[Similarity.pqModel]]):
+    * first-`ksub`-by-id seeds, one Lloyd round with round-6 subspace
+    * distances and DECIMAL(38,12) mean sums. `sfx` suffixes every CTE
+    * name so the recall oracles can embed the chain next to their own
+    * CTEs: yields emb$sfx (vec_id, v), sub$sfx, c1$sfx (s, cid, cv),
+    * codes$sfx (vec_id, s, cid). `m`/`sd`/`ksub` parameterize the
+    * template in lockstep with the engine's store metadata (the non-toy
+    * q_ann_ivfpq_big gate instantiates ksub=256).
     */
   private def pqTrainCtes(sfx: String,
                           train: String => String = _ => "TRUE",
-                          src: String = "embeddings"): String =
+                          src: String = "embeddings",
+                          m: Int = 8, sd: Int = 8, ksub: Int = 8): String =
     s"""emb$sfx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
-       |sub$sfx AS (SELECT vec_id, ss.s, v[ss.s*8+1:ss.s*8+8] AS sv
-       |  FROM emb$sfx CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+       |sub$sfx AS (SELECT vec_id, ss.s, v[ss.s*$sd+1:ss.s*$sd+$sd] AS sv
+       |  FROM emb$sfx CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
        |seeds$sfx AS (SELECT s, CAST(vec_id AS BIGINT) AS cid, sv AS cv FROM sub$sfx
        |  WHERE vec_id IN (SELECT vec_id FROM emb$sfx WHERE ${train("vec_id")}
-       |                   ORDER BY vec_id ASC LIMIT 8)),
+       |                   ORDER BY vec_id ASC LIMIT $ksub)),
        |d0$sfx AS (SELECT x.vec_id, x.s, c.cid, x.sv,
-       |    round(list_sum(list_transform(range(1, 9),
+       |    round(list_sum(list_transform(range(1, ${sd + 1}),
        |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
        |  FROM sub$sfx x JOIN seeds$sfx c ON x.s = c.s
        |  WHERE ${train("x.vec_id")}),
@@ -227,11 +230,11 @@ object SimilarityQueries extends QueryPack {
        |  FROM d0$sfx) WHERE rn = 1),
        |u1$sfx AS (SELECT s, cid, pos,
        |    round(CAST(SUM(CAST(sv[pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mc
-       |  FROM (SELECT s, cid, sv, unnest(range(1, 9)) AS pos FROM a0$sfx)
+       |  FROM (SELECT s, cid, sv, unnest(range(1, ${sd + 1})) AS pos FROM a0$sfx)
        |  GROUP BY s, cid, pos),
        |c1$sfx AS (SELECT s, cid, list(mc ORDER BY pos) AS cv FROM u1$sfx GROUP BY s, cid),
        |d1$sfx AS (SELECT x.vec_id, x.s, c.cid,
-       |    round(list_sum(list_transform(range(1, 9),
+       |    round(list_sum(list_transform(range(1, ${sd + 1}),
        |      i -> (x.sv[i] - c.cv[i]) * (x.sv[i] - c.cv[i]))), 6) AS d
        |  FROM sub$sfx x JOIN c1$sfx c ON x.s = c.s),
        |codes$sfx AS (SELECT vec_id, s, cid FROM (SELECT *,
@@ -281,9 +284,11 @@ object SimilarityQueries extends QueryPack {
     * ad-hoc and served twins; the incremental twin replays the
     * 80%-base-trained codebook via the train template.
     */
-  private def ivfPqOracleTrainedOn(train: String => String): String =
+  private def ivfPqOracleTrainedOn(train: String => String, nc: Int = 8,
+                                   ksub: Int = 8, nprobe: Int = 1,
+                                   m: Int = 8, sd: Int = 8): String =
     s"""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM embeddings WHERE vec_id < $nc),
        |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
        |  FROM embeddings e CROSS JOIN cents c),
        |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
@@ -294,19 +299,21 @@ object SimilarityQueries extends QueryPack {
        |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
        |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
        |  JOIN cents c ON a.cluster = c.cid),
-       |${pqTrainCtes("", train, src = "resid")},
+       |${pqTrainCtes("", train, src = "resid", m = m, sd = sd, ksub = ksub)},
        |embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |qc AS (SELECT cluster FROM asg WHERE vec_id = 0),
-       |csl AS (SELECT ss.s, c.cv[ss.s*8+1:ss.s*8+8] AS csv
+       |qc AS (SELECT cid AS cluster FROM (SELECT cid,
+       |    row_number() OVER (ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim WHERE vec_id = 0) WHERE rn <= $nprobe),
+       |csl AS (SELECT qc.cluster, ss.s, c.cv[ss.s*$sd+1:ss.s*$sd+$sd] AS csv
        |  FROM cents c JOIN qc ON c.cid = qc.cluster
-       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
-       |csh AS (SELECT c.s, c.cid,
-       |    list_transform(range(1, 9), i -> l.csv[i] + c.cv[i]) AS cv
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |csh AS (SELECT l.cluster, c.s, c.cid,
+       |    list_transform(range(1, ${sd + 1}), i -> l.csv[i] + c.cv[i]) AS cv
        |  FROM c1 c JOIN csl l ON c.s = l.s),
-       |q AS (SELECT ss.s, v[ss.s*8+1:ss.s*8+8] AS qsv FROM embq
-       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss WHERE vec_id = 0),
-       |lut AS (SELECT c.s, c.cid,
-       |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
+       |q AS (SELECT ss.s, v[ss.s*$sd+1:ss.s*$sd+$sd] AS qsv FROM embq
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss WHERE vec_id = 0),
+       |lut AS (SELECT c.cluster, c.s, c.cid,
+       |    round(list_sum(list_transform(range(1, ${sd + 1}), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
        |    round(list_sum(list_transform(c.cv, x -> x * x)), 6) AS pnorm2
        |  FROM csh c JOIN q ON c.s = q.s),
        |qn AS (SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
@@ -315,8 +322,8 @@ object SimilarityQueries extends QueryPack {
        |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
        |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
        |  FROM codes k JOIN asg a ON k.vec_id = a.vec_id
-       |  JOIN qc ON a.cluster = qc.cluster
-       |  JOIN lut l ON k.s = l.s AND k.cid = l.cid GROUP BY k.vec_id),
+       |  JOIN lut l ON l.cluster = a.cluster AND k.s = l.s AND k.cid = l.cid
+       |  GROUP BY k.vec_id),
        |cands AS (SELECT vec_id, round(adc_dot / (qnorm * sqrt(apx2)), 6) AS adc_cosine
        |  FROM adc, qn WHERE vec_id <> 0
        |  ORDER BY adc_cosine DESC, vec_id ASC LIMIT 40)
@@ -484,6 +491,21 @@ object SimilarityQueries extends QueryPack {
     "q_ann_ivfpq_incr" -> ((s, dir) =>
       IvfPqStore.topKAt(s, IvfPqStore.ensureBuiltIncremental(s, dir),
         Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40)),
+
+    // The NON-TOY configuration gate (round-13 verdict item 1): the same
+    // store family at nCentroids=64 / m=8 / ksub=256 — the k ∝ N scale
+    // path the scaladoc prescribes and the full byte-ordinal range the
+    // packed layout claims to survive, both previously untested (and
+    // round 13's residual-codebook collapse showed tiny-k degeneracies
+    // slip past twin-replay oracles). nprobe=4: at 64 cells a single
+    // probe holds too few members — the widening IS the IVFADC
+    // recall/cost contract. Params come back from the store's own
+    // params.txt; the oracle instantiates the identical (nc, ksub,
+    // nprobe) template.
+    "q_ann_ivfpq_big" -> ((s, dir) =>
+      IvfPqStore.topKAt(s, IvfPqStore.ensureBuiltBig(s, dir),
+        Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40,
+        nprobe = IvfPqStore.BigNprobe)),
 
     // All-pairs cosine is the LABELED BASELINE cross-check for the
     // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
@@ -958,6 +980,14 @@ object SimilarityQueries extends QueryPack {
     // identical to the full build's); codes for ALL vectors.
     "q_ann_ivfpq_incr" ->
       ivfPqOracleTrainedOn(id => s"($id >= 8 AND $id % 5 <> 0)"),
+
+    // Non-toy configuration: the SAME template at (nc=64, ksub=256,
+    // nprobe=4) — oracle parameterized in lockstep with the store's
+    // persisted params.txt.
+    "q_ann_ivfpq_big" ->
+      ivfPqOracleTrainedOn(id => s"$id >= ${IvfPqStore.BigNumCentroids}",
+        nc = IvfPqStore.BigNumCentroids, ksub = IvfPqStore.BigKsub,
+        nprobe = IvfPqStore.BigNprobe),
 
     "q_embedding_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

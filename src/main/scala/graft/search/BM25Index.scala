@@ -169,7 +169,7 @@ object BM25Index {
 
   // never a valid part tag (base = "", segment names are required
   // nonempty), so a delete's tombstone excludes the doc from every part
-  private val NoPart = " "
+  private val NoPart = "\u0000"
 
   private val tombSchema = StructType(Seq(
     StructField("__id", StringType), StructField("__gen", LongType),

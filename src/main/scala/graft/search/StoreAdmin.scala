@@ -45,6 +45,7 @@ object StoreAdmin {
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__incr",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__drift",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__driftfull",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__big",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -68,18 +69,26 @@ object StoreAdmin {
     * deciding WHEN. Policy per family:
     *
     *  - FLAT artifact tables (SimHash/SRP signatures, PQ codes, IVF
-    *    vectors+byid): fold when the table holds ≥ 2 WRITE GENERATIONS
-    *    (distinct parquet job UUIDs — an absolute file count would
-    *    misread a parallel base write as fragmentation).
-    *  - BM25 indexes: fold when any appended segment exists (the
-    *    per-query merge-read cost is per segment, so the policy is
-    *    segment count, not file count; compact ≡ merged-serve is
-    *    spec-pinned, so folding never changes results).
+    *    vectors+byid): fold when the table holds ≥ `foldAtGenerations`
+    *    WRITE GENERATIONS (distinct parquet job UUIDs — an absolute file
+    *    count would misread a parallel base write as fragmentation).
+    *  - BM25 indexes: fold when ≥ `foldAtSegments` appended segments
+    *    exist (the per-query merge-read cost is per segment, so the
+    *    policy is segment count, not file count; compact ≡ merged-serve
+    *    is spec-pinned, so folding never changes results).
     *  - Serving layouts (postings/timelines, incl. the incr/upsert
     *    twins): selective hot-bucket compaction at `minFiles`, upgraded
     *    to a FULL fold whenever tombstones exist (a full pass is what
     *    clears them). The corpus stores' (fk, sort) contracts are
     *    restated here — parquet does not persist them.
+    *
+    * The thresholds are PARAMETERS because a real merge policy is tuned
+    * per deployment (Lucene's tiered-merge factors): a write-heavy tier
+    * raises `foldAtGenerations`/`foldAtSegments` to amortize rewrites, a
+    * read-latency tier lowers them toward eager folding. The defaults are
+    * the values every driver-gated chain has run under; results never
+    * depend on them (compact ≡ rebuild is spec-pinned per family — the
+    * knobs move COST, not answers).
     *
     * Idempotent: a second sweep finds one generation everywhere and no
     * hot buckets, and does nothing. Runs between jobs like [[gcOrphans]]
@@ -91,12 +100,17 @@ object StoreAdmin {
     * exercises the sweep itself every round. Returns the actions taken.
     */
   def maintain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-               minFiles: Int = 4): Seq[String] = {
+               minFiles: Int = 4, foldAtGenerations: Int = 2,
+               foldAtSegments: Int = 1): Seq[String] = {
     import org.apache.spark.sql.functions.col
+    require(foldAtGenerations >= 2,
+      "maintain: foldAtGenerations < 2 would re-fold a store every sweep" +
+        " (one generation is the compacted steady state) — idempotence gone")
+    require(foldAtSegments >= 1, "maintain: foldAtSegments must be >= 1")
     val log = scala.collection.mutable.Buffer[String]()
     def sweepFlat(root: String, sub: String, fold: String => Unit): Unit = {
       val d = Paths.get(root, sub)
-      if (Files.isDirectory(d) && writeGenerations(d) >= 2) {
+      if (Files.isDirectory(d) && writeGenerations(d) >= foldAtGenerations) {
         fold(root)
         log += s"fold $root/$sub"
       }
@@ -112,7 +126,7 @@ object StoreAdmin {
       sweepFlat(ivf, "byid.parquet",
         d => graft.similarity.IvfStore.compact(spark, d))
     }
-    for (suffix <- Seq("", "__incr", "__drift", "__driftfull")) {
+    for (suffix <- Seq("", "__incr", "__drift", "__driftfull", "__big")) {
       val ivfpq = graft.similarity.IvfPqStore.defaultDir(sfDir) + suffix
       sweepFlat(ivfpq, "byid.parquet",
         d => graft.similarity.IvfPqStore.compact(spark, d))
@@ -133,11 +147,11 @@ object StoreAdmin {
       // nonempty LISTING, not directory existence: an empty segments dir
       // (crashed append) would otherwise make every sweep log a no-op
       // fold forever, breaking idempotence
-      val hasSegments = Files.isDirectory(segs) && {
+      val segCount = if (!Files.isDirectory(segs)) 0 else {
         val s = Files.list(segs)
-        try s.iterator().hasNext finally s.close()
+        try s.iterator().asScala.size finally s.close()
       }
-      if (hasSegments) {
+      if (segCount >= foldAtSegments) {
         BM25Index.compact(spark, bm)
         log += s"fold $bm (segments)"
       }
@@ -216,16 +230,45 @@ object StoreAdmin {
         orphans.map(_.toString)
       }
     }
-    // legacy reclaim: the IVF-PQ store's whole v1 ROOT (its residual
-    // codebook trained degenerate — orphaned wholesale by the v2
-    // defaultDir bump, so no storeDirs entry ever lists it again).
-    // Default-path layout only: under GRAFT_INDEX_DIR the path carries
-    // no version and there is nothing stale to reclaim.
-    val legacy = Paths.get(s"${sys.props("user.dir")}/target/ivfpq-store-v1")
+    // legacy reclaim: whole store ROOTS orphaned by a defaultDir version
+    // bump (v1's degenerate residual codebook; the pre-params.txt layouts
+    // superseded when the ANN hyperparameters became persisted build
+    // metadata). Default-path layout only: under GRAFT_INDEX_DIR the path
+    // carries no version and there is nothing stale to reclaim. Each root
+    // is swept ONLY if it actually looks like an orphaned ANN store —
+    // every child is a store dir carrying the family's markers (a stamp
+    // or one of the known sub-tables) — never on path name alone: a
+    // name-only delete in a general-purpose GC routine could reap a
+    // directory that was never ours.
+    val legacyRoots = Seq("ivfpq-store-v1", "ivfpq-store-v2",
+      "pq-store-v2", "ivf-store-v1")
+      .map(v => Paths.get(s"${sys.props("user.dir")}/target/$v"))
     val legacySwept =
-      if (sys.env.contains("GRAFT_INDEX_DIR") || !Files.isDirectory(legacy)) Nil
-      else { deleteRecursively(legacy); Seq(legacy.toString) }
+      if (sys.env.contains("GRAFT_INDEX_DIR")) Nil
+      else legacyRoots.filter(p => Files.isDirectory(p) && isAnnStoreRoot(p))
+        .map { p => deleteRecursively(p); p.toString }
     tmps ++ legacySwept
+  }
+
+  /** True iff every child of `root` is a directory carrying an ANN-store
+    * marker (source_stamp.txt, or a known sub-table dir) — the gate that
+    * keeps the legacy-version GC from deleting a directory it cannot
+    * verify it owns. An empty root passes (nothing but debris).
+    */
+  private def isAnnStoreRoot(root: Path): Boolean = {
+    val markers = Set("source_stamp.txt", "codes.parquet", "codebook.parquet",
+      "centroids.parquet", "byid.parquet", "vectors.parquet", "sig.parquet",
+      "params.txt")
+    val s = Files.list(root)
+    val children = try s.iterator().asScala.toList finally s.close()
+    children.forall { c =>
+      Files.isDirectory(c) && {
+        val cs = Files.list(c)
+        try cs.iterator().asScala.exists(e =>
+          markers.contains(e.getFileName.toString))
+        finally cs.close()
+      }
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =

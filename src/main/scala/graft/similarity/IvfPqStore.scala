@@ -54,18 +54,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IvfPqStore {
 
-  val NumCentroids = 8
-  val M = 8
-  val Ksub = 8
+  /** Build-time DEFAULTS — the real hyperparameters are per-store build
+    * parameters persisted in [[AnnMeta]] `params.txt` (index identity,
+    * like the codebook's ord map): a 100-TB build sizes nCentroids with
+    * the corpus (k ∝ N — each probe reads ~N/nCentroids) and ksub to the
+    * byte-code ceiling (256), and every probe/append/compact reads the
+    * builder's choice back instead of assuming it. The non-toy
+    * configuration the driver gates is [[ensureBuiltBig]]
+    * (nCentroids=64, m=8, ksub=256 — `q_ann_ivfpq_big`).
+    */
+  val DefaultNumCentroids = 8
+  val DefaultM = 8
+  val DefaultKsub = 8
+
+  /** The driver-gated NON-TOY configuration: 64 coarse cells (k ∝ N —
+    * ~N/64 per probe), full byte-range residual codebooks (ksub=256,
+    * the packed layout's 256-ordinal ceiling, exercised rather than
+    * claimed), nprobe=4 at serve time (small cells need wider probes —
+    * the recall/cost knob measured in SCALE.md).
+    */
+  val BigNumCentroids = 64
+  val BigKsub = 256
+  val BigNprobe = 4
 
   def defaultDir(sfDir: String): String = {
-    // v2: the residual codebook trains on NON-centroid ids (v1's
-    // first-ksub-by-id seeds were the centroids' zero residuals — a
-    // degenerate one-codeword codebook); the version bump orphans any
-    // v1 store rather than serving its collapsed artifacts under a
-    // still-fresh source stamp
+    // v3: hyperparameters persisted in params.txt. (v2 fixed v1's
+    // degenerate residual seeding; both pre-params layouts are orphaned
+    // by the bump and rebuilt with metadata.)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivfpq-store-v2")
+      s"${sys.props("user.dir")}/target/ivfpq-store-v3")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -84,22 +101,62 @@ object IvfPqStore {
 
   /** Materialize centroids + residual codebook + packed cluster-partitioned
     * codes at `dest` — [[ensureBuilt]] wraps with the staleness stamp.
-    * Rows at generation 0; stale tombstones cleared.
+    * Rows at generation 0; stale tombstones cleared. Hyperparameters are
+    * persisted FIRST ([[AnnMeta]]) so probe/append/compact can never
+    * disagree with the build.
     */
-  def buildAt(dest: String, embeddings: DataFrame): Unit = {
+  def buildAt(dest: String, embeddings: DataFrame,
+              nCentroids: Int = DefaultNumCentroids, m: Int = DefaultM,
+              ksub: Int = DefaultKsub): Unit = {
+    require(ksub <= 256, s"buildAt: ksub=$ksub exceeds the packed " +
+      "byte-per-subspace layout's 256-ordinal ceiling")
+    AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
-        NumCentroids)
+        nCentroids)
       .select(col("vec_id"), col("cluster"))
     val cents = Similarity.centroidFrame(embeddings, "vec_id", "embedding",
-      NumCentroids)
-    val resid = Similarity.residualFrame(embeddings, "vec_id", "embedding",
-      assigned, cents)
+      nCentroids)
     // the codebook trains on NON-centroid residuals only (a centroid's
     // residual is the zero vector — seeding with them collapses the
     // codebook; see Similarity.ivfPqCodebookAndCodes)
+    writeTrained(dest, embeddings, assigned, cents,
+      col("vec_id") >= nCentroids, m, ksub)
+  }
+
+  /** [[buildAt]] with EXPLICIT coarse centroids (Lloyd-trained means —
+    * the scaladoc's "swap the seed centroids for trained ones" path, and
+    * the drift audit's retrained twin): assignment runs through the SAME
+    * [[Similarity.assignToCentroids]] formula appends use, and the
+    * residual codebook trains on ALL rows — no data row IS a centroid
+    * here, so the zero-residual degeneracy that forces the seed build's
+    * id exclusion cannot arise.
+    */
+  def buildAtWithCents(dest: String, embeddings: DataFrame, cents: DataFrame,
+                       m: Int = DefaultM, ksub: Int = DefaultKsub): Unit = {
+    require(ksub <= 256, s"buildAtWithCents: ksub=$ksub exceeds the packed " +
+      "byte-per-subspace layout's 256-ordinal ceiling")
+    val centsCached = cents.select(col("cid").cast("long").as("cid"),
+      col("cv")).cache()
+    val nCentroids = centsCached.count().toInt
+    AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub)
+    graft.util.Tombstones.clear(dest)
+    val assigned = Similarity.assignToCentroids(embeddings, "vec_id",
+        "embedding", centsCached)
+      .select(col("vec_id"), col("cluster"))
+    writeTrained(dest, embeddings, assigned, centsCached, lit(true), m, ksub)
+    centsCached.unpersist()
+  }
+
+  private def writeTrained(dest: String, embeddings: DataFrame,
+                           assigned: DataFrame, cents: DataFrame,
+                           trainPred: org.apache.spark.sql.Column,
+                           m: Int, ksub: Int): Unit = {
+    val resid = Similarity.residualFrame(embeddings, "vec_id", "embedding",
+      assigned, cents)
     val (codebook, codes, _) =
-      Similarity.ivfPqCodebookAndCodes(resid, "vec_id", NumCentroids, M, Ksub)
+      Similarity.ivfPqCodebookAndCodesFiltered(resid, "vec_id", trainPred,
+        m, ksub)
     val cbOrd = codebook.withColumn("ord",
       row_number().over(Window.partitionBy("s").orderBy("cid")) - 1)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids.parquet")
@@ -152,6 +209,7 @@ object IvfPqStore {
 
   private def appendEncoded(spark: SparkSession, dest: String,
                             batch: DataFrame, gen: Long): Unit = {
+    val m = AnnMeta.readKey(dest, "m")
     val cents = spark.read.parquet(s"$dest/centroids.parquet")
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
@@ -165,7 +223,7 @@ object IvfPqStore {
       .withColumn("__gen", lit(gen))
     writeCodes(
       Similarity.pqPack(
-        Similarity.pqEncode(resid, "vec_id", "embedding", codebook, M, sd),
+        Similarity.pqEncode(resid, "vec_id", "embedding", codebook, m, sd),
         codebook)
         .join(byCluster, "vid"),
       s"$dest/codes.parquet", "append")
@@ -191,10 +249,14 @@ object IvfPqStore {
     StoreLock.withLock(dest, "compact") {
       val codes = liveCodes(spark, dest).withColumn("__gen", lit(0L))
       val byid = liveById(spark, dest).withColumn("__gen", lit(0L))
+      // tombstone clear inside the stamp-guarded transaction (folded rows
+      // are at generation 0 — a crash between swap and clear would leave
+      // gen >= 1 tombstones anti-joining live rows away; stampless-on-
+      // crash forces a rebuild instead)
       AtomicRewrite.rewriteMany(dest, Seq(
         s"$dest/codes.parquet" -> (tmp => writeCodes(codes, tmp, "overwrite")),
-        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))))
-      graft.util.Tombstones.clear(dest)
+        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))),
+        inTxn = () => graft.util.Tombstones.clear(dest))
     }
 
   /** Build-if-absent-or-stale; returns the store directory. */
@@ -207,6 +269,34 @@ object IvfPqStore {
     }
     dest
   }
+
+  /** Build-if-stale under an EXPLICIT configuration, at its own tagged
+    * directory (one store per configuration — the artifacts of different
+    * hyperparameters are incompatible by identity, so they never share a
+    * dest). The tag keys the directory; the params key the build.
+    */
+  def ensureBuiltWith(spark: SparkSession, sfDir: String, tag: String,
+                      nCentroids: Int, m: Int, ksub: Int): String = {
+    val dest = defaultDir(sfDir) + tag
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      buildAt(dest, Tables.embeddings(spark, sfDir), nCentroids, m, ksub)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** The NON-TOY driver-gated configuration (round-13 verdict item 1):
+    * nCentroids=64 exercises the scaladoc's k ∝ N scale path (each probe
+    * reads ~N/64, not N/8), ksub=256 exercises the packed layout's full
+    * byte-ordinal range (the regime the U8sToBytes/BytesToU8 codegen was
+    * built to survive, previously a claim). Gated end-to-end by
+    * `q_ann_ivfpq_big` (hash vs a DuckDB replay of the identical train +
+    * nprobe=4 ADC + rerank) and measured by `q_ann_recall_ivfpq_big`.
+    */
+  def ensureBuiltBig(spark: SparkSession, sfDir: String): String =
+    ensureBuiltWith(spark, sfDir, "__big", BigNumCentroids, DefaultM, BigKsub)
 
   /** The driver-gated lifecycle twin ([[PqStore.ensureBuiltIncremental]]'s
     * pattern): centroids + codebook train on the base (seed ids plus 80%
@@ -224,9 +314,9 @@ object IvfPqStore {
       graft.search.StoreAdmin.truncate(dest)
       val emb = Tables.embeddings(spark, sfDir)
       buildAt(dest, emb.filter(
-        col("vec_id") < NumCentroids || col("vec_id") % 5 =!= 0))
+        col("vec_id") < DefaultNumCentroids || col("vec_id") % 5 =!= 0))
       appendBatch(spark, dest, emb.filter(
-        col("vec_id") >= NumCentroids && col("vec_id") % 5 === 0))
+        col("vec_id") >= DefaultNumCentroids && col("vec_id") % 5 === 0))
       compact(spark, dest)
       Stamp.write(dest, stamp)
     }
@@ -252,9 +342,9 @@ object IvfPqStore {
       graft.search.StoreAdmin.truncate(dest)
       val emb = Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir))
       buildAt(dest, emb.filter(
-        col("vec_id") < NumCentroids || col("vec_id") % 5 =!= 0))
+        col("vec_id") < DefaultNumCentroids || col("vec_id") % 5 =!= 0))
       appendBatch(spark, dest, emb.filter(
-        col("vec_id") >= NumCentroids && col("vec_id") % 5 === 0))
+        col("vec_id") >= DefaultNumCentroids && col("vec_id") % 5 === 0))
       compact(spark, dest)
       Stamp.write(dest, stamp)
     }
@@ -286,7 +376,10 @@ object IvfPqStore {
   def topKMultiAt(spark: SparkSession, dest: String, emb: DataFrame,
                   maxQid: Long, k: Int, rerank: Int = 40,
                   nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1 && nprobe <= NumCentroids, "topKMultiAt: bad nprobe")
+    val meta = AnnMeta.read(dest)
+    val m = meta("m")
+    require(nprobe >= 1 && nprobe <= meta("nCentroids"),
+      "topKMultiAt: bad nprobe")
     GraftFunctions.register(spark)
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
@@ -302,7 +395,7 @@ object IvfPqStore {
     val rawVd = emb.select(col("vec_id").cast("long").as("vid"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     Similarity.ivfPqMultiFromParts(rawVd, cents, codebook, codesRows,
-      assigned, maxQid, k, rerank, nprobe, M, sd)
+      assigned, maxQid, k, rerank, nprobe, m, sd)
   }
 
   /** [[topK]] against an explicit store directory and vector frame (the
@@ -315,7 +408,9 @@ object IvfPqStore {
   def topKAt(spark: SparkSession, dest: String, emb: DataFrame,
              queryId: Long, k: Int, rerank: Int = 40,
              nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1 && nprobe <= NumCentroids, "topKAt: bad nprobe")
+    val meta = AnnMeta.read(dest)
+    val m = meta("m")
+    require(nprobe >= 1 && nprobe <= meta("nCentroids"), "topKAt: bad nprobe")
     GraftFunctions.register(spark)
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
@@ -326,9 +421,17 @@ object IvfPqStore {
     // assigned cluster); wider probes rank the (tiny) centroid table by
     // the exact ivfAssign sim formula against the query vector.
     val probes: Seq[Long] =
-      if (nprobe == 1)
-        Seq(liveById(spark, dest).filter(col("vid") === queryId)
-          .head().getAs[Number]("cluster").longValue())
+      if (nprobe == 1) {
+        // the point read can miss (id never indexed, or deleted and
+        // tombstoned) — name the contract instead of an opaque
+        // NoSuchElementException from head()
+        val hit = liveById(spark, dest).filter(col("vid") === queryId)
+          .collect().headOption
+        require(hit.nonEmpty,
+          s"topKAt: query id $queryId is not live in store $dest " +
+            "(never indexed, or deleted) — index it or query by vector")
+        Seq(hit.get.getAs[Number]("cluster").longValue())
+      }
       else {
         val qv = emb.filter(col("vec_id") === queryId)
           .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__qv"))
@@ -345,7 +448,7 @@ object IvfPqStore {
     val withVd = emb.select(col("vec_id").cast("long").as("vid"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     Similarity.ivfPqServePacked(withVd, codebook, cents, packed, probes,
-      queryId, k, rerank, M, sd, "vec_id")
+      queryId, k, rerank, m, sd, "vec_id")
   }
 
   /** [[Similarity.ivfPqTopK]] served from the persisted artifacts —

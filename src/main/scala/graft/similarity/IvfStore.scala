@@ -41,11 +41,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IvfStore {
 
-  val NumCentroids = 8
+  /** Build-time default — the REAL hyperparameter lives in the store's
+    * [[AnnMeta]] `params.txt` (index identity; k ∝ N is the scale
+    * contract, so a 100-TB build passes its own nCentroids and every
+    * probe/append reads the choice back instead of assuming it).
+    */
+  val DefaultNumCentroids = 8
 
   def defaultDir(sfDir: String): String = {
+    // v2: hyperparameters persisted in params.txt (the pre-params v1
+    // layout is orphaned by the bump and rebuilt with metadata)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivf-store-v1")
+      s"${sys.props("user.dir")}/target/ivf-store-v2")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -69,10 +76,12 @@ object IvfStore {
     * dest-level build [[ensureBuilt]] wraps with the staleness stamp.
     * Rows at generation 0; stale tombstones cleared.
     */
-  def buildAt(dest: String, embeddings: DataFrame): Unit = {
+  def buildAt(dest: String, embeddings: DataFrame,
+              nCentroids: Int = DefaultNumCentroids): Unit = {
+    AnnMeta.write(dest, "nCentroids" -> nCentroids)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
-        NumCentroids)
+        nCentroids)
       .withColumn("__gen", lit(0L))
     writeVectors(assigned, s"$dest/vectors.parquet", "overwrite")
     writeById(assigned, s"$dest/byid.parquet", "overwrite")
@@ -101,8 +110,9 @@ object IvfStore {
     */
   def upsertBatch(spark: SparkSession, dest: String, batch: DataFrame): Unit =
     StoreLock.withLock(dest, "append") {
-      require(batch.filter(col("vec_id") < NumCentroids).isEmpty,
-        s"cannot upsert a seed id (< $NumCentroids): a seed IS a centroid" +
+      val nCentroids = AnnMeta.readKey(dest, "nCentroids")
+      require(batch.filter(col("vec_id") < nCentroids).isEmpty,
+        s"cannot upsert a seed id (< $nCentroids): a seed IS a centroid" +
           " — editing one changes the index identity; rebuild instead")
       val gen = graft.util.Tombstones.nextGen(dest)
       graft.util.Tombstones.write(batch.select(col("vec_id")), dest, gen)
@@ -112,8 +122,9 @@ object IvfStore {
   /** Tombstone-only delete; purged at the next [[compact]]. */
   def deleteIds(spark: SparkSession, dest: String, ids: Seq[Long]): Unit =
     StoreLock.withLock(dest, "append") {
-      require(ids.forall(_ >= NumCentroids),
-        s"cannot delete a seed id (< $NumCentroids): a seed IS a centroid" +
+      val nCentroids = AnnMeta.readKey(dest, "nCentroids")
+      require(ids.forall(_ >= nCentroids),
+        s"cannot delete a seed id (< $nCentroids): a seed IS a centroid" +
           " — removing one changes every later assignment; rebuild instead")
       import spark.implicits._
       graft.util.Tombstones.write(ids.toDF("vec_id"), dest,
@@ -122,8 +133,9 @@ object IvfStore {
 
   private def appendAssigned(spark: SparkSession, dest: String,
                              batch: DataFrame, gen: Long): Unit = {
+    val nCentroids = AnnMeta.readKey(dest, "nCentroids")
     val cents = liveVectors(spark, dest)
-      .filter(col("vec_id") < NumCentroids)
+      .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
     val assigned = Similarity.assignToCentroids(batch, "vec_id", "embedding",
         cents)
@@ -150,10 +162,14 @@ object IvfStore {
     StoreLock.withLock(dest, "compact") {
       val vectors = liveVectors(spark, dest).withColumn("__gen", lit(0L))
       val byid = liveById(spark, dest).withColumn("__gen", lit(0L))
+      // tombstone clear inside the stamp-guarded transaction (folded rows
+      // are at generation 0 — a crash between swap and clear would leave
+      // gen >= 1 tombstones anti-joining live rows away; stampless-on-
+      // crash forces a rebuild instead)
       AtomicRewrite.rewriteMany(dest, Seq(
         s"$dest/vectors.parquet" -> (tmp => writeVectors(vectors, tmp, "overwrite")),
-        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))))
-      graft.util.Tombstones.clear(dest)
+        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))),
+        inTxn = () => graft.util.Tombstones.clear(dest))
     }
 
   /** Build-if-absent-or-stale; returns the store directory. */
@@ -180,9 +196,9 @@ object IvfStore {
       graft.search.StoreAdmin.truncate(dest)
       val emb = Tables.embeddings(spark, sfDir)
       buildAt(dest, emb.filter(
-        col("vec_id") < NumCentroids || col("vec_id") % 5 =!= 0))
+        col("vec_id") < DefaultNumCentroids || col("vec_id") % 5 =!= 0))
       appendBatch(spark, dest, emb.filter(
-        col("vec_id") >= NumCentroids && col("vec_id") % 5 === 0))
+        col("vec_id") >= DefaultNumCentroids && col("vec_id") % 5 === 0))
       compact(spark, dest)
       Stamp.write(dest, stamp)
     }

@@ -44,24 +44,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PqStore {
 
-  val M = 8
-  val Ksub = 8
+  /** Build-time defaults — REAL hyperparameters live in the store's
+    * [[AnnMeta]] `params.txt`, written by [[buildAt]] and read back by
+    * every append/probe path, so builder and prober can never disagree.
+    * Size `ksub` to the corpus at build time (more codewords = tighter
+    * quantization; 256 is the classic byte-code ceiling the packed
+    * layout stores in one byte per subspace).
+    */
+  val DefaultM = 8
+  val DefaultKsub = 8
 
   def defaultDir(sfDir: String): String = {
+    // v3: hyperparameters persisted in params.txt (the pre-params v2
+    // layout is orphaned by the bump and rebuilt with metadata)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/pq-store-v2")
+      s"${sys.props("user.dir")}/target/pq-store-v3")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
   /** Materialize codebook + packed codes at `dest` — the dest-level build
     * [[ensureBuilt]] wraps with the staleness stamp. Rows are written at
     * generation 0; stale tombstones from any previous generation are
-    * cleared (the [[graft.search.BM25Index.build]] contract).
+    * cleared (the [[graft.search.BM25Index.build]] contract). The
+    * hyperparameters are persisted FIRST ([[AnnMeta]]) — part of the
+    * index identity, like the codebook's ord map.
     */
-  def buildAt(dest: String, embeddings: DataFrame): Unit = {
+  def buildAt(dest: String, embeddings: DataFrame,
+              m: Int = DefaultM, ksub: Int = DefaultKsub): Unit = {
+    require(ksub <= 256, s"buildAt: ksub=$ksub exceeds the packed " +
+      "byte-per-subspace layout's 256-ordinal ceiling")
+    AnnMeta.write(dest, "m" -> m, "ksub" -> ksub)
     graft.util.Tombstones.clear(dest)
     val (_, codebook, codes, _) = Similarity.pqModel(
-      embeddings, "vec_id", "embedding", M, Ksub)
+      embeddings, "vec_id", "embedding", m, ksub)
     val cbOrd = codebook.withColumn("ord",
       row_number().over(Window.partitionBy("s").orderBy("cid")) - 1)
     cbOrd.coalesce(1)
@@ -107,10 +122,11 @@ object PqStore {
 
   private def appendCodes(spark: SparkSession, dest: String,
                           batch: DataFrame, gen: Long): Unit = {
+    val m = AnnMeta.readKey(dest, "m")
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
     Similarity.pqPack(
-      Similarity.pqEncode(batch, "vec_id", "embedding", codebook, M, sd),
+      Similarity.pqEncode(batch, "vec_id", "embedding", codebook, m, sd),
         codebook)
       .withColumn("__gen", lit(gen))
       .repartition(col("vid"))
@@ -135,11 +151,16 @@ object PqStore {
   def compact(spark: SparkSession, dest: String): Unit =
     StoreLock.withLock(dest, "compact") {
       val codes = liveCodes(spark, dest).withColumn("__gen", lit(0L))
-      AtomicRewrite.rewrite(dest, s"$dest/codes.parquet") { tmp =>
+      // the tombstone clear rides INSIDE the stamp-guarded transaction:
+      // folded rows are rewritten at generation 0, so a crash that left
+      // gen >= 1 tombstones behind would anti-join live compacted rows
+      // away; inside the guard, that crash leaves the store stampless
+      // and the next ensureBuilt rebuilds instead
+      AtomicRewrite.rewrite(dest, s"$dest/codes.parquet",
+        inTxn = () => graft.util.Tombstones.clear(dest)) { tmp =>
         codes.repartition(col("vid"))
           .write.mode("overwrite").parquet(tmp)
       }
-      graft.util.Tombstones.clear(dest)
     }
 
   /** [[ensureBuilt]]'s INCREMENTAL variant — the driver-gated lifecycle
@@ -210,6 +231,7 @@ object PqStore {
     */
   def topKMultiAt(spark: SparkSession, dest: String, emb: DataFrame,
                   maxQid: Long, k: Int, rerank: Int = 40): DataFrame = {
+    val m = AnnMeta.readKey(dest, "m")
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val codes = liveCodes(spark, dest)
     val withVd = emb
@@ -217,7 +239,7 @@ object PqStore {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
     Similarity.pqTopKMultiPacked(withVd, codebook, codes, maxQid, k, rerank,
-      M, sd)
+      m, sd)
   }
 
   /** Build-if-absent-or-stale; returns the store directory. */
@@ -236,6 +258,7 @@ object PqStore {
     */
   def topKAt(spark: SparkSession, dest: String, emb: DataFrame,
              queryId: Long, k: Int, rerank: Int = 40): DataFrame = {
+    val m = AnnMeta.readKey(dest, "m")
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val codes = liveCodes(spark, dest)
     val withVd = emb
@@ -243,7 +266,7 @@ object PqStore {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
     Similarity.pqServePacked(withVd, codebook, codes, queryId, k, rerank,
-      M, sd, "vec_id")
+      m, sd, "vec_id")
   }
 
   /** [[Similarity.pqTopK]] served from the persisted codebook + codes —

@@ -475,6 +475,30 @@ object Similarity {
     assigned.select(col(idCol), col("cluster"), col("centroid_sim"))
   }
 
+  /** The Lloyd-trained centroid FRAME (cid, cv double[]) that
+    * [[kmeansAssign]]`(k, iters)` assigns against — i.e. `iters − 1`
+    * decimal-exact mean updates from the first-k-by-id seeds (the
+    * 2-iteration engine assigns against c1, the once-updated means;
+    * DuckDB's `kmeansCtes` replays exactly that chain, so a store built
+    * on these centroids is oracle-replayable end-to-end). This is the
+    * "swap the seed centroids for trained ones" input for
+    * [[IvfPqStore.buildAtWithCents]] — trained coarse quantizers without
+    * changing the store layout, and the retrained twin of the
+    * coarse-centroid drift audit.
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, "kmeansCentroids needs k > 0 and iters >= 1")
+    GraftFunctions.register(embeddings.sparkSession)
+    val withVd = embeddings.select(col(idCol),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
+    var cents = withVd.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col("__vd").as("cv"))
+    for (_ <- 1 until iters)
+      cents = updateCentroids(assignNearest(withVd, cents))
+    cents
+  }
+
   /** Decimal-exact Lloyd centroid update from an assignment frame —
     * shared by [[kmeansAssign]] and [[cosineNearDupPairsClustered]] so
     * both replay the identical deterministic iteration.
@@ -1182,12 +1206,16 @@ object Similarity {
     for (r <- 1 until k) {
       val picked = broadcast(
         sel.select(col("vid").as("svid"), col("v").as("sv")))
+      // v/qsim ride the groupBy KEY (identical per vid by construction —
+      // every row of a group comes from the same pool row crossed with
+      // the selected set), so determinism is structural; first() would be
+      // formally non-deterministic and silently desync from the oracle if
+      // a refactor ever broke the invariant
       val next = pool
         .join(sel.select(col("vid")), Seq("vid"), "left_anti")
         .crossJoin(picked)
-        .groupBy(col("vid"))
-        .agg(max(round(cosineFast("v", "sv"), 6)).as("__ms"),
-          first(col("v")).as("v"), first(col("qsim")).as("qsim"))
+        .groupBy(col("vid"), col("v"), col("qsim"))
+        .agg(max(round(cosineFast("v", "sv"), 6)).as("__ms"))
         .orderBy(
           round(lit(lambda) * col("qsim") - lit(1.0 - lambda) * col("__ms"), 6).desc,
           col("vid").asc)
@@ -1249,8 +1277,22 @@ object Similarity {
                                                 idCol: String,
                                                 nCentroids: Int, m: Int,
                                                 ksub: Int)
+      : (DataFrame, DataFrame, Int) =
+    ivfPqCodebookAndCodesFiltered(resid, idCol, col(idCol) >= nCentroids,
+      m, ksub)
+
+  /** [[ivfPqCodebookAndCodes]] with an EXPLICIT train predicate — for
+    * builds whose coarse centroids are not data rows (Lloyd-trained
+    * means): no row's residual is identically zero there, so the train
+    * set is the whole corpus (`lit(true)`). Seed-id builds keep the
+    * id-range exclusion via the named wrapper above.
+    */
+  private[similarity] def ivfPqCodebookAndCodesFiltered(resid: DataFrame,
+                                                        idCol: String,
+                                                        trainPred: Column,
+                                                        m: Int, ksub: Int)
       : (DataFrame, DataFrame, Int) = {
-    val train = resid.filter(col(idCol) >= nCentroids)
+    val train = resid.filter(trainPred)
     // loud guard, not a degenerate build: with 0 train rows pqModel's
     // dim probe throws an opaque empty-head error, and with 1 the
     // codebook is one-codeword-per-subspace — the constant-ADC collapse

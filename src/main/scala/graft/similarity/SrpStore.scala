@@ -99,12 +99,15 @@ object SrpStore {
   def compact(spark: SparkSession, dest: String): Unit =
     StoreLock.withLock(dest, "compact") {
       val sigs = read(spark, dest).withColumn("__gen", lit(0L))
-      AtomicRewrite.rewrite(dest, dest + "/sig.parquet") { tmp =>
+      // tombstone clear inside the stamp-guarded transaction (folded rows
+      // are at generation 0 — a crash between swap and clear would leave
+      // gen >= 1 tombstones anti-joining live rows away)
+      AtomicRewrite.rewrite(dest, dest + "/sig.parquet",
+        inTxn = () => graft.util.Tombstones.clear(dest)) { tmp =>
         sigs.repartitionByRange(col("vec_id"))
           .sortWithinPartitions(col("vec_id"))
           .write.mode("overwrite").parquet(tmp)
       }
-      graft.util.Tombstones.clear(dest)
     }
 
   /** Build-if-absent-or-stale; returns the (vec_id, __w0..__w3) signature

@@ -21,8 +21,18 @@ object AtomicRewrite {
     * stamp-guarded transaction: `steps` maps each target path to the
     * writer that materializes its replacement at the tmp location it is
     * given. All tmps are written before anything is deleted.
+    *
+    * `inTxn` runs after the swaps but BEFORE the stamp is restored —
+    * side-band state that must change atomically-with the rewrite goes
+    * here (a compaction's tombstone clear: the folded rows are rewritten
+    * at generation 0, so a surviving gen ≥ 1 tombstone would anti-join
+    * away live compacted rows; running the clear outside the guard left
+    * exactly that window open after a crash between swap and clear).
+    * A crash anywhere inside the transaction — including mid-`inTxn` —
+    * leaves the store stampless, so the next `ensureBuilt` rebuilds.
     */
-  def rewriteMany(stampDir: String, steps: Seq[(String, String => Unit)]): Unit = {
+  def rewriteMany(stampDir: String, steps: Seq[(String, String => Unit)],
+                  inTxn: () => Unit = () => ()): Unit = {
     val stampFile = Paths.get(stampDir, "source_stamp.txt")
     val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
                 else None
@@ -37,12 +47,14 @@ object AtomicRewrite {
       deleteRecursively(Paths.get(path))
       Files.move(Paths.get(tmp), Paths.get(path))
     }
+    inTxn()
     stamp.foreach(Files.writeString(stampFile, _))
   }
 
   /** Single-path convenience form of [[rewriteMany]]. */
-  def rewrite(stampDir: String, path: String)(write: String => Unit): Unit =
-    rewriteMany(stampDir, Seq(path -> write))
+  def rewrite(stampDir: String, path: String, inTxn: () => Unit = () => ())
+             (write: String => Unit): Unit =
+    rewriteMany(stampDir, Seq(path -> write), inTxn)
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -29,6 +29,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_drift",           // PqStore drift-audit stores (incr + rebuild)
     "q_ann_ivfpq_served",    // IvfPqStore (residual IVFADC)
     "q_ann_ivfpq_incr",      // IvfPqStore frozen-space append lifecycle
+    "q_ann_ivfpq_big",       // IvfPqStore non-toy config (nc=64, ksub=256)
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout
@@ -148,6 +149,32 @@ class StoreAdminSpec extends SparkSpec {
     // source (the probe batch was synthetic) — drop it so later suites
     // rebuild from the corpus
     StoreAdmin.truncate(simhash)
+  }
+
+  test("maintain thresholds are a real merge policy: raising " +
+      "foldAtGenerations defers the fold, the default takes it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // an isolated fake corpus dir keys its own store roots, so the sweep
+    // cannot touch the real sf0.001 stores other suites serve from
+    val fakeSf = Files.createTempDirectory("graft-maintain-thresh").toString
+    val srp = graft.similarity.SrpStore.defaultDir(fakeSf)
+    val emb = (0 until 20).map(i =>
+        (i.toLong, Array.tabulate(16)(j => (i * 7 + j).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    graft.similarity.SrpStore.buildAt(srp, emb.filter(col("vec_id") < 16))
+    graft.similarity.SrpStore.appendBatch(srp,
+      emb.filter(col("vec_id") >= 16)) // 2 write generations now
+    val deferred = StoreAdmin.maintain(spark, fakeSf, foldAtGenerations = 3)
+    assert(!deferred.exists(_.contains("srp")),
+      s"foldAtGenerations=3 must defer a 2-generation fold: $deferred")
+    val taken = StoreAdmin.maintain(spark, fakeSf)
+    assert(taken.exists(a => a.startsWith("fold") && a.contains(srp)),
+      s"default policy must fold the 2-generation store: $taken")
+    assert(StoreAdmin.maintain(spark, fakeSf).isEmpty, "sweep not idempotent")
+    intercept[IllegalArgumentException](
+      StoreAdmin.maintain(spark, fakeSf, foldAtGenerations = 1))
+    StoreAdmin.truncate(srp)
   }
 
   test("truncate is idempotent and scoped: absent store is a no-op, other " +

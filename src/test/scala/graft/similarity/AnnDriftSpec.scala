@@ -74,9 +74,9 @@ class AnnDriftSpec extends SparkSpec {
     val destIncr = Files.createTempDirectory("graft-ivfpq-drift-incr").toString
     val destFull = Files.createTempDirectory("graft-ivfpq-drift-full").toString
     IvfPqStore.buildAt(destIncr, drifted.filter(
-      col("vec_id") < IvfPqStore.NumCentroids || col("vec_id") % 5 =!= 0))
+      col("vec_id") < IvfPqStore.DefaultNumCentroids || col("vec_id") % 5 =!= 0))
     IvfPqStore.appendBatch(spark, destIncr, drifted.filter(
-      col("vec_id") >= IvfPqStore.NumCentroids && col("vec_id") % 5 === 0))
+      col("vec_id") >= IvfPqStore.DefaultNumCentroids && col("vec_id") % 5 === 0))
     IvfPqStore.buildAt(destFull, drifted)
     val truth = (0L until 5L).flatMap(q =>
       Similarity.bruteForceTopK(drifted, "vec_id", "embedding", q, k = 4)
@@ -87,7 +87,7 @@ class AnnDriftSpec extends SparkSpec {
     // curve is measured at corpus scale in SCALE.md)
     def measure(dest: String): Double = {
       val cand = IvfPqStore.topKMultiAt(spark, dest, drifted,
-        maxQid = 5, k = 4, rerank = 8, nprobe = IvfPqStore.NumCentroids)
+        maxQid = 5, k = 4, rerank = 8, nprobe = IvfPqStore.DefaultNumCentroids)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       cand.groupBy(_._1).foreach { case (q, rows) =>
         assert(rows.length == 4, s"query $q returned ${rows.length} rows") }

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted-hyperparameter contract (round-13 verdict item 1): ANN
+  * store build parameters live in the store's `params.txt`, written by
+  * the build and read back by every append/probe — builder and prober
+  * can never disagree, and a store without metadata refuses to serve
+  * rather than guessing. Plus the packed byte layout's full-ordinal
+  * range (0..255), previously a claim exercised only at ksub=8.
+  */
+class AnnMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 16-dim fixture (AnnStoreLifecycleSpec's): 3 loose clusters, ids
+  // 0..39; 35 is a near-dup of 2
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(16) { i =>
+      val c = seed % 3
+      (c - 1).toFloat + 0.08f * ((seed * 31 + i * 7) % 11) + 0.01f * i
+    }
+  private lazy val all: DataFrame = ((0 until 40).map {
+    case 35 => (35L, vec(2).map(x => x + 0.001f))
+    case i  => (i.toLong, vec(i))
+  }).toDF("vec_id", "embedding")
+  private lazy val base = all.filter(col("vec_id") < 32)
+  private lazy val batch = all.filter(col("vec_id") >= 32)
+
+  test("AnnMeta round-trips; a store without params.txt refuses loudly") {
+    val dest = Files.createTempDirectory("graft-annmeta").toString
+    AnnMeta.write(dest, "nCentroids" -> 64, "m" -> 8, "ksub" -> 256)
+    assert(AnnMeta.read(dest) ==
+      Map("nCentroids" -> 64, "m" -> 8, "ksub" -> 256))
+    assert(AnnMeta.readKey(dest, "ksub") == 256)
+    val bare = Files.createTempDirectory("graft-annmeta-bare").toString
+    val e = intercept[IllegalArgumentException](AnnMeta.read(bare))
+    assert(e.getMessage.contains("params.txt") &&
+      e.getMessage.contains("rebuild"))
+    val mixed = intercept[IllegalArgumentException](
+      AnnMeta.readKey(dest, "nprobe"))
+    assert(mixed.getMessage.contains("nprobe"))
+  }
+
+  test("PqStore: append and probe follow the BUILDER's params (m=4 on a " +
+      "16-dim fixture), not the object defaults") {
+    val dest = Files.createTempDirectory("graft-pq-params").toString
+    PqStore.buildAt(dest, base, m = 4, ksub = 4)
+    assert(AnnMeta.read(dest) == Map("m" -> 4, "ksub" -> 4))
+    // the append encodes in the builder's m=4 space: 4-byte codes, not
+    // the default 8 (which would also crash on sd mismatch)
+    PqStore.appendBatch(spark, dest, batch)
+    val lens = spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") >= 32)
+      .select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(4), s"appended code byte-lengths under m=4: $lens")
+    // probe serves through the same persisted m and finds the near-dup
+    val top = PqStore.topKAt(spark, dest, all, queryId = 2L, k = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(top.contains(35L), s"m=4 store missed the near-dup: $top")
+  }
+
+  test("IvfPqStore.buildAtWithCents: explicit (trained) centroids become " +
+      "the persisted coarse quantizer; nCentroids from the frame") {
+    val dest = Files.createTempDirectory("graft-ivfpq-cents").toString
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
+      k = 3, iters = 2)
+    IvfPqStore.buildAtWithCents(dest, base, cents, m = 4, ksub = 4)
+    assert(AnnMeta.read(dest) == Map("nCentroids" -> 3, "m" -> 4, "ksub" -> 4))
+    // append assigns against the PERSISTED Lloyd centroids (no seed-id
+    // aliasing — no data row is a centroid here) and the near-dup serves
+    IvfPqStore.appendBatch(spark, dest, batch)
+    val top = IvfPqStore.topKAt(spark, dest, all, queryId = 2L, k = 3,
+        rerank = 8)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(top.contains(35L), s"Lloyd-centroid store missed the near-dup: $top")
+    // nprobe capped by the store's OWN metadata, not a global constant
+    val bad = intercept[IllegalArgumentException](
+      IvfPqStore.topKAt(spark, dest, all, queryId = 2L, k = 3, nprobe = 4))
+    assert(bad.getMessage.contains("nprobe"))
+  }
+
+  test("packed byte codes round-trip the FULL unsigned ordinal range " +
+      "(0..255) — the ksub=256 layout claim, exercised") {
+    graft.expressions.GraftFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT graft_bytes_u8(graft_u8_bytes(array(0, 1, 127, 128, 200,
+        |  254, 255, 64))) AS u""".stripMargin)
+      .collect().head.getSeq[Int](0).toSeq
+    assert(out == Seq(0, 1, 127, 128, 200, 254, 255, 64),
+      s"byte pack/unpack mangled high ordinals: $out")
+  }
+
+  test("a pre-params store (no params.txt) cannot be probed or appended") {
+    val dest = Files.createTempDirectory("graft-pq-preparams").toString
+    PqStore.buildAt(dest, base, m = 4, ksub = 4)
+    Files.delete(Paths.get(dest, AnnMeta.File))
+    val e = intercept[IllegalArgumentException](
+      PqStore.topKAt(spark, dest, all, queryId = 2L, k = 3))
+    assert(e.getMessage.contains("params.txt"))
+  }
+}

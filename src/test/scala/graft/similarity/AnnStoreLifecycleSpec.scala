@@ -159,7 +159,7 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     assert(appended.count() == 8L)
     val lens = appended.select(length(col("code"))).distinct()
       .collect().map(_.getInt(0)).toSeq
-    assert(lens == Seq(IvfPqStore.M), s"appended code byte-lengths: $lens")
+    assert(lens == Seq(IvfPqStore.DefaultM), s"appended code byte-lengths: $lens")
     val probe = IvfPqStore.topKAt(spark, dest, all, queryId = 2L, k = 5)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
@@ -229,7 +229,7 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     assert(appended.count() == 8L)
     val pqLens = appended.select(length(col("code"))).distinct()
       .collect().map(_.getInt(0)).toSeq
-    assert(pqLens == Seq(PqStore.M), s"appended code byte-lengths: $pqLens")
+    assert(pqLens == Seq(PqStore.DefaultM), s"appended code byte-lengths: $pqLens")
     val served = rows(PqStore.topKAt(spark, dest, all, queryId = 2L, k = 5))
     assert(served.exists(_.startsWith("[35,")),
       s"planted near-dup 35 missing from $served")

@@ -351,7 +351,7 @@ class SimilaritySpec extends SparkSpec {
       s"probe cluster not partition-pruned:\n$plan")
     val adhoc = Similarity.ivfTopK(
         graft.util.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        queryId = 0L, k = 5, nCentroids = IvfStore.NumCentroids)
+        queryId = 0L, k = 5, nCentroids = IvfStore.DefaultNumCentroids)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     val got = served.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(got == adhoc && got.nonEmpty)
@@ -361,7 +361,7 @@ class SimilaritySpec extends SparkSpec {
     val sfDir = "/root/testdata/sf0.001"
     val adhoc = Similarity.pqTopK(
         graft.util.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        queryId = 0L, k = 5, m = PqStore.M, ksub = PqStore.Ksub, rerank = 40)
+        queryId = 0L, k = 5, m = PqStore.DefaultM, ksub = PqStore.DefaultKsub, rerank = 40)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     val served = PqStore.topK(spark, sfDir, queryId = 0L, k = 5, rerank = 40)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
