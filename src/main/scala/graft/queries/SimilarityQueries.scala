@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.similarity.{IvfPqStore, IvfStore, PqStore, Similarity, SrpStore}
+import graft.similarity.{IvfPqStore, IvfStore, PqStore, RecallTruth, Similarity, SrpStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -357,6 +357,225 @@ object SimilarityQueries extends QueryPack {
        |FROM assigned a JOIN q USING (cluster) WHERE a.vec_id <> 0
        |ORDER BY cosine DESC, vec_id ASC LIMIT 5""".stripMargin
 
+  /** One recall-audit row: candidates (qid, vec_id) joined to the
+    * persisted exact truth → (method, hits, n_queries, k, avg_recall).
+    */
+  private def recallRow(method: String, cand: DataFrame,
+                        truth: DataFrame): DataFrame =
+    cand.join(truth, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).cast("long").as("hits"))
+      .select(lit(method).as("method"), col("hits"),
+        lit(RecallTruth.NumQueries).as("n_queries"),
+        lit(RecallTruth.K.toLong).as("k"),
+        round(col("hits").cast("double") /
+          (RecallTruth.NumQueries * RecallTruth.K).toDouble, 6)
+          .as("avg_recall"))
+
+  private def topPerQuery(df: DataFrame, k: Int = RecallTruth.K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("__rn") <= k).select(col("qid"), col("vec_id"))
+  }
+
+  /** SRP-sketch recall row at a Hamming radius: one signature scan scored
+    * against the 20 broadcast query signatures, radius filter, top-10.
+    */
+  private def lshRecall(s: SparkSession, dir: String, radius: Int,
+                        name: String): DataFrame = {
+    val e = Similarity.srpSignature(Tables.embeddings(s, dir), "embedding")
+    val qs = e.filter(col("vec_id") < RecallTruth.NumQueries)
+      .select((col("vec_id").as("qid") +: col("embedding").as("__qv") +:
+        (0 until 4).map(w => col(s"__w$w").as(s"__qw$w"))): _*)
+    val cand = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid") &&
+        Similarity.srpHamming("__w", "__qw") <= radius)
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
+    recallRow(name, topPerQuery(cand), RecallTruth.ensureBuilt(s, dir))
+  }
+
+  /** IVF recall row at an nprobe: per-query top-`nprobe` centroid ranks
+    * (the exact ivfAssign sim formula — rank 1 IS the assigned cluster),
+    * exact cosines inside the probed clusters, top-10.
+    */
+  private def ivfRecall(s: SparkSession, dir: String, nprobe: Int,
+                        name: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      nCentroids = 8)
+    val centsArr = emb.filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv")))
+        .as("__cents"))
+    val probes = emb.filter(col("vec_id") < RecallTruth.NumQueries)
+      .crossJoin(broadcast(centsArr))
+      .select(col("vec_id").as("qid"), col("embedding").as("__qv"), explode(expr(
+        """transform(__cents, c -> struct(
+          |  round(graft_dot(embedding, c.cv) /
+          |    (sqrt(graft_dot(embedding, embedding)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
+          |  c.cid AS cid))""".stripMargin)).as("__p"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("__p.sim").desc, col("__p.cid").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__qv"), col("__p.cid").as("cluster"))
+    val cand = assigned.join(broadcast(probes), "cluster")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
+    recallRow(name, topPerQuery(cand), RecallTruth.ensureBuilt(s, dir))
+  }
+
+  /** Shared truth CTEs for the per-method recall oracles: exact round-6
+    * cosine top-10 per query id < 20 — replaying [[RecallTruth]].
+    */
+  private val truthCtes: String =
+    s"""qst AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 20),
+       |scoredt AS (SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |  FROM embeddings e CROSS JOIN qst q WHERE e.vec_id <> q.qid),
+       |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scoredt) WHERE rn <= 10)""".stripMargin
+
+  private def recallRowSql(name: String, cte: String): String =
+    s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
+       |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+       |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
+       |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id""".stripMargin
+
+  /** SRP-sketch per-method recall oracle at a Hamming radius. */
+  private def lshRecallSql(name: String, radius: Int): String =
+    s"""WITH ${sigCtes()},
+       |$truthCtes,
+       |qsig AS (SELECT e.vec_id AS qid, e.embedding AS qv,
+       |    s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
+       |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id < 20),
+       |cand AS (SELECT qid, vec_id FROM (SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id CROSS JOIN qsig q
+       |  WHERE e.vec_id <> q.qid AND ${hamSql("s", "q")} <= $radius)
+       |  WHERE rn <= 10)
+       |${recallRowSql(name, "cand")}""".stripMargin
+
+  /** IVF per-method recall oracle at an nprobe (rank 1 = assigned). */
+  private def ivfRecallSql(name: String, nprobe: Int): String =
+    s"""WITH $truthCtes,
+       |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |sim AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM sim) WHERE rn = 1),
+       |probes AS (SELECT qid, qv, cid FROM (SELECT vec_id AS qid, embedding AS qv, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM sim WHERE vec_id < 20) WHERE rn <= $nprobe),
+       |ivfc AS (SELECT p.qid, a.vec_id, ${cosSql("a.embedding", "p.qv")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cluster = p.cid AND a.vec_id <> p.qid),
+       |cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM ivfc) WHERE rn <= 10)
+       |${recallRowSql(name, "cand")}""".stripMargin
+
+  /** Flat-PQ multi-query recall oracle (the monolith's pq chain: one
+    * codebook train, per-query LUTs, ADC top-40, exact rerank top-10).
+    * Shared verbatim by the ad-hoc and store-served rows (deterministic
+    * artifacts, shared scoring algebra).
+    */
+  private def pqRecallSql(name: String): String =
+    s"""WITH $truthCtes,
+       |${pqTrainCtes("p")},
+       |qp AS (SELECT vec_id AS qid, s, sv AS qsv FROM subp WHERE vec_id < 20),
+       |lutp AS (SELECT q.qid, c.s, c.cid,
+       |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
+       |    round(list_sum(list_transform(c.cv, x -> x * x)), 6) AS pnorm2
+       |  FROM c1p c JOIN qp q ON c.s = q.s),
+       |qnp AS (SELECT vec_id AS qid,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm, v AS qv
+       |  FROM embp WHERE vec_id < 20),
+       |adcp AS (SELECT l.qid, k.vec_id,
+       |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+       |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+       |  FROM codesp k JOIN lutp l ON k.s = l.s AND k.cid = l.cid
+       |  GROUP BY l.qid, k.vec_id),
+       |candsp AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY a.qid
+       |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
+       |        a.vec_id ASC) AS rn
+       |  FROM adcp a JOIN qnp n ON a.qid = n.qid WHERE a.vec_id <> a.qid)
+       |  WHERE rn <= 40),
+       |pqr AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
+       |  FROM candsp c JOIN embp e ON c.vec_id = e.vec_id
+       |  JOIN qnp n ON c.qid = n.qid) WHERE rn <= 10)
+       |${recallRowSql(name, "pqr")}""".stripMargin
+
+  /** IVFADC multi-query recall oracle, parameterized by (nc, ksub,
+    * nprobe) in lockstep with the store metadata: coarse assignment,
+    * residual codebook train (non-centroid ids), per-(query, probed
+    * cluster) shifted-codebook LUTs, ADC restricted to each vector's OWN
+    * cluster among the probes, top-40, exact rerank top-10 — the
+    * [[graft.similarity.Similarity.ivfPqMultiFromParts]] algebra.
+    */
+  private def ivfPqRecallSql(name: String, nc: Int, ksub: Int,
+                             nprobe: Int, sd: Int = 8, m: Int = 8): String =
+    s"""WITH $truthCtes,
+       |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $nc),
+       |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim) WHERE rn = 1),
+       |resid AS (SELECT e.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+       |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+       |  JOIN cents c ON a.cluster = c.cid),
+       |${pqTrainCtes("v", id => s"$id >= $nc", src = "resid", m = m,
+            sd = sd, ksub = ksub)},
+       |embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |probes AS (SELECT qid, cluster FROM (SELECT vec_id AS qid, cid AS cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim WHERE vec_id < 20) WHERE rn <= $nprobe),
+       |csl AS (SELECT c.cid AS cluster, ss.s, c.cv[ss.s*$sd+1:ss.s*$sd+$sd] AS csv
+       |  FROM cents c CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |qsub AS (SELECT vec_id AS qid, ss.s, v[ss.s*$sd+1:ss.s*$sd+$sd] AS qsv
+       |  FROM embq CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss
+       |  WHERE vec_id < 20),
+       |lutv AS (SELECT p.qid, p.cluster, c.s, c.cid,
+       |    round(list_sum(list_transform(range(1, ${sd + 1}),
+       |      i -> (l.csv[i] + c.cv[i]) * q.qsv[i])), 6) AS pdot,
+       |    round(list_sum(list_transform(range(1, ${sd + 1}),
+       |      i -> (l.csv[i] + c.cv[i]) * (l.csv[i] + c.cv[i]))), 6) AS pnorm2
+       |  FROM c1v c JOIN qsub q ON c.s = q.s
+       |  JOIN probes p ON p.qid = q.qid
+       |  JOIN csl l ON l.cluster = p.cluster AND l.s = c.s),
+       |qnv AS (SELECT vec_id AS qid,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm, v AS qv
+       |  FROM embq WHERE vec_id < 20),
+       |adcv AS (SELECT l.qid, k.vec_id,
+       |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+       |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+       |  FROM codesv k JOIN asg av ON k.vec_id = av.vec_id
+       |  JOIN lutv l ON l.cluster = av.cluster AND k.s = l.s AND k.cid = l.cid
+       |  GROUP BY l.qid, k.vec_id),
+       |candsv AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY a.qid
+       |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
+       |        a.vec_id ASC) AS rn
+       |  FROM adcv a JOIN qnv n ON a.qid = n.qid WHERE a.vec_id <> a.qid)
+       |  WHERE rn <= 40),
+       |pqrv AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
+       |  FROM candsv c JOIN embq e ON c.vec_id = e.vec_id
+       |  JOIN qnv n ON c.qid = n.qid) WHERE rn <= 10)
+       |${recallRowSql(name, "pqrv")}""".stripMargin
+
   /** SemDeDup oracle body over the `a2` assignment — shared by the
     * pinned-k and auto-k entries (same pruning, different k source).
     */
@@ -649,81 +868,47 @@ object SimilarityQueries extends QueryPack {
       Similarity.matryoshkaAudit(Tables.embeddings(s, dir), "vec_id",
         "embedding", queryId = 0L, k = 5, prefixDims = 16)),
 
-    "q_ann_recall" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Similarity.srpSignature(Tables.embeddings(s, dir), "embedding")
-      val qs = e.filter(col("vec_id") < 20)
-        .select((col("vec_id").as("qid") +: col("embedding").as("__qv") +:
-          (0 until 4).map(w => col(s"__w$w").as(s"__qw$w"))): _*)
-      val scored = e.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"),
-          Similarity.srpHamming("__w", "__qw").as("__ham"))
-      def topPerQuery(df: DataFrame): DataFrame =
-        df.withColumn("rn", row_number().over(
-            Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)))
-          .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
-      val truth = topPerQuery(scored)
-      def recallOf(method: String, cand: DataFrame): DataFrame =
-        cand.join(truth, Seq("qid", "vec_id"))
-          .agg(count(lit(1)).cast("long").as("hits"))
-          .select(lit(method).as("method"), col("hits"),
-            lit(20L).as("n_queries"), lit(10L).as("k"),
-            round(col("hits").cast("double") / 200.0, 6).as("avg_recall"))
-      val emb = Tables.embeddings(s, dir)
-      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nCentroids = 8)
-      val iq = assigned.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("__qv"), col("cluster"))
-      val ivfCand = assigned.join(broadcast(iq), "cluster")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
-      // IVF multi-probe (nprobe = 3): rank all 8 centroids per query, scan
-      // the top 3 clusters — the classic IVF recall knob, measured here
-      // next to the sketch paths
-      val centsArr = emb.filter(col("vec_id") < 8)
-        .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv")))
-          .as("__cents"))
-      val probes3 = emb.filter(col("vec_id") < 20)
-        .crossJoin(broadcast(centsArr))
-        .select(col("vec_id").as("qid"), col("embedding").as("__qv"), explode(expr(
-          """transform(__cents, c -> struct(
-            |  round(graft_dot(embedding, c.cv) /
-            |    (sqrt(graft_dot(embedding, embedding)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
-            |  c.cid AS cid))""".stripMargin)).as("__p"))
-        .withColumn("rn", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("__p.sim").desc, col("__p.cid").asc)))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("__qv"), col("__p.cid").as("cluster"))
-      val ivfMpCand = assigned.join(broadcast(probes3), "cluster")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
-      // PQ recall (round-11 verdict item 2): the ad-hoc train-in-plan
-      // path and the store-served artifacts, both through the identical
-      // multi-query ADC+rerank — the last ANN path whose accuracy was a
-      // Scaladoc claim instead of a measured row
-      val pqCand = Similarity.pqTopKMultiQuery(emb, "vec_id", "embedding",
-        maxQid = 20, k = 10, m = 8, ksub = 8, rerank = 40)
-      val pqServedCand = PqStore.topKMulti(s, dir, maxQid = 20, k = 10,
-        rerank = 40)
-      // IVF-PQ residual (IVFADC): own-cluster candidates scored by the
-      // per-query shifted-codebook ADC — the compounding layout's recall
-      // sits next to its two parents (ivf = same candidates, exact
-      // scores; pq = all candidates, ADC scores)
-      val ivfPqCand = Similarity.ivfPqTopKMultiQuery(emb, "vec_id",
-        "embedding", maxQid = 20, k = 10, nCentroids = 8, m = 8, ksub = 8,
-        rerank = 40)
-      recallOf("lsh", topPerQuery(scored.filter(col("__ham") <= Similarity.SrpRadius)))
-        .unionByName(recallOf("lsh_mp",
-          topPerQuery(scored.filter(col("__ham") <= Similarity.SrpRadiusWide))))
-        .unionByName(recallOf("ivf", topPerQuery(ivfCand)))
-        .unionByName(recallOf("ivf_mp", topPerQuery(ivfMpCand)))
-        .unionByName(recallOf("pq", pqCand))
-        .unionByName(recallOf("pq_served", pqServedCand))
-        .unionByName(recallOf("ivfpq", ivfPqCand))
-    }),
+    // ===== Per-method MEASURED recall@10 rows (round-13 verdict item 5:
+    // the 7-method monolith was the suite's heaviest entry and grew every
+    // round, hiding per-method cost and regressions in one number). Each
+    // ANN method is ONE audit query joining its candidates to the SHARED
+    // persisted exact ground truth ([[RecallTruth]] — the 20 × N scored
+    // scan is computed once per corpus generation, not once per method),
+    // so the split adds bench attribution without multiplying the audit's
+    // dominant cost. Round-7 lesson throughout: unmeasured ANN accuracy
+    // can be 0.0 — every serving path keeps a measured row.
+    "q_ann_recall_lsh" -> ((s, dir) =>
+      lshRecall(s, dir, Similarity.SrpRadius, "lsh")),
+    "q_ann_recall_lsh_mp" -> ((s, dir) =>
+      lshRecall(s, dir, Similarity.SrpRadiusWide, "lsh_mp")),
+    "q_ann_recall_ivf" -> ((s, dir) => ivfRecall(s, dir, 1, "ivf")),
+    // nprobe = 3: rank all 8 centroids per query, scan the top 3 clusters
+    // — the classic IVF recall knob, measured next to the sketch paths
+    "q_ann_recall_ivf_mp" -> ((s, dir) => ivfRecall(s, dir, 3, "ivf_mp")),
+    "q_ann_recall_pq" -> ((s, dir) =>
+      recallRow("pq",
+        Similarity.pqTopKMultiQuery(Tables.embeddings(s, dir), "vec_id",
+          "embedding", maxQid = 20, k = 10, m = 8, ksub = 8, rerank = 40),
+        RecallTruth.ensureBuilt(s, dir))),
+    "q_ann_recall_pq_served" -> ((s, dir) =>
+      recallRow("pq_served",
+        PqStore.topKMulti(s, dir, maxQid = 20, k = 10, rerank = 40),
+        RecallTruth.ensureBuilt(s, dir))),
+    "q_ann_recall_ivfpq" -> ((s, dir) =>
+      recallRow("ivfpq",
+        Similarity.ivfPqTopKMultiQuery(Tables.embeddings(s, dir), "vec_id",
+          "embedding", maxQid = 20, k = 10, nCentroids = 8, m = 8, ksub = 8,
+          rerank = 40),
+        RecallTruth.ensureBuilt(s, dir))),
+    // the NON-TOY configuration's measured accuracy (verdict item 1's
+    // recall row): nc=64 / ksub=256 served from the persisted big store
+    // at nprobe=4
+    "q_ann_recall_ivfpq_big" -> ((s, dir) =>
+      recallRow("ivfpq_big",
+        IvfPqStore.topKMultiAt(s, IvfPqStore.ensureBuiltBig(s, dir),
+          Tables.embeddings(s, dir), maxQid = 20, k = 10, rerank = 40,
+          nprobe = IvfPqStore.BigNprobe),
+        RecallTruth.ensureBuilt(s, dir))),
 
     // Recall-under-DRIFT audit (round-12 verdict item 4): the 20% append
     // batch arrives from a SHIFTED distribution (+0.25 per coordinate),
@@ -1117,124 +1302,21 @@ object SimilarityQueries extends QueryPack {
          |${method("ivfpq_rebuild_drift", "pqrvf")}""".stripMargin
     },
 
-    "q_ann_recall" -> {
-      def method(name: String, cte: String): String =
-        s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
-           |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
-           |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
-           |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id""".stripMargin
-      s"""WITH ${sigCtes()},
-         |qs AS (SELECT e.vec_id AS qid, e.embedding AS qv,
-         |    s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
-         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id < 20),
-         |scored AS (SELECT q.qid, e.vec_id,
-         |    ${cosSql("e.embedding", "q.qv")} AS cosine, ${hamSql("s", "q")} AS ham
-         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id CROSS JOIN qs q
-         |  WHERE e.vec_id <> q.qid),
-         |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
-         |  FROM scored) WHERE rn <= 10),
-         |lsh AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
-         |  FROM scored WHERE ham <= ${Similarity.SrpRadius}) WHERE rn <= 10),
-         |lshmp AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
-         |  FROM scored WHERE ham <= ${Similarity.SrpRadiusWide}) WHERE rn <= 10),
-         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-         |sim AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-         |  FROM sim) WHERE rn = 1),
-         |iq AS (SELECT vec_id AS qid, embedding AS qv, cluster FROM assigned WHERE vec_id < 20),
-         |ivfc AS (SELECT i.qid, a.vec_id, ${cosSql("a.embedding", "i.qv")} AS cosine
-         |  FROM assigned a JOIN iq i ON a.cluster = i.cluster AND a.vec_id <> i.qid),
-         |ivf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
-         |  FROM ivfc) WHERE rn <= 10),
-         |probes3 AS (SELECT qid, qv, cid FROM (SELECT vec_id AS qid, embedding AS qv, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-         |  FROM sim WHERE vec_id < 20) WHERE rn <= 3),
-         |ivfmpc AS (SELECT p.qid, a.vec_id, ${cosSql("a.embedding", "p.qv")} AS cosine
-         |  FROM assigned a JOIN probes3 p ON a.cluster = p.cid AND a.vec_id <> p.qid),
-         |ivfmp AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
-         |  FROM ivfmpc) WHERE rn <= 10),
-         |${pqTrainCtes("p")},
-         |qp AS (SELECT vec_id AS qid, s, sv AS qsv FROM subp WHERE vec_id < 20),
-         |lutp AS (SELECT q.qid, c.s, c.cid,
-         |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
-         |    round(list_sum(list_transform(c.cv, x -> x * x)), 6) AS pnorm2
-         |  FROM c1p c JOIN qp q ON c.s = q.s),
-         |qnp AS (SELECT vec_id AS qid,
-         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm, v AS qv
-         |  FROM embp WHERE vec_id < 20),
-         |adcp AS (SELECT l.qid, k.vec_id,
-         |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
-         |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
-         |  FROM codesp k JOIN lutp l ON k.s = l.s AND k.cid = l.cid
-         |  GROUP BY l.qid, k.vec_id),
-         |candsp AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
-         |    row_number() OVER (PARTITION BY a.qid
-         |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
-         |        a.vec_id ASC) AS rn
-         |  FROM adcp a JOIN qnp n ON a.qid = n.qid WHERE a.vec_id <> a.qid)
-         |  WHERE rn <= 40),
-         |pqr AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
-         |    row_number() OVER (PARTITION BY c.qid
-         |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
-         |  FROM candsp c JOIN embp e ON c.vec_id = e.vec_id
-         |  JOIN qnp n ON c.qid = n.qid) WHERE rn <= 10),
-         |centsd AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-         |  FROM embeddings WHERE vec_id < 8),
-         |residv AS (SELECT e.vec_id,
-         |    list_transform(range(1, 65),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) - cd.cv[i]) AS embedding
-         |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
-         |  JOIN centsd cd ON a.cluster = cd.cid),
-         |${pqTrainCtes("v", id => s"$id >= 8", src = "residv")},
-         |cslv AS (SELECT cd.cid, ss.s, cd.cv[ss.s*8+1:ss.s*8+8] AS csv
-         |  FROM centsd cd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
-         |qclv AS (SELECT vec_id AS qid, cluster FROM assigned WHERE vec_id < 20),
-         |lutv AS (SELECT q.qid, c.s, c.cid,
-         |    round(list_sum(list_transform(range(1, 9),
-         |      i -> (l.csv[i] + c.cv[i]) * q.qsv[i])), 6) AS pdot,
-         |    round(list_sum(list_transform(range(1, 9),
-         |      i -> (l.csv[i] + c.cv[i]) * (l.csv[i] + c.cv[i]))), 6) AS pnorm2
-         |  FROM c1v c JOIN qp q ON c.s = q.s
-         |  JOIN qclv qc ON q.qid = qc.qid
-         |  JOIN cslv l ON l.cid = qc.cluster AND l.s = c.s),
-         |adcv AS (SELECT l.qid, k.vec_id,
-         |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
-         |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
-         |  FROM codesv k JOIN lutv l ON k.s = l.s AND k.cid = l.cid
-         |  GROUP BY l.qid, k.vec_id),
-         |candsv AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
-         |    row_number() OVER (PARTITION BY a.qid
-         |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
-         |        a.vec_id ASC) AS rn
-         |  FROM adcv a JOIN qnp n ON a.qid = n.qid
-         |  JOIN assigned av ON a.vec_id = av.vec_id
-         |  JOIN qclv qc ON a.qid = qc.qid AND av.cluster = qc.cluster
-         |  WHERE a.vec_id <> a.qid) WHERE rn <= 40),
-         |pqrv AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
-         |    row_number() OVER (PARTITION BY c.qid
-         |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
-         |  FROM candsv c JOIN embp e ON c.vec_id = e.vec_id
-         |  JOIN qnp n ON c.qid = n.qid) WHERE rn <= 10)
-         |${method("lsh", "lsh")}
-         |UNION ALL
-         |${method("lsh_mp", "lshmp")}
-         |UNION ALL
-         |${method("ivf", "ivf")}
-         |UNION ALL
-         |${method("ivf_mp", "ivfmp")}
-         |UNION ALL
-         |${method("pq", "pqr")}
-         |UNION ALL
-         |${method("pq_served", "pqr")}
-         |UNION ALL
-         |${method("ivfpq", "pqrv")}""".stripMargin
-    }
+    // per-method recall rows (the monolith's chains, one query each —
+    // truth CTEs shared textually, persisted-artifact-shared in the
+    // engine via RecallTruth)
+    "q_ann_recall_lsh" -> lshRecallSql("lsh", Similarity.SrpRadius),
+    "q_ann_recall_lsh_mp" -> lshRecallSql("lsh_mp", Similarity.SrpRadiusWide),
+    "q_ann_recall_ivf" -> ivfRecallSql("ivf", 1),
+    "q_ann_recall_ivf_mp" -> ivfRecallSql("ivf_mp", 3),
+    "q_ann_recall_pq" -> pqRecallSql("pq"),
+    // served twin: deterministic artifacts + shared scoring algebra ⇒
+    // literally the same oracle
+    "q_ann_recall_pq_served" -> pqRecallSql("pq_served"),
+    "q_ann_recall_ivfpq" -> ivfPqRecallSql("ivfpq", nc = 8, ksub = 8,
+      nprobe = 1),
+    "q_ann_recall_ivfpq_big" -> ivfPqRecallSql("ivfpq_big",
+      nc = IvfPqStore.BigNumCentroids, ksub = IvfPqStore.BigKsub,
+      nprobe = IvfPqStore.BigNprobe)
   )
 }

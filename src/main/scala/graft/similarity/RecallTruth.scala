@@ -1,0 +1,64 @@
+package graft.similarity
+
+import graft.util.{Stamp, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted exact ground truth for the ANN recall audits — the top-`K`
+  * by round-6 cosine for each query id < `NumQueries`, as one stamped
+  * parquet (qid, vec_id).
+  *
+  * Why persisted: the recall audit split into ONE row per ANN method
+  * (round-13 verdict item 5 — per-method bench attribution), and the
+  * exact-truth scan is the one sub-plan every method row shares. At
+  * audit scale the truth is a 20 × N scored scan — computing it once per
+  * method would multiply the audit's dominant cost by the method count;
+  * as an artifact it is computed once per corpus generation, exactly
+  * like the stores under audit (and at 100 TB a brute-force ground truth
+  * is something you schedule, not recompute per measurement). The
+  * (name, size, mtime) stamp keeps it honest against corpus regens.
+  */
+object RecallTruth {
+
+  val NumQueries = 20L
+  val K = 10
+
+  def defaultDir(sfDir: String): String = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${sys.props("user.dir")}/target/recall-truth-v1")
+    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+  }
+
+  /** Exact top-`K` per query over an explicit corpus frame — the one
+    * scored scan (queries broadcast, one window cut), shared by the
+    * persisted builder and the drift audit's in-plan truth.
+    */
+  def compute(emb: DataFrame, numQueries: Long = NumQueries,
+              k: Int = K): DataFrame = {
+    val qs = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+    emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Build-if-absent-or-stale; returns the truth frame. */
+  def ensureBuilt(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val dest = defaultDir(sfDir)
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      compute(Tables.embeddings(spark, sfDir))
+        .coalesce(1).sortWithinPartitions(col("qid"), col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dest/truth.parquet")
+      Stamp.write(dest, stamp)
+    }
+    spark.read.parquet(s"$dest/truth.parquet")
+  }
+}

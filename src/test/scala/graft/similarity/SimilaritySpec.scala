@@ -418,7 +418,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("pqTopKMultiQuery: recall floor on the clustered fixture — the " +
-      "build-failing guard behind q_ann_recall's pq rows (round-7 lesson: " +
+      "build-failing guard behind the q_ann_recall_pq row (round-7 lesson: " +
       "unmeasured ANN accuracy can hide recall 0.0)") {
     def v(base: Float, d: Int) = Array.tabulate(8)(i => base + 0.01f * i + 0.001f * d)
     val emb = (
