@@ -910,6 +910,60 @@ object SimilarityQueries extends QueryPack {
           nprobe = IvfPqStore.BigNprobe),
         RecallTruth.ensureBuilt(s, dir))),
 
+    // PER-STRATUM recall for FILTERED search (round-13 verdict item 4):
+    // the classic filtered-ANN failure is that a predicate riding the
+    // sketch scan degrades recall for RARE strata — few same-stratum
+    // vectors survive the Hamming ball, so the filtered top-k starves
+    // precisely where the filter matters most. Round-7 rule: that is a
+    // measurement, not a scaladoc caveat. Queries = ids < 20 filtered to
+    // their OWN label; truth = exact same-label top-10; strata = labels
+    // ranked by corpus frequency, bottom half 'rare' (deterministic
+    // count-then-label rank, replayed by the oracle). Micro-averaged
+    // per stratum: sum(hits)/sum(truth rows) — per-query truths can be
+    // short where a label is thin, and that shortness IS the signal.
+    "q_ann_filtered_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val e = Similarity.srpSignature(emb, "embedding")
+      val qs = e.filter(col("vec_id") < RecallTruth.NumQueries)
+        .select((col("vec_id").as("qid") +: col("embedding").as("__qv") +:
+          col("label").as("__qlabel") +:
+          (0 until 4).map(w => col(s"__w$w").as(s"__qw$w"))): _*)
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid") &&
+          col("label") === col("__qlabel"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"),
+          Similarity.srpHamming("__w", "__qw").as("__ham"))
+      val truth = topPerQuery(scored)
+      val cand = topPerQuery(
+        scored.filter(col("__ham") <= Similarity.SrpRadius))
+      val labStrata = emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("__n").asc, col("label").asc)))
+        .withColumn("__nlab", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .select(col("label").as("__qlabel"),
+          when(col("__rk") <= col("__nlab") / 2, lit("rare"))
+            .otherwise(lit("common")).as("stratum"))
+      val perQuery = truth
+        .join(cand.withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).cast("long").as("__truth_n"),
+          count(col("__hit")).cast("long").as("__hits"))
+      perQuery
+        .join(broadcast(qs.select(col("qid"), col("__qlabel"))), "qid")
+        .join(broadcast(labStrata), "__qlabel")
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          sum(col("__hits")).cast("long").as("hits"),
+          sum(col("__truth_n")).cast("long").as("truth_rows"),
+          round(sum(col("__hits")).cast("double") /
+            sum(col("__truth_n")).cast("double"), 6).as("avg_recall"))
+        .orderBy(col("stratum"))
+    }),
+
     // Recall-under-DRIFT audit (round-12 verdict item 4): the 20% append
     // batch arrives from a SHIFTED distribution (+0.25 per coordinate),
     // runs through PqStore's own incremental chain (codebook frozen on
@@ -960,6 +1014,30 @@ object SimilarityQueries extends QueryPack {
           IvfPqStore.topKMultiAt(s, ipIncr, drifted, maxQid = 20, k = 10)))
         .unionByName(recallOf("ivfpq_rebuild_drift",
           IvfPqStore.topKMultiAt(s, ipFull, drifted, maxQid = 20, k = 10)))
+    }),
+
+    // COARSE-CENTROID staleness under drift (round-13 verdict item 2):
+    // q_ann_drift's IVF twins share coarse centroids by deterministic
+    // id-seeding, so coarse staleness — the dominant IVF drift failure
+    // (a stale router scans the wrong cell; rerank can't recover what
+    // the candidate pass never read) — was never measured. Here the
+    // frozen twin Lloyd-trains coarse + residual artifacts on the CLEAN
+    // 80% base and frozen-space-appends the shifted 20%; the retrained
+    // twin runs 2 Lloyd iterations on the full drifted corpus. Both
+    // serve through the identical store path; the gap vs the
+    // residual-only gap attributes the loss between the two artifacts.
+    "q_ann_drift_lloyd" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
+      val frozen = IvfPqStore.ensureBuiltDriftLloyd(s, dir)
+      val retrained = IvfPqStore.ensureBuiltDriftLloydRebuild(s, dir)
+      val truth = RecallTruth.compute(drifted)
+      recallRow("ivfpq_lloyd_frozen_drift",
+          IvfPqStore.topKMultiAt(s, frozen, drifted, maxQid = 20, k = 10),
+          truth)
+        .unionByName(recallRow("ivfpq_lloyd_retrain_drift",
+          IvfPqStore.topKMultiAt(s, retrained, drifted, maxQid = 20, k = 10),
+          truth))
     })
   )
 
@@ -1302,6 +1380,113 @@ object SimilarityQueries extends QueryPack {
          |${method("ivfpq_rebuild_drift", "pqrvf")}""".stripMargin
     },
 
+    // Lloyd-coarse drift twins: each twin is (2-iteration Lloyd coarse
+    // train on its corpus) → (assign all drifted rows) → (residual
+    // codebook train on its train set) → (nprobe=1 shifted-LUT ADC +
+    // exact rerank), replayed end-to-end — the engine's
+    // kmeansCentroids / buildAtWithCents / frozen-space append chain.
+    "q_ann_drift_lloyd" -> {
+      val driftCte =
+        """embdrift AS (SELECT vec_id,
+          |    CASE WHEN vec_id % 5 = 0
+          |      THEN list_transform(embedding,
+          |             x -> CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT))
+          |      ELSE embedding END AS embedding
+          |  FROM embeddings),
+          |embbase AS (SELECT * FROM embdrift WHERE vec_id % 5 <> 0)"""
+          .stripMargin
+      // 2-iteration Lloyd centroid frame over `src` (kmeansCentroids:
+      // first-8-by-id seeds, ONE decimal-exact round-6 mean update)
+      def lloydCtes(x: String, src: String): String =
+        s"""lemb$x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
+           |lc0$x AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM lemb$x
+           |  ORDER BY vec_id ASC LIMIT 8),
+           |ls1$x AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
+           |  FROM lemb$x e CROSS JOIN lc0$x c),
+           |la1$x AS (SELECT vec_id, v, cluster FROM (SELECT vec_id, v,
+           |    cid AS cluster, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s DESC, cid ASC) AS rn FROM ls1$x) WHERE rn = 1),
+           |lu1$x AS (SELECT cluster AS cid, pos,
+           |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE)
+           |      / COUNT(*), 6) AS m
+           |  FROM (SELECT cluster, v, unnest(range(1, len(v) + 1)) AS pos
+           |        FROM la1$x)
+           |  GROUP BY cluster, pos),
+           |cl$x AS (SELECT cid, list(m ORDER BY pos) AS cv FROM lu1$x
+           |  GROUP BY cid)""".stripMargin
+      // one twin's store replay + nprobe=1 serve over the drifted corpus
+      def twin(x: String, train: String => String): String =
+        s"""lsim$x AS (SELECT e.vec_id, c.cid,
+           |    ${cosSql("e.embedding", "c.cv")} AS s
+           |  FROM embdrift e CROSS JOIN cl$x c),
+           |asg$x AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+           |  FROM lsim$x) WHERE rn = 1),
+           |resid$x AS (SELECT e.vec_id,
+           |    list_transform(range(1, 65),
+           |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+           |  FROM embdrift e JOIN asg$x a ON e.vec_id = a.vec_id
+           |  JOIN cl$x c ON a.cluster = c.cid),
+           |${pqTrainCtes(x, train, src = s"resid$x")},
+           |qc$x AS (SELECT vec_id AS qid, cluster FROM asg$x WHERE vec_id < 20),
+           |csl$x AS (SELECT c.cid AS cluster, ss.s, c.cv[ss.s*8+1:ss.s*8+8] AS csv
+           |  FROM cl$x c CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+           |lut$x AS (SELECT q.qid, l.cluster, c.s, c.cid,
+           |    round(list_sum(list_transform(range(1, 9),
+           |      i -> (l.csv[i] + c.cv[i]) * q.qsv[i])), 6) AS pdot,
+           |    round(list_sum(list_transform(range(1, 9),
+           |      i -> (l.csv[i] + c.cv[i]) * (l.csv[i] + c.cv[i]))), 6) AS pnorm2
+           |  FROM c1$x c JOIN qsub q ON c.s = q.s
+           |  JOIN qc$x qc ON q.qid = qc.qid
+           |  JOIN csl$x l ON l.cluster = qc.cluster AND l.s = c.s),
+           |adc$x AS (SELECT l.qid, k.vec_id,
+           |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+           |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+           |  FROM codes$x k JOIN asg$x av ON k.vec_id = av.vec_id
+           |  JOIN lut$x l ON l.cluster = av.cluster AND k.s = l.s AND k.cid = l.cid
+           |  GROUP BY l.qid, k.vec_id),
+           |cands$x AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
+           |    row_number() OVER (PARTITION BY a.qid
+           |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
+           |        a.vec_id ASC) AS rn
+           |  FROM adc$x a JOIN qn n ON a.qid = n.qid WHERE a.vec_id <> a.qid)
+           |  WHERE rn <= 40),
+           |pqr$x AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+           |    row_number() OVER (PARTITION BY c.qid
+           |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
+           |  FROM cands$x c JOIN embq e ON c.vec_id = e.vec_id
+           |  JOIN qn n ON c.qid = n.qid) WHERE rn <= 10)""".stripMargin
+      def row(name: String, cte: String): String =
+        s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
+           |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
+           |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id"""
+          .stripMargin
+      s"""WITH $driftCte,
+         |qsd AS (SELECT vec_id AS qid, embedding AS qv FROM embdrift
+         |  WHERE vec_id < 20),
+         |scoredd AS (SELECT q.qid, e.vec_id,
+         |    ${cosSql("e.embedding", "q.qv")} AS cosine
+         |  FROM embdrift e CROSS JOIN qsd q WHERE e.vec_id <> q.qid),
+         |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scoredd) WHERE rn <= 10),
+         |embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embdrift),
+         |qsub AS (SELECT vec_id AS qid, ss.s, v[ss.s*8+1:ss.s*8+8] AS qsv
+         |  FROM embq CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+         |  WHERE vec_id < 20),
+         |qn AS (SELECT vec_id AS qid,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm, v AS qv
+         |  FROM embq WHERE vec_id < 20),
+         |${lloydCtes("lf", "embbase")},
+         |${twin("lf", id => s"$id % 5 <> 0")},
+         |${lloydCtes("lr", "embdrift")},
+         |${twin("lr", _ => "TRUE")}
+         |${row("ivfpq_lloyd_frozen_drift", "pqrlf")}
+         |UNION ALL
+         |${row("ivfpq_lloyd_retrain_drift", "pqrlr")}""".stripMargin
+    },
+
     // per-method recall rows (the monolith's chains, one query each —
     // truth CTEs shared textually, persisted-artifact-shared in the
     // engine via RecallTruth)
@@ -1317,6 +1502,45 @@ object SimilarityQueries extends QueryPack {
       nprobe = 1),
     "q_ann_recall_ivfpq_big" -> ivfPqRecallSql("ivfpq_big",
       nc = IvfPqStore.BigNumCentroids, ksub = IvfPqStore.BigKsub,
-      nprobe = IvfPqStore.BigNprobe)
+      nprobe = IvfPqStore.BigNprobe),
+
+    // per-stratum filtered-search recall: same-label truth vs same-label
+    // sketch candidates, strata = bottom-half labels by (count, label)
+    // rank, micro-averaged hits / truth rows
+    "q_ann_filtered_recall" ->
+      s"""WITH ${sigCtes()},
+         |qs AS (SELECT e.vec_id AS qid, e.embedding AS qv, e.label AS qlabel,
+         |    s.w0 AS qw0, s.w1 AS qw1, s.w2 AS qw2, s.w3 AS qw3
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+         |  WHERE e.vec_id < 20),
+         |scored AS (SELECT q.qid, e.vec_id,
+         |    ${cosSql("e.embedding", "q.qv")} AS cosine,
+         |    ${hamSql("s", "q")} AS ham
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+         |  CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.qid AND e.label = q.qlabel),
+         |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10),
+         |cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scored WHERE ham <= ${Similarity.SrpRadius}) WHERE rn <= 10),
+         |strata AS (SELECT label AS qlabel,
+         |    CASE WHEN row_number() OVER (ORDER BY COUNT(*) ASC, label ASC)
+         |           <= (COUNT(*) OVER ()) // 2
+         |         THEN 'rare' ELSE 'common' END AS stratum
+         |  FROM embeddings GROUP BY label),
+         |perq AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS truth_n,
+         |    CAST(COUNT(c.vec_id) AS BIGINT) AS hits
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.qid = c.qid AND t.vec_id = c.vec_id
+         |  GROUP BY t.qid)
+         |SELECT st.stratum, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(p.hits) AS BIGINT) AS hits,
+         |  CAST(SUM(p.truth_n) AS BIGINT) AS truth_rows,
+         |  round(CAST(SUM(p.hits) AS DOUBLE) / SUM(p.truth_n), 6) AS avg_recall
+         |FROM perq p JOIN qs q ON p.qid = q.qid
+         |JOIN strata st ON q.qlabel = st.qlabel
+         |GROUP BY st.stratum""".stripMargin
   )
 }

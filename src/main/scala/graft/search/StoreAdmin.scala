@@ -46,6 +46,8 @@ object StoreAdmin {
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__drift",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__driftfull",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__big",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloyd",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloydfull",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -126,7 +128,8 @@ object StoreAdmin {
       sweepFlat(ivf, "byid.parquet",
         d => graft.similarity.IvfStore.compact(spark, d))
     }
-    for (suffix <- Seq("", "__incr", "__drift", "__driftfull", "__big")) {
+    for (suffix <- Seq("", "__incr", "__drift", "__driftfull", "__big",
+        "__lloyd", "__lloydfull")) {
       val ivfpq = graft.similarity.IvfPqStore.defaultDir(sfDir) + suffix
       sweepFlat(ivfpq, "byid.parquet",
         d => graft.similarity.IvfPqStore.compact(spark, d))

@@ -351,6 +351,56 @@ object IvfPqStore {
     dest
   }
 
+  /** The LLOYD-COARSE drift twin pair (round-13 verdict item 2): the
+    * standing `q_ann_drift` rows share coarse centroids between incr and
+    * rebuild BY CONSTRUCTION (deterministic id-seeding), so they isolate
+    * residual-codebook staleness but never measure COARSE-CENTROID
+    * staleness — the dominant drift failure for IVF probes at 100 TB (a
+    * probe routed by stale centroids scans the wrong cell; no rerank can
+    * recover vectors the candidate pass never read). This pair measures
+    * it: the frozen twin Lloyd-trains its coarse quantizer (2 iterations,
+    * [[Similarity.kmeansCentroids]]) and residual codebook on the CLEAN
+    * 80% base only, then absorbs the shifted 20% as a frozen-space
+    * append; [[ensureBuiltDriftLloydRebuild]] retrains BOTH artifacts on
+    * the full drifted corpus. The recall gap, next to the shared-coarse
+    * rows' residual-only gap, attributes drift loss between the two
+    * trained artifacts (`q_ann_drift_lloyd`).
+    */
+  def ensureBuiltDriftLloyd(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__lloyd"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir))
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      buildAtWithCents(dest, base,
+        Similarity.kmeansCentroids(base, "vec_id", "embedding",
+          k = DefaultNumCentroids, iters = 2))
+      appendBatch(spark, dest, emb.filter(col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** [[ensureBuiltDriftLloyd]]'s retrained twin: Lloyd coarse centroids
+    * AND residual codebook trained on the full drifted corpus — what a
+    * scheduled re-train buys when the distribution moves.
+    */
+  def ensureBuiltDriftLloydRebuild(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__lloydfull"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir))
+      buildAtWithCents(dest, emb,
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = DefaultNumCentroids, iters = 2))
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** [[ensureBuiltDrift]]'s rebuild twin: residual codebook retrained on
     * the FULL drifted corpus (coarse centroids identical — ids < 8).
     */
