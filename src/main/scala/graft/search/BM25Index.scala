@@ -283,14 +283,15 @@ object BM25Index {
         // delete would leave a valid sentinel alongside the old segments
         // and topKMerged would double-count every compacted segment doc.
         val swapOrder = Seq("corpus", "postings", "termstats")
-        swapOrder.foreach(sub => deleteRecursively(Paths.get(dest, sub)))
-        deleteRecursively(Paths.get(dest, "segments"))
+        swapOrder.foreach(sub =>
+          graft.util.StoreFs.deleteRecursively(Paths.get(dest, sub)))
+        graft.util.StoreFs.deleteRecursively(Paths.get(dest, "segments"))
         // tombstones go with the segments: their deletes are now folded
         // physically (and the stats refreshed), like Lucene's merge
-        deleteRecursively(Paths.get(dest, "_tombstones"))
+        graft.util.StoreFs.deleteRecursively(Paths.get(dest, "_tombstones"))
         swapOrder.reverse.foreach(sub =>
-          Files.move(Paths.get(tmp, sub), Paths.get(dest, sub)))
-        deleteRecursively(Paths.get(tmp))
+          graft.util.StoreFs.move(Paths.get(tmp, sub), Paths.get(dest, sub)))
+        graft.util.StoreFs.deleteRecursively(Paths.get(tmp))
       } finally post.unpersist()
     }
   }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import graft.util.StoreLock
+import graft.util.{StoreFs, StoreLock}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -583,14 +583,15 @@ object ServingStores {
         .drop("__bucket")
         .withColumn("__bucket", bucketOf(reBucket, newBuckets))
       val stampFile = Paths.get(dest, "source_stamp.txt")
-      val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
+      val stamp = if (StoreFs.exists(stampFile))
+                    Some(StoreFs.readString(stampFile))
                   else None
       val tmp = dest.stripSuffix("/") + "-rewrite-tmp"
       writeLayout(rows, sortCols, tmp, "overwrite")
       val schema = rows.schema
       testHookBeforeSwap(dest)
-      Files.deleteIfExists(stampFile)
-      Files.deleteIfExists(Paths.get(dest, "_buckets.txt"))
+      StoreFs.deleteIfExists(stampFile)
+      StoreFs.deleteIfExists(Paths.get(dest, "_buckets.txt"))
       // wipe the old generation's CONTENT but keep the maintenance lock
       // (deleting it mid-swap would void the writers' entry AND
       // post-write race checks — a batch landing here would be silently
@@ -604,10 +605,10 @@ object ServingStores {
         .filterNot(p => keep.contains(p.getFileName.toString))
         .foreach(deleteRecursively)
       listDir(Paths.get(tmp)).foreach(p =>
-        Files.move(p, Paths.get(dest).resolve(p.getFileName)))
-      Files.deleteIfExists(Paths.get(tmp))
+        StoreFs.move(p, Paths.get(dest).resolve(p.getFileName)))
+      StoreFs.deleteIfExists(Paths.get(tmp))
       writeMeta(dest, newBuckets, schema)
-      stamp.foreach(Files.writeString(stampFile, _))
+      stamp.foreach(StoreFs.writeString(stampFile, _))
     }
 
   /** Segment-model selective fold shared by the two layouts and both
@@ -663,24 +664,25 @@ object ServingStores {
         testHookBeforeSwap(dest)
         // 2. stamp first, sentinel second (the rewriteStore ordering)
         val stampFile = Paths.get(dest, "source_stamp.txt")
-        val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
+        val stamp = if (StoreFs.exists(stampFile))
+                      Some(StoreFs.readString(stampFile))
                     else None
-        Files.deleteIfExists(stampFile)
-        Files.deleteIfExists(Paths.get(dest, "_buckets.txt"))
+        StoreFs.deleteIfExists(stampFile)
+        StoreFs.deleteIfExists(Paths.get(dest, "_buckets.txt"))
         hot.foreach { b =>
           val dir = Paths.get(dest, s"__bucket=$b")
-          Files.createDirectories(dir)
+          StoreFs.createDirectories(dir)
           parquetFiles(Paths.get(tmpRoot, s"__bucket=$b"))
-            .foreach(f => Files.move(f, dir.resolve(f.getFileName)))
-          snap(b).foreach(Files.deleteIfExists(_))
+            .foreach(f => StoreFs.move(f, dir.resolve(f.getFileName)))
+          snap(b).foreach(StoreFs.deleteIfExists(_))
         }
         val foldedEverything = (0 until buckets)
           .forall(b => snap(b).isEmpty || hot.contains(b))
-        if (foldedEverything) tombSnap.foreach(Files.deleteIfExists(_))
-        deleteRecursively(Paths.get(tmpRoot))
+        if (foldedEverything) tombSnap.foreach(StoreFs.deleteIfExists(_))
+        StoreFs.deleteRecursively(Paths.get(tmpRoot))
         // 3. sentinel back, stamp last
-        Files.writeString(Paths.get(dest, "_buckets.txt"), buckets.toString)
-        stamp.foreach(Files.writeString(stampFile, _))
+        StoreFs.writeString(Paths.get(dest, "_buckets.txt"), buckets.toString)
+        stamp.foreach(StoreFs.writeString(stampFile, _))
       }
       hot
     }

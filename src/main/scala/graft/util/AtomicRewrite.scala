@@ -1,6 +1,6 @@
 package graft.util
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Paths
 
 /** Crash-safe full-rewrite swap for the stamp-guarded artifact stores
   * (ANN stores, signature stores — the [[graft.search.BM25Index]]
@@ -14,6 +14,10 @@ import java.nio.file.{Files, Path, Paths}
   * mixed-generation store (one sub-table new, another old) can never be
   * served. Rewrites do not change which source the store was built from,
   * so the stamp's VALUE survives.
+  *
+  * Swap primitives (rename, recursive delete) flow through [[StoreFs]]
+  * — on an object store without atomic rename this whole protocol must
+  * become a manifest-pointer commit (contract stated there).
   */
 object AtomicRewrite {
 
@@ -34,21 +38,22 @@ object AtomicRewrite {
   def rewriteMany(stampDir: String, steps: Seq[(String, String => Unit)],
                   inTxn: () => Unit = () => ()): Unit = {
     val stampFile = Paths.get(stampDir, "source_stamp.txt")
-    val stamp = if (Files.exists(stampFile)) Some(Files.readString(stampFile))
+    val stamp = if (StoreFs.exists(stampFile))
+                  Some(StoreFs.readString(stampFile))
                 else None
     val tmps = steps.map { case (path, write) =>
       val tmp = path.stripSuffix("/") + "-rewrite-tmp"
-      deleteRecursively(Paths.get(tmp))
+      StoreFs.deleteRecursively(Paths.get(tmp))
       write(tmp)
       path -> tmp
     }
-    Files.deleteIfExists(stampFile)
+    StoreFs.deleteIfExists(stampFile)
     tmps.foreach { case (path, tmp) =>
-      deleteRecursively(Paths.get(path))
-      Files.move(Paths.get(tmp), Paths.get(path))
+      StoreFs.deleteRecursively(Paths.get(path))
+      StoreFs.move(Paths.get(tmp), Paths.get(path))
     }
     inTxn()
-    stamp.foreach(Files.writeString(stampFile, _))
+    stamp.foreach(StoreFs.writeString(stampFile, _))
   }
 
   /** Single-path convenience form of [[rewriteMany]]. */
@@ -56,11 +61,4 @@ object AtomicRewrite {
              (write: String => Unit): Unit =
     rewriteMany(stampDir, Seq(path -> write), inTxn)
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
 }

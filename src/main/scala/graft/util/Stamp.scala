@@ -12,13 +12,9 @@ object Stamp {
   def sourceStamp(sfDir: String, table: String = "documents.parquet"): String = {
     val dir = Paths.get(sfDir, table)
     val files =
-      if (Files.isDirectory(dir)) {
-        val s = Files.list(dir)
-        try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
-        finally s.close()
-      } else Seq(dir)
-    files.filter(Files.exists(_)).sortBy(_.getFileName.toString)
-      .map(p => s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      if (StoreFs.isDirectory(dir)) StoreFs.list(dir) else Seq(dir)
+    files.filter(StoreFs.exists(_)).sortBy(_.getFileName.toString)
+      .map(p => s"${p.getFileName}:${StoreFs.size(p)}:${StoreFs.mtimeMillis(p)}")
       .mkString("\n")
   }
 
@@ -27,12 +23,12 @@ object Stamp {
     */
   def isFresh(dest: String, stamp: String): Boolean = {
     val f = Paths.get(dest, "source_stamp.txt")
-    Files.exists(f) && Files.readString(f) == stamp
+    StoreFs.exists(f) && StoreFs.readString(f) == stamp
   }
 
   def write(dest: String, stamp: String): Unit = {
     val f = Paths.get(dest, "source_stamp.txt")
-    Files.createDirectories(f.getParent)
-    Files.writeString(f, stamp)
+    StoreFs.createDirectories(f.getParent)
+    StoreFs.writeString(f, stamp)
   }
 }

@@ -1,6 +1,6 @@
 package graft.util
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.Paths
 
 /** Store-level maintenance lock — the engine's analogue of Lucene's
   * IndexWriter `write.lock` (the reference's serving tier inherits that
@@ -21,6 +21,10 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * because the crashed rewrite also followed the stamp-first/sentinel-
   * last swap ordering — its store is either untouched (crash during tmp
   * write) or stamp-invalidated (crash mid-swap), never half-swapped.
+  *
+  * Durability primitives (exclusive create, atomic rename) flow through
+  * [[StoreFs]] — the ONE seam stating what the backing filesystem must
+  * guarantee and what an S3-class object store breaks.
   */
 object StoreLock {
 
@@ -33,8 +37,8 @@ object StoreLock {
   def heldBy(dest: String): Option[String] = {
     val f = Paths.get(dest, LockFile)
     try {
-      if (!Files.exists(f)) None
-      else Some(Files.readString(f).trim.split(' ').head)
+      if (!StoreFs.exists(f)) None
+      else Some(StoreFs.readString(f).trim.split(' ').head)
     } catch { case _: java.io.IOException => None }
   }
 
@@ -49,14 +53,13 @@ object StoreLock {
     */
   def acquire(dest: String, op: String,
               staleMs: Long = DefaultStaleMs): Unit = {
-    Files.createDirectories(Paths.get(dest))
+    StoreFs.createDirectories(Paths.get(dest))
     val f = Paths.get(dest, LockFile)
     try {
-      Files.writeString(f, s"$op ${System.currentTimeMillis()}",
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      StoreFs.createExclusive(f, s"$op ${System.currentTimeMillis()}")
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val content = try Files.readString(f).trim catch {
+        val content = try StoreFs.readString(f).trim catch {
           case _: java.io.IOException => ""
         }
         val parts = content.split(' ')
@@ -72,13 +75,12 @@ object StoreLock {
         val grave = Paths.get(dest,
           s"$LockFile.stale.${System.nanoTime()}.${Thread.currentThread().getId}")
         try {
-          Files.move(f, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          Files.deleteIfExists(grave)
+          StoreFs.atomicMove(f, grave)
+          StoreFs.deleteIfExists(grave)
         } catch {
           case _: java.io.IOException => reject() // a rival stole it first
         }
-        try Files.writeString(f, s"$op ${System.currentTimeMillis()}",
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        try StoreFs.createExclusive(f, s"$op ${System.currentTimeMillis()}")
         catch {
           case _: java.nio.file.FileAlreadyExistsException => reject()
         }
@@ -86,7 +88,7 @@ object StoreLock {
   }
 
   def release(dest: String): Unit =
-    Files.deleteIfExists(Paths.get(dest, LockFile))
+    StoreFs.deleteIfExists(Paths.get(dest, LockFile))
 
   /** Run `body` holding the lock; always released, even on failure (the
     * swap ordering inside `body` is what makes a mid-body crash safe —
