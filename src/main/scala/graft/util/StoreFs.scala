@@ -52,52 +52,107 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   */
 object StoreFs {
 
+  /** The contract primitives as an interface, so a deployment (or a
+    * spec) swaps ONE implementation instead of hunting call sites. The
+    * non-primitive helpers below (exists/list/delete/…) are plain
+    * metadata plumbing every store needs; they live on the same trait
+    * so an object-store implementation owns its listing semantics too.
+    */
+  trait Fs {
+    def createExclusive(p: Path, content: String): Unit
+    def atomicMove(src: Path, dst: Path): Unit
+    def move(src: Path, dst: Path): Unit
+    def readString(p: Path): String
+    def writeString(p: Path, s: String): Unit
+    def exists(p: Path): Boolean
+    def isDirectory(p: Path): Boolean
+    def createDirectories(p: Path): Unit
+    def deleteIfExists(p: Path): Unit
+    def list(p: Path): Seq[Path]
+    def deleteRecursively(p: Path): Unit
+    def size(p: Path): Long
+    def mtimeMillis(p: Path): Long
+  }
+
+  /** java.nio over the local filesystem — satisfies all three contract
+    * guarantees on POSIX and on an HDFS mount.
+    */
+  object LocalFs extends Fs {
+    def createExclusive(p: Path, content: String): Unit =
+      Files.writeString(p, content,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    def atomicMove(src: Path, dst: Path): Unit =
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    def move(src: Path, dst: Path): Unit = { Files.move(src, dst); () }
+    def readString(p: Path): String = Files.readString(p)
+    def writeString(p: Path, s: String): Unit = { Files.writeString(p, s); () }
+    def exists(p: Path): Boolean = Files.exists(p)
+    def isDirectory(p: Path): Boolean = Files.isDirectory(p)
+    def createDirectories(p: Path): Unit = { Files.createDirectories(p); () }
+    def deleteIfExists(p: Path): Unit = { Files.deleteIfExists(p); () }
+    def list(p: Path): Seq[Path] =
+      if (!Files.isDirectory(p)) Nil
+      else {
+        val s = Files.list(p)
+        try s.toArray.map(_.asInstanceOf[Path]).toSeq finally s.close()
+      }
+    def deleteRecursively(p: Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+    def size(p: Path): Long = Files.size(p)
+    def mtimeMillis(p: Path): Long = Files.getLastModifiedTime(p).toMillis
+  }
+
+  @volatile private var current: Fs = LocalFs
+
+  /** Scope a different implementation (a spec's recording/degraded
+    * double, or a real object-store binding) over `body`. Test-only in
+    * this repo — the suite runs suites sequentially in one forked JVM,
+    * so the scoped swap cannot leak into a concurrent suite.
+    */
+  private[graft] def withFs[A](fs: Fs)(body: => A): A = {
+    val prev = current
+    current = fs
+    try body finally current = prev
+  }
+
   /** Contract primitive 1: atomic fail-if-exists create. */
   def createExclusive(p: Path, content: String): Unit =
-    Files.writeString(p, content,
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    current.createExclusive(p, content)
 
   /** Contract primitive 2, exclusive form: atomic rename, exactly one
     * of several concurrent movers of the same source wins; losers get
     * an IOException.
     */
-  def atomicMove(src: Path, dst: Path): Unit =
-    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  def atomicMove(src: Path, dst: Path): Unit = current.atomicMove(src, dst)
 
   /** Contract primitive 2, plain form (swap step: target absent by
     * protocol — the swap deletes it first).
     */
-  def move(src: Path, dst: Path): Unit = { Files.move(src, dst); () }
+  def move(src: Path, dst: Path): Unit = current.move(src, dst)
 
-  def readString(p: Path): String = Files.readString(p)
+  def readString(p: Path): String = current.readString(p)
 
-  def writeString(p: Path, s: String): Unit = { Files.writeString(p, s); () }
+  def writeString(p: Path, s: String): Unit = current.writeString(p, s)
 
-  def exists(p: Path): Boolean = Files.exists(p)
+  def exists(p: Path): Boolean = current.exists(p)
 
-  def isDirectory(p: Path): Boolean = Files.isDirectory(p)
+  def isDirectory(p: Path): Boolean = current.isDirectory(p)
 
-  def createDirectories(p: Path): Unit = { Files.createDirectories(p); () }
+  def createDirectories(p: Path): Unit = current.createDirectories(p)
 
-  def deleteIfExists(p: Path): Unit = { Files.deleteIfExists(p); () }
+  def deleteIfExists(p: Path): Unit = current.deleteIfExists(p)
 
   /** Child paths of a directory (empty for a non-directory). */
-  def list(p: Path): Seq[Path] =
-    if (!Files.isDirectory(p)) Nil
-    else {
-      val s = Files.list(p)
-      try s.toArray.map(_.asInstanceOf[Path]).toSeq finally s.close()
-    }
+  def list(p: Path): Seq[Path] = current.list(p)
 
-  def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
+  def deleteRecursively(p: Path): Unit = current.deleteRecursively(p)
 
-  def size(p: Path): Long = Files.size(p)
+  def size(p: Path): Long = current.size(p)
 
-  def mtimeMillis(p: Path): Long = Files.getLastModifiedTime(p).toMillis
+  def mtimeMillis(p: Path): Long = current.mtimeMillis(p)
 }
