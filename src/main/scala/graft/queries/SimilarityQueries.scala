@@ -284,11 +284,12 @@ object SimilarityQueries extends QueryPack {
     * ad-hoc and served twins; the incremental twin replays the
     * 80%-base-trained codebook via the train template.
     */
-  private def ivfPqOracleTrainedOn(train: String => String, nc: Int = 8,
+  private def ivfPqOracleTrainedOn(train: String => String,
+                                   ncSql: String = "8",
                                    ksub: Int = 8, nprobe: Int = 1,
                                    m: Int = 8, sd: Int = 8): String =
     s"""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-       |  FROM embeddings WHERE vec_id < $nc),
+       |  FROM embeddings WHERE vec_id < $ncSql),
        |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
        |  FROM embeddings e CROSS JOIN cents c),
        |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
@@ -725,6 +726,13 @@ object SimilarityQueries extends QueryPack {
       IvfPqStore.topKAt(s, IvfPqStore.ensureBuiltBig(s, dir),
         Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40,
         nprobe = IvfPqStore.BigNprobe)),
+
+    // k ∝ N executable: nCentroids = ceil(N / 50) resolved at build time
+    // and persisted — per-cell population ~constant at any corpus size.
+    "q_ann_ivfpq_auto" -> ((s, dir) =>
+      IvfPqStore.topKAt(s, IvfPqStore.ensureBuiltAuto(s, dir),
+        Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40,
+        nprobe = IvfPqStore.AutoNprobe)),
 
     // All-pairs cosine is the LABELED BASELINE cross-check for the
     // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
@@ -1249,8 +1257,19 @@ object SimilarityQueries extends QueryPack {
     // persisted params.txt.
     "q_ann_ivfpq_big" ->
       ivfPqOracleTrainedOn(id => s"$id >= ${IvfPqStore.BigNumCentroids}",
-        nc = IvfPqStore.BigNumCentroids, ksub = IvfPqStore.BigKsub,
-        nprobe = IvfPqStore.BigNprobe),
+        ncSql = IvfPqStore.BigNumCentroids.toString,
+        ksub = IvfPqStore.BigKsub, nprobe = IvfPqStore.BigNprobe),
+
+    // k-proportional-to-N twin: BOTH engines derive nCentroids from the
+    // corpus count (ceil(N / cellSize) — the q_semdedup_auto precedent),
+    // so per-cell population holds as the corpus grows without a code
+    // edit; the engine persists the RESOLVED value in params.txt.
+    "q_ann_ivfpq_auto" -> {
+      val ncSql = s"(SELECT CAST(ceil(COUNT(*) / " +
+        s"${IvfPqStore.AutoCellSize}.0) AS BIGINT) FROM embeddings)"
+      ivfPqOracleTrainedOn(id => s"$id >= $ncSql", ncSql = ncSql,
+        nprobe = IvfPqStore.AutoNprobe)
+    },
 
     "q_embedding_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

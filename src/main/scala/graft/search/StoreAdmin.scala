@@ -48,6 +48,7 @@ object StoreAdmin {
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__big",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloyd",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloydfull",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__auto",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -129,7 +130,7 @@ object StoreAdmin {
         d => graft.similarity.IvfStore.compact(spark, d))
     }
     for (suffix <- Seq("", "__incr", "__drift", "__driftfull", "__big",
-        "__lloyd", "__lloydfull")) {
+        "__lloyd", "__lloydfull", "__auto")) {
       val ivfpq = graft.similarity.IvfPqStore.defaultDir(sfDir) + suffix
       sweepFlat(ivfpq, "byid.parquet",
         d => graft.similarity.IvfPqStore.compact(spark, d))

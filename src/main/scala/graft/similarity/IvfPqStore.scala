@@ -298,6 +298,36 @@ object IvfPqStore {
   def ensureBuiltBig(spark: SparkSession, sfDir: String): String =
     ensureBuiltWith(spark, sfDir, "__big", BigNumCentroids, DefaultM, BigKsub)
 
+  /** Target per-cell population for [[ensureBuiltAuto]] — with
+    * nCentroids = ⌈N / AutoCellSize⌉ a probe reads ~AutoCellSize packed
+    * rows at ANY corpus size. [[AutoNprobe]] is the matching serve
+    * width (cells this small need >1 probe; the knob curve is SCALE.md's).
+    */
+  val AutoCellSize = 50L
+  val AutoNprobe = 2
+
+  /** k ∝ N made EXECUTABLE (the family scaladoc's scale prescription,
+    * previously prose): nCentroids = ⌈N / AutoCellSize⌉, resolved from
+    * the corpus at build time ([[Similarity.autoK]] — the
+    * `q_semdedup_auto` precedent) and persisted in params.txt like any
+    * other build choice, so per-cell population stays ~constant as the
+    * corpus grows — 10 cells at 500 vectors, 400 at 20k, 2M at 100 G
+    * rows — without a code edit. Gated by `q_ann_ivfpq_auto`, whose
+    * oracle derives the SAME count-based nCentroids in SQL.
+    */
+  def ensureBuiltAuto(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__auto"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Tables.embeddings(spark, sfDir)
+      val nc = Similarity.autoK(emb.count(), AutoCellSize)
+      buildAt(dest, emb, nc, DefaultM, DefaultKsub)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** The driver-gated lifecycle twin ([[PqStore.ensureBuiltIncremental]]'s
     * pattern): centroids + codebook train on the base (seed ids plus 80%
     * of the rest), the remainder arrives as a frozen-space appended
