@@ -946,12 +946,16 @@ object SimilarityQueries extends QueryPack {
       val truth = topPerQuery(scored)
       val cand = topPerQuery(
         scored.filter(col("__ham") <= Similarity.SrpRadius))
+      // the rank window is over the POST-AGGREGATION label table (one row
+      // per distinct label — allowlisted in PlanHealthSpec as bounded);
+      // the label-cardinality denominator is a broadcast 1-row aggregate,
+      // not a second global window
+      val nlab = emb.select(countDistinct(col("label")).as("__nlab"))
       val labStrata = emb.groupBy(col("label"))
         .agg(count(lit(1)).as("__n"))
         .withColumn("__rk", row_number().over(
           Window.orderBy(col("__n").asc, col("label").asc)))
-        .withColumn("__nlab", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
+        .crossJoin(broadcast(nlab))
         .select(col("label").as("__qlabel"),
           when(col("__rk") <= col("__nlab") / 2, lit("rare"))
             .otherwise(lit("common")).as("stratum"))
