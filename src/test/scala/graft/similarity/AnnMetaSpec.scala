@@ -95,6 +95,32 @@ class AnnMetaSpec extends SparkSpec {
       s"byte pack/unpack mangled high ordinals: $out")
   }
 
+  test("params survive the whole lifecycle at a non-default config: " +
+      "upsert and delete encode in the builder's space, compact purges " +
+      "and leaves params.txt intact") {
+    val dest = Files.createTempDirectory("graft-pq-lifecycle-params").toString
+    PqStore.buildAt(dest, base, m = 4, ksub = 4)
+    PqStore.appendBatch(spark, dest, batch)
+    // edit 35 far away from 2 — the re-encode must run at the BUILDER's
+    // m=4 (a default-m=8 encode would write 8-byte codes and desync sd)
+    val moved = Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding")
+    PqStore.upsertBatch(spark, dest, moved)
+    val allEdited = all.filter(col("vec_id") =!= 35L).unionAll(moved)
+    val top = PqStore.topKAt(spark, dest, allEdited, queryId = 2L, k = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(!top.contains(35L), s"edited-away vector still served: $top")
+    PqStore.deleteIds(spark, dest, Seq(34L))
+    PqStore.compact(spark, dest)
+    assert(AnnMeta.read(dest) == Map("m" -> 4, "ksub" -> 4),
+      "compact must leave the persisted hyperparameters intact")
+    assert(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") === 34L).count() == 0, "delete not purged")
+    val lens = spark.read.parquet(s"$dest/codes.parquet")
+      .select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(4), s"post-compact code byte-lengths under m=4: $lens")
+  }
+
   test("a pre-params store (no params.txt) cannot be probed or appended") {
     val dest = Files.createTempDirectory("graft-pq-preparams").toString
     PqStore.buildAt(dest, base, m = 4, ksub = 4)
