@@ -179,8 +179,18 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     // artifacts (deterministic train ⇒ identical codebooks/codes)
     val destFull = Files.createTempDirectory("graft-ivfpq-np").toString
     IvfPqStore.buildAt(destFull, all)
-    val servedNp = rows(IvfPqStore.topKAt(spark, destFull, all, queryId = 2L,
-      k = 5, rerank = 40, nprobe = 3).select(col("vec_id"))).sorted
+    val npProbe = IvfPqStore.topKAt(spark, destFull, all, queryId = 2L,
+      k = 5, rerank = 40, nprobe = 3)
+    // the FUSED multi-probe shape: ONE codes scan pruned by an IN-set of
+    // probe clusters (not nprobe unioned branches), candidate path
+    // exchange-free — the per-probe LUTs ride one broadcast map
+    val npPlan = npProbe.queryExecution.executedPlan.toString
+    assert(npPlan.contains("PartitionFilters: [cluster") &&
+      npPlan.contains(" IN ("),
+      s"multi-probe serve must prune ONE scan by an IN-set of clusters:\n$npPlan")
+    assert(!npPlan.contains("Union"),
+      s"multi-probe serve regressed to per-probe union branches:\n$npPlan")
+    val servedNp = rows(npProbe.select(col("vec_id"))).sorted
     val adhocNp = rows(Similarity.ivfPqTopKMultiQuery(all, "vec_id",
       "embedding", maxQid = 3, k = 5, nCentroids = 8, m = 8, ksub = 8,
       rerank = 40, nprobe = 3).filter(col("qid") === 2L)
