@@ -577,6 +577,19 @@ object SimilarityQueries extends QueryPack {
        |  JOIN qnv n ON c.qid = n.qid) WHERE rn <= 10)
        |${recallRowSql(name, "pqrv")}""".stripMargin
 
+  /** Dequantized-int8 corpus CTE (the q_embedding_quant algebra —
+    * scale = max|x|/127, x̂ = round(x/s)·s, zero-vector guard) shared by
+    * the SQ8 serve oracles: yields dq (vec_id, v raw doubles, dqv).
+    */
+  private val sq8DqCte: String =
+    """dq AS (SELECT vec_id, v,
+      |    CASE WHEN scale = 0 THEN v
+      |         ELSE list_transform(v, x -> round(x / scale) * scale) END AS dqv
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |        list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |          x -> abs(x))) / 127.0 AS scale
+      |        FROM embeddings))""".stripMargin
+
   /** SemDeDup oracle body over the `a2` assignment — shared by the
     * pinned-k and auto-k entries (same pruning, different k source).
     */
@@ -658,6 +671,15 @@ object SimilarityQueries extends QueryPack {
     "q_mmr" -> ((s, dir) =>
       Similarity.mmrSelect(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 5, poolSize = 20, lambda = 0.5)),
+
+    // SQ8 serve audit (FAISS IndexScalarQuantizer shape): candidate pass
+    // scores against dequantized-int8 vectors (asymmetric — query stays
+    // exact), exact rerank on raw floats — the q_matryoshka question
+    // asked of the 4x-smaller-scan compression; accuracy measured by
+    // q_ann_recall_sq8.
+    "q_ann_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 5, rerank = 40)),
 
     // The SERVED ANN path: identical ranking from the persisted sketch
     // store (the BM25Index / SimHashStore build-once split) — the sketch
@@ -918,6 +940,13 @@ object SimilarityQueries extends QueryPack {
           nprobe = IvfPqStore.BigNprobe),
         RecallTruth.ensureBuilt(s, dir))),
 
+    // SQ8's measured accuracy next to its peers (the round-7 rule).
+    "q_ann_recall_sq8" -> ((s, dir) =>
+      recallRow("sq8",
+        Similarity.sq8TopKMultiQuery(Tables.embeddings(s, dir), "vec_id",
+          "embedding", maxQid = 20, k = 10, rerank = 40),
+        RecallTruth.ensureBuilt(s, dir))),
+
     // PER-STRATUM recall for FILTERED search (round-13 verdict item 4):
     // the classic filtered-ANN failure is that a predicate riding the
     // sketch scan degrades recall for RARE strata — few same-stratum
@@ -1159,6 +1188,34 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY cosine DESC, e.vec_id ASC LIMIT 5""".stripMargin,
 
     "q_mmr" -> mmrOracle(k = 5, poolSize = 20, lambda = 0.5),
+
+    // SQ8 serve: dequantized-int8 candidate scores (asymmetric — raw
+    // query), exact rerank — the quantizeAudit algebra end-to-end.
+    "q_ann_sq8" ->
+      s"""WITH $sq8DqCte,
+         |q AS (SELECT v AS qv FROM dq WHERE vec_id = 0),
+         |cands AS (SELECT d.vec_id, ${cosSql("d.dqv", "q.qv")} AS approx_cosine
+         |  FROM dq d CROSS JOIN q WHERE d.vec_id <> 0
+         |  ORDER BY approx_cosine DESC, d.vec_id ASC LIMIT 40)
+         |SELECT c.vec_id, c.approx_cosine, ${cosSql("d.v", "q.qv")} AS cosine
+         |FROM cands c JOIN dq d ON c.vec_id = d.vec_id CROSS JOIN q
+         |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_ann_recall_sq8" ->
+      s"""WITH $truthCtes,
+         |$sq8DqCte,
+         |qsq AS (SELECT vec_id AS qid, v AS qv FROM dq WHERE vec_id < 20),
+         |candsq AS (SELECT qid, vec_id FROM (SELECT q.qid, d.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("d.dqv", "q.qv")} DESC, d.vec_id ASC) AS rn
+         |  FROM dq d CROSS JOIN qsq q WHERE d.vec_id <> q.qid)
+         |  WHERE rn <= 40),
+         |sqr AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY ${cosSql("d.v", "q.qv")} DESC, c.vec_id ASC) AS rn
+         |  FROM candsq c JOIN dq d ON c.vec_id = d.vec_id
+         |  JOIN qsq q ON c.qid = q.qid) WHERE rn <= 10)
+         |${recallRowSql("sq8", "sqr")}""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

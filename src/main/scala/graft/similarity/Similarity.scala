@@ -1745,6 +1745,93 @@ object Similarity {
       .limit(k)
   }
 
+  /** SQ8 ANN serve audit — the [[matryoshkaAudit]] question asked of
+    * int8 scalar quantization (FAISS IndexScalarQuantizer / SQ8, the
+    * default "4× smaller and almost as good" serving compression):
+    * would the top-k change if the CANDIDATE pass scored against
+    * dequantized int8 vectors (x̂ = round(x/s)·s, s = max|x|/127 — the
+    * exact [[quantizeAudit]] algebra, whose oracle parity is already
+    * gated) instead of fp32? Asymmetric distance, the standard SQ
+    * deployment: corpus quantized, query kept exact. Candidates =
+    * top-`rerank` by round-6 cosine(q, x̂); exact rerank on raw vectors
+    * as always, so SQ8 can only lose candidates, never mis-rank kept
+    * ones. Returns (idCol, approx_cosine, cosine).
+    *
+    * Scale story: in-plan dequantization measures the ACCURACY of the
+    * decision; the byte savings land when the int8 codes + scale are
+    * PERSISTED ([[PqStore]]'s packed-artifact template — the candidate
+    * scan then reads d bytes + 8 per vector instead of 4d). The
+    * `q_ann_recall_sq8` row is the measurement that says whether the
+    * 4× cheaper scan costs recall on this corpus.
+    */
+  def sq8TopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, rerank: Int = 40): DataFrame = {
+    require(rerank >= k, "sq8TopK: rerank must be >= k")
+    val dq = sq8Dequant(embeddings, idCol, vecCol)
+    val qn = dq.filter(col("vid") === queryId)
+      .select(col("v").as("qv"))
+    val cands = dq.filter(col("vid") =!= queryId)
+      .crossJoin(broadcast(qn))
+      .select(col("vid"), col("v"),
+        round(expr("aggregate(zip_with(__dq, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(__dq, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6)
+          .as("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col("vid").asc)
+      .limit(rerank)
+    cands.crossJoin(broadcast(qn))
+      .select(col("vid").as(idCol), col("approx_cosine"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Multi-query face of [[sq8TopK]] for the recall audit. Returns
+    * (qid, vec_id).
+    */
+  def sq8TopKMultiQuery(embeddings: DataFrame, idCol: String, vecCol: String,
+                        maxQid: Long, k: Int, rerank: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dq = sq8Dequant(embeddings, idCol, vecCol)
+    val qs = dq.filter(col("vid") < maxQid)
+      .select(col("vid").as("qid"), col("v").as("qv"))
+    val cands = dq.crossJoin(broadcast(qs))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), col("v"),
+        round(expr("aggregate(zip_with(__dq, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(__dq, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6)
+          .as("approx_cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("approx_cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= rerank)
+    cands.join(broadcast(qs), "qid")
+      .select(col("qid"), col("vid"),
+        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vid").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("vid").as("vec_id"))
+  }
+
+  /** (vid, v raw doubles, __dq dequantized-int8 doubles) — the
+    * [[quantizeAudit]] algebra factored for the SQ8 serve twins; the
+    * all-zero vector dequantizes to itself (scale-0 guard).
+    */
+  private def sq8Dequant(embeddings: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val dq = when(scale === 0.0, v)
+      .otherwise(transform(v, x => round(x / scale) * scale))
+    embeddings.select(col(idCol).cast("long").as("vid"), v.as("v"),
+      dq.as("__dq"))
+  }
+
   /** Symmetric int8 quantization audit — the serving-side compression
     * every large vector store applies (scale = max|x|/127, q = round(x/s),
     * dequant x̂ = q·s), reported as per-vector reconstruction error so a
