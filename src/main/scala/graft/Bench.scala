@@ -114,28 +114,44 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},$loadJson,"sf":"$sfDir"}"""
     // failures (-1.0) first so they are never silently omitted, then slowest
     val ranked = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
-    val budgetBytes = 1400
-    // STRICT prefix of the ranking: stop at the first entry that overflows
-    // the budget, so the emitted map is exactly "the N slowest" — skipping
-    // one long-named slow query while admitting shorter fast ones after it
-    // would misrepresent the omitted remainder as uniformly fast.
-    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var used = 0
-    var full = false
-    ranked.foreach { kv =>
-      val len = entry(kv).length + 1
-      if (!full && used + len <= budgetBytes) { kept += kv; used += len }
-      else full = true
+    // the WHOLE stdout line must fit the driver's ~2 KB tail window —
+    // round 14's line was front-truncated (total lost, parsed:null)
+    // because only the queries map was budgeted while the noisy NAME
+    // LIST grew with the suite. So: cap the noisy list to a strict
+    // prefix of its own small budget (the full list is in
+    // BENCH_LOCAL.json; noisy_n records how many there really are),
+    // then give the queries map whatever the line budget leaves over.
+    val lineBudget = 1800
+    // strict prefix: stop at the FIRST overflow, so the kept set is
+    // exactly "the first N" — skipping one long item while admitting
+    // later short ones would misrepresent what was omitted
+    def strictPrefix[A](items: Seq[A], budget: Int, len: A => Int): Seq[A] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[A]
+      var used = 0
+      var full = false
+      items.foreach { it =>
+        if (!full && used + len(it) + 1 <= budget) { kept += it; used += len(it) + 1 }
+        else full = true
+      }
+      kept.toSeq
     }
-    val omitted = results.size - kept.size
-    val omittedSec = total - kept.map(_._2).filter(_ >= 0).sum
-    val qs = kept.map(entry).mkString("{", ",", "}")
+    val noisyKept = strictPrefix[String](noisy, 220, _.length + 2)
+    val noisyJson = noisyKept.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the full-map pointer is only valid when this run actually (re)writes
     // the file — a filtered run would point at a stale previous full map
     val fullRef =
       if (only.isEmpty) """"queries_full":"BENCH_LOCAL.json",""" else ""
-    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"noisy":$noisyJson,$fullRef$loadJson,"sf":"$sfDir"}"""
+    def lineWith(qs: String, omitted: Int, omittedSec: Double): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"noisy":$noisyJson,"noisy_n":${noisy.size},$fullRef$loadJson,"sf":"$sfDir"}"""
+    // queries budget = what the rest of the line leaves over (measured,
+    // not guessed — name lengths and the noisy list vary per round)
+    val budgetBytes = lineBudget - lineWith("{}", results.size, total).length
+    val kept = strictPrefix[(String, Double)](ranked, budgetBytes,
+      kv => entry(kv).length)
+    val omitted = results.size - kept.size
+    val omittedSec = total - kept.map(_._2).filter(_ >= 0).sum
+    val qs = kept.map(entry).mkString("{", ",", "}")
+    val line = lineWith(qs, omitted, omittedSec)
     // Redundant copy on disk in case stdout parsing fails again —
     // best-effort only (a backup-path IO failure must never suppress the
     // primary stdout line), and skipped for filtered runs whose partial

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.similarity.{IvfPqStore, IvfStore, PqStore, RecallTruth, Similarity, SrpStore}
+import graft.similarity.{AnnMeta, IvfPqStore, IvfStore, PqStore, RecallTruth, Similarity, SrpStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -287,7 +287,8 @@ object SimilarityQueries extends QueryPack {
   private def ivfPqOracleTrainedOn(train: String => String,
                                    ncSql: String = "8",
                                    ksub: Int = 8, nprobe: Int = 1,
-                                   m: Int = 8, sd: Int = 8): String =
+                                   m: Int = 8, sd: Int = 8,
+                                   nprobeSql: Option[String] = None): String =
     s"""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
        |  FROM embeddings WHERE vec_id < $ncSql),
        |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
@@ -304,7 +305,7 @@ object SimilarityQueries extends QueryPack {
        |embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qc AS (SELECT cid AS cluster FROM (SELECT cid,
        |    row_number() OVER (ORDER BY s DESC, cid ASC) AS rn
-       |  FROM csim WHERE vec_id = 0) WHERE rn <= $nprobe),
+       |  FROM csim WHERE vec_id = 0) WHERE rn <= ${nprobeSql.getOrElse(nprobe.toString)}),
        |csl AS (SELECT qc.cluster, ss.s, c.cv[ss.s*$sd+1:ss.s*$sd+$sd] AS csv
        |  FROM cents c JOIN qc ON c.cid = qc.cluster
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
@@ -751,10 +752,18 @@ object SimilarityQueries extends QueryPack {
 
     // k ∝ N executable: nCentroids = ceil(N / 50) resolved at build time
     // and persisted — per-cell population ~constant at any corpus size.
-    "q_ann_ivfpq_auto" -> ((s, dir) =>
-      IvfPqStore.topKAt(s, IvfPqStore.ensureBuiltAuto(s, dir),
-        Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40,
-        nprobe = IvfPqStore.AutoNprobe)),
+    "q_ann_ivfpq_auto" -> ((s, dir) => {
+      val dest = IvfPqStore.ensureBuiltAuto(s, dir)
+      // serve width clamped to the persisted store's own cell count: a
+      // corpus with N <= AutoCellSize builds ONE cell, where a fixed
+      // nprobe=2 would fail topKAt's nprobe <= nCentroids contract —
+      // the clamp reads the store's persisted choice, oracle mirrors
+      // with LEAST(AutoNprobe, nc)
+      val nprobe = math.min(IvfPqStore.AutoNprobe,
+        AnnMeta.readKey(dest, "nCentroids"))
+      IvfPqStore.topKAt(s, dest, Tables.embeddings(s, dir), queryId = 0L,
+        k = 5, rerank = 40, nprobe = nprobe)
+    }),
 
     // All-pairs cosine is the LABELED BASELINE cross-check for the
     // bucketed row; its input is CAPPED (vec_id < 500) so the crossJoin
@@ -1329,7 +1338,7 @@ object SimilarityQueries extends QueryPack {
       val ncSql = s"(SELECT CAST(ceil(COUNT(*) / " +
         s"${IvfPqStore.AutoCellSize}.0) AS BIGINT) FROM embeddings)"
       ivfPqOracleTrainedOn(id => s"$id >= $ncSql", ncSql = ncSql,
-        nprobe = IvfPqStore.AutoNprobe)
+        nprobeSql = Some(s"LEAST(${IvfPqStore.AutoNprobe}, $ncSql)"))
     },
 
     "q_embedding_quant" ->

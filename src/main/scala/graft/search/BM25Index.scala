@@ -70,7 +70,7 @@ object BM25Index {
     // a rebuild starts from a clean delete state: stale tombstones would
     // exclude rebuilt docs whose upsert segments no longer exist
     deleteRecursively(Paths.get(dest, "_tombstones"))
-    Files.deleteIfExists(Paths.get(dest, "_gen.txt"))
+    graft.util.StoreFs.deleteIfExists(Paths.get(dest, "_gen.txt"))
     // positional postings (Lucene stores positions alongside tf the same
     // way): tf and the sorted position list come out of ONE aggregation
     // over the positional token stream, so adding positions costs no extra
@@ -146,8 +146,8 @@ object BM25Index {
     */
   def upsertSegment(docs: DataFrame, idCol: String, textCol: String,
                     dest: String, name: String): Unit = {
-    // trim-nonEmpty: NoPart (a single space) must never be a legal
-    // segment name, or a delete tombstone could exempt a real segment
+    // trim-nonEmpty: a blank name could collide with a real segment on
+    // sloppy input (NoPart itself is the unmatchable NUL sentinel below)
     require(name.trim.nonEmpty, "upsert segment needs a non-blank name")
     StoreLock.withLock(dest, "append") {
       writeTombstones(docs.select(col(idCol).cast("string").as("__id")),
@@ -177,11 +177,14 @@ object BM25Index {
 
   private def writeTombstones(ids: DataFrame, dest: String,
                               exceptPart: String): Unit = {
+    // generation-counter IO rides the StoreFs seam (safe under the
+    // store lock every writer holds)
     val gen = {
       val f = Paths.get(dest, "_gen.txt")
-      val g = (if (Files.exists(f)) Files.readString(f).trim.toLong else 0L) + 1
-      Files.createDirectories(f.getParent)
-      Files.writeString(f, g.toString)
+      val g = (if (graft.util.StoreFs.exists(f))
+        graft.util.StoreFs.readString(f).trim.toLong else 0L) + 1
+      graft.util.StoreFs.createDirectories(f.getParent)
+      graft.util.StoreFs.writeString(f, g.toString)
       g
     }
     ids.select(col(ids.columns.head).cast("string").as("__id")).distinct()

@@ -760,20 +760,23 @@ object ServingStores {
       case None => spark.read.parquet(dest)
     }
 
+  // metadata files ride the StoreFs seam (read-after-write visibility
+  // is contract primitive 3) — an object-store binding inherits every
+  // _schema/_buckets/_gen/_idcol read-write without a call-site hunt
   private def writeMeta(dest: String, buckets: Int, schema: StructType): Unit = {
-    Files.createDirectories(Paths.get(dest))
-    Files.writeString(Paths.get(dest, "_schema.json"), schema.json)
+    StoreFs.createDirectories(Paths.get(dest))
+    StoreFs.writeString(Paths.get(dest, "_schema.json"), schema.json)
     // _buckets.txt LAST: it is the store's serve sentinel
-    Files.writeString(Paths.get(dest, "_buckets.txt"), buckets.toString)
+    StoreFs.writeString(Paths.get(dest, "_buckets.txt"), buckets.toString)
   }
 
   private def readBuckets(dest: String): Int =
-    Files.readString(Paths.get(dest, "_buckets.txt")).trim.toInt
+    StoreFs.readString(Paths.get(dest, "_buckets.txt")).trim.toInt
 
   private def readSchema(dest: String): Option[StructType] = {
     val f = Paths.get(dest, "_schema.json")
-    if (Files.exists(f))
-      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+    if (StoreFs.exists(f))
+      Some(org.apache.spark.sql.types.DataType.fromJson(StoreFs.readString(f))
         .asInstanceOf[StructType])
     else None
   }
@@ -789,30 +792,30 @@ object ServingStores {
 
   private def readGen(dest: String): Long = {
     val f = Paths.get(dest, "_gen.txt")
-    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    if (StoreFs.exists(f)) StoreFs.readString(f).trim.toLong else 0L
   }
 
   private def writeGen(dest: String, gen: Long): Unit =
-    Files.writeString(Paths.get(dest, "_gen.txt"), gen.toString)
+    StoreFs.writeString(Paths.get(dest, "_gen.txt"), gen.toString)
 
   /** The row-identity column tombstones key on — persisted at first
     * upsert/delete; later ones must agree (a store has ONE identity).
     */
   private def writeIdCol(dest: String, idCol: String): Unit = {
     val f = Paths.get(dest, "_idcol.txt")
-    if (Files.exists(f)) {
-      val prev = Files.readString(f).trim
+    if (StoreFs.exists(f)) {
+      val prev = StoreFs.readString(f).trim
       require(prev == idCol,
         s"store at $dest tombstones on '$prev'; cannot upsert by '$idCol'")
-    } else Files.writeString(f, idCol)
+    } else StoreFs.writeString(f, idCol)
   }
 
   private def readIdCol(dest: String): String =
-    Files.readString(Paths.get(dest, "_idcol.txt")).trim
+    StoreFs.readString(Paths.get(dest, "_idcol.txt")).trim
 
   private def readIdColOpt(dest: String): Option[String] = {
     val f = Paths.get(dest, "_idcol.txt")
-    if (Files.exists(f)) Some(Files.readString(f).trim) else None
+    if (StoreFs.exists(f)) Some(StoreFs.readString(f).trim) else None
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -1,6 +1,8 @@
 package graft.similarity
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
+
+import graft.util.StoreFs
 
 /** Persisted ANN-store build hyperparameters — `params.txt` (one
   * `key=value` integer per line) written by every store's `buildAt`
@@ -28,22 +30,31 @@ object AnnMeta {
 
   val File = "params.txt"
 
+  // metadata IO rides the [[StoreFs]] seam, like every other store
+  // metadata file (_gen/_buckets/_schema)
   def write(dest: String, kv: (String, Int)*): Unit = {
-    Files.createDirectories(Paths.get(dest))
-    Files.writeString(Paths.get(dest, File),
+    StoreFs.createDirectories(Paths.get(dest))
+    StoreFs.writeString(Paths.get(dest, File),
       kv.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
   }
 
   def read(dest: String): Map[String, Int] = {
     val p = Paths.get(dest, File)
-    require(Files.exists(p),
+    require(StoreFs.exists(p),
       s"ANN store at $dest has no ${File} — built before the persisted-" +
         "hyperparameter contract (or the file was lost); rebuild the store")
-    Files.readString(p).linesIterator
+    StoreFs.readString(p).linesIterator
       .map(_.trim).filter(_.nonEmpty)
       .map { line =>
-        val Array(k, v) = line.split("=", 2)
-        k -> v.toInt
+        // guarded parse: a malformed line names the store and the line,
+        // like the missing-file/missing-key errors — never an opaque
+        // MatchError/NumberFormatException without the path context
+        line.split("=", 2) match {
+          case Array(k, v) if v.toIntOption.isDefined => k -> v.toInt
+          case _ => throw new IllegalArgumentException(
+            s"ANN store at $dest: malformed ${File} line '$line' " +
+              "(expected key=<int>) — corrupt metadata; rebuild the store")
+        }
       }.toMap
   }
 

@@ -1,6 +1,6 @@
 package graft.util
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
@@ -31,27 +31,23 @@ object Tombstones {
     StructField("__id", keyType), StructField("__gen", LongType)))
 
   def has(dest: String): Boolean =
-    Files.isDirectory(Paths.get(dest, Dir))
+    StoreFs.isDirectory(Paths.get(dest, Dir))
 
   def clear(dest: String): Unit = {
-    val p = Paths.get(dest, Dir)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
-    Files.deleteIfExists(Paths.get(dest, "_gen.txt"))
+    StoreFs.deleteRecursively(Paths.get(dest, Dir))
+    StoreFs.deleteIfExists(Paths.get(dest, "_gen.txt"))
   }
 
   /** Monotonic store generation (single-writer contract, like the
-    * serving layouts').
+    * serving layouts'). Metadata IO rides the [[StoreFs]] seam — the
+    * read-inc-write is safe under the store lock every writer holds,
+    * and an object-store binding inherits it without a call-site hunt.
     */
   def nextGen(dest: String): Long = {
     val f = Paths.get(dest, "_gen.txt")
-    val g = (if (Files.exists(f)) Files.readString(f).trim.toLong else 0L) + 1
-    Files.createDirectories(f.getParent)
-    Files.writeString(f, g.toString)
+    val g = (if (StoreFs.exists(f)) StoreFs.readString(f).trim.toLong else 0L) + 1
+    StoreFs.createDirectories(f.getParent)
+    StoreFs.writeString(f, g.toString)
     g
   }
 
