@@ -191,11 +191,15 @@ object StoreAdmin {
   /** Distinct parquet write jobs that contributed files to `dir` — the
     * fragmentation signal [[maintain]] folds on: Spark names every data
     * file `part-NNNNN-<job uuid>-…`, so distinct UUIDs count appends
-    * since the last fold, independent of write parallelism.
+    * since the last fold, independent of write parallelism. Walks
+    * RECURSIVELY so partitioned tables (the bucketed byid forward
+    * tables, cluster-partitioned vectors/codes) count the same way flat
+    * ones do — a flat listing would read a partitioned store as
+    * permanently unfragmented and silently kill its sweep.
     */
   private def writeGenerations(dir: Path): Int = {
     val re = "part-\\d+-([0-9a-f-]{36})".r
-    val s = Files.list(dir)
+    val s = Files.walk(dir)
     try s.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))

@@ -26,9 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     raw vectors — the reason IVFADC beats flat PQ at equal bits).
   *   - `codes.parquet`, PARTITIONED BY cluster: one `(vid, code)` row per
   *     vector, `code` = m packed ordinal bytes ([[PqStore]]'s layout).
-  *   - `byid.parquet` (vid, cluster) forward table sorted by vid — the
-  *     query's probe cluster resolves via a row-group-pruned point read
-  *     and becomes the partition-pruning literal.
+  *   - `byid.parquet` (vid, cluster) forward table, BUCKETED by vid
+  *     range (width persisted in [[AnnMeta]]) and sorted by vid within
+  *     each bucket — the query's probe cluster resolves via a point
+  *     read pruned to one bucket directory + its row groups, and
+  *     becomes the partition-pruning literal. Bucketing (the
+  *     [[IvfStore]] forward-table layout) keeps the byid write
+  *     parallel at every build AND compact: at the design point
+  *     (3×10^10 vectors ⇒ ~700 GB of byid) a single-file layout would
+  *     serialize that table through one task.
   *
   * Serving reuses the flat-PQ machinery VERBATIM through the shifted
   * codebook cv′ = c_s + cv ([[Similarity.shiftCodebook]]): subspaces
@@ -77,12 +83,17 @@ object IvfPqStore {
   val BigKsub = 256
   val BigNprobe = 4
 
+  /** Forward-table bucket count ([[IvfStore.DefaultByidBuckets]]'s
+    * contract: a build parameter persisted in params.txt, ∝ N at scale).
+    */
+  val DefaultByidBuckets = 16
+
   def defaultDir(sfDir: String): String = {
-    // v3: hyperparameters persisted in params.txt. (v2 fixed v1's
-    // degenerate residual seeding; both pre-params layouts are orphaned
-    // by the bump and rebuilt with metadata.)
+    // v4: byid bucketed by vid range (v3's single-file forward table
+    // serialized through one task per build/compact; all earlier
+    // layouts are orphaned by the bump and rebuilt)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivfpq-store-v3")
+      s"${sys.props("user.dir")}/target/ivfpq-store-v4")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -94,10 +105,15 @@ object IvfPqStore {
       .sortWithinPartitions(col("cluster"), col("vid"))
       .write.mode(mode).partitionBy("cluster").parquet(path)
 
-  private def writeById(assigned: DataFrame, path: String, mode: String): Unit =
+  // bucket derived from vid at every write (never read back), so a
+  // compact can never persist a stale bucket mapping
+  private def writeById(assigned: DataFrame, path: String, mode: String,
+                        width: Int): Unit =
     assigned.select(col("vid"), col("cluster"), col("__gen"))
-      .coalesce(1).sortWithinPartitions(col("vid"))
-      .write.mode(mode).parquet(path)
+      .withColumn("bucket", expr(s"vid DIV $width"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("vid"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Materialize centroids + residual codebook + packed cluster-partitioned
     * codes at `dest` — [[ensureBuilt]] wraps with the staleness stamp.
@@ -110,7 +126,11 @@ object IvfPqStore {
               ksub: Int = DefaultKsub): Unit = {
     require(ksub <= 256, s"buildAt: ksub=$ksub exceeds the packed " +
       "byte-per-subspace layout's 256-ordinal ceiling")
-    AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub)
+    val width = IvfStore.byidWidth(
+      embeddings.agg(max(col("vec_id").cast("long"))).head().getLong(0),
+      DefaultByidBuckets)
+    AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub,
+      "byidBuckets" -> DefaultByidBuckets, "byidWidth" -> width)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
         nCentroids)
@@ -139,7 +159,11 @@ object IvfPqStore {
     val centsCached = cents.select(col("cid").cast("long").as("cid"),
       col("cv")).cache()
     val nCentroids = centsCached.count().toInt
-    AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub)
+    val width = IvfStore.byidWidth(
+      embeddings.agg(max(col("vec_id").cast("long"))).head().getLong(0),
+      DefaultByidBuckets)
+    AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub,
+      "byidBuckets" -> DefaultByidBuckets, "byidWidth" -> width)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.assignToCentroids(embeddings, "vec_id",
         "embedding", centsCached)
@@ -166,7 +190,8 @@ object IvfPqStore {
       .withColumn("__gen", lit(0L))
     writeCodes(Similarity.pqPack(codes, cbOrd).join(byCluster, "vid"),
       s"$dest/codes.parquet", "overwrite")
-    writeById(byCluster, s"$dest/byid.parquet", "overwrite")
+    writeById(byCluster, s"$dest/byid.parquet", "overwrite",
+      AnnMeta.readKey(dest, "byidWidth"))
   }
 
   /** Append a NEW batch: frozen-centroid coarse assignment + frozen-
@@ -227,7 +252,8 @@ object IvfPqStore {
         codebook)
         .join(byCluster, "vid"),
       s"$dest/codes.parquet", "append")
-    writeById(byCluster, s"$dest/byid.parquet", "append")
+    writeById(byCluster, s"$dest/byid.parquet", "append",
+      AnnMeta.readKey(dest, "byidWidth"))
   }
 
   private def liveCodes(spark: SparkSession, dest: String): DataFrame =
@@ -253,9 +279,10 @@ object IvfPqStore {
       // are at generation 0 — a crash between swap and clear would leave
       // gen >= 1 tombstones anti-joining live rows away; stampless-on-
       // crash forces a rebuild instead)
+      val width = AnnMeta.readKey(dest, "byidWidth")
       AtomicRewrite.rewriteMany(dest, Seq(
         s"$dest/codes.parquet" -> (tmp => writeCodes(codes, tmp, "overwrite")),
-        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))),
+        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite", width))),
         inTxn = () => graft.util.Tombstones.clear(dest))
     }
 
@@ -504,8 +531,13 @@ object IvfPqStore {
       if (nprobe == 1) {
         // the point read can miss (id never indexed, or deleted and
         // tombstoned) — name the contract instead of an opaque
-        // NoSuchElementException from head()
-        val hit = liveById(spark, dest).filter(col("vid") === queryId)
+        // NoSuchElementException from head(). Pruned to one bucket
+        // directory (bucket = vid DIV width is a literal), then to row
+        // groups via the within-bucket vid sort.
+        val width = meta("byidWidth")
+        val hit = liveById(spark, dest)
+          .filter(col("bucket") === lit(queryId / width) &&
+            col("vid") === queryId)
           .collect().headOption
         require(hit.nonEmpty,
           s"topKAt: query id $queryId is not live in store $dest " +

@@ -9,7 +9,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * build-once serving family ([[graft.search.BM25Index]] for keyword
   * search, [[SrpStore]] for sketch-filtered ANN, `SimHashStore` for
   * near-dup): vectors are written ONCE, directory-partitioned by their
-  * IVF cluster, plus a tiny (vec_id, cluster) forward table sorted by id.
+  * IVF cluster, plus a (vec_id, cluster) forward table BUCKETED by
+  * vid range and sorted by id within each bucket.
+  *
+  * The forward table is small RELATIVE to the vectors (~24 B/row vs 4d B)
+  * but not small in absolute terms at the family's design point (3×10^10
+  * vectors ⇒ ~700 GB), so it is never funneled through one task: the
+  * build writes `byidBuckets` range buckets in parallel (width =
+  * ⌈(maxVid+1)/buckets⌉, persisted in [[AnnMeta]] so appends and point
+  * reads can never disagree with the build), and the probe's point read
+  * prunes to ONE bucket directory at planning time (`bucket = vid DIV
+  * width` is a literal) and then to row groups via the within-bucket
+  * sort — the [[graft.layout.BucketStore]] / ServingStores precedent.
+  * Appended vids beyond the build's range simply land in new bucket
+  * directories (floor division needs no upper bound); a builder sizes
+  * `byidBuckets` ∝ N exactly like nCentroids.
   *
   * This is the layout the IVF recall/cost contract actually wants at
   * 100 TB: a query resolves its probe cluster(s) from the forward table
@@ -48,17 +62,39 @@ object IvfStore {
     */
   val DefaultNumCentroids = 8
 
+  /** Default forward-table bucket count — like nCentroids, a BUILD
+    * parameter persisted in params.txt (a 100-TB build passes
+    * buckets ∝ N to hold per-bucket size; the default keeps small-SF
+    * builds wide enough to exercise the parallel write + pruned read).
+    */
+  val DefaultByidBuckets = 16
+
   def defaultDir(sfDir: String): String = {
-    // v2: hyperparameters persisted in params.txt (the pre-params v1
-    // layout is orphaned by the bump and rebuilt with metadata)
+    // v3: byid bucketed by vid range (v2's single-file layout serialized
+    // the whole forward table through one task per build/compact; both
+    // earlier layouts are orphaned by the bump and rebuilt)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivf-store-v2")
+      s"${sys.props("user.dir")}/target/ivf-store-v3")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+  }
+
+  /** Range-bucket width from a corpus' max id: floor division vid DIV
+    * width sends ~equal vid ranges to each of `buckets` directories.
+    * Persisted (AnnMeta) because every append and point read must use
+    * the BUILD's width — a disagreeing reader would prune to the wrong
+    * bucket and miss a live row.
+    */
+  private[similarity] def byidWidth(maxVid: Long, buckets: Int): Int = {
+    val w = (maxVid + buckets) / buckets // = ceil((maxVid+1)/buckets), >= 1
+    require(w <= Int.MaxValue,
+      s"byid bucket width $w overflows params.txt's int — raise byidBuckets")
+    w.toInt
   }
 
   // cluster leads the sort so the dynamic-partition writer's required
   // ordering is pre-satisfied (no unstable re-sort that could lose the
-  // within-file vec_id order — the ServingStores writeLayout argument)
+  // within-file vec_id order — the ServingStores writeLayout argument).
+  // Write parallelism is O(partition values), never one task.
   private def writeVectors(assigned: DataFrame, path: String,
                            mode: String): Unit =
     assigned.select(col("vec_id"), col("embedding"), col("__gen"), col("cluster"))
@@ -66,25 +102,37 @@ object IvfStore {
       .sortWithinPartitions(col("cluster"), col("vec_id"))
       .write.mode(mode).partitionBy("cluster").parquet(path)
 
+  // bucket leads the sort for the same reason cluster does above; the
+  // bucket column is DERIVED here from vid every time (never read back),
+  // so a compact can never persist a stale mapping
   private def writeById(assigned: DataFrame, path: String,
-                        mode: String): Unit =
+                        mode: String, width: Int): Unit =
     assigned.select(col("vec_id"), col("cluster"), col("__gen"))
-      .coalesce(1).sortWithinPartitions(col("vec_id"))
-      .write.mode(mode).parquet(path)
+      .withColumn("bucket", expr(s"vec_id DIV $width"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("vec_id"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Materialize the cluster-partitioned layout at `dest` — the
     * dest-level build [[ensureBuilt]] wraps with the staleness stamp.
     * Rows at generation 0; stale tombstones cleared.
     */
   def buildAt(dest: String, embeddings: DataFrame,
-              nCentroids: Int = DefaultNumCentroids): Unit = {
-    AnnMeta.write(dest, "nCentroids" -> nCentroids)
+              nCentroids: Int = DefaultNumCentroids,
+              byidBuckets: Int = DefaultByidBuckets): Unit = {
+    // one column-pruned scan for the id range (parquet max stats); at
+    // build time, next to the assignment pass, this is noise
+    val maxVid = embeddings.agg(max(col("vec_id").cast("long"))).head()
+      .getLong(0)
+    val width = byidWidth(maxVid, byidBuckets)
+    AnnMeta.write(dest, "nCentroids" -> nCentroids,
+      "byidBuckets" -> byidBuckets, "byidWidth" -> width)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
         nCentroids)
       .withColumn("__gen", lit(0L))
     writeVectors(assigned, s"$dest/vectors.parquet", "overwrite")
-    writeById(assigned, s"$dest/byid.parquet", "overwrite")
+    writeById(assigned, s"$dest/byid.parquet", "overwrite", width)
   }
 
   /** Append a NEW batch assigned against the store's frozen centroids.
@@ -141,7 +189,8 @@ object IvfStore {
         cents)
       .withColumn("__gen", lit(gen))
     writeVectors(assigned, s"$dest/vectors.parquet", "append")
-    writeById(assigned, s"$dest/byid.parquet", "append")
+    writeById(assigned, s"$dest/byid.parquet", "append",
+      AnnMeta.readKey(dest, "byidWidth"))
   }
 
   private def liveVectors(spark: SparkSession, dest: String): DataFrame =
@@ -166,9 +215,10 @@ object IvfStore {
       // are at generation 0 — a crash between swap and clear would leave
       // gen >= 1 tombstones anti-joining live rows away; stampless-on-
       // crash forces a rebuild instead)
+      val width = AnnMeta.readKey(dest, "byidWidth")
       AtomicRewrite.rewriteMany(dest, Seq(
         s"$dest/vectors.parquet" -> (tmp => writeVectors(vectors, tmp, "overwrite")),
-        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite"))),
+        s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite", width))),
         inTxn = () => graft.util.Tombstones.clear(dest))
     }
 
@@ -210,9 +260,13 @@ object IvfStore {
              k: Int): DataFrame = {
     GraftFunctions.register(spark)
     // serving-boundary point read: the query's cluster id, needed as a
-    // literal so the partition filter prunes at planning time
+    // literal so the partition filter prunes at planning time. The read
+    // itself prunes to ONE bucket directory (bucket = vid DIV width is
+    // a literal) and then to row groups via the within-bucket vid sort.
+    val width = AnnMeta.readKey(dest, "byidWidth")
     val qCluster = liveById(spark, dest)
-      .filter(col("vec_id") === queryId)
+      .filter(col("bucket") === lit(queryId / width) &&
+        col("vec_id") === queryId)
       .head().getAs[Number]("cluster").longValue()
     val qv = liveVectors(spark, dest)
       .filter(col("cluster") === qCluster && col("vec_id") === queryId)

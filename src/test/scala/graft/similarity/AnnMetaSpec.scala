@@ -43,6 +43,16 @@ class AnnMetaSpec extends SparkSpec {
     val mixed = intercept[IllegalArgumentException](
       AnnMeta.readKey(dest, "nprobe"))
     assert(mixed.getMessage.contains("nprobe"))
+    // a malformed line names the store and the line (never an opaque
+    // MatchError / NumberFormatException without the path context)
+    val corrupt = Files.createTempDirectory("graft-annmeta-corrupt").toString
+    Files.createDirectories(Paths.get(corrupt))
+    Files.writeString(Paths.get(corrupt, AnnMeta.File), "nCentroids=8\nm\n")
+    val bad = intercept[IllegalArgumentException](AnnMeta.read(corrupt))
+    assert(bad.getMessage.contains(corrupt) && bad.getMessage.contains("'m'"))
+    Files.writeString(Paths.get(corrupt, AnnMeta.File), "ksub=many\n")
+    val nonInt = intercept[IllegalArgumentException](AnnMeta.read(corrupt))
+    assert(nonInt.getMessage.contains("ksub=many"))
   }
 
   test("PqStore: append and probe follow the BUILDER's params (m=4 on a " +
@@ -70,7 +80,11 @@ class AnnMetaSpec extends SparkSpec {
     val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
       k = 3, iters = 2)
     IvfPqStore.buildAtWithCents(dest, base, cents, m = 4, ksub = 4)
-    assert(AnnMeta.read(dest) == Map("nCentroids" -> 3, "m" -> 4, "ksub" -> 4))
+    val meta = AnnMeta.read(dest)
+    assert(meta("nCentroids") == 3 && meta("m") == 4 && meta("ksub") == 4)
+    // the byid bucket width is index identity too — persisted with the
+    // rest so appends and point reads can never disagree with the build
+    assert(meta.contains("byidWidth") && meta.contains("byidBuckets"))
     // append assigns against the PERSISTED Lloyd centroids (no seed-id
     // aliasing — no data row is a centroid here) and the near-dup serves
     IvfPqStore.appendBatch(spark, dest, batch)
