@@ -49,6 +49,7 @@ object StoreAdmin {
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloyd",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloydfull",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__auto",
+    graft.similarity.Sq8Store.defaultDir(sfDir),
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -140,6 +141,8 @@ object StoreAdmin {
       sweepFlat(pq, "codes.parquet",
         d => graft.similarity.PqStore.compact(spark, d))
     }
+    sweepFlat(graft.similarity.Sq8Store.defaultDir(sfDir), "codes.parquet",
+      d => graft.similarity.Sq8Store.compact(spark, d))
     // the BASE index only: the __incr twin's identity IS "base + open
     // segment" (its ensure re-checks the segments dir and would rebuild
     // from scratch every time a sweep folded it — q_keyword_bm25_incr

@@ -32,6 +32,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_ivfpq_big",       // IvfPqStore non-toy config (nc=64, ksub=256)
     "q_ann_drift_lloyd",     // IvfPqStore Lloyd-coarse drift twins
     "q_ann_ivfpq_auto",      // IvfPqStore k-proportional-to-N config
+    "q_ann_sq8_served",      // Sq8Store (packed int8 + scale)
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout

@@ -261,6 +261,54 @@ class AnnStoreLifecycleSpec extends SparkSpec {
       "deleted id must leave the forward table at compact")
   }
 
+  test("Sq8Store: per-row int8 codes — append ≡ full rebuild exactly, " +
+      "served ranking equals the in-plan audit, d+8-byte rows, " +
+      "compact/upsert/delete") {
+    val dest = Files.createTempDirectory("graft-sq8-life").toString
+    val full = Files.createTempDirectory("graft-sq8-full").toString
+    Sq8Store.buildAt(dest, base)
+    Sq8Store.appendBatch(spark, dest, batch)
+    Sq8Store.buildAt(full, all)
+    // per-row encode: the appended store equals a rebuild value-for-value
+    def codes(d: String) = rows(spark.read.parquet(s"$d/codes.parquet")
+      .select(col("vid"), hex(col("code")), col("scale"))).sorted
+    assert(codes(dest) == codes(full),
+      "appended SQ8 codes must equal a full rebuild (no trained state)")
+    // the byte contract the store exists for: d int8 codes + one fp64
+    // scale per vector (vs 4d raw float bytes on the scan)
+    val lens = spark.read.parquet(s"$dest/codes.parquet")
+      .select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(16), s"code byte-lengths (d=16 fixture): $lens")
+    // served ranking ≡ the in-plan dequantization audit, bit-for-bit
+    // (the decode (u−128)·s reproduces round(x/s)·s exactly)
+    val served = rows(Sq8Store.topKAt(spark, dest, all, queryId = 2L, k = 5))
+    assert(served == rows(Similarity.sq8TopK(all, "vec_id", "embedding",
+      queryId = 2L, k = 5)),
+      "served SQ8 ranking must equal the in-plan audit")
+    assert(served.exists(_.startsWith("[35,")),
+      s"planted near-dup 35 missing from $served")
+    graft.util.Stamp.write(dest, "stamp-sq")
+    val before = parquetFiles(s"$dest/codes.parquet")
+    Sq8Store.compact(spark, dest)
+    assert(parquetFiles(s"$dest/codes.parquet") < before)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-sq"))
+    assert(rows(Sq8Store.topKAt(spark, dest, all, 2L, 5)) == served)
+    // id-keyed overwrite: 35 re-encodes far from 2 and leaves the
+    // neighborhood; deleteIds + compact purges physically
+    val moved = Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding")
+    Sq8Store.upsertBatch(spark, dest, moved)
+    val allEdited = all.filter(col("vec_id") =!= 35L).unionAll(moved)
+    assert(!rows(Sq8Store.topKAt(spark, dest, allEdited, 2L, 5))
+      .exists(_.startsWith("[35,")))
+    Sq8Store.deleteIds(spark, dest, Seq(34L))
+    Sq8Store.compact(spark, dest)
+    assert(!Files.exists(Paths.get(dest, "_tombstones")))
+    assert(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") === 34L).count() == 0,
+      "deleted id's codes must be physically purged at compact")
+  }
+
   test("PqStore: frozen-codebook append — new vectors searchable, " +
       "codebook and old codes byte-untouched; compact preserves results") {
     val dest = Files.createTempDirectory("graft-pq-life").toString
