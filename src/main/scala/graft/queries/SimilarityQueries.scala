@@ -633,6 +633,120 @@ object SimilarityQueries extends QueryPack {
        |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
        |FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin
 
+  /** Lloyd-coarse drift twin-pair oracle, parameterized over the
+    * coarse cell count, residual codebook size, and serve width — the
+    * toy (nc=8, ksub=8, nprobe=1) and big (nc=64, ksub=256, nprobe=4)
+    * configurations replay the identical chain. At nprobe = 1 the
+    * ranked probe CTE reduces to the assigned cluster (rank 1 IS the
+    * assignment), so the toy rows' hashes are unchanged by the
+    * generalization. `tag` keys the emitted method names.
+    */
+  private def lloydDriftSql(tag: String, nc: Int, ksub: Int,
+                            nprobe: Int): String = {
+      val driftCte =
+        """embdrift AS (SELECT vec_id,
+          |    CASE WHEN vec_id % 5 = 0
+          |      THEN list_transform(embedding,
+          |             x -> CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT))
+          |      ELSE embedding END AS embedding
+          |  FROM embeddings),
+          |embbase AS (SELECT * FROM embdrift WHERE vec_id % 5 <> 0)"""
+          .stripMargin
+      // 2-iteration Lloyd centroid frame over `src` (kmeansCentroids:
+      // first-8-by-id seeds, ONE decimal-exact round-6 mean update)
+      def lloydCtes(x: String, src: String): String =
+        s"""lemb$x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
+           |lc0$x AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM lemb$x
+           |  ORDER BY vec_id ASC LIMIT $nc),
+           |ls1$x AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
+           |  FROM lemb$x e CROSS JOIN lc0$x c),
+           |la1$x AS (SELECT vec_id, v, cluster FROM (SELECT vec_id, v,
+           |    cid AS cluster, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s DESC, cid ASC) AS rn FROM ls1$x) WHERE rn = 1),
+           |lu1$x AS (SELECT cluster AS cid, pos,
+           |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE)
+           |      / COUNT(*), 6) AS m
+           |  FROM (SELECT cluster, v, unnest(range(1, len(v) + 1)) AS pos
+           |        FROM la1$x)
+           |  GROUP BY cluster, pos),
+           |cl$x AS (SELECT cid, list(m ORDER BY pos) AS cv FROM lu1$x
+           |  GROUP BY cid)""".stripMargin
+      // one twin's store replay + nprobe=1 serve over the drifted corpus
+      def twin(x: String, train: String => String): String =
+        s"""lsim$x AS (SELECT e.vec_id, c.cid,
+           |    ${cosSql("e.embedding", "c.cv")} AS s
+           |  FROM embdrift e CROSS JOIN cl$x c),
+           |asg$x AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+           |  FROM lsim$x) WHERE rn = 1),
+           |resid$x AS (SELECT e.vec_id,
+           |    list_transform(range(1, 65),
+           |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+           |  FROM embdrift e JOIN asg$x a ON e.vec_id = a.vec_id
+           |  JOIN cl$x c ON a.cluster = c.cid),
+           |${pqTrainCtes(x, train, src = s"resid$x", ksub = ksub)},
+           |qc$x AS (SELECT vec_id AS qid, cid AS cluster FROM (SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s DESC, cid ASC) AS rn
+           |  FROM lsim$x WHERE vec_id < 20) WHERE rn <= $nprobe),
+           |csl$x AS (SELECT c.cid AS cluster, ss.s, c.cv[ss.s*8+1:ss.s*8+8] AS csv
+           |  FROM cl$x c CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+           |lut$x AS (SELECT q.qid, l.cluster, c.s, c.cid,
+           |    round(list_sum(list_transform(range(1, 9),
+           |      i -> (l.csv[i] + c.cv[i]) * q.qsv[i])), 6) AS pdot,
+           |    round(list_sum(list_transform(range(1, 9),
+           |      i -> (l.csv[i] + c.cv[i]) * (l.csv[i] + c.cv[i]))), 6) AS pnorm2
+           |  FROM c1$x c JOIN qsub q ON c.s = q.s
+           |  JOIN qc$x qc ON q.qid = qc.qid
+           |  JOIN csl$x l ON l.cluster = qc.cluster AND l.s = c.s),
+           |adc$x AS (SELECT l.qid, k.vec_id,
+           |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+           |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
+           |  FROM codes$x k JOIN asg$x av ON k.vec_id = av.vec_id
+           |  JOIN lut$x l ON l.cluster = av.cluster AND k.s = l.s AND k.cid = l.cid
+           |  GROUP BY l.qid, k.vec_id),
+           |cands$x AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
+           |    row_number() OVER (PARTITION BY a.qid
+           |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
+           |        a.vec_id ASC) AS rn
+           |  FROM adc$x a JOIN qn n ON a.qid = n.qid WHERE a.vec_id <> a.qid)
+           |  WHERE rn <= 40),
+           |pqr$x AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+           |    row_number() OVER (PARTITION BY c.qid
+           |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
+           |  FROM cands$x c JOIN embq e ON c.vec_id = e.vec_id
+           |  JOIN qn n ON c.qid = n.qid) WHERE rn <= 10)""".stripMargin
+      def row(name: String, cte: String): String =
+        s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
+           |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
+           |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id"""
+          .stripMargin
+      s"""WITH $driftCte,
+         |qsd AS (SELECT vec_id AS qid, embedding AS qv FROM embdrift
+         |  WHERE vec_id < 20),
+         |scoredd AS (SELECT q.qid, e.vec_id,
+         |    ${cosSql("e.embedding", "q.qv")} AS cosine
+         |  FROM embdrift e CROSS JOIN qsd q WHERE e.vec_id <> q.qid),
+         |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scoredd) WHERE rn <= 10),
+         |embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embdrift),
+         |qsub AS (SELECT vec_id AS qid, ss.s, v[ss.s*8+1:ss.s*8+8] AS qsv
+         |  FROM embq CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+         |  WHERE vec_id < 20),
+         |qn AS (SELECT vec_id AS qid,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm, v AS qv
+         |  FROM embq WHERE vec_id < 20),
+         |${lloydCtes("lf", "embbase")},
+         |${twin("lf", id => s"$id % 5 <> 0")},
+         |${lloydCtes("lr", "embdrift")},
+         |${twin("lr", _ => "TRUE")}
+         |${row(s"ivfpq_lloyd${tag}_frozen_drift", "pqrlf")}
+         |UNION ALL
+         |${row(s"ivfpq_lloyd${tag}_retrain_drift", "pqrlr")}""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1136,6 +1250,28 @@ object SimilarityQueries extends QueryPack {
         .unionByName(recallRow("ivfpq_lloyd_retrain_drift",
           IvfPqStore.topKMultiAt(s, retrained, drifted, maxQid = 20, k = 10),
           truth))
+    }),
+
+    // The same Lloyd-coarse drift experiment AT THE BIG CONFIGURATION
+    // (round-14 verdict item 3): coarse staleness binds hardest at high
+    // nc (small cells ⇒ a stale router misses membership more often) —
+    // the regime the toy nc=8 audit could not observe. nc=64 /
+    // ksub=256, served at nprobe=4 like every big-config gate; same
+    // parameterized oracle template as the toy rows.
+    "q_ann_drift_lloyd_big" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
+      val frozen = IvfPqStore.ensureBuiltDriftLloydBig(s, dir)
+      val retrained = IvfPqStore.ensureBuiltDriftLloydBigRebuild(s, dir)
+      val truth = RecallTruth.compute(drifted)
+      recallRow("ivfpq_lloydbig_frozen_drift",
+          IvfPqStore.topKMultiAt(s, frozen, drifted, maxQid = 20, k = 10,
+            nprobe = IvfPqStore.BigNprobe),
+          truth)
+        .unionByName(recallRow("ivfpq_lloydbig_retrain_drift",
+          IvfPqStore.topKMultiAt(s, retrained, drifted, maxQid = 20, k = 10,
+            nprobe = IvfPqStore.BigNprobe),
+          truth))
     })
   )
 
@@ -1501,110 +1637,16 @@ object SimilarityQueries extends QueryPack {
 
     // Lloyd-coarse drift twins: each twin is (2-iteration Lloyd coarse
     // train on its corpus) → (assign all drifted rows) → (residual
-    // codebook train on its train set) → (nprobe=1 shifted-LUT ADC +
+    // codebook train on its train set) → (top-nprobe shifted-LUT ADC +
     // exact rerank), replayed end-to-end — the engine's
     // kmeansCentroids / buildAtWithCents / frozen-space append chain.
-    "q_ann_drift_lloyd" -> {
-      val driftCte =
-        """embdrift AS (SELECT vec_id,
-          |    CASE WHEN vec_id % 5 = 0
-          |      THEN list_transform(embedding,
-          |             x -> CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT))
-          |      ELSE embedding END AS embedding
-          |  FROM embeddings),
-          |embbase AS (SELECT * FROM embdrift WHERE vec_id % 5 <> 0)"""
-          .stripMargin
-      // 2-iteration Lloyd centroid frame over `src` (kmeansCentroids:
-      // first-8-by-id seeds, ONE decimal-exact round-6 mean update)
-      def lloydCtes(x: String, src: String): String =
-        s"""lemb$x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
-           |lc0$x AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM lemb$x
-           |  ORDER BY vec_id ASC LIMIT 8),
-           |ls1$x AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS s
-           |  FROM lemb$x e CROSS JOIN lc0$x c),
-           |la1$x AS (SELECT vec_id, v, cluster FROM (SELECT vec_id, v,
-           |    cid AS cluster, row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY s DESC, cid ASC) AS rn FROM ls1$x) WHERE rn = 1),
-           |lu1$x AS (SELECT cluster AS cid, pos,
-           |    round(CAST(SUM(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE)
-           |      / COUNT(*), 6) AS m
-           |  FROM (SELECT cluster, v, unnest(range(1, len(v) + 1)) AS pos
-           |        FROM la1$x)
-           |  GROUP BY cluster, pos),
-           |cl$x AS (SELECT cid, list(m ORDER BY pos) AS cv FROM lu1$x
-           |  GROUP BY cid)""".stripMargin
-      // one twin's store replay + nprobe=1 serve over the drifted corpus
-      def twin(x: String, train: String => String): String =
-        s"""lsim$x AS (SELECT e.vec_id, c.cid,
-           |    ${cosSql("e.embedding", "c.cv")} AS s
-           |  FROM embdrift e CROSS JOIN cl$x c),
-           |asg$x AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-           |  FROM lsim$x) WHERE rn = 1),
-           |resid$x AS (SELECT e.vec_id,
-           |    list_transform(range(1, 65),
-           |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
-           |  FROM embdrift e JOIN asg$x a ON e.vec_id = a.vec_id
-           |  JOIN cl$x c ON a.cluster = c.cid),
-           |${pqTrainCtes(x, train, src = s"resid$x")},
-           |qc$x AS (SELECT vec_id AS qid, cluster FROM asg$x WHERE vec_id < 20),
-           |csl$x AS (SELECT c.cid AS cluster, ss.s, c.cv[ss.s*8+1:ss.s*8+8] AS csv
-           |  FROM cl$x c CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
-           |lut$x AS (SELECT q.qid, l.cluster, c.s, c.cid,
-           |    round(list_sum(list_transform(range(1, 9),
-           |      i -> (l.csv[i] + c.cv[i]) * q.qsv[i])), 6) AS pdot,
-           |    round(list_sum(list_transform(range(1, 9),
-           |      i -> (l.csv[i] + c.cv[i]) * (l.csv[i] + c.cv[i]))), 6) AS pnorm2
-           |  FROM c1$x c JOIN qsub q ON c.s = q.s
-           |  JOIN qc$x qc ON q.qid = qc.qid
-           |  JOIN csl$x l ON l.cluster = qc.cluster AND l.s = c.s),
-           |adc$x AS (SELECT l.qid, k.vec_id,
-           |    CAST(SUM(CAST(l.pdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
-           |    CAST(SUM(CAST(l.pnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS apx2
-           |  FROM codes$x k JOIN asg$x av ON k.vec_id = av.vec_id
-           |  JOIN lut$x l ON l.cluster = av.cluster AND k.s = l.s AND k.cid = l.cid
-           |  GROUP BY l.qid, k.vec_id),
-           |cands$x AS (SELECT qid, vec_id FROM (SELECT a.qid, a.vec_id,
-           |    row_number() OVER (PARTITION BY a.qid
-           |      ORDER BY round(a.adc_dot / (n.qnorm * sqrt(a.apx2)), 6) DESC,
-           |        a.vec_id ASC) AS rn
-           |  FROM adc$x a JOIN qn n ON a.qid = n.qid WHERE a.vec_id <> a.qid)
-           |  WHERE rn <= 40),
-           |pqr$x AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
-           |    row_number() OVER (PARTITION BY c.qid
-           |      ORDER BY ${cosSql("e.v", "n.qv")} DESC, c.vec_id ASC) AS rn
-           |  FROM cands$x c JOIN embq e ON c.vec_id = e.vec_id
-           |  JOIN qn n ON c.qid = n.qid) WHERE rn <= 10)""".stripMargin
-      def row(name: String, cte: String): String =
-        s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
-           |  CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
-           |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS avg_recall
-           |FROM $cte c JOIN truth t ON c.qid = t.qid AND c.vec_id = t.vec_id"""
-          .stripMargin
-      s"""WITH $driftCte,
-         |qsd AS (SELECT vec_id AS qid, embedding AS qv FROM embdrift
-         |  WHERE vec_id < 20),
-         |scoredd AS (SELECT q.qid, e.vec_id,
-         |    ${cosSql("e.embedding", "q.qv")} AS cosine
-         |  FROM embdrift e CROSS JOIN qsd q WHERE e.vec_id <> q.qid),
-         |truth AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
-         |  FROM scoredd) WHERE rn <= 10),
-         |embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embdrift),
-         |qsub AS (SELECT vec_id AS qid, ss.s, v[ss.s*8+1:ss.s*8+8] AS qsv
-         |  FROM embq CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
-         |  WHERE vec_id < 20),
-         |qn AS (SELECT vec_id AS qid,
-         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm, v AS qv
-         |  FROM embq WHERE vec_id < 20),
-         |${lloydCtes("lf", "embbase")},
-         |${twin("lf", id => s"$id % 5 <> 0")},
-         |${lloydCtes("lr", "embdrift")},
-         |${twin("lr", _ => "TRUE")}
-         |${row("ivfpq_lloyd_frozen_drift", "pqrlf")}
-         |UNION ALL
-         |${row("ivfpq_lloyd_retrain_drift", "pqrlr")}""".stripMargin
-    },
+    // Parameterized over (nc, ksub, nprobe) so the toy and big configs
+    // share one template.
+    "q_ann_drift_lloyd" -> lloydDriftSql("", nc = 8, ksub = 8, nprobe = 1),
+    "q_ann_drift_lloyd_big" -> lloydDriftSql("big",
+      nc = IvfPqStore.BigNumCentroids, ksub = IvfPqStore.BigKsub,
+      nprobe = IvfPqStore.BigNprobe),
+
 
     // per-method recall rows (the monolith's chains, one query each —
     // truth CTEs shared textually, persisted-artifact-shared in the

@@ -48,6 +48,8 @@ object StoreAdmin {
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__big",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloyd",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloydfull",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloydbig",
+    graft.similarity.IvfPqStore.defaultDir(sfDir) + "__lloydbigfull",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__auto",
     graft.similarity.Sq8Store.defaultDir(sfDir),
     ServingStores.defaultDir(sfDir))
@@ -131,7 +133,7 @@ object StoreAdmin {
         d => graft.similarity.IvfStore.compact(spark, d))
     }
     for (suffix <- Seq("", "__incr", "__drift", "__driftfull", "__big",
-        "__lloyd", "__lloydfull", "__auto")) {
+        "__lloyd", "__lloydfull", "__lloydbig", "__lloydbigfull", "__auto")) {
       val ivfpq = graft.similarity.IvfPqStore.defaultDir(sfDir) + suffix
       sweepFlat(ivfpq, "byid.parquet",
         d => graft.similarity.IvfPqStore.compact(spark, d))

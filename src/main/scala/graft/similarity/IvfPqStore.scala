@@ -458,6 +458,50 @@ object IvfPqStore {
     dest
   }
 
+  /** The Lloyd-coarse drift twins AT THE BIG CONFIGURATION (round-14
+    * verdict item 3): coarse staleness binds hardest at high nc —
+    * smaller cells mean a stale router misses true-neighbor membership
+    * more often — which is exactly the regime [[ensureBuiltBig]] exists
+    * for and the toy-config audit (nc=8) could not observe. Frozen
+    * twin: nc=64 Lloyd coarse + ksub=256 residual codebook trained on
+    * the CLEAN 80% base, shifted 20% absorbed as a frozen-space append;
+    * served at nprobe=4 like every big-config gate. Measured by
+    * `q_ann_drift_lloyd_big` next to the toy rows.
+    */
+  def ensureBuiltDriftLloydBig(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__lloydbig"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir))
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      buildAtWithCents(dest, base,
+        Similarity.kmeansCentroids(base, "vec_id", "embedding",
+          k = BigNumCentroids, iters = 2), m = DefaultM, ksub = BigKsub)
+      appendBatch(spark, dest, emb.filter(col("vec_id") % 5 === 0))
+      compact(spark, dest)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
+  /** [[ensureBuiltDriftLloydBig]]'s retrained twin: both artifacts
+    * Lloyd-trained on the full drifted corpus at nc=64 / ksub=256.
+    */
+  def ensureBuiltDriftLloydBigRebuild(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__lloydbigfull"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir))
+      buildAtWithCents(dest, emb,
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = BigNumCentroids, iters = 2), m = DefaultM, ksub = BigKsub)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** [[ensureBuiltDrift]]'s rebuild twin: residual codebook retrained on
     * the FULL drifted corpus (coarse centroids identical — ids < 8).
     */

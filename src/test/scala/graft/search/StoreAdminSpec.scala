@@ -31,6 +31,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_ivfpq_incr",      // IvfPqStore frozen-space append lifecycle
     "q_ann_ivfpq_big",       // IvfPqStore non-toy config (nc=64, ksub=256)
     "q_ann_drift_lloyd",     // IvfPqStore Lloyd-coarse drift twins
+    "q_ann_drift_lloyd_big", // Lloyd drift twins at the big config
     "q_ann_ivfpq_auto",      // IvfPqStore k-proportional-to-N config
     "q_ann_sq8_served",      // Sq8Store (packed int8 + scale)
     "q_hashtag_served",      // ServingStores posting layout
