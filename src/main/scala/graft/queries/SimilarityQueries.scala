@@ -251,8 +251,9 @@ object SimilarityQueries extends QueryPack {
     * recipe shared by q_ann_pq and q_ann_pq_served; q_ann_pq_incr
     * replays the 80%-base incremental build with `id => s"$id % 5 <> 0"`.
     */
-  private def pqOracleTrainedOn(train: String => String): String =
-    s"""WITH ${pqTrainCtes("", train)},
+  private def pqOracleTrainedOn(train: String => String,
+                                ksub: Int = 8): String =
+    s"""WITH ${pqTrainCtes("", train, ksub = ksub)},
        |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
        |lut AS (SELECT c.s, c.cid,
        |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
@@ -346,8 +347,14 @@ object SimilarityQueries extends QueryPack {
     * partition-pruned-store paths (the store is a layout, not a
     * semantics change).
     */
-  private lazy val ivfOracle: String =
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+  private lazy val ivfOracle: String = ivfOracleAt("8")
+
+  /** IVF nprobe=1 oracle parameterized by the centroid-count SQL —
+    * "8" for the standing gates, a COUNT(*)-derived expression for the
+    * k ∝ N auto gate.
+    */
+  private def ivfOracleAt(ncSql: String): String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $ncSql),
        |sim AS (SELECT e.vec_id, e.embedding, c.cid,
        |    ${cosSql("e.embedding", "c.cv")} AS s
        |  FROM embeddings e CROSS JOIN cents c),
@@ -402,13 +409,13 @@ object SimilarityQueries extends QueryPack {
     * exact cosines inside the probed clusters, top-10.
     */
   private def ivfRecall(s: SparkSession, dir: String, nprobe: Int,
-                        name: String): DataFrame = {
+                        name: String, nc: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-      nCentroids = 8)
-    val centsArr = emb.filter(col("vec_id") < 8)
+      nCentroids = nc)
+    val centsArr = emb.filter(col("vec_id") < nc)
       .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv")))
         .as("__cents"))
     val probes = emb.filter(col("vec_id") < RecallTruth.NumQueries)
@@ -463,9 +470,10 @@ object SimilarityQueries extends QueryPack {
        |${recallRowSql(name, "cand")}""".stripMargin
 
   /** IVF per-method recall oracle at an nprobe (rank 1 = assigned). */
-  private def ivfRecallSql(name: String, nprobe: Int): String =
+  private def ivfRecallSql(name: String, nprobe: Int,
+                           ncSql: String = "8"): String =
     s"""WITH $truthCtes,
-       |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $ncSql),
        |sim AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
        |  FROM embeddings e CROSS JOIN cents c),
        |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
@@ -486,9 +494,9 @@ object SimilarityQueries extends QueryPack {
     * Shared verbatim by the ad-hoc and store-served rows (deterministic
     * artifacts, shared scoring algebra).
     */
-  private def pqRecallSql(name: String): String =
+  private def pqRecallSql(name: String, ksub: Int = 8): String =
     s"""WITH $truthCtes,
-       |${pqTrainCtes("p")},
+       |${pqTrainCtes("p", ksub = ksub)},
        |qp AS (SELECT vec_id AS qid, s, sv AS qsv FROM subp WHERE vec_id < 20),
        |lutp AS (SELECT q.qid, c.s, c.cid,
        |    round(list_sum(list_transform(range(1, 9), i -> c.cv[i] * q.qsv[i])), 6) AS pdot,
@@ -792,6 +800,13 @@ object SimilarityQueries extends QueryPack {
     "q_ann_pq_served" -> ((s, dir) =>
       PqStore.topK(s, dir, queryId = 0L, k = 5, rerank = 40)),
 
+    // PQ at the NON-TOY codebook size (ksub=256 — the packed byte
+    // layout's full ordinal ceiling; round-14 verdict item 7): same
+    // serve path, same byte cost (m bytes/vector), tighter quantization.
+    "q_ann_pq_big" -> ((s, dir) =>
+      PqStore.topKAt(s, PqStore.ensureBuiltBig(s, dir),
+        Tables.embeddings(s, dir), queryId = 0L, k = 5, rerank = 40)),
+
     // Same sketch, wider Hamming ball — multi-probe generalized to a radius
     // expansion (recall ≈ 0.99 at ~42% candidates; the recall/cost knob).
     "q_ann_multiprobe" -> ((s, dir) =>
@@ -853,6 +868,13 @@ object SimilarityQueries extends QueryPack {
     // exactly (the base keeps every seed id), q_ann_ivf's oracle verbatim.
     "q_ann_ivf_incr" -> ((s, dir) =>
       IvfStore.topKAt(s, IvfStore.ensureBuiltIncremental(s, dir),
+        queryId = 0L, k = 5)),
+
+    // k ∝ N for the flat IVF store (round-14 verdict item 7): nCentroids
+    // = ceil(N / 50) resolved at build time and persisted — the oracle
+    // derives the same count-based value in SQL.
+    "q_ann_ivf_auto" -> ((s, dir) =>
+      IvfStore.topKAt(s, IvfStore.ensureBuiltAuto(s, dir),
         queryId = 0L, k = 5)),
 
     // PQ's lifecycle gate: codebook trained on the 80% base, the rest
@@ -1076,6 +1098,11 @@ object SimilarityQueries extends QueryPack {
     "q_ann_recall_lsh_mp" -> ((s, dir) =>
       lshRecall(s, dir, Similarity.SrpRadiusWide, "lsh_mp")),
     "q_ann_recall_ivf" -> ((s, dir) => ivfRecall(s, dir, 1, "ivf")),
+    // the k ∝ N configuration's accuracy — cells of ~50 rows, nprobe=1
+    "q_ann_recall_ivf_auto" -> ((s, dir) =>
+      ivfRecall(s, dir, 1, "ivf_auto",
+        nc = Similarity.autoK(Tables.embeddings(s, dir).count(),
+          IvfStore.AutoCellSize))),
     // nprobe = 3: rank all 8 centroids per query, scan the top 3 clusters
     // — the classic IVF recall knob, measured next to the sketch paths
     "q_ann_recall_ivf_mp" -> ((s, dir) => ivfRecall(s, dir, 3, "ivf_mp")),
@@ -1087,6 +1114,12 @@ object SimilarityQueries extends QueryPack {
     "q_ann_recall_pq_served" -> ((s, dir) =>
       recallRow("pq_served",
         PqStore.topKMulti(s, dir, maxQid = 20, k = 10, rerank = 40),
+        RecallTruth.ensureBuilt(s, dir))),
+    // the ksub=256 codebook's measured accuracy from the persisted store
+    "q_ann_recall_pq_big" -> ((s, dir) =>
+      recallRow("pq_big",
+        PqStore.topKMultiAt(s, PqStore.ensureBuiltBig(s, dir),
+          Tables.embeddings(s, dir), maxQid = 20, k = 10, rerank = 40),
         RecallTruth.ensureBuilt(s, dir))),
     "q_ann_recall_ivfpq" -> ((s, dir) =>
       recallRow("ivfpq",
@@ -1361,6 +1394,10 @@ object SimilarityQueries extends QueryPack {
     "q_ann_pq_incr" -> pqOracleTrainedOn(id => s"$id % 5 <> 0"),
 
     "q_ann_ivf" -> ivfOracle,
+    // k ∝ N auto gate: nCentroids derived from COUNT(*) in SQL, same
+    // seed/assign/probe chain
+    "q_ann_ivf_auto" -> ivfOracleAt(
+      "(SELECT CAST(ceil(COUNT(*) / 50.0) AS BIGINT) FROM embeddings)"),
 
     // The partition-pruned store must land on the identical ranking.
     "q_ann_ivf_served" -> ivfOracle,
@@ -1470,6 +1507,8 @@ object SimilarityQueries extends QueryPack {
          |FROM embeddings""".stripMargin,
 
     "q_ann_pq" -> pqOracle,
+    // ksub=256 gate: same train/serve chain, full byte-ordinal codebook
+    "q_ann_pq_big" -> pqOracleTrainedOn(_ => "TRUE", ksub = PqStore.BigKsub),
 
     // The persisted codebook+codes path must land on the identical
     // ranking (the artifacts are deterministic; scoring is shared code).
@@ -1659,6 +1698,9 @@ object SimilarityQueries extends QueryPack {
     // served twin: deterministic artifacts + shared scoring algebra ⇒
     // literally the same oracle
     "q_ann_recall_pq_served" -> pqRecallSql("pq_served"),
+    "q_ann_recall_pq_big" -> pqRecallSql("pq_big", ksub = PqStore.BigKsub),
+    "q_ann_recall_ivf_auto" -> ivfRecallSql("ivf_auto", 1,
+      ncSql = "(SELECT CAST(ceil(COUNT(*) / 50.0) AS BIGINT) FROM embeddings)"),
     "q_ann_recall_ivfpq" -> ivfPqRecallSql("ivfpq", nc = 8, ksub = 8,
       nprobe = 1),
     "q_ann_recall_ivfpq_big" -> ivfPqRecallSql("ivfpq_big",

@@ -37,10 +37,12 @@ object StoreAdmin {
     graft.similarity.SrpStore.defaultDir(sfDir) + "__incr",
     graft.similarity.IvfStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir) + "__incr",
+    graft.similarity.IvfStore.defaultDir(sfDir) + "__auto",
     graft.similarity.PqStore.defaultDir(sfDir),
     graft.similarity.PqStore.defaultDir(sfDir) + "__incr",
     graft.similarity.PqStore.defaultDir(sfDir) + "__drift",
     graft.similarity.PqStore.defaultDir(sfDir) + "__driftfull",
+    graft.similarity.PqStore.defaultDir(sfDir) + "__big",
     graft.similarity.IvfPqStore.defaultDir(sfDir),
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__incr",
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__drift",
@@ -128,6 +130,8 @@ object StoreAdmin {
       val srp = graft.similarity.SrpStore.defaultDir(sfDir) + suffix
       sweepFlat(srp, "sig.parquet",
         d => graft.similarity.SrpStore.compact(spark, d))
+    }
+    for (suffix <- Seq("", "__incr", "__auto")) {
       val ivf = graft.similarity.IvfStore.defaultDir(sfDir) + suffix
       sweepFlat(ivf, "byid.parquet",
         d => graft.similarity.IvfStore.compact(spark, d))
@@ -138,7 +142,7 @@ object StoreAdmin {
       sweepFlat(ivfpq, "byid.parquet",
         d => graft.similarity.IvfPqStore.compact(spark, d))
     }
-    for (suffix <- Seq("", "__incr", "__drift", "__driftfull")) {
+    for (suffix <- Seq("", "__incr", "__drift", "__driftfull", "__big")) {
       val pq = graft.similarity.PqStore.defaultDir(sfDir) + suffix
       sweepFlat(pq, "codes.parquet",
         d => graft.similarity.PqStore.compact(spark, d))

@@ -233,6 +233,31 @@ object IvfStore {
     dest
   }
 
+  /** Target per-cell population for [[ensureBuiltAuto]] —
+    * [[IvfPqStore.AutoCellSize]]'s contract: nCentroids = ⌈N / 50⌉
+    * keeps a probe's scan ~50 vectors at ANY corpus size.
+    */
+  val AutoCellSize = 50L
+
+  /** k ∝ N made executable for the flat IVF store (round-14 verdict
+    * item 7 — [[IvfPqStore.ensureBuiltAuto]]'s pattern): nCentroids
+    * resolved from the corpus count at build time and persisted, so
+    * per-cell population stays ~constant as the corpus grows. Gated by
+    * `q_ann_ivf_auto`, whose oracle derives the SAME count-based
+    * nCentroids in SQL.
+    */
+  def ensureBuiltAuto(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__auto"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Tables.embeddings(spark, sfDir)
+      buildAt(dest, emb, Similarity.autoK(emb.count(), AutoCellSize))
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** Incremental build-if-stale: base build over the seed ids plus 80%
     * of the rest, the remainder appended under the frozen centroids,
     * then compacted — `q_ann_ivf_incr` serves from it with `q_ann_ivf`'s

@@ -54,6 +54,13 @@ object PqStore {
   val DefaultM = 8
   val DefaultKsub = 8
 
+  /** The NON-TOY codebook size ([[IvfPqStore.BigKsub]]'s contract): 256
+    * codewords per subspace — the packed byte layout's full ordinal
+    * ceiling, giving the tightest quantization one byte per subspace can
+    * express. Gated by `q_ann_pq_big` / `q_ann_recall_pq_big`.
+    */
+  val BigKsub = 256
+
   def defaultDir(sfDir: String): String = {
     // v3: hyperparameters persisted in params.txt (the pre-params v2
     // layout is orphaned by the bump and rebuilt with metadata)
@@ -162,6 +169,22 @@ object PqStore {
           .write.mode("overwrite").parquet(tmp)
       }
     }
+
+  /** Build-if-stale at the NON-TOY configuration (m=8, ksub=256), at
+    * its own tagged directory — round-14 verdict item 7: the standing
+    * PQ gates trained at the ksub=8 toy default even though the params
+    * are persisted; this is the configuration a deployment would ship.
+    */
+  def ensureBuiltBig(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__big"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      buildAt(dest, Tables.embeddings(spark, sfDir), DefaultM, BigKsub)
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
 
   /** [[ensureBuilt]]'s INCREMENTAL variant — the driver-gated lifecycle
     * ([[IvfStore.ensureBuiltIncremental]]'s pattern): the codebook trains

@@ -24,8 +24,10 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_lsh_incr",        // SrpStore append+compact lifecycle store
     "q_ann_ivf_served",      // IvfStore
     "q_ann_ivf_incr",        // IvfStore append+compact lifecycle store
+    "q_ann_ivf_auto",        // IvfStore k-proportional-to-N config
     "q_ann_pq_served",       // PqStore
     "q_ann_pq_incr",         // PqStore frozen-codebook append lifecycle
+    "q_ann_pq_big",          // PqStore ksub=256 config
     "q_ann_drift",           // PqStore drift-audit stores (incr + rebuild)
     "q_ann_ivfpq_served",    // IvfPqStore (residual IVFADC)
     "q_ann_ivfpq_incr",      // IvfPqStore frozen-space append lifecycle
