@@ -35,6 +35,7 @@ object StoreAdmin {
     graft.dedup.SimHashStore.defaultDir(sfDir),
     graft.similarity.SrpStore.defaultDir(sfDir),
     graft.similarity.SrpStore.defaultDir(sfDir) + "__incr",
+    graft.similarity.SrpLabelStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir) + "__incr",
     graft.similarity.IvfStore.defaultDir(sfDir) + "__auto",
@@ -131,6 +132,8 @@ object StoreAdmin {
       sweepFlat(srp, "sig.parquet",
         d => graft.similarity.SrpStore.compact(spark, d))
     }
+    sweepFlat(graft.similarity.SrpLabelStore.defaultDir(sfDir), "sig.parquet",
+      d => graft.similarity.SrpLabelStore.compact(spark, d))
     for (suffix <- Seq("", "__incr", "__auto")) {
       val ivf = graft.similarity.IvfStore.defaultDir(sfDir) + suffix
       sweepFlat(ivf, "byid.parquet",

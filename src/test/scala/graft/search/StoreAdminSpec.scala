@@ -22,6 +22,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_simhash_pairs",       // SimHashStore
     "q_ann_lsh_served",      // SrpStore
     "q_ann_lsh_incr",        // SrpStore append+compact lifecycle store
+    "q_ann_filtered_served", // SrpLabelStore (label-partitioned sketch)
     "q_ann_ivf_served",      // IvfStore
     "q_ann_ivf_incr",        // IvfStore append+compact lifecycle store
     "q_ann_ivf_auto",        // IvfStore k-proportional-to-N config

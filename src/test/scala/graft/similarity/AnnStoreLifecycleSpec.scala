@@ -261,6 +261,59 @@ class AnnStoreLifecycleSpec extends SparkSpec {
       "deleted id must leave the forward table at compact")
   }
 
+  test("SrpLabelStore: label-partitioned sketch — served filtered top-k " +
+      "equals the predicate-inside-scan shape, the scan PRUNES to the " +
+      "label partition, label edits re-home rows, compact folds") {
+    val dest = Files.createTempDirectory("graft-srplab-life").toString
+    val full = Files.createTempDirectory("graft-srplab-full").toString
+    def lab(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("label", (col("vec_id") % 3).cast("int"))
+    SrpLabelStore.buildAt(dest, lab(base))
+    SrpLabelStore.appendBatch(dest, lab(batch))
+    SrpLabelStore.buildAt(full, lab(all))
+    def sigs(d: String) = rows(spark.read.parquet(s"$d/sig.parquet")
+      .select(col("vec_id"), col("label"), col("__w0"), col("__w1"),
+        col("__w2"), col("__w3"))).sorted
+    assert(sigs(dest) == sigs(full),
+      "appended label-partitioned store must equal a full rebuild")
+    // served filtered top-k ≡ the predicate-inside-scan shape (layout,
+    // not algebra) — and the near-dup 35 shares 2's label (both % 3 = 2)
+    val served = rows(SrpLabelStore.topKFilteredAt(spark, dest, lab(all),
+      queryId = 2L, k = 5))
+    assert(served == rows(Similarity.srpTopKFiltered(lab(all), "vec_id",
+      "embedding", queryId = 2L, k = 5, pred = col("label") === lit(2))),
+      "served filtered ranking must equal srpTopKFiltered")
+    assert(served.exists(_.startsWith("[35,")),
+      s"planted same-label near-dup 35 missing from $served")
+    // the point of the layout: the sketch scan prunes to ONE label
+    // partition directory at planning time
+    val plan = SrpLabelStore.topKFilteredAt(spark, dest, lab(all), 2L, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("label"),
+      s"filtered serve must prune the sketch scan to the label partition:\n$plan")
+    // label EDIT via upsert: vector 35 moves to label 0 — it must leave
+    // label 2's partition (the tombstone is id-keyed, not partition-keyed)
+    SrpLabelStore.upsertBatch(spark, dest,
+      lab(batch.filter(col("vec_id") === 35L))
+        .withColumn("label", lit(0)))
+    val relabeled = SrpLabelStore.read(spark, dest)
+      .filter(col("vec_id") === 35L)
+      .select(col("label")).collect().map(_.getInt(0)).toSeq
+    assert(relabeled == Seq(0), s"edited label rows: $relabeled")
+    assert(!rows(SrpLabelStore.topKFilteredAt(spark, dest, lab(all), 2L, 5))
+      .exists(_.startsWith("[35,")),
+      "re-labeled vector must leave its old label's filtered results")
+    SrpLabelStore.deleteIds(spark, dest, Seq(34L))
+    SrpLabelStore.compact(spark, dest)
+    assert(!Files.exists(Paths.get(dest, "_tombstones")))
+    assert(spark.read.parquet(s"$dest/sig.parquet")
+      .filter(col("vec_id") === 34L).count() == 0,
+      "deleted id must be physically purged at compact")
+    assert(spark.read.parquet(s"$dest/sig.parquet")
+      .filter(col("vec_id") === 35L && col("label") === 2).count() == 0,
+      "compact must not resurrect the old-label row")
+  }
+
   test("Sq8Store: per-row int8 codes — append ≡ full rebuild exactly, " +
       "served ranking equals the in-plan audit, d+8-byte rows, " +
       "compact/upsert/delete") {
