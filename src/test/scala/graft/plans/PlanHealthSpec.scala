@@ -350,12 +350,13 @@ class PlanHealthSpec extends SparkSpec {
     //  - q_hybrid_rrf: rank over each retriever's top-20 bounded output
     //    (both inputs are TakeOrdered-limited before the window —
     //    Fusion.rrf:37; the corpus-wide work stays inside the retrievers)
-    //  - q_ann_filtered_recall: the label-frequency rank runs over the
-    //    POST-AGGREGATION label table (one row per distinct label — a
-    //    dimension vocabulary, not corpus rows; the corpus-wide work is
-    //    the upstream groupBy, which partitions normally)
+    //  - q_ann_filtered_recall (+ the _part store twin): the
+    //    label-frequency rank runs over the POST-AGGREGATION label table
+    //    (one row per distinct label — a dimension vocabulary, not
+    //    corpus rows; the corpus-wide work is the upstream groupBy,
+    //    which partitions normally)
     val allow = Set("q_vocab_zipf", "q_skew_audit", "q_topk_served",
-      "q_hybrid_rrf", "q_ann_filtered_recall")
+      "q_hybrid_rrf", "q_ann_filtered_recall", "q_ann_filtered_recall_part")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap { q =>
       val hits = unpartitionedWindows(
         SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
