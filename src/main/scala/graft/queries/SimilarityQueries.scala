@@ -349,6 +349,14 @@ object SimilarityQueries extends QueryPack {
     */
   private lazy val ivfOracle: String = ivfOracleAt("8")
 
+  /** The IVF auto gate's count-derived centroid count, interpolating
+    * the SAME constant the engine build uses — tuning AutoCellSize can
+    * never silently diverge the oracle.
+    */
+  private lazy val ivfAutoNcSql: String =
+    s"(SELECT CAST(ceil(COUNT(*) / ${IvfStore.AutoCellSize}.0) AS BIGINT)" +
+      " FROM embeddings)"
+
   /** IVF nprobe=1 oracle parameterized by the centroid-count SQL —
     * "8" for the standing gates, a COUNT(*)-derived expression for the
     * k ∝ N auto gate.
@@ -1484,8 +1492,7 @@ object SimilarityQueries extends QueryPack {
     "q_ann_ivf" -> ivfOracle,
     // k ∝ N auto gate: nCentroids derived from COUNT(*) in SQL, same
     // seed/assign/probe chain
-    "q_ann_ivf_auto" -> ivfOracleAt(
-      "(SELECT CAST(ceil(COUNT(*) / 50.0) AS BIGINT) FROM embeddings)"),
+    "q_ann_ivf_auto" -> ivfOracleAt(ivfAutoNcSql),
 
     // The partition-pruned store must land on the identical ranking.
     "q_ann_ivf_served" -> ivfOracle,
@@ -1782,7 +1789,7 @@ object SimilarityQueries extends QueryPack {
     "q_ann_recall_pq_served" -> pqRecallSql("pq_served"),
     "q_ann_recall_pq_big" -> pqRecallSql("pq_big", ksub = PqStore.BigKsub),
     "q_ann_recall_ivf_auto" -> ivfRecallSql("ivf_auto", 1,
-      ncSql = "(SELECT CAST(ceil(COUNT(*) / 50.0) AS BIGINT) FROM embeddings)"),
+      ncSql = ivfAutoNcSql),
     "q_ann_recall_ivfpq" -> ivfPqRecallSql("ivfpq", nc = 8, ksub = 8,
       nprobe = 1),
     "q_ann_recall_ivfpq_big" -> ivfPqRecallSql("ivfpq_big",

@@ -68,9 +68,11 @@ object BM25Index {
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dest: String): Unit = {
     // a rebuild starts from a clean delete state: stale tombstones would
-    // exclude rebuilt docs whose upsert segments no longer exist
-    deleteRecursively(Paths.get(dest, "_tombstones"))
-    graft.util.StoreFs.deleteIfExists(Paths.get(dest, "_gen.txt"))
+    // exclude rebuilt docs whose upsert segments no longer exist. ONE
+    // canonical clear (tombstone dir + generation counter, both through
+    // the StoreFs seam) — re-implementing it here split the delete
+    // across two filesystems under a swapped Fs.
+    graft.util.Tombstones.clear(dest)
     // positional postings (Lucene stores positions alongside tf the same
     // way): tf and the sorted position list come out of ONE aggregation
     // over the positional token stream, so adding positions costs no extra

@@ -22,9 +22,10 @@ import graft.util.StoreFs
   * Absence is an error, never a silent default: a store without
   * `params.txt` predates this contract (or lost the file) and must be
   * rebuilt — serving it under guessed parameters is the exact
-  * disagreement this file exists to prevent. The defaultDir version
-  * bumps (pq-store-v3, ivf-store-v2, ivfpq-store-v3) orphan all
-  * pre-params stores so `ensureBuilt` rebuilds them with metadata.
+  * disagreement this file exists to prevent. defaultDir version bumps
+  * orphan stores whose layout predates their current contract
+  * (pq-store-v3 for params; ivf-store-v3 / ivfpq-store-v4 for the
+  * bucketed forward tables) so `ensureBuilt` rebuilds them.
   */
 object AnnMeta {
 

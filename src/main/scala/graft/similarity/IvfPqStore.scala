@@ -83,10 +83,10 @@ object IvfPqStore {
   val BigKsub = 256
   val BigNprobe = 4
 
-  /** Forward-table bucket count ([[IvfStore.DefaultByidBuckets]]'s
-    * contract: a build parameter persisted in params.txt, ∝ N at scale).
+  /** Forward-table bucket count — THE [[IvfStore.DefaultByidBuckets]]
+    * (one constant for the family: a second copy could silently drift).
     */
-  val DefaultByidBuckets = 16
+  val DefaultByidBuckets: Int = IvfStore.DefaultByidBuckets
 
   def defaultDir(sfDir: String): String = {
     // v4: byid bucketed by vid range (v3's single-file forward table
@@ -141,7 +141,7 @@ object IvfPqStore {
     // residual is the zero vector — seeding with them collapses the
     // codebook; see Similarity.ivfPqCodebookAndCodes)
     writeTrained(dest, embeddings, assigned, cents,
-      col("vec_id") >= nCentroids, m, ksub)
+      col("vec_id") >= nCentroids, m, ksub, width)
   }
 
   /** [[buildAt]] with EXPLICIT coarse centroids (Lloyd-trained means —
@@ -168,14 +168,15 @@ object IvfPqStore {
     val assigned = Similarity.assignToCentroids(embeddings, "vec_id",
         "embedding", centsCached)
       .select(col("vec_id"), col("cluster"))
-    writeTrained(dest, embeddings, assigned, centsCached, lit(true), m, ksub)
+    writeTrained(dest, embeddings, assigned, centsCached, lit(true), m, ksub,
+      width)
     centsCached.unpersist()
   }
 
   private def writeTrained(dest: String, embeddings: DataFrame,
                            assigned: DataFrame, cents: DataFrame,
                            trainPred: org.apache.spark.sql.Column,
-                           m: Int, ksub: Int): Unit = {
+                           m: Int, ksub: Int, width: Int): Unit = {
     val resid = Similarity.residualFrame(embeddings, "vec_id", "embedding",
       assigned, cents)
     val (codebook, codes, _) =
@@ -190,8 +191,7 @@ object IvfPqStore {
       .withColumn("__gen", lit(0L))
     writeCodes(Similarity.pqPack(codes, cbOrd).join(byCluster, "vid"),
       s"$dest/codes.parquet", "overwrite")
-    writeById(byCluster, s"$dest/byid.parquet", "overwrite",
-      AnnMeta.readKey(dest, "byidWidth"))
+    writeById(byCluster, s"$dest/byid.parquet", "overwrite", width)
   }
 
   /** Append a NEW batch: frozen-centroid coarse assignment + frozen-
@@ -234,7 +234,10 @@ object IvfPqStore {
 
   private def appendEncoded(spark: SparkSession, dest: String,
                             batch: DataFrame, gen: Long): Unit = {
-    val m = AnnMeta.readKey(dest, "m")
+    // ONE metadata read for the append's parameters (m + the byid
+    // bucket width) — not one file parse per key
+    val meta = AnnMeta.read(dest)
+    val m = meta("m")
     val cents = spark.read.parquet(s"$dest/centroids.parquet")
     val codebook = spark.read.parquet(s"$dest/codebook.parquet")
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
@@ -252,8 +255,7 @@ object IvfPqStore {
         codebook)
         .join(byCluster, "vid"),
       s"$dest/codes.parquet", "append")
-    writeById(byCluster, s"$dest/byid.parquet", "append",
-      AnnMeta.readKey(dest, "byidWidth"))
+    writeById(byCluster, s"$dest/byid.parquet", "append", meta("byidWidth"))
   }
 
   private def liveCodes(spark: SparkSession, dest: String): DataFrame =

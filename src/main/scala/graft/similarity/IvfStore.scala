@@ -289,10 +289,17 @@ object IvfStore {
     // itself prunes to ONE bucket directory (bucket = vid DIV width is
     // a literal) and then to row groups via the within-bucket vid sort.
     val width = AnnMeta.readKey(dest, "byidWidth")
-    val qCluster = liveById(spark, dest)
+    // the point read can miss (id never indexed, or deleted and
+    // tombstoned) — name the contract instead of an opaque
+    // NoSuchElementException from head() (IvfPqStore.topKAt's guard)
+    val hit = liveById(spark, dest)
       .filter(col("bucket") === lit(queryId / width) &&
         col("vec_id") === queryId)
-      .head().getAs[Number]("cluster").longValue()
+      .collect().headOption
+    require(hit.nonEmpty,
+      s"IvfStore.topKAt: query id $queryId is not live in store $dest " +
+        "(never indexed, or deleted) — index it or query by vector")
+    val qCluster = hit.get.getAs[Number]("cluster").longValue()
     val qv = liveVectors(spark, dest)
       .filter(col("cluster") === qCluster && col("vec_id") === queryId)
       .select(col("embedding").as("__qv"))

@@ -46,8 +46,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Sq8Store {
 
   def defaultDir(sfDir: String): String = {
+    // v2: range-sorted codes layout (v1 hash-scattered rows; the bump
+    // orphans it so stamped stores can't keep the unsorted layout)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/sq8-store-v1")
+      s"${sys.props("user.dir")}/target/sq8-store-v2")
     root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
   }
 
@@ -83,8 +85,12 @@ object Sq8Store {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     AnnMeta.write(dest, "dim" -> dim)
     graft.util.Tombstones.clear(dest)
+    // range-sorted by vid (the SrpStore/SimHashStore family layout):
+    // min/max row-group stats stay usable and files stay bounded —
+    // repartition-by-hash on a unique key would scatter rows unsorted
     encoded(embeddings, gen = 0L)
-      .repartition(col("vid"))
+      .repartitionByRange(col("vid"))
+      .sortWithinPartitions(col("vid"))
       .write.mode("overwrite").parquet(s"$dest/codes.parquet")
   }
 
@@ -95,7 +101,8 @@ object Sq8Store {
     StoreLock.withLock(dest, "append") {
       GraftFunctions.register(spark)
       encoded(batch, graft.util.Tombstones.nextGen(dest))
-        .repartition(col("vid"))
+        .repartitionByRange(col("vid"))
+        .sortWithinPartitions(col("vid"))
         .write.mode("append").parquet(s"$dest/codes.parquet")
     }
 
@@ -108,7 +115,8 @@ object Sq8Store {
       val gen = graft.util.Tombstones.nextGen(dest)
       graft.util.Tombstones.write(batch.select(col("vec_id")), dest, gen)
       encoded(batch, gen)
-        .repartition(col("vid"))
+        .repartitionByRange(col("vid"))
+        .sortWithinPartitions(col("vid"))
         .write.mode("append").parquet(s"$dest/codes.parquet")
     }
 
@@ -132,7 +140,8 @@ object Sq8Store {
       val codes = liveCodes(spark, dest).withColumn("__gen", lit(0L))
       AtomicRewrite.rewrite(dest, s"$dest/codes.parquet",
         inTxn = () => graft.util.Tombstones.clear(dest)) { tmp =>
-        codes.repartition(col("vid"))
+        codes.repartitionByRange(col("vid"))
+          .sortWithinPartitions(col("vid"))
           .write.mode("overwrite").parquet(tmp)
       }
     }
