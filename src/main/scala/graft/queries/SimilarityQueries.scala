@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.similarity.{AnnMeta, IvfPqStore, IvfStore, PqStore, RecallTruth, Similarity, Sq8Store, SrpLabelStore, SrpStore}
+import graft.similarity.{AnnMeta, IvfPqStore, IvfSq8Store, IvfStore, PqStore, RecallTruth, Similarity, Sq8Store, SrpLabelStore, SrpStore}
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -885,6 +885,14 @@ object SimilarityQueries extends QueryPack {
     "q_ann_sq8_served" -> ((s, dir) =>
       Sq8Store.topK(s, dir, queryId = 0L, k = 5, rerank = 40)),
 
+    // IVF × SQ8 composed (FAISS IndexIVFScalarQuantizer): the candidate
+    // pass reads (d+8) bytes × N·nprobe/nCentroids — partition pruning
+    // COMPOUNDED with the measured-free int8 compression. nprobe=2:
+    // two pruned directories of the 8 (the multi-probe knob).
+    "q_ann_ivfsq8_served" -> ((s, dir) =>
+      IvfSq8Store.topK(s, dir, queryId = 0L, k = 5, rerank = 40,
+        nprobe = IvfSq8Store.DefaultNprobe)),
+
     // The SERVED ANN path: identical ranking from the persisted sketch
     // store (the BM25Index / SimHashStore build-once split) — the sketch
     // parquet is scanned for the Hamming filter, vectors join in only for
@@ -1182,6 +1190,14 @@ object SimilarityQueries extends QueryPack {
     "q_ann_recall_sq8_served" -> ((s, dir) =>
       recallRow("sq8_served",
         Sq8Store.topKMulti(s, dir, maxQid = 20, k = 10, rerank = 40),
+        RecallTruth.ensureBuilt(s, dir))),
+    // the composition's accuracy: quantization contributes ZERO loss
+    // inside the probed cells (sq8 is recall-1.0 here), so this row
+    // reads as the pure IVF cluster ceiling at nprobe=2
+    "q_ann_recall_ivfsq8" -> ((s, dir) =>
+      recallRow("ivfsq8",
+        IvfSq8Store.topKMulti(s, dir, maxQid = 20, k = 10, rerank = 40,
+          nprobe = IvfSq8Store.DefaultNprobe),
         RecallTruth.ensureBuilt(s, dir))),
 
     // PER-STRATUM recall for FILTERED search (round-13 verdict item 4):
@@ -1515,8 +1531,61 @@ object SimilarityQueries extends QueryPack {
     "q_ann_sq8" -> sq8TopKSql,
     "q_ann_sq8_served" -> sq8TopKSql,
 
+    // IVF × SQ8 composition: seed-centroid assignment (the ivfOracle
+    // CTEs), top-nprobe probe set per the exact assignment formula,
+    // dequantized-int8 scoring INSIDE the probed clusters, exact rerank.
+    "q_ann_ivfsq8_served" ->
+      s"""WITH $sq8DqCte,
+         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < ${IvfSq8Store.DefaultNumCentroids}),
+         |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |  FROM csim) WHERE rn = 1),
+         |qc AS (SELECT cid AS cluster FROM (SELECT cid,
+         |    row_number() OVER (ORDER BY s DESC, cid ASC) AS rn
+         |  FROM csim WHERE vec_id = 0) WHERE rn <= ${IvfSq8Store.DefaultNprobe}),
+         |q AS (SELECT v AS qv FROM dq WHERE vec_id = 0),
+         |cands AS (SELECT d.vec_id, ${cosSql("d.dqv", "q.qv")} AS approx_cosine
+         |  FROM dq d JOIN asg a ON d.vec_id = a.vec_id
+         |  JOIN qc ON a.cluster = qc.cluster
+         |  CROSS JOIN q WHERE d.vec_id <> 0
+         |  ORDER BY approx_cosine DESC, d.vec_id ASC LIMIT 40)
+         |SELECT c.vec_id, c.approx_cosine, ${cosSql("d.v", "q.qv")} AS cosine
+         |FROM cands c JOIN dq d ON c.vec_id = d.vec_id CROSS JOIN q
+         |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin,
+
     "q_ann_recall_sq8" -> sq8RecallSql("sq8"),
     "q_ann_recall_sq8_served" -> sq8RecallSql("sq8_served"),
+
+    "q_ann_recall_ivfsq8" ->
+      s"""WITH $truthCtes,
+         |$sq8DqCte,
+         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < ${IvfSq8Store.DefaultNumCentroids}),
+         |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |  FROM csim) WHERE rn = 1),
+         |qprobe AS (SELECT qid, cluster FROM (SELECT vec_id AS qid, cid AS cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |  FROM csim WHERE vec_id < 20) WHERE rn <= ${IvfSq8Store.DefaultNprobe}),
+         |qsq AS (SELECT vec_id AS qid, v AS qv FROM dq WHERE vec_id < 20),
+         |candsq AS (SELECT qid, vec_id FROM (SELECT p.qid, d.vec_id,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY ${cosSql("d.dqv", "q.qv")} DESC, d.vec_id ASC) AS rn
+         |  FROM dq d JOIN asg a ON d.vec_id = a.vec_id
+         |  JOIN qprobe p ON a.cluster = p.cluster
+         |  JOIN qsq q ON p.qid = q.qid
+         |  WHERE d.vec_id <> p.qid) WHERE rn <= 40),
+         |sqr AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY ${cosSql("d.v", "q.qv")} DESC, c.vec_id ASC) AS rn
+         |  FROM candsq c JOIN dq d ON c.vec_id = d.vec_id
+         |  JOIN qsq q ON c.qid = q.qid) WHERE rn <= 10)
+         |${recallRowSql("ivfsq8", "sqr")}""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

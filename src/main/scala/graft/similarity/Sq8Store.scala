@@ -58,7 +58,7 @@ object Sq8Store {
     * double-cast coordinates, u8 = round(x/s) + 128 (zero vector ⇒ all
     * 128 at s = 0).
     */
-  private def encoded(embeddings: DataFrame, gen: Long): DataFrame = {
+  private[similarity] def encoded(embeddings: DataFrame, gen: Long): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
     val u8 = when(scale === 0.0, transform(v, _ => lit(128)))
@@ -73,7 +73,7 @@ object Sq8Store {
     * bit-identical double each coordinate quantized FROM (q·s with q
     * integer-valued — see the object scaladoc).
     */
-  private def decodeCol: Column =
+  private[similarity] def decodeCol: Column =
     transform(call_function("graft_bytes_u8", col("code")),
       u => (u.cast("double") - lit(128.0)) * col("scale"))
 

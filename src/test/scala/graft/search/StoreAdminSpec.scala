@@ -37,6 +37,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_drift_lloyd_big", // Lloyd drift twins at the big config
     "q_ann_ivfpq_auto",      // IvfPqStore k-proportional-to-N config
     "q_ann_sq8_served",      // Sq8Store (packed int8 + scale)
+    "q_ann_ivfsq8_served",   // IvfSq8Store (cluster-partitioned int8)
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout

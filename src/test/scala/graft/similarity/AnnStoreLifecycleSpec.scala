@@ -362,6 +362,58 @@ class AnnStoreLifecycleSpec extends SparkSpec {
       "deleted id's codes must be physically purged at compact")
   }
 
+  test("IvfSq8Store: composed IVF×SQ8 — append ≡ full rebuild exactly " +
+      "(both artifacts deterministic), probe prunes cluster partitions " +
+      "AND reads d+8-byte rows, upsert/delete/compact") {
+    val dest = Files.createTempDirectory("graft-ivfsq8-life").toString
+    val full = Files.createTempDirectory("graft-ivfsq8-full").toString
+    IvfSq8Store.buildAt(dest, base)
+    IvfSq8Store.appendBatch(spark, dest, batch)
+    IvfSq8Store.buildAt(full, all)
+    // seed centroids + per-row encode: the appended store equals a full
+    // rebuild value-for-value — the family's strongest append contract
+    def codes(d: String) = rows(spark.read.parquet(s"$d/codes.parquet")
+      .select(col("vid"), hex(col("code")), col("scale"), col("cluster"))).sorted
+    assert(codes(dest) == codes(full),
+      "appended IVF×SQ8 store must equal a full rebuild")
+    // d+8-byte rows: d int8 codes packed + one fp64 scale
+    val lens = spark.read.parquet(s"$dest/codes.parquet")
+      .select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(16), s"code byte-lengths (d=16 fixture): $lens")
+    // the serve plan prunes the codes scan to the probe clusters'
+    // partition directories (the IN-set shape, no per-probe unions)
+    val probe = IvfSq8Store.topKAt(spark, dest, all, queryId = 2L, k = 5,
+      rerank = 40, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"IVF×SQ8 probe must prune to the probe clusters' directories:\n$plan")
+    assert(!plan.contains("Union"),
+      s"multi-probe serve must be one pruned scan, not unions:\n$plan")
+    val served = rows(probe)
+    assert(served.exists(_.startsWith("[35,")),
+      s"planted near-dup 35 missing from $served")
+    graft.util.Stamp.write(dest, "stamp-isq")
+    IvfSq8Store.compact(spark, dest)
+    assert(graft.util.Stamp.isFresh(dest, "stamp-isq"))
+    assert(rows(IvfSq8Store.topKAt(spark, dest, all, 2L, 5, 40, 2)) == served)
+    // id-keyed overwrite: 35 re-assigns + re-encodes far from 2
+    val moved = Seq((35L, vec(7).map(x => x + 0.002f))).toDF("vec_id", "embedding")
+    IvfSq8Store.upsertBatch(spark, dest, moved)
+    val allEdited = all.filter(col("vec_id") =!= 35L).unionAll(moved)
+    assert(!rows(IvfSq8Store.topKAt(spark, dest, allEdited, 2L, 5, 40, 2))
+      .exists(_.startsWith("[35,")))
+    IvfSq8Store.deleteIds(spark, dest, Seq(34L))
+    IvfSq8Store.compact(spark, dest)
+    assert(!Files.exists(Paths.get(dest, "_tombstones")))
+    assert(spark.read.parquet(s"$dest/codes.parquet")
+      .filter(col("vid") === 34L).count() == 0,
+      "deleted id's codes must be physically purged at compact")
+    assert(spark.read.parquet(s"$dest/byid.parquet")
+      .filter(col("vid") === 34L).count() == 0,
+      "deleted id must leave the forward table at compact")
+  }
+
   test("PqStore: frozen-codebook append — new vectors searchable, " +
       "codebook and old codes byte-untouched; compact preserves results") {
     val dest = Files.createTempDirectory("graft-pq-life").toString
