@@ -38,9 +38,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SimHashStore {
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/simhash-sig-v2")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("simhash-sig-v2", sfDir)
   }
 
   /** Build-if-absent-or-stale; returns the signature DataFrame read from

@@ -36,9 +36,7 @@ object BucketStore {
   val NumBuckets = 8
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/bucket-store-v1")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("bucket-store-v1", sfDir)
   }
 
   private def tableName(sfDir: String, base: String): String =

@@ -23,9 +23,7 @@ object Compaction {
   val CompactedFiles = 4
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/compaction-v1")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("compaction-v1", sfDir)
   }
 
   /** Build-if-stale: a fragmented copy of `documents` (SmallFiles files)

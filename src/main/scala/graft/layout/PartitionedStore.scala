@@ -21,9 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PartitionedStore {
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/part-store-v1")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("part-store-v1", sfDir)
   }
 
   /** Build-if-stale: orders partitioned by `o_bucket = o_custkey % 5`

@@ -352,9 +352,7 @@ object BM25Index {
     * `GRAFT_INDEX_DIR` when set — never a hardcoded absolute path.
     */
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/bm25-index-v3")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("bm25-index-v3", sfDir)
   }
 
   /** Build-if-absent-or-stale for a testdata documents corpus; returns the

@@ -370,9 +370,7 @@ object ServingStores {
   }
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/serving-store-v2")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("serving-store-v2", sfDir)
   }
 
   /** Build-if-stale: word-posting store over the documents table (the

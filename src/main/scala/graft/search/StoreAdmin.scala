@@ -256,8 +256,11 @@ object StoreAdmin {
     // legacy reclaim: whole store ROOTS orphaned by a defaultDir version
     // bump (v1's degenerate residual codebook; the pre-params.txt layouts
     // superseded when the ANN hyperparameters became persisted build
-    // metadata). Default-path layout only: under GRAFT_INDEX_DIR the path
-    // carries no version and there is nothing stale to reclaim. Each root
+    // metadata). Default-path layout only: GRAFT_INDEX_DIR is a
+    // user-chosen root (the family tag rides the path there too now —
+    // StoreDirs — but the old flat env layout mixed store artifacts with
+    // whatever else the user kept there, so a GC may not assume
+    // ownership of anything under it). Each root
     // is swept ONLY if it actually looks like an orphaned ANN store —
     // every child is a store dir carrying the family's markers (a stamp
     // or one of the known sub-tables) — never on path name alone: a

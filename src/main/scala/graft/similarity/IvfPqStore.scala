@@ -92,9 +92,7 @@ object IvfPqStore {
     // v4: byid bucketed by vid range (v3's single-file forward table
     // serialized through one task per build/compact; all earlier
     // layouts are orphaned by the bump and rebuilt)
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivfpq-store-v4")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("ivfpq-store-v4", sfDir)
   }
 
   // cluster leads the sort so the dynamic-partition writer's required
@@ -127,8 +125,7 @@ object IvfPqStore {
     require(ksub <= 256, s"buildAt: ksub=$ksub exceeds the packed " +
       "byte-per-subspace layout's 256-ordinal ceiling")
     val width = IvfStore.byidWidth(
-      embeddings.agg(max(col("vec_id").cast("long"))).head().getLong(0),
-      DefaultByidBuckets)
+      IvfStore.maxVid(embeddings, "IvfPqStore"), DefaultByidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub,
       "byidBuckets" -> DefaultByidBuckets, "byidWidth" -> width)
     graft.util.Tombstones.clear(dest)
@@ -160,8 +157,7 @@ object IvfPqStore {
       col("cv")).cache()
     val nCentroids = centsCached.count().toInt
     val width = IvfStore.byidWidth(
-      embeddings.agg(max(col("vec_id").cast("long"))).head().getLong(0),
-      DefaultByidBuckets)
+      IvfStore.maxVid(embeddings, "IvfPqStore"), DefaultByidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub,
       "byidBuckets" -> DefaultByidBuckets, "byidWidth" -> width)
     graft.util.Tombstones.clear(dest)

@@ -45,9 +45,7 @@ object IvfSq8Store {
   val DefaultNprobe = 2
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivfsq8-store-v1")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("ivfsq8-store-v1", sfDir)
   }
 
   private def writeCodes(enc: DataFrame, path: String, mode: String): Unit =
@@ -74,7 +72,7 @@ object IvfSq8Store {
     GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val width = IvfStore.byidWidth(
-      embeddings.agg(max(col("vec_id").cast("long"))).head().getLong(0),
+      IvfStore.maxVid(embeddings, "IvfSq8Store"),
       IvfStore.DefaultByidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids, "dim" -> dim,
       "byidBuckets" -> IvfStore.DefaultByidBuckets, "byidWidth" -> width)
@@ -186,7 +184,7 @@ object IvfSq8Store {
     } else {
       val qv = emb.filter(col("vec_id") === queryId)
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__qv"))
-      spark.read.parquet(s"$dest/centroids.parquet")
+      val probes = spark.read.parquet(s"$dest/centroids.parquet")
         .crossJoin(broadcast(qv))
         .select(col("cid"), expr(
           """round(graft_dot(__qv, cv) /
@@ -195,6 +193,13 @@ object IvfSq8Store {
         .orderBy(col("__sim").desc, col("cid").asc)
         .limit(nprobe)
         .collect().map(_.getAs[Number]("cid").longValue()).toSeq
+      // mirror the nprobe==1 contract: a never-indexed (or deleted) query
+      // id yields an empty qv here, which would otherwise flow through as
+      // an empty probe set and a SILENTLY empty top-k
+      require(probes.nonEmpty,
+        s"IvfSq8Store: query id $queryId has no vector in the supplied " +
+          s"embeddings (store $dest) — index it or query by vector")
+      probes
     }
 
   /** SQ8-decoded candidate scoring inside the probe clusters' partition
@@ -214,6 +219,12 @@ object IvfSq8Store {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val qv = withV.filter(col("vid") === queryId)
       .select(col("v").as("qv"))
+    // the nprobe==1 path proves the id live in the STORE but not in
+    // `emb` — an absent query row here would cross-join to zero rows and
+    // return a silently empty top-k (same shape the probe guard names)
+    require(!qv.isEmpty,
+      s"IvfSq8Store.topKAt: query id $queryId has no vector in the " +
+        s"supplied embeddings (store $dest) — index it or query by vector")
     val cands = liveCodes(spark, dest)
       .filter(col("cluster").isin(probes: _*))
       .filter(col("vid") =!= queryId)

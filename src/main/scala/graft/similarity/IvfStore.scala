@@ -73,9 +73,7 @@ object IvfStore {
     // v3: byid bucketed by vid range (v2's single-file layout serialized
     // the whole forward table through one task per build/compact; both
     // earlier layouts are orphaned by the bump and rebuilt)
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/ivf-store-v3")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("ivf-store-v3", sfDir)
   }
 
   /** Range-bucket width from a corpus' max id: floor division vid DIV
@@ -84,6 +82,19 @@ object IvfStore {
     * the BUILD's width — a disagreeing reader would prune to the wrong
     * bucket and miss a live row.
     */
+  /** Max vec_id of a build corpus — one column-pruned scan (parquet max
+    * stats) with the empty-corpus condition NAMED: max over zero rows is
+    * null, which would otherwise surface as an opaque NullPointerException
+    * from getLong deep inside a build.
+    */
+  private[similarity] def maxVid(embeddings: DataFrame, store: String): Long = {
+    val row = embeddings.agg(max(col("vec_id").cast("long"))).head()
+    require(!row.isNullAt(0),
+      s"$store.buildAt: the embeddings input is EMPTY — cannot build a " +
+        "vector store over zero vectors (check the source table/filter)")
+    row.getLong(0)
+  }
+
   private[similarity] def byidWidth(maxVid: Long, buckets: Int): Int = {
     val w = (maxVid + buckets) / buckets // = ceil((maxVid+1)/buckets), >= 1
     require(w <= Int.MaxValue,
@@ -120,11 +131,9 @@ object IvfStore {
   def buildAt(dest: String, embeddings: DataFrame,
               nCentroids: Int = DefaultNumCentroids,
               byidBuckets: Int = DefaultByidBuckets): Unit = {
-    // one column-pruned scan for the id range (parquet max stats); at
-    // build time, next to the assignment pass, this is noise
-    val maxVid = embeddings.agg(max(col("vec_id").cast("long"))).head()
-      .getLong(0)
-    val width = byidWidth(maxVid, byidBuckets)
+    // at build time, next to the assignment pass, the id-range scan is
+    // noise
+    val width = byidWidth(maxVid(embeddings, "IvfStore"), byidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids,
       "byidBuckets" -> byidBuckets, "byidWidth" -> width)
     graft.util.Tombstones.clear(dest)

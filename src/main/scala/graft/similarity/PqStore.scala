@@ -64,9 +64,7 @@ object PqStore {
   def defaultDir(sfDir: String): String = {
     // v3: hyperparameters persisted in params.txt (the pre-params v2
     // layout is orphaned by the bump and rebuilt with metadata)
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/pq-store-v3")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("pq-store-v3", sfDir)
   }
 
   /** Materialize codebook + packed codes at `dest` — the dest-level build

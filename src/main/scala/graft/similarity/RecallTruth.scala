@@ -25,9 +25,7 @@ object RecallTruth {
   val K = 10
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/recall-truth-v1")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("recall-truth-v1", sfDir)
   }
 
   /** Exact top-`K` per query over an explicit corpus frame — the one

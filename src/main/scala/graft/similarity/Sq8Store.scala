@@ -48,9 +48,7 @@ object Sq8Store {
   def defaultDir(sfDir: String): String = {
     // v2: range-sorted codes layout (v1 hash-scattered rows; the bump
     // orphans it so stamped stores can't keep the unsorted layout)
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/sq8-store-v2")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("sq8-store-v2", sfDir)
   }
 
   /** (vid, code binary[d], scale double) encode projection — the exact

@@ -37,9 +37,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SrpLabelStore {
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/srp-label-v1")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("srp-label-v1", sfDir)
   }
 
   // label leads the sort so the dynamic-partition writer's required

@@ -30,9 +30,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SrpStore {
 
   def defaultDir(sfDir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("user.dir")}/target/srp-sig-v1")
-    root + "/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.StoreDirs.resolve("srp-sig-v1", sfDir)
   }
 
   /** Materialize the signature table for `embeddings` at `dest` — the
