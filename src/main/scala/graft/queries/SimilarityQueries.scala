@@ -607,6 +607,75 @@ object SimilarityQueries extends QueryPack {
       |          x -> abs(x))) / 127.0 AS scale
       |        FROM embeddings))""".stripMargin
 
+  /** Count-derived nCentroids for the IVF×SQ8 auto twin — the engine
+    * persists ⌈N / AutoCellSize⌉ in params.txt; the oracle derives the
+    * identical value from COUNT(*) (the q_ann_ivfpq_auto precedent).
+    */
+  private lazy val ivfSq8AutoNcSql: String =
+    s"(SELECT CAST(ceil(COUNT(*) / " +
+      s"${IvfStore.AutoCellSize}.0) AS BIGINT) FROM embeddings)"
+
+  /** IVF×SQ8 serve oracle, parameterized on (nCentroids, nprobe) —
+    * seed-centroid assignment (the ivfOracle CTEs), ranked top-nprobe
+    * probe set per the exact assignment formula (rank 1 ≡ assignment, so
+    * nprobe=1 instantiations hash identically), dequantized-int8 scoring
+    * INSIDE the probed clusters, exact rerank. Both SQL fragments may be
+    * scalar subqueries (the auto twin passes COUNT-derived values).
+    */
+  private def ivfSq8TopKSql(ncSql: String, nprobeSql: String): String =
+    s"""WITH $sq8DqCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $ncSql),
+       |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim) WHERE rn = 1),
+       |qc AS (SELECT cid AS cluster FROM (SELECT cid,
+       |    row_number() OVER (ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim WHERE vec_id = 0) WHERE rn <= $nprobeSql),
+       |q AS (SELECT v AS qv FROM dq WHERE vec_id = 0),
+       |cands AS (SELECT d.vec_id, ${cosSql("d.dqv", "q.qv")} AS approx_cosine
+       |  FROM dq d JOIN asg a ON d.vec_id = a.vec_id
+       |  JOIN qc ON a.cluster = qc.cluster
+       |  CROSS JOIN q WHERE d.vec_id <> 0
+       |  ORDER BY approx_cosine DESC, d.vec_id ASC LIMIT 40)
+       |SELECT c.vec_id, c.approx_cosine, ${cosSql("d.v", "q.qv")} AS cosine
+       |FROM cands c JOIN dq d ON c.vec_id = d.vec_id CROSS JOIN q
+       |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin
+
+  /** IVF×SQ8 recall-row oracle over the shared truth CTEs, same
+    * (nCentroids, nprobe) parameterization as [[ivfSq8TopKSql]].
+    */
+  private def ivfSq8RecallSql(method: String, ncSql: String,
+                              nprobeSql: String): String =
+    s"""WITH $truthCtes,
+       |$sq8DqCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $ncSql),
+       |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim) WHERE rn = 1),
+       |qprobe AS (SELECT qid, cluster FROM (SELECT vec_id AS qid, cid AS cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM csim WHERE vec_id < 20) WHERE rn <= $nprobeSql),
+       |qsq AS (SELECT vec_id AS qid, v AS qv FROM dq WHERE vec_id < 20),
+       |candsq AS (SELECT qid, vec_id FROM (SELECT p.qid, d.vec_id,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cosSql("d.dqv", "q.qv")} DESC, d.vec_id ASC) AS rn
+       |  FROM dq d JOIN asg a ON d.vec_id = a.vec_id
+       |  JOIN qprobe p ON a.cluster = p.cluster
+       |  JOIN qsq q ON p.qid = q.qid
+       |  WHERE d.vec_id <> p.qid) WHERE rn <= 40),
+       |sqr AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY ${cosSql("d.v", "q.qv")} DESC, c.vec_id ASC) AS rn
+       |  FROM candsq c JOIN dq d ON c.vec_id = d.vec_id
+       |  JOIN qsq q ON c.qid = q.qid) WHERE rn <= 10)
+       |${recallRowSql(method, "sqr")}""".stripMargin
+
   /** SQ8 serve oracle (dequantized-int8 candidates, exact rerank) —
     * shared verbatim by the in-plan audit and the persisted-store twin.
     */
@@ -892,6 +961,21 @@ object SimilarityQueries extends QueryPack {
     "q_ann_ivfsq8_served" -> ((s, dir) =>
       IvfSq8Store.topK(s, dir, queryId = 0L, k = 5, rerank = 40,
         nprobe = IvfSq8Store.DefaultNprobe)),
+
+    // k ∝ N for the composed store (round-15's one weak flag): at the
+    // fixed nc=8 the candidate pass reads a CONSTANT nprobe/8 = 25% of
+    // the corpus at ANY size; here nCentroids = ceil(N / 50) is resolved
+    // at build time and persisted, so a probe reads ~50·nprobe int8 rows
+    // no matter how large N grows. Serve width clamped to the persisted
+    // cell count (the q_ann_ivfpq_auto pattern; oracle mirrors with
+    // LEAST).
+    "q_ann_ivfsq8_auto" -> ((s, dir) => {
+      val dest = IvfSq8Store.ensureBuiltAuto(s, dir)
+      val nprobe = math.min(IvfSq8Store.AutoNprobe,
+        AnnMeta.readKey(dest, "nCentroids"))
+      IvfSq8Store.topKAt(s, dest, Tables.embeddings(s, dir), queryId = 0L,
+        k = 5, rerank = 40, nprobe = nprobe)
+    }),
 
     // The SERVED ANN path: identical ranking from the persisted sketch
     // store (the BM25Index / SimHashStore build-once split) — the sketch
@@ -1199,6 +1283,18 @@ object SimilarityQueries extends QueryPack {
         IvfSq8Store.topKMulti(s, dir, maxQid = 20, k = 10, rerank = 40,
           nprobe = IvfSq8Store.DefaultNprobe),
         RecallTruth.ensureBuilt(s, dir))),
+    // the auto configuration's accuracy over the same shared truth —
+    // cells of ~50 rows at nprobe ≤ 2, i.e. the scale-path recall the
+    // composed store actually serves at
+    "q_ann_recall_ivfsq8_auto" -> ((s, dir) => {
+      val dest = IvfSq8Store.ensureBuiltAuto(s, dir)
+      val nprobe = math.min(IvfSq8Store.AutoNprobe,
+        AnnMeta.readKey(dest, "nCentroids"))
+      recallRow("ivfsq8_auto",
+        IvfSq8Store.topKMultiAt(s, dest, Tables.embeddings(s, dir),
+          maxQid = 20, k = 10, rerank = 40, nprobe = nprobe),
+        RecallTruth.ensureBuilt(s, dir))
+    }),
 
     // PER-STRATUM recall for FILTERED search (round-13 verdict item 4):
     // the classic filtered-ANN failure is that a predicate riding the
@@ -1534,58 +1630,25 @@ object SimilarityQueries extends QueryPack {
     // IVF × SQ8 composition: seed-centroid assignment (the ivfOracle
     // CTEs), top-nprobe probe set per the exact assignment formula,
     // dequantized-int8 scoring INSIDE the probed clusters, exact rerank.
-    "q_ann_ivfsq8_served" ->
-      s"""WITH $sq8DqCte,
-         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-         |  WHERE vec_id < ${IvfSq8Store.DefaultNumCentroids}),
-         |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
-         |  FROM embeddings e CROSS JOIN cents c),
-         |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-         |  FROM csim) WHERE rn = 1),
-         |qc AS (SELECT cid AS cluster FROM (SELECT cid,
-         |    row_number() OVER (ORDER BY s DESC, cid ASC) AS rn
-         |  FROM csim WHERE vec_id = 0) WHERE rn <= ${IvfSq8Store.DefaultNprobe}),
-         |q AS (SELECT v AS qv FROM dq WHERE vec_id = 0),
-         |cands AS (SELECT d.vec_id, ${cosSql("d.dqv", "q.qv")} AS approx_cosine
-         |  FROM dq d JOIN asg a ON d.vec_id = a.vec_id
-         |  JOIN qc ON a.cluster = qc.cluster
-         |  CROSS JOIN q WHERE d.vec_id <> 0
-         |  ORDER BY approx_cosine DESC, d.vec_id ASC LIMIT 40)
-         |SELECT c.vec_id, c.approx_cosine, ${cosSql("d.v", "q.qv")} AS cosine
-         |FROM cands c JOIN dq d ON c.vec_id = d.vec_id CROSS JOIN q
-         |ORDER BY cosine DESC, c.vec_id ASC LIMIT 5""".stripMargin,
+    "q_ann_ivfsq8_served" -> ivfSq8TopKSql(
+      IvfSq8Store.DefaultNumCentroids.toString,
+      IvfSq8Store.DefaultNprobe.toString),
+
+    // the auto twin: SAME template with nCentroids derived from COUNT(*)
+    // and the serve width clamped to it (LEAST — the engine's clamp reads
+    // the store's persisted choice)
+    "q_ann_ivfsq8_auto" -> ivfSq8TopKSql(ivfSq8AutoNcSql,
+      s"LEAST(${IvfSq8Store.AutoNprobe}, $ivfSq8AutoNcSql)"),
 
     "q_ann_recall_sq8" -> sq8RecallSql("sq8"),
     "q_ann_recall_sq8_served" -> sq8RecallSql("sq8_served"),
 
-    "q_ann_recall_ivfsq8" ->
-      s"""WITH $truthCtes,
-         |$sq8DqCte,
-         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-         |  WHERE vec_id < ${IvfSq8Store.DefaultNumCentroids}),
-         |csim AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS s
-         |  FROM embeddings e CROSS JOIN cents c),
-         |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-         |  FROM csim) WHERE rn = 1),
-         |qprobe AS (SELECT qid, cluster FROM (SELECT vec_id AS qid, cid AS cluster,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-         |  FROM csim WHERE vec_id < 20) WHERE rn <= ${IvfSq8Store.DefaultNprobe}),
-         |qsq AS (SELECT vec_id AS qid, v AS qv FROM dq WHERE vec_id < 20),
-         |candsq AS (SELECT qid, vec_id FROM (SELECT p.qid, d.vec_id,
-         |    row_number() OVER (PARTITION BY p.qid
-         |      ORDER BY ${cosSql("d.dqv", "q.qv")} DESC, d.vec_id ASC) AS rn
-         |  FROM dq d JOIN asg a ON d.vec_id = a.vec_id
-         |  JOIN qprobe p ON a.cluster = p.cluster
-         |  JOIN qsq q ON p.qid = q.qid
-         |  WHERE d.vec_id <> p.qid) WHERE rn <= 40),
-         |sqr AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id,
-         |    row_number() OVER (PARTITION BY c.qid
-         |      ORDER BY ${cosSql("d.v", "q.qv")} DESC, c.vec_id ASC) AS rn
-         |  FROM candsq c JOIN dq d ON c.vec_id = d.vec_id
-         |  JOIN qsq q ON c.qid = q.qid) WHERE rn <= 10)
-         |${recallRowSql("ivfsq8", "sqr")}""".stripMargin,
+    "q_ann_recall_ivfsq8" -> ivfSq8RecallSql("ivfsq8",
+      IvfSq8Store.DefaultNumCentroids.toString,
+      IvfSq8Store.DefaultNprobe.toString),
+    "q_ann_recall_ivfsq8_auto" -> ivfSq8RecallSql("ivfsq8_auto",
+      ivfSq8AutoNcSql,
+      s"LEAST(${IvfSq8Store.AutoNprobe}, $ivfSq8AutoNcSql)"),
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

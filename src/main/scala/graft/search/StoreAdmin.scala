@@ -56,6 +56,7 @@ object StoreAdmin {
     graft.similarity.IvfPqStore.defaultDir(sfDir) + "__auto",
     graft.similarity.Sq8Store.defaultDir(sfDir),
     graft.similarity.IvfSq8Store.defaultDir(sfDir),
+    graft.similarity.IvfSq8Store.defaultDir(sfDir) + "__auto",
     ServingStores.defaultDir(sfDir))
 
   /** Empty one store (data + stamp). Idempotent; the parent root and
@@ -153,8 +154,11 @@ object StoreAdmin {
     }
     sweepFlat(graft.similarity.Sq8Store.defaultDir(sfDir), "codes.parquet",
       d => graft.similarity.Sq8Store.compact(spark, d))
-    sweepFlat(graft.similarity.IvfSq8Store.defaultDir(sfDir), "codes.parquet",
-      d => graft.similarity.IvfSq8Store.compact(spark, d))
+    for (suffix <- Seq("", "__auto")) {
+      val ivfsq8 = graft.similarity.IvfSq8Store.defaultDir(sfDir) + suffix
+      sweepFlat(ivfsq8, "codes.parquet",
+        d => graft.similarity.IvfSq8Store.compact(spark, d))
+    }
     // the BASE index only: the __incr twin's identity IS "base + open
     // segment" (its ensure re-checks the segments dir and would rebuild
     // from scratch every time a sweep folded it — q_keyword_bm25_incr

@@ -164,6 +164,39 @@ object IvfSq8Store {
     dest
   }
 
+  /** Serve width for the auto configuration — [[IvfPqStore.AutoNprobe]]'s
+    * contract; callers clamp it to the persisted cell count
+    * (`LEAST(AutoNprobe, nc)` on the oracle side) so a corpus with
+    * N ≤ AutoCellSize, which builds ONE cell, still satisfies
+    * [[topKAt]]'s nprobe ≤ nCentroids contract.
+    */
+  val AutoNprobe = 2
+
+  /** k ∝ N made executable for the COMPOSED store ([[IvfStore
+    * .ensureBuiltAuto]]'s pattern): nCentroids = ⌈N / AutoCellSize⌉
+    * resolved from the corpus count at build time and persisted in
+    * params.txt. This is what restores the composition's whole point at
+    * scale — at the fixed [[DefaultNumCentroids]] = 8 the candidate pass
+    * reads a CONSTANT nprobe/8 = 25% of the corpus at ANY size, whereas
+    * here a probe reads ~AutoCellSize·nprobe int8 rows no matter how
+    * large N grows (cells multiply instead of fattening). Gated by
+    * `q_ann_ivfsq8_auto` (oracle derives the same count-based nCentroids
+    * in SQL); accuracy measured by `q_ann_recall_ivfsq8_auto` over the
+    * shared persisted truth.
+    */
+  def ensureBuiltAuto(spark: SparkSession, sfDir: String): String = {
+    val dest = defaultDir(sfDir) + "__auto"
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      graft.search.StoreAdmin.truncate(dest)
+      val emb = Tables.embeddings(spark, sfDir)
+      buildAt(dest, emb,
+        Similarity.autoK(emb.count(), IvfStore.AutoCellSize))
+      Stamp.write(dest, stamp)
+    }
+    dest
+  }
+
   /** Probe-cluster literals for a query: nprobe = 1 resolves from the
     * bucketed forward table (one pruned point read — rank 1 IS the
     * assignment); wider probes rank the persisted centroid table by the

@@ -38,6 +38,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_ivfpq_auto",      // IvfPqStore k-proportional-to-N config
     "q_ann_sq8_served",      // Sq8Store (packed int8 + scale)
     "q_ann_ivfsq8_served",   // IvfSq8Store (cluster-partitioned int8)
+    "q_ann_ivfsq8_auto",     // IvfSq8Store k-proportional-to-N config
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout
