@@ -977,6 +977,17 @@ object SimilarityQueries extends QueryPack {
         k = 5, rerank = 40, nprobe = nprobe)
     }),
 
+    // The drift measurement's ACTUATOR (round-15 verdict item 1):
+    // q_ann_drift_lloyd_big priced WHAT coarse retraining buys (+0.095
+    // recall@10 at production cell counts); this gate pins the policy
+    // that DECIDES — RetrainPolicy's appended-mass-vs-train-mass proxy
+    // over a clean store (quiet), the q_ann_drift fixture shape (fires
+    // at the default threshold, rebuild runs under the store lock), and
+    // the post-retrain re-assess (quiet again). The oracle derives every
+    // number from corpus counts — the decision needs nothing more.
+    "q_ann_retrain_policy" -> ((s, dir) =>
+      graft.search.RetrainPolicy.auditRows(s, dir)),
+
     // The SERVED ANN path: identical ranking from the persisted sketch
     // store (the BM25Index / SimHashStore build-once split) — the sketch
     // parquet is scanned for the Hamming filter, vectors join in only for
@@ -1642,6 +1653,28 @@ object SimilarityQueries extends QueryPack {
 
     "q_ann_recall_sq8" -> sq8RecallSql("sq8"),
     "q_ann_recall_sq8_served" -> sq8RecallSql("sq8_served"),
+
+    // the retrain-policy decision rows: every value is a corpus count —
+    // train mass = what the router was built over (full corpus for the
+    // clean store and the post-retrain state; the vec_id < nc OR
+    // vec_id % 5 <> 0 base for the drifted store pre-retrain), live mass
+    // = the full corpus, stale fraction = appended share, retrain =
+    // fraction >= the default threshold
+    "q_ann_retrain_policy" ->
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         |  CAST(COUNT(*) FILTER (WHERE vec_id < ${IvfStore.DefaultNumCentroids}
+         |    OR vec_id % 5 <> 0) AS BIGINT) AS base FROM embeddings)
+         |SELECT * FROM (
+         |SELECT 'clean' AS store, total AS train_rows, total AS live_rows,
+         |  CAST(0.0 AS DOUBLE) AS stale_fraction, FALSE AS retrain FROM n
+         |UNION ALL
+         |SELECT 'drift_after', total, total, CAST(0.0 AS DOUBLE), FALSE FROM n
+         |UNION ALL
+         |SELECT 'drift_before', base, total,
+         |  round(CAST(total - base AS DOUBLE) / total, 6),
+         |  (CAST(total - base AS DOUBLE) / total)
+         |    >= ${graft.search.RetrainPolicy.DefaultThreshold} FROM n
+         |) ORDER BY store""".stripMargin,
 
     "q_ann_recall_ivfsq8" -> ivfSq8RecallSql("ivfsq8",
       IvfSq8Store.DefaultNumCentroids.toString,

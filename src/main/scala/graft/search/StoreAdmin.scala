@@ -39,6 +39,7 @@ object StoreAdmin {
     graft.similarity.IvfStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir) + "__incr",
     graft.similarity.IvfStore.defaultDir(sfDir) + "__auto",
+    graft.similarity.IvfStore.defaultDir(sfDir) + "__policy",
     graft.similarity.PqStore.defaultDir(sfDir),
     graft.similarity.PqStore.defaultDir(sfDir) + "__incr",
     graft.similarity.PqStore.defaultDir(sfDir) + "__drift",
@@ -112,7 +113,8 @@ object StoreAdmin {
     */
   def maintain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                minFiles: Int = 4, foldAtGenerations: Int = 2,
-               foldAtSegments: Int = 1): Seq[String] = {
+               foldAtSegments: Int = 1,
+               retrainAt: Option[Double] = None): Seq[String] = {
     import org.apache.spark.sql.functions.col
     require(foldAtGenerations >= 2,
       "maintain: foldAtGenerations < 2 would re-fold a store every sweep" +
@@ -203,6 +205,31 @@ object StoreAdmin {
         d => ServingStores.compactTimeline(spark, d, "o_custkey", orderSorts),
         d => ServingStores.compactHotTimeline(spark, d, "o_custkey",
           orderSorts, minFiles))
+    // ROUTER RETRAIN (opt-in): the drift audits measured WHAT retraining
+    // buys (`q_ann_drift_lloyd_big`: +0.095 recall@10 at production cell
+    // counts — loss a rerank cannot recover); this is the hook that
+    // DECIDES. [[RetrainPolicy.assess]]'s appended-mass proxy costs a
+    // footer count per store, and past the threshold the rebuild runs
+    // under the store lock. Opt-in (None default) because maintain is
+    // wired into hash-gated serving chains where an implicit full
+    // rebuild would be a surprising cost, and covering only the flat
+    // IVF family here because it alone is SELF-CONTAINED (raw vectors
+    // are the artifact — [[graft.similarity.IvfStore.rebuildFromSelf]]);
+    // the compressed families (PQ/SQ8 codes cannot reconstruct their
+    // corpus) retrain through RetrainPolicy.maybeRetrain with a
+    // caller-supplied corpus. Stores built before the train-mass
+    // contract are skipped (their next rebuild records one).
+    retrainAt.foreach { t =>
+      for (suffix <- Seq("", "__incr", "__auto")) {
+        val d = graft.similarity.IvfStore.defaultDir(sfDir) + suffix
+        if (Files.isDirectory(Paths.get(d)) && RetrainPolicy.hasTrainMass(d)) {
+          val dec = RetrainPolicy.maybeRetrain(spark, d, t)(
+            graft.similarity.IvfStore.rebuildFromSelf(spark, d))
+          if (dec.retrain)
+            log += f"retrain $d stale=${dec.staleFraction}%.3f"
+        }
+      }
+    }
     gcOrphans(sfDir).foreach(o => log += s"gc $o")
     log.toSeq
   }

@@ -124,10 +124,11 @@ object IvfPqStore {
               ksub: Int = DefaultKsub): Unit = {
     require(ksub <= 256, s"buildAt: ksub=$ksub exceeds the packed " +
       "byte-per-subspace layout's 256-ordinal ceiling")
-    val width = IvfStore.byidWidth(
-      IvfStore.maxVid(embeddings, "IvfPqStore"), DefaultByidBuckets)
+    val (maxVid, nRows) = IvfStore.corpusStats(embeddings, "IvfPqStore")
+    val width = IvfStore.byidWidth(maxVid, DefaultByidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub,
       "byidBuckets" -> DefaultByidBuckets, "byidWidth" -> width)
+    graft.search.RetrainPolicy.recordTrainMass(dest, nRows)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
         nCentroids)
@@ -156,10 +157,11 @@ object IvfPqStore {
     val centsCached = cents.select(col("cid").cast("long").as("cid"),
       col("cv")).cache()
     val nCentroids = centsCached.count().toInt
-    val width = IvfStore.byidWidth(
-      IvfStore.maxVid(embeddings, "IvfPqStore"), DefaultByidBuckets)
+    val (maxVid, nRows) = IvfStore.corpusStats(embeddings, "IvfPqStore")
+    val width = IvfStore.byidWidth(maxVid, DefaultByidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids, "m" -> m, "ksub" -> ksub,
       "byidBuckets" -> DefaultByidBuckets, "byidWidth" -> width)
+    graft.search.RetrainPolicy.recordTrainMass(dest, nRows)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.assignToCentroids(embeddings, "vec_id",
         "embedding", centsCached)

@@ -71,11 +71,11 @@ object IvfSq8Store {
               nCentroids: Int = DefaultNumCentroids): Unit = {
     GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val width = IvfStore.byidWidth(
-      IvfStore.maxVid(embeddings, "IvfSq8Store"),
-      IvfStore.DefaultByidBuckets)
+    val (maxVid, nRows) = IvfStore.corpusStats(embeddings, "IvfSq8Store")
+    val width = IvfStore.byidWidth(maxVid, IvfStore.DefaultByidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids, "dim" -> dim,
       "byidBuckets" -> IvfStore.DefaultByidBuckets, "byidWidth" -> width)
+    graft.search.RetrainPolicy.recordTrainMass(dest, nRows)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
         nCentroids)

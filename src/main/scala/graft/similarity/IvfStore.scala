@@ -82,17 +82,21 @@ object IvfStore {
     * the BUILD's width — a disagreeing reader would prune to the wrong
     * bucket and miss a live row.
     */
-  /** Max vec_id of a build corpus — one column-pruned scan (parquet max
-    * stats) with the empty-corpus condition NAMED: max over zero rows is
+  /** (max vec_id, row count) of a build corpus — ONE column-pruned scan
+    * (parquet max stats + footer counts) feeding both the byid bucket
+    * width and the [[graft.search.RetrainPolicy]] train-mass record,
+    * with the empty-corpus condition NAMED: max over zero rows is
     * null, which would otherwise surface as an opaque NullPointerException
     * from getLong deep inside a build.
     */
-  private[similarity] def maxVid(embeddings: DataFrame, store: String): Long = {
-    val row = embeddings.agg(max(col("vec_id").cast("long"))).head()
+  private[similarity] def corpusStats(embeddings: DataFrame,
+                                      store: String): (Long, Long) = {
+    val row = embeddings
+      .agg(max(col("vec_id").cast("long")), count(lit(1))).head()
     require(!row.isNullAt(0),
       s"$store.buildAt: the embeddings input is EMPTY — cannot build a " +
         "vector store over zero vectors (check the source table/filter)")
-    row.getLong(0)
+    (row.getLong(0), row.getLong(1))
   }
 
   private[similarity] def byidWidth(maxVid: Long, buckets: Int): Int = {
@@ -133,9 +137,11 @@ object IvfStore {
               byidBuckets: Int = DefaultByidBuckets): Unit = {
     // at build time, next to the assignment pass, the id-range scan is
     // noise
-    val width = byidWidth(maxVid(embeddings, "IvfStore"), byidBuckets)
+    val (maxVid, nRows) = corpusStats(embeddings, "IvfStore")
+    val width = byidWidth(maxVid, byidBuckets)
     AnnMeta.write(dest, "nCentroids" -> nCentroids,
       "byidBuckets" -> byidBuckets, "byidWidth" -> width)
+    graft.search.RetrainPolicy.recordTrainMass(dest, nRows)
     graft.util.Tombstones.clear(dest)
     val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding",
         nCentroids)
@@ -230,6 +236,42 @@ object IvfStore {
         s"$dest/byid.parquet" -> (tmp => writeById(byid, tmp, "overwrite", width))),
         inTxn = () => graft.util.Tombstones.clear(dest))
     }
+
+  /** Retrain the router by rebuilding the store IN PLACE from its OWN
+    * live rows — the flat store is self-contained (raw vectors ARE the
+    * artifact), so the maintenance tier can retrain without the source
+    * corpus; this is the rebuild [[graft.search.RetrainPolicy]] triggers
+    * from `StoreAdmin.maintain`'s opt-in sweep. Deliberately LOCK-FREE:
+    * `maybeRetrain` holds the store lock around it (withLock is not
+    * reentrant), so callers other than the policy must take the lock
+    * themselves. Index identity (persisted nCentroids/byidBuckets) is
+    * preserved; an `__auto` store re-derives k on its next source-stamp
+    * rebuild, not here.
+    *
+    * Crash contract: the live snapshot is materialized OUTSIDE the
+    * sub-tables first (a lazy plan must not read the very files buildAt
+    * is overwriting) in a `-rewrite-tmp` dir [[graft.search.StoreAdmin
+    * .gcOrphans]] reclaims; the source stamp is dropped BEFORE the
+    * overwrite and restored after, so a crash mid-rebuild leaves a
+    * stampless store that `ensureBuilt` rebuilds rather than serving
+    * half-written artifacts (the AtomicRewrite stamp-first argument).
+    */
+  def rebuildFromSelf(spark: SparkSession, dest: String): Unit = {
+    val meta = AnnMeta.read(dest)
+    val snap = s"$dest/retrain-snap-rewrite-tmp"
+    liveVectors(spark, dest).select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(snap)
+    val stampFile = java.nio.file.Paths.get(dest, "source_stamp.txt")
+    val stamp =
+      if (graft.util.StoreFs.exists(stampFile))
+        Some(graft.util.StoreFs.readString(stampFile))
+      else None
+    graft.util.StoreFs.deleteIfExists(stampFile)
+    buildAt(dest, spark.read.parquet(snap), meta("nCentroids"),
+      meta("byidBuckets"))
+    stamp.foreach(s => Stamp.write(dest, s))
+    graft.util.StoreFs.deleteRecursively(java.nio.file.Paths.get(snap))
+  }
 
   /** Build-if-absent-or-stale; returns the store directory. */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
