@@ -285,12 +285,13 @@ class AnnStoreLifecycleSpec extends SparkSpec {
       "served filtered ranking must equal srpTopKFiltered")
     assert(served.exists(_.startsWith("[35,")),
       s"planted same-label near-dup 35 missing from $served")
-    // the point of the layout: the sketch scan prunes to ONE label
-    // partition directory at planning time
+    // the point of the layout: the sketch scan prunes to ONE bucket
+    // directory at planning time, and the exact label predicate rides
+    // the pruned within-bucket scan
     val plan = SrpLabelStore.topKFilteredAt(spark, dest, lab(all), 2L, 5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("label"),
-      s"filtered serve must prune the sketch scan to the label partition:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("label_bucket"),
+      s"filtered serve must prune the sketch scan to the label's bucket:\n$plan")
     // label EDIT via upsert: vector 35 moves to label 0 — it must leave
     // label 2's partition (the tombstone is id-keyed, not partition-keyed)
     SrpLabelStore.upsertBatch(spark, dest,
@@ -312,6 +313,50 @@ class AnnStoreLifecycleSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dest/sig.parquet")
       .filter(col("vec_id") === 35L && col("label") === 2).count() == 0,
       "compact must not resurrect the old-label row")
+  }
+
+  test("SrpLabelStore: directory count is BOUNDED at high label " +
+      "cardinality (one bucket dir per hash bucket, never per label), " +
+      "and filtered serving stays exact") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("graft-srplab-hicard").toString
+    // 500 DISTINCT labels over 500 rows — the v1 raw-label layout would
+    // write 500 partition directories here; the bucketed layout is
+    // bounded by the build parameter at ANY cardinality
+    val many = (0 until 500).map(i =>
+        (i.toLong, Array.tabulate(16)(j =>
+          ((i % 3) - 1).toFloat + 0.08f * ((i * 31 + j * 7) % 11)),
+          i.toInt))
+      .toDF("vec_id", "embedding", "label")
+    SrpLabelStore.buildAt(dest, many)
+    val dirs = {
+      val s = Files.list(Paths.get(dest, "sig.parquet"))
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("label_bucket="))
+        .map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+    assert(dirs.nonEmpty && dirs.size <= SrpLabelStore.DefaultLabelBuckets,
+      s"500 labels must land in <= ${SrpLabelStore.DefaultLabelBuckets} " +
+        s"bucket dirs, got ${dirs.size}")
+    // a label with exactly one member: the filtered top-k over it is
+    // empty (no same-label neighbor exists) — exactness means NOT
+    // leaking the bucket's 30-odd other labels into the results
+    assert(SrpLabelStore.topKFilteredAt(spark, dest, many, 7L, 5).isEmpty,
+      "singleton label must have an empty same-label top-k — bucket " +
+        "neighbors with other labels may not leak through")
+    // the driver- and executor-side bucket functions agree (CRC32
+    // polynomial contract) — every label's rows are IN the directory
+    // its point read will prune to
+    val mismatched = spark.read.parquet(s"$dest/sig.parquet")
+      .select(col("label"), col("label_bucket"))
+      .collect().count { r =>
+        SrpLabelStore.labelBucket(r.getInt(0),
+          SrpLabelStore.DefaultLabelBuckets) != r.getInt(1)
+      }
+    assert(mismatched == 0,
+      s"$mismatched rows bucketed differently than the driver would probe")
   }
 
   test("Sq8Store: per-row int8 codes — append ≡ full rebuild exactly, " +
