@@ -16,8 +16,9 @@ import java.nio.file.{Files, Paths}
   *
   * Layout under one index directory:
   * {{{
-  *   postings/tb=<0..15>/   (doc, term, tf, positions, len)  sorted by (term, doc)
-  *   termstats/tb=<0..15>/  (term, df)                       sorted by term
+  *   params.txt             termBuckets=<B>  (persisted at build — index identity)
+  *   postings/tb=<0..B-1>/  (doc, term, tf, positions, len)  sorted by (term, doc)
+  *   termstats/tb=<0..B-1>/ (term, df)                       sorted by term
   *   corpus/                (n, avglen)                      one row
   * }}}
   *
@@ -28,11 +29,22 @@ import java.nio.file.{Files, Paths}
   * `len` (doc length) is denormalized onto postings — Lucene stores per-doc
   * field norms alongside postings the same way — so serving needs NO
   * docstats join. Query-time reads prune twice: the term bucket
-  * `tb = crc32(term) % 16` prunes whole directories at planning time
-  * (PartitionFilters) and the within-file term sort prunes row groups via
-  * parquet min/max stats (PushedFilters) — the two-level pruning a sharded
-  * inverted index gives. At 100 TB, scale the bucket count with vocabulary
-  * and write per-bucket files bucketed by doc for co-partitioned score joins.
+  * `tb = crc32(term) % termBuckets` prunes whole directories at planning
+  * time (PartitionFilters) and the within-file term sort prunes row groups
+  * via parquet min/max stats (PushedFilters) — the two-level pruning a
+  * sharded inverted index gives. The bucket count is NOT a compile-time
+  * constant (v4 — round-15 verdict item 6): it is derived ∝ VOCABULARY at
+  * build time ([[autoTermBuckets]] — at a 100-TB corpus a fixed 16 means
+  * 16 giant postings partitions) and persisted in the index's metadata
+  * (the byidBuckets/AnnMeta precedent), because the count is INDEX
+  * IDENTITY: a probe assuming a different modulus than the build would
+  * prune to the wrong directory and silently miss every posting of the
+  * term. Every probe/append/compact reads the choice back — per PART,
+  * since a segment's vocabulary (and so its derived count) legitimately
+  * differs from the base's — and compaction re-derives it over the merged
+  * vocabulary, which is how the count grows as segments fold in. Per-
+  * bucket files bucketed by doc (for co-partitioned score joins) remain
+  * the 100-TB follow-on.
   *
   * Why directory partitioning instead of [[graft.sources.Sinks.bucketedTable]]
   * (bucketBy + saveAsTable): bucketed-table reads resolve through the session
@@ -41,19 +53,43 @@ import java.nio.file.{Files, Paths}
   */
 object BM25Index {
 
-  val NumTermBuckets = 16
+  /** Floor for the derived bucket count — keeps small corpora wide
+    * enough to exercise the pruned read (the pre-v4 constant).
+    */
+  val DefaultTermBuckets = 16
+
+  /** Target vocabulary slice per bucket for [[autoTermBuckets]]: ~64k
+    * terms keeps a bucket's termstats file one comfortable scan and its
+    * postings directory far from the giant-partition regime.
+    */
+  val TermsPerBucket = 65536L
+
+  /** Bucket count ∝ vocabulary: ⌈nTerms / TermsPerBucket⌉, floored at
+    * [[DefaultTermBuckets]] — a 100M-term corpus derives ~1.5k buckets
+    * where the old constant gave 16 giant partitions.
+    */
+  def autoTermBuckets(nTerms: Long): Int =
+    math.max(DefaultTermBuckets,
+      ((nTerms + TermsPerBucket - 1) / TermsPerBucket).toInt)
+
+  /** The PERSISTED bucket count of an index part — the only value a
+    * probe may use (a guessed modulus prunes to the wrong directory).
+    */
+  def termBuckets(part: String): Int =
+    graft.similarity.AnnMeta.readKey(part, "termBuckets")
 
   /** Engine-independent term bucket, computable as a Column at build time
     * and on the driver at query time (java.util.zip.CRC32 and Spark's
-    * `crc32` share the polynomial).
+    * `crc32` share the polynomial). `buckets` is the part's persisted
+    * count, never a constant.
     */
-  def termBucketCol(term: Column): Column =
-    pmod(crc32(term), lit(NumTermBuckets)).cast("int")
+  def termBucketCol(term: Column, buckets: Int): Column =
+    pmod(crc32(term), lit(buckets)).cast("int")
 
-  def termBucket(term: String): Int = {
+  def termBucket(term: String, buckets: Int): Int = {
     val c = new java.util.zip.CRC32()
     c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (c.getValue % NumTermBuckets).toInt
+    (c.getValue % buckets).toInt
   }
 
   /** Build the index from a corpus. One tokenize pass — the (doc, term, tf)
@@ -84,22 +120,33 @@ object BM25Index {
         sort_array(collect_list(col("pos"))).as("positions"))
       .persist()
     try {
-      val lens = post.groupBy(col("doc")).agg(sum(col("tf")).as("len"))
-      post.join(lens, "doc")
-        .withColumn("tb", termBucketCol(col("term")))
-        .repartition(col("tb"))
-        .sortWithinPartitions(col("term"), col("doc"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/postings")
-      post.groupBy(col("term"))
+      // the termstats aggregate doubles as the vocabulary count the
+      // bucket derivation needs — persisted so the count job and the
+      // write share one computation
+      val tstats = post.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
-        .withColumn("tb", termBucketCol(col("term")))
-        .repartition(col("tb"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/termstats")
-      lens.agg(count(lit(1)).cast("double").as("n"),
-          (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"),
-          sum(col("len")).cast("long").as("total_len"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dest/corpus")
+        .persist()
+      try {
+        val buckets = autoTermBuckets(tstats.count())
+        // metadata BEFORE artifacts (the AnnMeta ordering): a reader
+        // never sees postings without the modulus that routes them
+        graft.similarity.AnnMeta.write(dest, "termBuckets" -> buckets)
+        val lens = post.groupBy(col("doc")).agg(sum(col("tf")).as("len"))
+        post.join(lens, "doc")
+          .withColumn("tb", termBucketCol(col("term"), buckets))
+          .repartition(col("tb"))
+          .sortWithinPartitions(col("term"), col("doc"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/postings")
+        tstats
+          .withColumn("tb", termBucketCol(col("term"), buckets))
+          .repartition(col("tb"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$dest/termstats")
+        lens.agg(count(lit(1)).cast("double").as("n"),
+            (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"),
+            sum(col("len")).cast("long").as("total_len"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dest/corpus")
+      } finally tstats.unpersist()
     } finally post.unpersist()
   }
 
@@ -220,14 +267,14 @@ object BM25Index {
     */
   private def livePostings(spark: SparkSession, dest: String,
                            parts: Seq[String],
-                           prune: DataFrame => DataFrame): DataFrame = {
+                           prune: (String, DataFrame) => DataFrame): DataFrame = {
     latestTombstones(spark, dest) match {
       case None =>
-        parts.map(p => prune(spark.read.parquet(s"$p/postings")))
+        parts.map(p => prune(p, spark.read.parquet(s"$p/postings")))
           .reduce(_.unionAll(_))
       case Some(tomb) =>
         val tagged = parts.map(p =>
-            prune(spark.read.parquet(s"$p/postings"))
+            prune(p, spark.read.parquet(s"$p/postings"))
               .withColumn("__part", lit(partTag(dest, p))))
           .reduce(_.unionAll(_))
         tagged.join(broadcast(tomb),
@@ -254,7 +301,7 @@ object BM25Index {
     val parts = partDirs(dest)
     val purging = Files.isDirectory(Paths.get(dest, "_tombstones"))
     if (parts.size > 1 || purging) {
-      val post = livePostings(spark, dest, parts, identity)
+      val post = livePostings(spark, dest, parts, (_, df) => df)
         .drop("tb").persist()
       // corpus stats recomputed from the SURVIVING per-(doc, term) ground
       // truth — on a tombstone-free index this equals the per-part
@@ -267,27 +314,40 @@ object BM25Index {
           sum(col("len")).cast("long").as("total_len"))
       try {
         val tmp = s"$dest/compact-tmp"
+        // the bucket count is RE-DERIVED over the merged vocabulary —
+        // this is how the count grows as segments fold in (the folded
+        // base routes by ITS modulus; the segments' own counts die with
+        // their directories)
+        val tstats = post.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df")).persist()
+        val buckets = autoTermBuckets(tstats.count())
+        graft.similarity.AnnMeta.write(tmp, "termBuckets" -> buckets)
         post
-          .withColumn("tb", termBucketCol(col("term")))
+          .withColumn("tb", termBucketCol(col("term"), buckets))
           .repartition(col("tb"))
           .sortWithinPartitions(col("term"), col("doc"))
           .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
-        post.groupBy(col("term"))
-          .agg(count(lit(1)).cast("double").as("df"))
-          .withColumn("tb", termBucketCol(col("term")))
+        tstats
+          .withColumn("tb", termBucketCol(col("term"), buckets))
           .repartition(col("tb"))
           .sortWithinPartitions(col("term"))
           .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/termstats")
+        tstats.unpersist()
         corpus.coalesce(1).write.mode("overwrite").parquet(s"$tmp/corpus")
         // swap with the isBuilt sentinel (corpus/_SUCCESS) handled FIRST on
         // delete and LAST on move: a crash anywhere mid-swap leaves the
         // index without its sentinel, so build-if-absent callers rebuild
         // instead of serving mixed-generation postings/termstats. The
+        // params file rides INSIDE the sentinel window (deleted right
+        // after corpus, restored right before it) so a valid sentinel
+        // can never pair new postings with the old modulus — a probe
+        // routed by the stale count would silently miss terms. The
         // segments dir is deleted BEFORE the sentinel lands — if it were
         // removed after, a crash between the corpus move and the segment
         // delete would leave a valid sentinel alongside the old segments
         // and topKMerged would double-count every compacted segment doc.
-        val swapOrder = Seq("corpus", "postings", "termstats")
+        val swapOrder = Seq("corpus", graft.similarity.AnnMeta.File,
+          "postings", "termstats")
         swapOrder.foreach(sub =>
           graft.util.StoreFs.deleteRecursively(Paths.get(dest, sub)))
         graft.util.StoreFs.deleteRecursively(Paths.get(dest, "segments"))
@@ -321,13 +381,17 @@ object BM25Index {
                  k: Int): DataFrame = {
     val terms = BM25.analyze(queryTerms)
     require(terms.nonEmpty, "no query terms survive analysis")
-    val tbs = terms.map(termBucket).distinct
     val parts = partDirs(dest)
-    val post = livePostings(spark, dest, parts,
-      df => df.filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+    // per-PART bucket literals: each part routes by its own persisted
+    // modulus (a segment's derived count legitimately differs from the
+    // base's — one global tbs list would mis-prune)
+    val tbsOf = parts.map(p => p ->
+      terms.map(termBucket(_, termBuckets(p))).distinct).toMap
+    val post = livePostings(spark, dest, parts, (p, df) =>
+      df.filter(col("tb").isin(tbsOf(p): _*) && col("term").isin(terms: _*)))
     val tstats = parts
       .map(p => spark.read.parquet(s"$p/termstats")
-        .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+        .filter(col("tb").isin(tbsOf(p): _*) && col("term").isin(terms: _*)))
       .reduce(_.unionAll(_))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val corpus = parts
@@ -352,7 +416,10 @@ object BM25Index {
     * `GRAFT_INDEX_DIR` when set — never a hardcoded absolute path.
     */
   def defaultDir(sfDir: String): String = {
-    graft.util.StoreDirs.resolve("bm25-index-v3", sfDir)
+    // v4: termBuckets persisted per part (the v3 layout routed by a
+    // compile-time constant; the bump orphans it so stamped stores can
+    // never be probed under a modulus they weren't built with)
+    graft.util.StoreDirs.resolve("bm25-index-v4", sfDir)
   }
 
   /** Build-if-absent-or-stale for a testdata documents corpus; returns the
@@ -432,10 +499,11 @@ object BM25Index {
       .filter(_.nonEmpty)
     require(ordered.nonEmpty, "no phrase terms survive analysis")
     val terms = ordered.distinct
-    val tbs = terms.map(termBucket).distinct
     val parts = partDirs(dest)
-    val post = livePostings(spark, dest, parts,
-      df => df.filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+    val tbsOf = parts.map(p => p ->
+      terms.map(termBucket(_, termBuckets(p))).distinct).toMap
+    val post = livePostings(spark, dest, parts, (p, df) =>
+      df.filter(col("tb").isin(tbsOf(p): _*) && col("term").isin(terms: _*)))
     val slot = terms.zipWithIndex.toMap
     val joined = terms.zipWithIndex.map { case (t, i) =>
         val keep = Seq(col("doc")) ++ (if (i == 0) Seq(col("len")) else Nil) ++
@@ -525,7 +593,7 @@ object BM25Index {
            k: Int): DataFrame = {
     val terms = BM25.analyze(queryTerms)
     require(terms.nonEmpty, "no query terms survive analysis")
-    val tbs = terms.map(termBucket).distinct
+    val tbs = terms.map(termBucket(_, termBuckets(dest))).distinct
     val post = spark.read.parquet(s"$dest/postings")
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
     val tstats = spark.read.parquet(s"$dest/termstats")
