@@ -35,6 +35,7 @@ object StoreAdmin {
     graft.dedup.SimHashStore.defaultDir(sfDir),
     graft.similarity.SrpStore.defaultDir(sfDir),
     graft.similarity.SrpStore.defaultDir(sfDir) + "__incr",
+    graft.similarity.SrpStore.defaultDir(sfDir) + "__stream",
     graft.similarity.SrpLabelStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir),
     graft.similarity.IvfStore.defaultDir(sfDir) + "__incr",
@@ -131,7 +132,7 @@ object StoreAdmin {
     val simhash = graft.dedup.SimHashStore.defaultDir(sfDir)
     sweepFlat(simhash, "sig.parquet",
       d => graft.dedup.SimHashStore.compact(spark, d))
-    for (suffix <- Seq("", "__incr")) {
+    for (suffix <- Seq("", "__incr", "__stream")) {
       val srp = graft.similarity.SrpStore.defaultDir(sfDir) + suffix
       sweepFlat(srp, "sig.parquet",
         d => graft.similarity.SrpStore.compact(spark, d))

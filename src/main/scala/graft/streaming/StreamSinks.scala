@@ -133,6 +133,47 @@ object StreamSinks {
     * consumers. At 100 TB the store is the bucketed-by-band signature
     * table; the per-batch probe cost is batch-sized, never corpus-sized.
     */
+  /** Streaming vector ingest into a persisted ANN store — the sink that
+    * closes the streaming loop for the ANN family (round-15 verdict item
+    * 5): micro-batches of (vec_id, embedding, …) rows fold into an
+    * EXISTING store (SrpStore / IvfSq8Store / any family member) through
+    * the store's own id-keyed upsert, so a streamed ingest converges to
+    * the same live rows as the equivalent batch upserts and serves the
+    * identical top-k (EventStreamsSpec; `q_ann_lsh_stream` shares
+    * `q_ann_lsh`'s oracle verbatim).
+    *
+    * Replay semantics: foreachBatch may re-execute a batch after a
+    * crash. The versioned sinks above anchor replays by reading `v<k>`
+    * (k < N); an ANN store is append-IN-PLACE (store lock, tombstone
+    * generations), so the anchor here is the family's own crash
+    * contract: every batch applies through UPSERT — tombstone-first,
+    * strict-older-generation kill — which is exactly the documented
+    * recovery for a half-applied append, so a re-executed batch
+    * converges to the same live rows no matter where the previous
+    * attempt died (tombstoning the batch ids kills any partial
+    * generation before re-adding). An applied-batch marker, written
+    * AFTER the upsert, short-circuits clean replays; correctness never
+    * depends on it. The upsert itself takes the store lock, so a
+    * concurrent compactor/retrainer collides loudly, never silently.
+    */
+  def annIngestSink(stream: DataFrame, dest: String, checkpoint: String,
+                    upsert: (org.apache.spark.sql.SparkSession, String,
+                      DataFrame) => Unit): StreamingQuery = {
+    Files.createDirectories(Paths.get(dest))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = Paths.get(dest, "_stream_applied", s"batch-$batchId")
+        if (!graft.util.StoreFs.exists(marker) && !batch.isEmpty) {
+          upsert(batch.sparkSession, dest, batch)
+          graft.util.StoreFs.createDirectories(marker.getParent)
+          graft.util.StoreFs.writeString(marker, "applied\n")
+        }
+        ()
+      }
+      .start()
+  }
+
   def nearDupFilterSink(stream: DataFrame, idCol: String, textCol: String,
                         dest: String, checkpoint: String,
                         maxHamming: Int = 3): StreamingQuery = {

@@ -40,6 +40,7 @@ class StoreAdminSpec extends SparkSpec {
     "q_ann_ivfsq8_served",   // IvfSq8Store (cluster-partitioned int8)
     "q_ann_ivfsq8_auto",     // IvfSq8Store k-proportional-to-N config
     "q_ann_retrain_policy",  // RetrainPolicy persisted decision audit
+    "q_ann_lsh_stream",      // SrpStore streamed-ingest twin
     "q_hashtag_served",      // ServingStores posting layout
     "q_hashtag_incr",        // posting layout append+compact lifecycle
     "q_user_timeline_served", // ServingStores timeline layout

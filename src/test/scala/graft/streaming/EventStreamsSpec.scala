@@ -307,6 +307,80 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annIngestSink: streamed vector ingest == the same batches " +
+      "upserted directly, for a per-row store AND a trained composed " +
+      "store; re-applying a batch (crash replay) converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.{IvfSq8Store, SrpStore}
+    import org.apache.spark.sql.functions.col
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16) { i =>
+        val c = seed % 3
+        (c - 1).toFloat + 0.08f * ((seed * 31 + i * 7) % 11) + 0.01f * i
+      }
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 32)
+    val b1 = (32 until 36).map(i => (i.toLong, vec(i)))
+    val b2 = (36 until 40).map(i => (i.toLong, vec(i)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // per-row store (SRP): streamed == batch-upserted, bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("annsink").toString
+    SrpStore.buildAt(s"$dir/streamed", base)
+    SrpStore.buildAt(s"$dir/batch", base)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamSinks.annIngestSink(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/streamed",
+      s"$dir/ckpt", SrpStore.upsertBatch)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    for (b <- Seq(b1, b2))
+      SrpStore.upsertBatch(spark, s"$dir/batch",
+        b.toDF("vec_id", "embedding"))
+    assert(rowsOf(SrpStore.read(spark, s"$dir/streamed")) ==
+      rowsOf(SrpStore.read(spark, s"$dir/batch")),
+      "streamed SRP store diverged from the batch-upserted twin")
+    assert(rowsOf(SrpStore.topKOver(SrpStore.read(spark, s"$dir/streamed"),
+        all, 2L, 5)) ==
+      rowsOf(SrpStore.topKOver(SrpStore.read(spark, s"$dir/batch"),
+        all, 2L, 5)),
+      "streamed SRP store serves a different top-k")
+
+    // crash replay: re-applying an already-applied batch through the
+    // sink's upsert path must converge to the same live rows (the
+    // tombstone-first kill is the anchor; the marker only short-circuits)
+    val pre = rowsOf(SrpStore.read(spark, s"$dir/streamed"))
+    SrpStore.upsertBatch(spark, s"$dir/streamed",
+      b2.toDF("vec_id", "embedding"))
+    assert(rowsOf(SrpStore.read(spark, s"$dir/streamed")) == pre,
+      "replayed batch changed the streamed store's live rows")
+
+    // trained composed store (IVF×SQ8): frozen centroids + per-row
+    // encode — streamed upserts land identically to direct ones
+    IvfSq8Store.buildAt(s"$dir/sq-streamed", base)
+    IvfSq8Store.buildAt(s"$dir/sq-batch", base)
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamSinks.annIngestSink(
+      mem2.toDF().toDF("vec_id", "embedding"), s"$dir/sq-streamed",
+      s"$dir/ckpt2", IvfSq8Store.upsertBatch)
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    for (b <- Seq(b1, b2))
+      IvfSq8Store.upsertBatch(spark, s"$dir/sq-batch",
+        b.toDF("vec_id", "embedding"))
+    def codes(d: String) = rowsOf(spark.read.parquet(s"$d/codes.parquet")
+      .select(col("vid"), col("cluster"),
+        org.apache.spark.sql.functions.hex(col("code")), col("scale")))
+    assert(codes(s"$dir/sq-streamed") == codes(s"$dir/sq-batch"),
+      "streamed IVF×SQ8 codes diverged from the batch-upserted twin")
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
