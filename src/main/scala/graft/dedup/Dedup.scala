@@ -121,10 +121,15 @@ object Dedup {
   /** Distinct word n-gram shingles per document: (doc, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")
+    // project the token array ONCE, then filter/explode over the
+    // materialized column: the previous shape re-ran split() in the filter
+    // and again in the explode bound (no CSE across operator boundaries —
+    // the TextAnalysis.cdcChunks note; optimization guide §1.2 step 2)
     docs
-      .filter(size(toks) >= n)
-      .select(col(idCol).as("doc"), toks.as("toks"),
-        explode(sequence(lit(0), size(toks) - lit(n))).as("i"))
+      .select(col(idCol).as("doc"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - lit(n))).as("i"))
       .select(col("doc"), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
       .distinct()
   }
@@ -328,7 +333,11 @@ object Dedup {
                          idCol: String, textCol: String,
                          n: Int = 3, numHashes: Int = 12,
                          rowsPerBand: Int = 2): DataFrame = {
+    // the batch band table feeds the collision probe AND the surviving
+    // anti-join — cut it so the shingle + minhash + banding chain runs
+    // once (guide §1.2 step 1)
     val bb = minHashBands(batch, idCol, textCol, n, numHashes, rowsPerBand)
+      .cutLineage()
     val dup = bb.join(
         storeBands.select(col("band"), col("sig")), Seq("band", "sig"))
       .select(col("doc")).distinct()
@@ -356,7 +365,12 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     groupCol: String, n: Int = 3,
                     maxShingleDf: Option[Long] = None): DataFrame = {
-    val shAll = shingles(docs, idCol, textCol, n)
+    // under the df cap the shingle table feeds BOTH the hot-shingle count
+    // and the anti-join — persist it (the minHashLsh idiom) so the
+    // tokenize+explode+distinct chain runs once; the uncapped path has a
+    // single consumer and skips the cache
+    val shRaw = shingles(docs, idCol, textCol, n)
+    val shAll = if (maxShingleDf.isDefined) shRaw.persist() else shRaw
     val sh = maxShingleDf.fold(shAll)(cut => capShingleDf(shAll, cut))
     val sg = sh
       .join(docs.select(col(idCol).as("doc"), col(groupCol).as("__g")), "doc")

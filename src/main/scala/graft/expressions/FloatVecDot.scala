@@ -103,6 +103,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+    // squared L2 sibling — the PQ train/encode inner loop; see FloatVecL2sq
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", exprs => FloatVecL2sq(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp", exprs =>
         SrpSignatureWords(exprs.head, graft.similarity.Similarity.srpPlanes),

@@ -101,7 +101,12 @@ object Graphs {
     val e = edges.select(col("u"), col("v")).distinct().cutLineage()
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
-    val nn = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
+    // the 1-row node count is consumed by EVERY round's rank update — cut
+    // it so the nodes-distinct exchange behind it runs once, not once per
+    // round (each round is planned after its own lineage cut, so exchange
+    // reuse cannot dedupe across rounds; guide §1.2 step 1)
+    val nn = broadcast(nodes
+      .agg(count(lit(1)).cast("double").as("n_nodes")).cutLineage())
     val outdeg = e.groupBy(col("u"))
       .agg(count(lit(1)).cast("double").as("deg")).cutLineage()
     // Dangling-ness is STATIC — resolve it into a 0/1 node flag once so
@@ -165,7 +170,9 @@ object Graphs {
       .select(col("node"), coalesce(col("__is"), lit(0.0)).as("s"),
         coalesce(col("__nd"), lit(1.0)).as("dang"))
       .cutLineage()
-    val ns = broadcast(sflag.agg(sum(col("s")).as("n_seeds")))
+    // cut for the same per-round reason as pagerank's nn (and the loud
+    // empty-seed probe below materializes it for free)
+    val ns = broadcast(sflag.agg(sum(col("s")).as("n_seeds")).cutLineage())
     // Fail loudly on an empty seed set: 0/0 would silently make every
     // rank NaN. One 1-row action against the already-checkpointed flag
     // table — no extra shuffle beyond what the first iteration pays.

@@ -37,6 +37,18 @@ object MediaStore {
       build.write.mode("overwrite").parquet(dest + "/data")
       Stamp.write(dest, stamp)
     }
-    spark.read.parquet(dest + "/data")
+    // Every consumer of this table is DECODE-bound (demux + entropy decode
+    // per blob), so scan parallelism — not scan bytes — is what sizes the
+    // stage. A small corpus lands in one parquet file, which is ONE scan
+    // split (a row group is the split floor), serializing the whole decode
+    // onto a single core (optimization guide §2.5 "input skew: one huge
+    // unsplittable file — repartition immediately after the read"; §6 split
+    // sizing). Spread it only when the persisted layout is narrower than
+    // the session's parallelism: at production scale the store has ≥ cores
+    // worth of files and this branch is a no-op, so no blob bytes are ever
+    // shuffled there.
+    val df = spark.read.parquet(dest + "/data")
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}

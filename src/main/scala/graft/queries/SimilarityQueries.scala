@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.similarity.{AnnMeta, IvfPqStore, IvfSq8Store, IvfStore, PqStore, RecallTruth, Similarity, Sq8Store, SrpLabelStore, SrpStore}
+import graft.util.Checkpoints.CheckpointOps
 import graft.util.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1336,12 +1337,15 @@ object SimilarityQueries extends QueryPack {
         .select((col("vec_id").as("qid") +: col("embedding").as("__qv") +:
           col("label").as("__qlabel") +:
           (0 until 4).map(w => col(s"__w$w").as(s"__qw$w"))): _*)
+      // scored feeds BOTH the truth and the candidate top-k — cut it so the
+      // 20 × N same-label scored scan runs once (guide §1.2 / §5)
       val scored = e.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("qid") &&
           col("label") === col("__qlabel"))
         .select(col("qid"), col("vec_id"),
           round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"),
           Similarity.srpHamming("__w", "__qw").as("__ham"))
+        .cutLineage()
       val truth = topPerQuery(scored)
       val cand = topPerQuery(
         scored.filter(col("__ham") <= Similarity.SrpRadius))
@@ -1456,6 +1460,11 @@ object SimilarityQueries extends QueryPack {
       // thus register nothing) in a scoped run, while the truth frame's
       // cosineFast analyzes eagerly
       graft.expressions.GraftFunctions.register(s)
+      // NOT cut: the truth subtree repeats across the four union branches,
+      // but its window exchange is canonically identical in each, so
+      // AQE/ReuseExchange computes it once already — a lineage cut here
+      // measured 0–20% SLOWER (materialization cost + lost vec_id scan
+      // pushdown; r16 A/B) for zero avoided work
       val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
       val destIncr = PqStore.ensureBuiltDrift(s, dir)
       val destFull = PqStore.ensureBuiltDriftRebuild(s, dir)
@@ -1502,6 +1511,7 @@ object SimilarityQueries extends QueryPack {
     // residual-only gap attributes the loss between the two artifacts.
     "q_ann_drift_lloyd" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
+      // NOT cut — the q_ann_drift exchange-reuse rationale
       val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
       val frozen = IvfPqStore.ensureBuiltDriftLloyd(s, dir)
       val retrained = IvfPqStore.ensureBuiltDriftLloydRebuild(s, dir)
@@ -1522,6 +1532,7 @@ object SimilarityQueries extends QueryPack {
     // parameterized oracle template as the toy rows.
     "q_ann_drift_lloyd_big" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
+      // NOT cut — the q_ann_drift exchange-reuse rationale
       val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
       val frozen = IvfPqStore.ensureBuiltDriftLloydBig(s, dir)
       val retrained = IvfPqStore.ensureBuiltDriftLloydBigRebuild(s, dir)

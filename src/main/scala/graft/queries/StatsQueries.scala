@@ -11,6 +11,35 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object StatsQueries extends QueryPack {
 
+  /** The hash-sampled co-purchase edge graph every graph query runs over:
+    * canonical u<v part pairs sharing an order (the shared construction
+    * factored out of the seven graph queries). Deliberately the self-join
+    * shape with NO lineage cut: the repeated consumption downstream (both
+    * union directions, wedge legs, seed sets) is deduplicated by
+    * AQE/ReuseExchange over the canonical distinct exchange, and an r16
+    * A/B measured both a per-order collect_set pair expansion (interpreted
+    * HOF cost) and a lineage cut here SLOWER than this shape.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(Graphs.vertexSample(col("l_partkey"), 30))
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  /** [[copurchaseEdges]] in BOTH directions — the undirected-graph input
+    * shape pagerank/kcore/lpa/adamicAdar take.
+    */
+  private def copurchaseGraph(s: SparkSession, dir: String): DataFrame = {
+    val ce = copurchaseEdges(s, dir)
+    ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pre-shuffle skew audit on the events join key.
     "q_skew_audit" -> ((s, dir) =>
@@ -217,56 +246,25 @@ object StatsQueries extends QueryPack {
 
     // Triangle participation in the hash-sampled co-purchase graph
     // (parts sharing an order; 30% vertex sample = colorful estimator).
-    "q_triangles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .where(Graphs.vertexSample(col("l_partkey"), 30))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val edges = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      Graphs.triangleParticipation(Graphs.triangles(edges), 20)
-    }),
+    "q_triangles" -> ((s, dir) =>
+      Graphs.triangleParticipation(
+        Graphs.triangles(copurchaseEdges(s, dir)), 20)),
 
     // PageRank centrality over the same co-purchase graph (undirected →
     // each canonical edge in both directions), 5 damped power iterations,
     // top-20 parts. Oracle = the identical unrolled recurrence in SQL.
-    "q_pagerank" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .where(Graphs.vertexSample(col("l_partkey"), 30))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val ce = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
-      Graphs.pagerank(edges, iters = 5, damping = 0.85)
+    "q_pagerank" -> ((s, dir) =>
+      Graphs.pagerank(copurchaseGraph(s, dir), iters = 5, damping = 0.85)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node").asc)
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Adamic–Adar link prediction over the same sampled co-purchase
     // graph: top-20 NOT-yet-linked part pairs by common-neighbor score
     // (hub neighbors discounted 1/ln deg). One wedge join + anti-join;
     // decimal-routed weights make the pair sum order-independent.
-    "q_adamic_adar" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .where(Graphs.vertexSample(col("l_partkey"), 30))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val ce = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
-      Graphs.adamicAdar(edges, k = 20)
-    }),
+    "q_adamic_adar" -> ((s, dir) =>
+      Graphs.adamicAdar(copurchaseGraph(s, dir), k = 20)),
 
     // The HUB-CAPPED Adamic–Adar path (maxDegree = 40 binds on the
     // co-purchase graph's hub tail — degrees run 9..63, median 32):
@@ -274,35 +272,16 @@ object StatsQueries extends QueryPack {
     // 100-TB power-law guardrail. Oracle applies the identical cap in
     // its ew CTE, so the surviving scores are hash-exact — the capped
     // path is oracle-gated, not just spec-pinned.
-    "q_adamic_adar_capped" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .where(Graphs.vertexSample(col("l_partkey"), 30))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val ce = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
-      Graphs.adamicAdar(edges, k = 20, maxDegree = Some(40L))
-    }),
+    "q_adamic_adar_capped" -> ((s, dir) =>
+      Graphs.adamicAdar(copurchaseGraph(s, dir), k = 20,
+        maxDegree = Some(40L))),
 
     // Personalized PageRank from a 5%-hash seed set over the sampled
     // co-purchase graph — proximity-to-seeds ("related parts"), top-20.
     // Oracle = the identical unrolled recurrence with seed-directed
     // restart and dangling teleport.
     "q_ppr" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .where(Graphs.vertexSample(col("l_partkey"), 30))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val ce = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
+      val edges = copurchaseGraph(s, dir)
       val seeds = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node"))).distinct()
         .where(Graphs.vertexSample(col("node"), 5))
@@ -315,37 +294,15 @@ object StatsQueries extends QueryPack {
     // 4-round 3-core peeling of the sampled co-purchase graph: the
     // dense-region extractor (sparse periphery peels away round by
     // round). Oracle = the identical unrolled induction in SQL.
-    "q_kcore" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .where(Graphs.vertexSample(col("l_partkey"), 30))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val ce = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
-      Graphs.kCore(edges, k = 3, rounds = 4)
-    }),
+    "q_kcore" -> ((s, dir) =>
+      Graphs.kCore(copurchaseGraph(s, dir), k = 3, rounds = 4)),
 
     // 4-round deterministic label propagation over the same sampled
     // co-purchase graph: each node adopts its neighbors' most frequent
     // label (min-label ties) — community detection one power-step at a
     // time. Oracle = the identical unrolled argmax recursion in SQL.
-    "q_lpa" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .where(Graphs.vertexSample(col("l_partkey"), 30))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val ce = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val edges = ce.unionAll(ce.select(col("v").as("u"), col("u").as("v")))
-      Graphs.labelPropagation(edges, rounds = 4)
-    }),
+    "q_lpa" -> ((s, dir) =>
+      Graphs.labelPropagation(copurchaseGraph(s, dir), rounds = 4)),
 
     // Item-item collaborative filtering over the UNsampled co-purchase
     // relation: top-20 part pairs by cosine on basket incidence

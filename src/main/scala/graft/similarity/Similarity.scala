@@ -523,13 +523,16 @@ object Similarity {
   private def assignNearest(withVd: DataFrame, cents: DataFrame): DataFrame = {
     val centsArr = cents
       .agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
+    // codegen graft_dot in place of the interpreted folds (the ivfAssign
+    // shape) — bit-identical sequential accumulation (FloatVecDotSpec),
+    // evaluated k times per row, so the swap is the assign loop's hot-path
+    // fix (optimization guide §1.2 step 2). Callers all register
+    // GraftFunctions.
     withVd.crossJoin(broadcast(centsArr))
       .withColumn("__best", expr(
         """array_max(transform(__cents, c -> struct(
-          |  round(
-          |    aggregate(zip_with(__vd, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /
-          |    (sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x)) *
-          |     sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x))), 6) AS sim,
+          |  round(graft_dot(__vd, c.cv) /
+          |    (sqrt(graft_dot(__vd, __vd)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
           |  -c.cid AS ncid)))""".stripMargin))
       .withColumn("cluster", -col("__best.ncid"))
       .withColumn("centroid_sim", col("__best.sim"))
@@ -939,8 +942,15 @@ object Similarity {
   private[similarity] def pqModel(embeddings: DataFrame, idCol: String,
                                   vecCol: String, m: Int, ksub: Int)
       : (DataFrame, DataFrame, DataFrame, Int) = {
+    GraftFunctions.register(embeddings.sparkSession)
+    // withVd feeds the dim probe, the seed broadcast and (via the caller)
+    // the query/rerank subtrees; subs feeds the seed join plus BOTH assign
+    // passes — cut each once so the scan + per-subspace explode runs one
+    // time instead of once per consumer (optimization guide §1.2 step 1:
+    // fix recomputed passes before per-task work; §5 cache-when-reused)
     val withVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .cutLineage()
     val dim = withVd.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"pqModel: dim $dim not divisible by m=$m")
     val sd = dim / m
@@ -948,18 +958,22 @@ object Similarity {
       .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("vid"), col("s"),
         slice(col("v"), col("s") * sd + 1, lit(sd)).as("sv"))
+      .cutLineage()
     // assignment: per (vector, subspace) argmin L2² over the codebook —
     // ONE broadcast of the collected codebook and an array_min over
     // (dist, cid) structs, so encoding is a pure projection (no shuffle,
-    // no window; lexicographic struct order = the d-then-cid tiebreak)
+    // no window; lexicographic struct order = the d-then-cid tiebreak).
+    // The distance is the codegen graft_l2sq — bit-identical to the
+    // portable (x−y)² fold (FloatVecL2sqSpec), evaluated ksub times per
+    // row, which made the interpreted-HOF formulation the train's hot spot
+    // (optimization guide §1.2 step 2 / the FloatVecDot rationale).
     def assign(cents: DataFrame): DataFrame = {
       val centsArr = cents
         .agg(collect_list(struct(col("s").as("cs"), col("cid"), col("cv"))).as("__cents"))
       subs.crossJoin(broadcast(centsArr))
         .withColumn("__best", expr(
           """array_min(transform(filter(__cents, c -> c.cs = s), c -> struct(
-            |  round(aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
-            |    0D, (a, x) -> a + x), 6) AS d,
+            |  round(graft_l2sq(sv, c.cv), 6) AS d,
             |  c.cid AS cid)))""".stripMargin))
         .select(col("vid"), col("s"), col("__best.cid").as("cid"), col("sv"))
     }
@@ -967,6 +981,8 @@ object Similarity {
       .join(broadcast(withVd.orderBy(col("vid").asc).limit(ksub)
         .select(col("vid").as("cid"))), subs("vid") === col("cid"))
       .select(col("s"), col("cid"), col("sv").as("cv"))
+    // the trained codebook feeds the encode pass AND the caller's LUT —
+    // cut it so the seed-assignment aggregation chain runs once
     val c1 = assign(seeds)
       .select(col("s"), col("cid"), posexplode(col("sv")))
       .groupBy(col("s"), col("cid"), col("pos"))
@@ -975,6 +991,7 @@ object Similarity {
       .withColumn("m", round(col("__sum").cast("double") / col("__n"), 6))
       .groupBy(col("s"), col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), e -> e.m)").as("cv"))
+      .cutLineage()
     val codes = assign(c1).select(col("vid"), col("s"), col("cid"))
     (withVd, c1, codes, sd)
   }
@@ -988,6 +1005,7 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, m: Int, sd: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val withVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     val subs = withVd
@@ -995,11 +1013,11 @@ object Similarity {
       .select(col("vid"), col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("sv"))
     val centsArr = codebook
       .agg(collect_list(struct(col("s").as("cs"), col("cid"), col("cv"))).as("__cents"))
+    // codegen graft_l2sq — bit-identical to the (x−y)² fold (pqModel note)
     subs.crossJoin(broadcast(centsArr))
       .withColumn("__best", expr(
         """array_min(transform(filter(__cents, c -> c.cs = s), c -> struct(
-          |  round(aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
-          |    0D, (a, x) -> a + x), 6) AS d,
+          |  round(graft_l2sq(sv, c.cv), 6) AS d,
           |  c.cid AS cid)))""".stripMargin))
       .select(col("vid"), col("s"), col("__best.cid").as("cid"))
   }
@@ -1037,17 +1055,18 @@ object Similarity {
                                   codes: DataFrame, queryId: Long, k: Int,
                                   rerank: Int, m: Int, sd: Int,
                                   idCol: String): DataFrame = {
+    GraftFunctions.register(withVd.sparkSession)
     // ADC lookup table: m × ksub subspace dot products against the query
     val qsubs = withVd.filter(col("vid") === queryId)
       .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("s").as("qs"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
     val lut = c1.join(broadcast(qsubs), c1("s") === col("qs"))
       .select(col("s"), col("cid"),
-        round(expr("aggregate(zip_with(cv, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+        round(expr("graft_dot(cv, qsv)"), 6)
           .as("pdot"),
-        round(expr("aggregate(cv, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2"))
+        round(expr("graft_dot(cv, cv)"), 6).as("pnorm2"))
     val qn = withVd.filter(col("vid") === queryId)
-      .select(sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+      .select(sqrt(expr("graft_dot(v, v)")).as("qnorm"),
         col("v").as("qv"))
     val cands = codes.join(broadcast(lut), Seq("s", "cid"))
       .groupBy(col("vid"))
@@ -1062,9 +1081,9 @@ object Similarity {
     cands.join(withVd, "vid")
       .crossJoin(broadcast(qn.select(col("qv"))))
       .select(col("vid").as(idCol), col("adc_cosine"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -1086,6 +1105,7 @@ object Similarity {
                                       k: Int, rerank: Int, m: Int,
                                       sd: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(withVd.sparkSession)
     val qsubs = withVd.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
@@ -1093,12 +1113,12 @@ object Similarity {
         slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
     val lut = c1.join(broadcast(qsubs), Seq("s"))
       .select(col("qid"), col("s"), col("cid"),
-        round(expr("aggregate(zip_with(cv, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+        round(expr("graft_dot(cv, qsv)"), 6)
           .as("pdot"),
-        round(expr("aggregate(cv, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2"))
+        round(expr("graft_dot(cv, cv)"), 6).as("pnorm2"))
     val qn = withVd.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"),
-        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        sqrt(expr("graft_dot(v, v)")).as("qnorm"),
         col("v").as("qv"))
     val cands = codes.join(broadcast(lut), Seq("s", "cid"))
       .groupBy(col("qid"), col("vid"))
@@ -1116,9 +1136,9 @@ object Similarity {
     cands.join(withVd, "vid")
       .join(broadcast(qn.select(col("qid"), col("qv"))), "qid")
       .select(col("qid"), col("vid"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .withColumn("__rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("cosine").desc, col("vid").asc)))
       .filter(col("__rn") <= k)
@@ -1292,7 +1312,12 @@ object Similarity {
                                                         trainPred: Column,
                                                         m: Int, ksub: Int)
       : (DataFrame, DataFrame, Int) = {
-    val train = resid.filter(trainPred)
+    // the residual frame (scan + assignment join + centroid subtract) feeds
+    // the guard count, the codebook train AND the full encode pass — cut it
+    // once (guide §1.2 step 1); callers' repeated consumption is the whole
+    // cost of the in-plan IVFADC audits
+    val residCut = resid.cutLineage()
+    val train = residCut.filter(trainPred)
     // loud guard, not a degenerate build: with 0 train rows pqModel's
     // dim probe throws an opaque empty-head error, and with 1 the
     // codebook is one-codeword-per-subspace — the constant-ADC collapse
@@ -1302,7 +1327,7 @@ object Similarity {
     require(n >= 2, s"ivfPq: need >= 2 non-centroid vectors to train the " +
       s"residual codebook (got $n) — corpus too small for IVFADC")
     val (_, cb, _, sd) = pqModel(train, idCol, "embedding", m, ksub)
-    (cb, pqEncode(resid, idCol, "embedding", cb, m, sd), sd)
+    (cb, pqEncode(residCut, idCol, "embedding", cb, m, sd), sd)
   }
 
   /** Shift a PQ codebook by one coarse centroid: cv′ = c_s + cv per
@@ -1349,8 +1374,11 @@ object Similarity {
                 queryId: Long, k: Int, nCentroids: Int = 8, m: Int = 8,
                 ksub: Int = 8, rerank: Int = 40): DataFrame = {
     require(rerank >= k, "ivfPqTopK: rerank must be >= k")
+    // assignment feeds the residual frame, the probe-cluster point read and
+    // the cluster-member list — one argmax pass, cut once (guide §1.2)
     val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
       .select(col(idCol), col("cluster"))
+      .cutLineage()
     val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
     val resid = residualFrame(embeddings, idCol, vecCol, assigned, cents)
     val (cb, codes, sd) =
@@ -1366,9 +1394,12 @@ object Similarity {
       .select(col(idCol).cast("long").as("vid"))
     // pqModel's vectors are RESIDUALS; rerank + the query's LUT slices
     // need the RAW vectors — dot(q_s, c_s + cv) takes the full query's
-    // subspaces, and the exact rerank scores raw cosines
+    // subspaces, and the exact rerank scores raw cosines. pqServe consumes
+    // this frame from three subtrees (LUT slices, query norm, rerank) —
+    // cut once.
     val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .cutLineage()
     pqServe(rawVd, cshift, codes.join(clusterIds, "vid"), queryId, k, rerank,
       m, sd, idCol)
   }
@@ -1395,8 +1426,12 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= nCentroids,
       "ivfPqTopKMultiQuery: bad nprobe")
     GraftFunctions.register(embeddings.sparkSession)
+    // the assignment pass feeds the residual frame AND the membership
+    // filter; rawVd feeds the probe ranking, LUT slices, query norms and
+    // the exact rerank — cut each once (guide §1.2 step 1)
     val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
       .select(col(idCol).cast("long").as("vid"), col("cluster"))
+      .cutLineage()
     val cents = centroidFrame(embeddings, idCol, vecCol, nCentroids)
     val resid = residualFrame(embeddings, idCol, vecCol,
       assigned.select(col("vid").as(idCol), col("cluster")), cents)
@@ -1404,6 +1439,7 @@ object Similarity {
       ivfPqCodebookAndCodes(resid, idCol, nCentroids, m, ksub)
     val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .cutLineage()
     ivfPqMultiFromParts(rawVd, cents, cb, codes, assigned, maxQid, k, rerank,
       nprobe, m, sd)
   }
@@ -1461,12 +1497,12 @@ object Similarity {
         col("__qc") === col("__ccid") && col("s") === col("__cs"))
       .withColumn("__cvs", expr("zip_with(csv, cv, (x, y) -> x + y)"))
       .select(col("qid"), col("__qc"), col("s"), col("cid"),
-        round(expr("aggregate(zip_with(__cvs, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+        round(expr("graft_dot(__cvs, qsv)"), 6)
           .as("pdot"),
-        round(expr("aggregate(__cvs, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2"))
+        round(expr("graft_dot(__cvs, __cvs)"), 6).as("pnorm2"))
     val qn = rawVd.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"),
-        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        sqrt(expr("graft_dot(v, v)")).as("qnorm"),
         col("v").as("qv"))
     val vidCluster = assigned
       .select(col("vid").cast("long").as("vid"), col("cluster").as("__vc"))
@@ -1487,9 +1523,9 @@ object Similarity {
     cands.join(rawVd, "vid")
       .join(broadcast(qn.select(col("qid"), col("qv"))), "qid")
       .select(col("qid"), col("vid"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .withColumn("__rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("cosine").desc, col("vid").asc)))
       .filter(col("__rn") <= k)
@@ -1552,9 +1588,9 @@ object Similarity {
     // pre-aggregation here would add a whole tiny shuffle stage per query
     c1Ord.join(broadcast(qsubs), Seq("s"))
       .select(keyCols ++ Seq(col("s"), col("ord"),
-        round(expr("aggregate(zip_with(cv, qsv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+        round(expr("graft_dot(cv, qsv)"), 6)
           .as("pdot"),
-        round(expr("aggregate(cv, 0D, (a, x) -> a + x * x)"), 6).as("pnorm2")): _*)
+        round(expr("graft_dot(cv, cv)"), 6).as("pnorm2")): _*)
       .groupBy(keyCols: _*)
       .agg(collect_list(struct(col("s"), col("ord"), col("pdot"), col("pnorm2")))
         .as("__flat"))
@@ -1597,7 +1633,7 @@ object Similarity {
       .select(col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
     val lutArr = packedLutRows(c1Ord, qsubs, extraKey = Nil)
     val qn = withVd.filter(col("vid") === queryId)
-      .select(sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+      .select(sqrt(expr("graft_dot(v, v)")).as("qnorm"),
         col("v").as("qv"))
     val cands = packed.crossJoin(broadcast(lutArr))
       .select(col("vid"), expr("transform(graft_bytes_u8(code), " +
@@ -1614,9 +1650,9 @@ object Similarity {
     cands.join(withVd, "vid")
       .crossJoin(broadcast(qn.select(col("qv"))))
       .select(col("vid").as(idCol), col("adc_cosine"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -1640,7 +1676,7 @@ object Similarity {
       .agg(collect_list(struct(col("qid"), col("__lut"))).as("__qs"))
     val qn = withVd.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"),
-        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+        sqrt(expr("graft_dot(v, v)")).as("qnorm"),
         col("v").as("qv"))
     val cands = packed.crossJoin(broadcast(luts))
       .select(col("vid"), col("code"), explode(col("__qs")).as("__q"))
@@ -1662,9 +1698,9 @@ object Similarity {
     cands.join(withVd, "vid")
       .join(broadcast(qn.select(col("qid"), col("qv"))), "qid")
       .select(col("qid"), col("vid"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .withColumn("__rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("cosine").desc, col("vid").asc)))
       .filter(col("__rn") <= k)
@@ -1699,7 +1735,7 @@ object Similarity {
       .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("qsv"))
     val qn = withVd.filter(col("vid") === queryId)
-      .select(sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("qnorm"),
+      .select(sqrt(expr("graft_dot(v, v)")).as("qnorm"),
         col("v").as("qv"))
     // ALL probe clusters' shifted codebooks in one frame ([[shiftCodebook]]
     // generalized by a cluster key), one LUT aggregation keyed by cluster,
@@ -1738,9 +1774,9 @@ object Similarity {
     cands.join(withVd, "vid")
       .crossJoin(broadcast(qn.select(col("qv"))))
       .select(col("vid").as(idCol), col("adc_cosine"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -1767,23 +1803,24 @@ object Similarity {
   def sq8TopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, rerank: Int = 40): DataFrame = {
     require(rerank >= k, "sq8TopK: rerank must be >= k")
+    GraftFunctions.register(embeddings.sparkSession)
     val dq = sq8Dequant(embeddings, idCol, vecCol)
     val qn = dq.filter(col("vid") === queryId)
       .select(col("v").as("qv"))
     val cands = dq.filter(col("vid") =!= queryId)
       .crossJoin(broadcast(qn))
       .select(col("vid"), col("v"),
-        round(expr("aggregate(zip_with(__dq, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(__dq, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6)
+        round(expr("graft_dot(__dq, qv)") /
+          (sqrt(expr("graft_dot(__dq, __dq)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6)
           .as("approx_cosine"))
       .orderBy(col("approx_cosine").desc, col("vid").asc)
       .limit(rerank)
     cands.crossJoin(broadcast(qn))
       .select(col("vid").as(idCol), col("approx_cosine"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -1794,24 +1831,27 @@ object Similarity {
   def sq8TopKMultiQuery(embeddings: DataFrame, idCol: String, vecCol: String,
                         maxQid: Long, k: Int, rerank: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dq = sq8Dequant(embeddings, idCol, vecCol)
+    GraftFunctions.register(embeddings.sparkSession)
+    // the dequant projection feeds the query broadcast AND the scored scan
+    // — cut it once (guide §1.2 step 1)
+    val dq = sq8Dequant(embeddings, idCol, vecCol).cutLineage()
     val qs = dq.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"), col("v").as("qv"))
     val cands = dq.crossJoin(broadcast(qs))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), col("v"),
-        round(expr("aggregate(zip_with(__dq, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(__dq, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6)
+        round(expr("graft_dot(__dq, qv)") /
+          (sqrt(expr("graft_dot(__dq, __dq)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6)
           .as("approx_cosine"))
       .withColumn("__rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("approx_cosine").desc, col("vid").asc)))
       .filter(col("__rn") <= rerank)
     cands.join(broadcast(qs), "qid")
       .select(col("qid"), col("vid"),
-        round(expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))), 6).as("cosine"))
+        round(expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) *
+            sqrt(expr("graft_dot(qv, qv)"))), 6).as("cosine"))
       .withColumn("__rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("cosine").desc, col("vid").asc)))
       .filter(col("__rn") <= k)

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -46,15 +47,22 @@ object Dsir {
       .select(col(idCol).as("doc"), targetPred.as("__tgt"),
         split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
+    // feats feeds the model build AND the per-doc re-join; the B-row model
+    // feeds its own totals AND the weight projection — cut each once so
+    // the tokenize + md5-bucket pass and the feature aggregation never
+    // re-run (optimization guide §1.2 step 1). Partitioning is preserved
+    // by the cut, so the per-doc double-sum order is unchanged.
     val feats = toks
       .select(col("doc"), col("__tgt"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
       .select(col("doc"), col("__tgt"),
         bucket(concat_ws(" ", element_at(col("toks"), col("i") + 1),
           element_at(col("toks"), col("i") + 2)), buckets).as("feat"))
+      .cutLineage()
     val model = feats.groupBy(col("feat"))
       .agg(count(lit(1)).cast("long").as("cnt_raw"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("cnt_tgt"))
+      .cutLineage()
     val totals = broadcast(model.agg(
       sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_tgt")).as("tot_tgt")))
     val weights = broadcast(model.crossJoin(totals)

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -147,11 +148,14 @@ object TextAnalysis {
   def repetition(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 2): DataFrame = {
     val toks = split(col(textCol), " ")
+    // tokenize once into __t — the [[ngramCounts]]/[[cdcChunks]] no-CSE
+    // note: inlined split() would re-tokenize per lambda reference
     docs
-      .filter(size(toks) >= n)
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
       .select(col(idCol), expr(
-        s"""transform(sequence(0, size(split($textCol, ' ')) - $n),
-           |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"""
+        s"""transform(sequence(0, size(__t) - $n),
+           |  i -> concat_ws(' ', slice(__t, i + 1, $n)))"""
           .stripMargin).as("__g"))
       .select(col(idCol),
         size(col("__g")).cast("long").as("n_grams"),
@@ -276,11 +280,17 @@ object TextAnalysis {
     */
   def ngramCounts(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val toks = split(col(textCol), " ")
+    // tokenize ONCE into __t and reference it from the lambda — inlining
+    // split() into the expr string re-tokenizes each doc twice more (the
+    // sequence bound and the slice), since Spark does not CSE across a
+    // projection boundary into lambda bodies (the [[cdcChunks]] note;
+    // optimization guide §1.2 step 2 — per-task work)
     docs
-      .filter(size(toks) >= n)
+      .select(toks.as("__t"))
+      .filter(size(col("__t")) >= n)
       .select(explode(expr(
-        s"""transform(sequence(0, size(split($textCol, ' ')) - $n),
-           |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"""
+        s"""transform(sequence(0, size(__t) - $n),
+           |  i -> concat_ws(' ', slice(__t, i + 1, $n)))"""
           .stripMargin)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).cast("long").as("n"))
@@ -330,9 +340,11 @@ object TextAnalysis {
     */
   def cooccurrence(docs: DataFrame, textCol: String, w: Int, k: Int): DataFrame = {
     val toks = split(col(textCol), " ")
+    // tokenize once (the [[cdcChunks]] no-CSE note)
     docs
-      .filter(size(toks) >= 2)
-      .select(toks.as("__t"), explode(sequence(lit(0), size(toks) - lit(2))).as("__i"))
+      .select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__t"), explode(sequence(lit(0), size(col("__t")) - lit(2))).as("__i"))
       .select(expr("element_at(__t, __i + 1)").as("a"),
         explode(expr(s"slice(__t, __i + 2, $w)")).as("b"))
       .groupBy(col("a"), col("b"))
@@ -366,10 +378,14 @@ object TextAnalysis {
   private def docBigrams(docs: DataFrame, textCol: String,
                          carry: Seq[Column]): DataFrame = {
     val toks = split(col(textCol), " ")
+    // tokenize once, then filter/explode over the materialized array (the
+    // [[cdcChunks]] no-CSE note: the filter and the explode bound each
+    // re-ran split() in the previous shape)
     docs
-      .filter(size(toks) >= 2)
-      .select(carry ++ Seq(toks.as("__t"),
-        explode(sequence(lit(0), size(toks) - lit(2))).as("__i")): _*)
+      .select(carry ++ Seq(toks.as("__t")): _*)
+      .filter(size(col("__t")) >= 2)
+      .select(carry ++ Seq(col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - lit(2))).as("__i")): _*)
       .select(carry ++ Seq(expr("element_at(__t, __i + 1)").as("a"),
         expr("element_at(__t, __i + 2)").as("b")): _*)
   }
@@ -384,11 +400,19 @@ object TextAnalysis {
     */
   def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
                       k: Int): DataFrame = {
-    val uniToks = docs.select(explode(split(col(textCol), " ")).as("w"))
-    val uni = uniToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val nu = broadcast(uniToks.agg(count(lit(1)).cast("double").as("__nu")))
+    // the unigram and bigram count tables each feed their own total AND
+    // the join below — cut each once, and take the totals off the
+    // AGGREGATED tables (Σ cu ≡ the token count, Σ cxy ≡ the bigram
+    // count) instead of re-tokenizing the corpus for a global count
+    // (optimization guide §1.2 step 1 / §2.3 aggregate-before-shuffle:
+    // two full tokenize+explode passes become zero)
+    val uni = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .cutLineage()
+    val nu = broadcast(uni.agg(sum(col("cu")).cast("double").as("__nu")))
     val bg = docBigrams(docs, textCol, Nil)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cxy"))
+      .cutLineage()
     val nb = broadcast(bg.agg(sum(col("cxy")).cast("double").as("__nb")))
     bg.filter(col("cxy") >= minCount)
       .join(uni.select(col("w").as("a"), col("cu").as("__ca")), "a")
