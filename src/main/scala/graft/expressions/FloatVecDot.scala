@@ -133,6 +133,10 @@ object GraftFunctions {
     // exact-decimal sum contract; see Round12Long.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_round12_long", exprs => Round12Long(exprs.head), "scala_udf")
+    // upper-triangle round12 product array — the covariance hot loop;
+    // see TriProducts12.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tri12", exprs => TriProducts12(exprs.head), "scala_udf")
     // Sibling aggregate: builds the filter BloomFilterMightContain probes.
     // Registered in Spark's INTERNAL registry only (runtime-filter
     // machinery), so expose it under an engine name.

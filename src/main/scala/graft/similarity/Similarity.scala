@@ -967,12 +967,19 @@ object Similarity {
     // portable (x−y)² fold (FloatVecL2sqSpec), evaluated ksub times per
     // row, which made the interpreted-HOF formulation the train's hot spot
     // (optimization guide §1.2 step 2 / the FloatVecDot rationale).
+    // ... and the codebook broadcasts as a subspace-keyed MAP so each row
+    // scans only its own subspace's ksub codewords instead of filtering
+    // all m·ksub entries per row (same argmin domain — array_min is
+    // order-independent, so collect_list order cannot matter).
     def assign(cents: DataFrame): DataFrame = {
-      val centsArr = cents
-        .agg(collect_list(struct(col("s").as("cs"), col("cid"), col("cv"))).as("__cents"))
-      subs.crossJoin(broadcast(centsArr))
+      val centsMap = cents
+        .groupBy(col("s").as("cs"))
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("__ca"))
+        .agg(map_from_entries(collect_list(struct(col("cs"), col("__ca"))))
+          .as("__cmap"))
+      subs.crossJoin(broadcast(centsMap))
         .withColumn("__best", expr(
-          """array_min(transform(filter(__cents, c -> c.cs = s), c -> struct(
+          """array_min(transform(element_at(__cmap, s), c -> struct(
             |  round(graft_l2sq(sv, c.cv), 6) AS d,
             |  c.cid AS cid)))""".stripMargin))
         .select(col("vid"), col("s"), col("__best.cid").as("cid"), col("sv"))
@@ -1011,12 +1018,16 @@ object Similarity {
     val subs = withVd
       .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("vid"), col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("sv"))
-    val centsArr = codebook
-      .agg(collect_list(struct(col("s").as("cs"), col("cid"), col("cv"))).as("__cents"))
-    // codegen graft_l2sq — bit-identical to the (x−y)² fold (pqModel note)
-    subs.crossJoin(broadcast(centsArr))
+    // codegen graft_l2sq + subspace-keyed codebook map — the pqModel
+    // assign shape (bit-identical argmin; see the notes there)
+    val centsMap = codebook
+      .groupBy(col("s").as("cs"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("__ca"))
+      .agg(map_from_entries(collect_list(struct(col("cs"), col("__ca"))))
+        .as("__cmap"))
+    subs.crossJoin(broadcast(centsMap))
       .withColumn("__best", expr(
-        """array_min(transform(filter(__cents, c -> c.cs = s), c -> struct(
+        """array_min(transform(element_at(__cmap, s), c -> struct(
           |  round(graft_l2sq(sv, c.cv), 6) AS d,
           |  c.cid AS cid)))""".stripMargin))
       .select(col("vid"), col("s"), col("__best.cid").as("cid"))
@@ -1944,13 +1955,13 @@ object Similarity {
     val decode = (for { i <- 0 until dim; j <- i until dim }
       yield (i * dim - i * (i - 1) / 2 + (j - i), i, j))
       .toDF("pos", "di", "dj")
-    val flat = embeddings.select(posexplode(flatten(
-      transform(sequence(lit(0), lit(dim - 1)), i =>
-        transform(sequence(i, lit(dim - 1)), j =>
-          call_function("graft_round12_long",
-            element_at(col(vecCol), i + 1).cast("double") *
-              element_at(col(vecCol), j + 1).cast("double"))))))
-      .as(Seq("pos", "pp")))
+    // graft_tri12 = the same flat round12 product array as the previous
+    // nested-transform formulation (identical element order and per-element
+    // widen·multiply·round12 — TriProducts12Spec pins bit parity), computed
+    // by one codegen primitive loop instead of d(d+1)/2 interpreted lambda
+    // evaluations per row (optimization guide §1.2 step 2)
+    val flat = embeddings.select(posexplode(
+      call_function("graft_tri12", col(vecCol))).as(Seq("pos", "pp")))
     val cells = flat.groupBy(col("pos"))
       .agg(count(lit(1)).as("n"),
         (sum(col("pp").cast("decimal(38,0)")).cast("double") / lit(1.0e12))
