@@ -380,13 +380,19 @@ object Graphs {
     val pairs = ew.as("a")
       .join(ew.as("b"), col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"), col("a.aw"))
+    // aggregate BEFORE the already-linked anti-join (guide §2.3): the pair
+    // groupBy is map-side combinable, so the exchange carries one row per
+    // DISTINCT pair instead of one per wedge, and the anti-join probes the
+    // collapsed set. Value-identical: the anti-join filters whole (u, v)
+    // keys, which commutes with a groupBy on the same keys, and the
+    // decimal(38,0) sum is order-exact.
     pairs
-      .join(e.select(col("u"), col("v")),
-        Seq("u", "v"), "left_anti") // predict NEW links only
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"),
         (sum(col("aw").cast("decimal(38,0)")).cast("double") / lit(1.0e12))
           .as("aa_raw"))
+      .join(e.select(col("u"), col("v")),
+        Seq("u", "v"), "left_anti") // predict NEW links only
       .select(col("u"), col("v"), col("n_common"),
         round(col("aa_raw"), 6).as("aa"))
       .orderBy(col("aa").desc, col("u").asc, col("v").asc)
