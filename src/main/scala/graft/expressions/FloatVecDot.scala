@@ -137,6 +137,10 @@ object GraftFunctions {
     // see TriProducts12.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tri12", exprs => TriProducts12(exprs.head), "scala_udf")
+    // SQ8 symmetric dequantization — the sq8 audit family's hot loop;
+    // see Sq8DequantArr.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8dq", exprs => Sq8DequantArr(exprs.head), "scala_udf")
     // Sibling aggregate: builds the filter BloomFilterMightContain probes.
     // Registered in Spark's INTERNAL registry only (runtime-filter
     // machinery), so expose it under an engine name.

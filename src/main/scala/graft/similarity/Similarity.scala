@@ -1875,12 +1875,14 @@ object Similarity {
     */
   private def sq8Dequant(embeddings: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
+    // codegen graft_sq8dq = the scale/round/dequant chain as one primitive
+    // loop — the Column formulation ran Spark round() (a BigDecimal alloc)
+    // per ELEMENT per row; bit parity pinned by Sq8DequantArrSpec
+    // (optimization guide §1.2 step 2, the Round12Long rationale)
+    GraftFunctions.register(embeddings.sparkSession)
     val v = transform(col(vecCol), x => x.cast("double"))
-    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
-    val dq = when(scale === 0.0, v)
-      .otherwise(transform(v, x => round(x / scale) * scale))
     embeddings.select(col(idCol).cast("long").as("vid"), v.as("v"),
-      dq.as("__dq"))
+      call_function("graft_sq8dq", col(vecCol)).as("__dq"))
   }
 
   /** Symmetric int8 quantization audit — the serving-side compression
