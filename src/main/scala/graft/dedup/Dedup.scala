@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.util.CacheLedger.CacheOps
 import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -188,7 +189,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).persist()
+    val sh = shingles(docs, idCol, textCol, n).persistBounded()
     maxShingleDf match {
       case None =>
         val sz = shingleSizes(sh)
@@ -272,7 +273,7 @@ object Dedup {
                  n: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
                  threshold: Double = 0.5,
                  maxShingleDf: Option[Long] = None): DataFrame = {
-    val shAll = shingles(docs, idCol, textCol, n).persist()
+    val shAll = shingles(docs, idCol, textCol, n).persistBounded()
     // candidate signatures over df-capped shingles (guardrail for skewed
     // corpora); verification below always uses the full sets.
     val sh = maxShingleDf.fold(shAll)(cut => capShingleDf(shAll, cut))
@@ -370,7 +371,7 @@ object Dedup {
     // tokenize+explode+distinct chain runs once; the uncapped path has a
     // single consumer and skips the cache
     val shRaw = shingles(docs, idCol, textCol, n)
-    val shAll = if (maxShingleDf.isDefined) shRaw.persist() else shRaw
+    val shAll = if (maxShingleDf.isDefined) shRaw.persistBounded() else shRaw
     val sh = maxShingleDf.fold(shAll)(cut => capShingleDf(shAll, cut))
     val sg = sh
       .join(docs.select(col(idCol).as("doc"), col(groupCol).as("__g")), "doc")
@@ -420,7 +421,7 @@ object Dedup {
                          numBits: Long = 1L << 23): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val ev = shingles(evalDocs, idCol, textCol, n)
-      .select(col("shingle")).distinct().persist()
+      .select(col("shingle")).distinct().persistBounded()
     val bloom = ev
       .agg(expr(s"graft_bloom_agg(xxhash64(shingle), " +
         s"CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))"))
@@ -455,7 +456,7 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
-    simHashPairsFromSig(simHash(docs, idCol, textCol).persist(), maxHamming)
+    simHashPairsFromSig(simHash(docs, idCol, textCol).persistBounded(), maxHamming)
 
   /** [[simHashPairs]] over an EXISTING (doc, simhash) signature table —
     * the serving split: five of the suite's queries consume the same

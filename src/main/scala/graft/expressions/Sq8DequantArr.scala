@@ -56,7 +56,11 @@ case class Sq8DequantArr(child: Expression) extends UnaryExpression {
       val x = if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
       xs(i) = x
       val ax = Math.abs(x)
-      if (ax > m) m = ax
+      // NaN must POISON the max (array_max treats NaN as largest), not be
+      // skipped by the > comparison — else a NaN element would leave the
+      // other elements quantized against a finite scale where the Column
+      // formulation NaNs the whole vector (r16 advice item 1)
+      if (ax > m || java.lang.Double.isNaN(x)) m = ax
       i += 1
     }
     val scale = m / 127.0
@@ -88,7 +92,7 @@ case class Sq8DequantArr(child: Expression) extends UnaryExpression {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $xs[$i] = $get;
          |  double $ax = Math.abs($xs[$i]);
-         |  if ($ax > $m) { $m = $ax; }
+         |  if ($ax > $m || Double.isNaN($xs[$i])) { $m = $ax; }
          |}
          |if (!${ev.isNull}) {
          |  double $sc = $m / 127.0d;
@@ -118,6 +122,13 @@ object Sq8DequantArr {
     * NaN, ±Inf) take the exact path.
     */
   def roundHalfUp(y: Double): Double = {
+    // Spark's Round propagates NaN/±Inf unchanged; BigDecimal.valueOf
+    // would THROW on them, which turned a non-finite element into a task
+    // crash instead of the Column formulation's NaN result (r16 advice
+    // item 1). Unlike [[Round12Long]] — whose inputs are provably finite
+    // and which documents throw-on-non-finite — dequantization quotients
+    // inherit whatever the stored vector carries.
+    if (java.lang.Double.isNaN(y) || java.lang.Double.isInfinite(y)) return y
     val fl = Math.floor(y)
     if (!(Math.abs(y) < 2.0e12) || Math.abs(y - fl - 0.5) < 1.0e-3)
       java.math.BigDecimal.valueOf(y)

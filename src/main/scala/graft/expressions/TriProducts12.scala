@@ -22,10 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * fast/exact-path branch inlined verbatim, so every emitted long is
   * bit-equal to the fold's (TriProducts12Spec pins the parity).
   *
-  * Null semantics: null input array → null; a null ELEMENT → null result
-  * (the FloatVecDot any-null contract; embedding vectors carry no null
-  * elements, and the previous shape would have produced a null cell that
-  * poisons the same covariance entries downstream).
+  * Null semantics: null input array → null; a null ELEMENT → a LOUD
+  * IllegalArgumentException naming the index. The nested-transform shape
+  * this replaces produced a null CELL (leaving the row's other cells'
+  * counts intact), so silently nulling the whole array here would have
+  * shifted covariance counts if an embedding ever carried a null element
+  * — an input the corpus contract forbids. Enforcing the invariant with
+  * an error keeps the divergence impossible instead of latent (r16
+  * advice item 2).
   */
 case class TriProducts12(child: Expression) extends UnaryExpression {
 
@@ -50,7 +54,7 @@ case class TriProducts12(child: Expression) extends UnaryExpression {
     val xs = new Array[Double](n)
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i)) return null
+      if (a.isNullAt(i)) TriProducts12.nullElement(i)
       xs(i) = if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
       i += 1
     }
@@ -82,19 +86,17 @@ case class TriProducts12(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double[] $xs = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  if ($a.isNullAt($i)) { graft.expressions.TriProducts12.nullElement($i); }
          |  $xs[$i] = $get;
          |}
-         |if (!${ev.isNull}) {
-         |  long[] $out = new long[$n * ($n + 1) / 2];
-         |  int $p = 0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    for (int $j = $i; $j < $n; $j++) {
-         |      $out[$p++] = graft.expressions.TriProducts12.round12($xs[$i] * $xs[$j]);
-         |    }
+         |long[] $out = new long[$n * ($n + 1) / 2];
+         |int $p = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  for (int $j = $i; $j < $n; $j++) {
+         |    $out[$p++] = graft.expressions.TriProducts12.round12($xs[$i] * $xs[$j]);
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
@@ -103,6 +105,13 @@ case class TriProducts12(child: Expression) extends UnaryExpression {
 }
 
 object TriProducts12 {
+
+  /** Loud no-null-element invariant (see the class scaladoc). */
+  def nullElement(i: Int): Nothing = throw new IllegalArgumentException(
+    s"graft_tri12: null element at index $i — covariance input vectors " +
+      "must be dense (the corpus contract); a null element would have " +
+      "produced divergent per-cell counts in the replaced formulation")
+
   /** [[Round12Long]]'s eval, verbatim (fast `rint` path + exact BigDecimal
     * fallback under the identical guard) — shared so the loop and the
     * scalar expression can never drift.

@@ -95,6 +95,17 @@ object Graphs {
     // construction. The lazy cutLineage caches each table's blocks on
     // first computation, so every round costs one bounded shuffle pass and
     // the static tables (nodes / outdeg / edge weights) are built once.
+    // NOT cutLineagePartitioned: pinning the static tables' hash layout
+    // (so each round's join skips the edge-side exchange — the r16
+    // verdict's proposal) was implemented three ways this round and every
+    // variant measured SLOWER at sf0.1 (q_pagerank 2.9 → 5.0–6.1 s): the
+    // removed per-round exchanges are AQE-coalesced and nearly free at
+    // bench scale, while the pinned layout costs an extra construction
+    // pass + exchange and fixed-width micro-task stages per round. The
+    // exchange-free per-round plan shape is preserved in
+    // plans/r17/q_pagerank_after-pinned (committed for the record); the
+    // wedge-join family, whose per-row work dwarfs scheduling, keeps the
+    // pinned cut ([[adamicAdar]]).
     // Mode: executor-local blocks by default, or RELIABLE checkpoints to
     // GRAFT_CHECKPOINT_DIR for executor-loss-safe cluster runs
     // ([[graft.util.Checkpoints]]).
@@ -361,8 +372,11 @@ object Graphs {
     graft.expressions.GraftFunctions.register(edges.sparkSession)
     // the edge list feeds FOUR consumers (degree, both wedge legs, the
     // anti-join) — checkpoint it once or the caller's edge construction
-    // (often itself a join) re-executes per consumer (pagerank pattern)
-    val e = edges.select(col("u"), col("v")).distinct().cutLineage()
+    // (often itself a join) re-executes per consumer (pagerank pattern).
+    // Pinned hash(u) (guide §2.4): the degree groupBy and the ew build
+    // join both read it exchange-free.
+    val e = edges.select(col("u"), col("v")).distinct()
+      .cutLineagePartitioned(col("u"))
     val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
     val degCapped = maxDegree.fold(deg)(cap => deg.filter(col("deg") <= cap))
 
@@ -372,11 +386,16 @@ object Graphs {
     // row instead of a decimal, and the pair sum runs over compact
     // decimal(38,0) integers — same order-independent exactness, same
     // sum → double → ÷10¹² chain replayed by the oracle
+    // the wedge table feeds BOTH self-join legs; cut it eagerly with
+    // hash(w) pinned so the wedge join — the Σdeg² hot spot — runs with
+    // ZERO exchange and zero sort on either leg (before: one full-edge
+    // exchange, reused across the legs, plus two sorts per leg)
     val ew = e.join(degCapped, e("u") === degCapped("w"))
       .select(col("v").as("n"), col("w"),
         call_function("graft_round12_long",
           lit(1.0) / log(greatest(col("deg"), lit(2L)).cast("double")))
           .as("aw"))
+      .cutLineagePartitioned(col("w"))
     val pairs = ew.as("a")
       .join(ew.as("b"), col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"), col("a.aw"))

@@ -47,8 +47,17 @@ object MediaStore {
     // the session's parallelism: at production scale the store has ≥ cores
     // worth of files and this branch is a no-op, so no blob bytes are ever
     // shuffled there.
+    // Decide from the FILE LISTING, not df.rdd.getNumPartitions: the rdd
+    // probe forced a full physical-plan conversion (planning the query
+    // twice per read — r16 advice item), and pre-AQE scan splits can
+    // overstate effective parallelism anyway. File count under-counts
+    // splits when files exceed maxPartitionBytes — exactly the regime
+    // where the store is big enough that the repartition branch must be
+    // a no-op, so the conservative direction is right.
     val df = spark.read.parquet(dest + "/data")
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val nFiles = graft.util.StoreFs.list(java.nio.file.Paths.get(dest, "data"))
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    if (nFiles < p) df.repartition(p) else df
   }
 }

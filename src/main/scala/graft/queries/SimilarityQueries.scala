@@ -1455,28 +1455,20 @@ object SimilarityQueries extends QueryPack {
     // for both (argued in the driftedEmbeddings scaladoc), measured for
     // the one store with trained state.
     "q_ann_drift" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // register up front: every store ensure* may be stamp-fresh (and
-      // thus register nothing) in a scoped run, while the truth frame's
-      // cosineFast analyzes eagerly
+      // thus register nothing) in a scoped run, while the recall joins
+      // analyze eagerly
       graft.expressions.GraftFunctions.register(s)
-      // NOT cut: the truth subtree repeats across the four union branches,
-      // but its window exchange is canonically identical in each, so
-      // AQE/ReuseExchange computes it once already — a lineage cut here
-      // measured 0–20% SLOWER (materialization cost + lost vec_id scan
-      // pushdown; r16 A/B) for zero avoided work
       val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
       val destIncr = PqStore.ensureBuiltDrift(s, dir)
       val destFull = PqStore.ensureBuiltDriftRebuild(s, dir)
-      val qs = drifted.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
-      val truth = drifted.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Similarity.cosineFast("embedding", "__qv"), 6).as("cosine"))
-        .withColumn("rn", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      // exact truth from the stamped drift-truth artifact (identical
+      // formula — RecallTruth.compute over the drifted corpus): the
+      // 20 × N brute-force scan is computed once per corpus generation
+      // instead of once per run × four union branches (r16 verdict
+      // item 4; the in-plan subtree WAS exchange-reused across branches
+      // but still recomputed per bench rep)
+      val truth = RecallTruth.ensureBuiltDrifted(s, dir)
       def recallOf(method: String, cand: DataFrame): DataFrame =
         cand.join(truth, Seq("qid", "vec_id"))
           .agg(count(lit(1)).cast("long").as("hits"))
@@ -1511,11 +1503,11 @@ object SimilarityQueries extends QueryPack {
     // residual-only gap attributes the loss between the two artifacts.
     "q_ann_drift_lloyd" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
-      // NOT cut — the q_ann_drift exchange-reuse rationale
       val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
       val frozen = IvfPqStore.ensureBuiltDriftLloyd(s, dir)
       val retrained = IvfPqStore.ensureBuiltDriftLloydRebuild(s, dir)
-      val truth = RecallTruth.compute(drifted)
+      // stamped drift-truth artifact, not an in-plan scan — see q_ann_drift
+      val truth = RecallTruth.ensureBuiltDrifted(s, dir)
       recallRow("ivfpq_lloyd_frozen_drift",
           IvfPqStore.topKMultiAt(s, frozen, drifted, maxQid = 20, k = 10),
           truth)
@@ -1532,11 +1524,11 @@ object SimilarityQueries extends QueryPack {
     // parameterized oracle template as the toy rows.
     "q_ann_drift_lloyd_big" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
-      // NOT cut — the q_ann_drift exchange-reuse rationale
       val drifted = Similarity.driftedEmbeddings(Tables.embeddings(s, dir))
       val frozen = IvfPqStore.ensureBuiltDriftLloydBig(s, dir)
       val retrained = IvfPqStore.ensureBuiltDriftLloydBigRebuild(s, dir)
-      val truth = RecallTruth.compute(drifted)
+      // stamped drift-truth artifact, not an in-plan scan — see q_ann_drift
+      val truth = RecallTruth.ensureBuiltDrifted(s, dir)
       recallRow("ivfpq_lloydbig_frozen_drift",
           IvfPqStore.topKMultiAt(s, frozen, drifted, maxQid = 20, k = 10,
             nprobe = IvfPqStore.BigNprobe),

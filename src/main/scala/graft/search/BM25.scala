@@ -1,5 +1,6 @@
 package graft.search
 
+import graft.util.CacheLedger.CacheOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -280,7 +281,7 @@ object BM25 {
                    seedId: Long, nTerms: Int, k: Int,
                    minDf: Double = 1.0): DataFrame = {
     require(nTerms > 0 && k > 0, "nTerms and k must be positive")
-    val toks = tokens(docs, idCol, textCol).persist()
+    val toks = tokens(docs, idCol, textCol).persistBounded()
     val dl = toks.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("len"))
     val corpus = dl.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("len")) / count(lit(1)).cast("double")).as("avglen"))

@@ -1,5 +1,6 @@
 package graft.search
 
+import graft.util.CacheLedger.CacheOps
 import graft.util.{Stamp, StoreLock, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -118,14 +119,14 @@ object BM25Index {
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
-      .persist()
+      .persistBounded()
     try {
       // the termstats aggregate doubles as the vocabulary count the
       // bucket derivation needs — persisted so the count job and the
       // write share one computation
       val tstats = post.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
-        .persist()
+        .persistBounded()
       try {
         val buckets = autoTermBuckets(tstats.count())
         // metadata BEFORE artifacts (the AnnMeta ordering): a reader
@@ -302,7 +303,7 @@ object BM25Index {
     val purging = Files.isDirectory(Paths.get(dest, "_tombstones"))
     if (parts.size > 1 || purging) {
       val post = livePostings(spark, dest, parts, (_, df) => df)
-        .drop("tb").persist()
+        .drop("tb").persistBounded()
       // corpus stats recomputed from the SURVIVING per-(doc, term) ground
       // truth — on a tombstone-free index this equals the per-part
       // (n, total_len) summation exactly (disjoint docs, integer-valued
@@ -319,7 +320,7 @@ object BM25Index {
         // base routes by ITS modulus; the segments' own counts die with
         // their directories)
         val tstats = post.groupBy(col("term"))
-          .agg(count(lit(1)).cast("double").as("df")).persist()
+          .agg(count(lit(1)).cast("double").as("df")).persistBounded()
         val buckets = autoTermBuckets(tstats.count())
         graft.similarity.AnnMeta.write(tmp, "termBuckets" -> buckets)
         post

@@ -59,4 +59,29 @@ object RecallTruth {
     }
     spark.read.parquet(s"$dest/truth.parquet")
   }
+
+  /** [[ensureBuilt]] over the DRIFTED corpus
+    * ([[Similarity.driftedEmbeddings]]) — the exact ground truth the three
+    * drift audits (q_ann_drift, q_ann_drift_lloyd, q_ann_drift_lloyd_big)
+    * share. Same policy as the clean truth: the 20 × N brute-force scored
+    * scan is computed once per CORPUS GENERATION (the (name, size, mtime)
+    * stamp forces a rebuild whenever embeddings.parquet changes), exactly
+    * like the stores under audit — at 100 TB a brute-force ground truth
+    * is something you schedule, not recompute per measurement. Before
+    * this artifact each drift audit recomputed the scan in-plan per run
+    * (exchange-reused WITHIN a plan, but re-run per bench rep — r16
+    * verdict item 4 named this the legitimate amortization).
+    */
+  def ensureBuiltDrifted(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val dest = graft.util.StoreDirs.resolve("drift-truth-v1", sfDir)
+    val stamp = Stamp.sourceStamp(sfDir, "embeddings.parquet")
+    if (!Stamp.isFresh(dest, stamp)) {
+      compute(Similarity.driftedEmbeddings(Tables.embeddings(spark, sfDir)))
+        .coalesce(1).sortWithinPartitions(col("qid"), col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dest/truth.parquet")
+      Stamp.write(dest, stamp)
+    }
+    spark.read.parquet(s"$dest/truth.parquet")
+  }
 }

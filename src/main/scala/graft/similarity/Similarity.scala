@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.util.CacheLedger.CacheOps
 import graft.expressions.GraftFunctions
 import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.expressions.Window
@@ -2030,7 +2031,7 @@ object Similarity {
     val cent = comp.groupBy(col("lbl"), col("pos"))
       .agg((sum(col("x").cast("decimal(20,12)")).cast("double") /
         count(lit(1)).cast("double")).as("mu"))
-      .persist()
+      .persistBounded()
     val norms = cent.groupBy(col("lbl"))
       .agg(sqrt(sum(round(col("mu") * col("mu"), 12).cast("decimal(38,12)"))
         .cast("double")).as("nrm"))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.CacheLedger.CacheOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -41,7 +42,7 @@ object Spell {
     // so one action doesn't recompute the caller's corpus aggregation
     // three times (MEMORY_AND_DISK, LRU-evictable, same policy as
     // Dedup.jaccardPairs)
-    val v = vocab.persist()
+    val v = vocab.persistBounded()
     val vocabKeys = v.select(col("term"), col("freq"),
       explode(deleteKeys("term")).as("__k"))
     val known = suspects

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.CacheLedger.CacheOps
 import graft.util.Checkpoints.CheckpointOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -473,7 +474,7 @@ object TextAnalysis {
     val bi = docBigrams(docs, textCol, Nil)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n"))
-      .persist()
+      .persistBounded()
     lmFromBigrams(bi, unigramVocabSize(docs, textCol), k)
   }
 
@@ -525,7 +526,7 @@ object TextAnalysis {
     */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        k: Double): DataFrame = {
-    val docBi = docBigrams(docs, textCol, Seq(col(idCol))).persist()
+    val docBi = docBigrams(docs, textCol, Seq(col(idCol))).persistBounded()
     val bi = docBi.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n"))
     // surprisal from p_raw, NOT the round(6) display p: rounding first
@@ -618,7 +619,7 @@ object TextAnalysis {
       .select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(groupCol), col("term"))
       .agg(count(lit(1)).cast("long").as("__cst"))
-      .persist()
+      .persistBounded()
     val ns = st.groupBy(col(groupCol)).agg(sum(col("__cst")).cast("long").as("__ns"))
     val ct = st.groupBy(col("term")).agg(sum(col("__cst")).cast("long").as("__ct"))
     val nTot = st.agg(sum(col("__cst")).cast("long").as("__n"))
@@ -668,7 +669,7 @@ object TextAnalysis {
     val edges = und.select(col("u").as("src"), col("v").as("dst"), col("n"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("n")))
     val deg = edges.groupBy(col("src")).agg(sum(col("n")).cast("long").as("deg"))
-    val ed = edges.join(deg, "src").persist()
+    val ed = edges.join(deg, "src").persistBounded()
     var scores = ed.select(col("src").as("term")).distinct()
       .withColumn("score", lit(1.0))
     (1 to iters).foreach { _ =>

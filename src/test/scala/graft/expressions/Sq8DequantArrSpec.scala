@@ -53,4 +53,25 @@ class Sq8DequantArrSpec extends SparkSpec {
       .select(expr("graft_sq8dq(a)")).head()
     assert(r.isNullAt(0))
   }
+
+  test("non-finite elements match the Column formulation, never throw") {
+    // r16 advice item 1: BigDecimal.valueOf(NaN/Inf) throws, and a `>`
+    // max-abs loop skips NaN where array_max treats it as largest. Both
+    // paths must instead reproduce the Column formulation's NaN poisoning.
+    GraftFunctions.register(spark)
+    val df = Seq(
+      Tuple1(Array(Float.NaN, 5.0f, -2.0f)),          // NaN poisons the scale
+      Tuple1(Array(1.0f, Float.PositiveInfinity)),    // Inf scale
+      Tuple1(Array(Float.NegativeInfinity, 0.25f)),
+      Tuple1(Array(Float.NaN))
+    ).toDF("a")
+    val rows = df.select(
+      expr("graft_sq8dq(a)").as("fast"), fold.as("ref")).collect()
+    rows.foreach { r =>
+      val fast = r.getSeq[Double](0).map(java.lang.Double.doubleToLongBits)
+      val ref = r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)
+      assert(fast == ref, s"fast=${r.getSeq[Double](0)} ref=${r.getSeq[Double](1)}")
+    }
+    assert(rows.length == 4)
+  }
 }

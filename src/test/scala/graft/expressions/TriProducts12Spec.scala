@@ -60,4 +60,18 @@ class TriProducts12Spec extends SparkSpec {
       .select(expr("graft_tri12(v)")).head()
     assert(r.isNullAt(0))
   }
+
+  test("a null ELEMENT fails loudly (no-null-element invariant)") {
+    // r16 advice item 2: the replaced nested-transform produced a null
+    // CELL per touched position; silently nulling the whole product array
+    // would shift per-cell counts. The invariant is enforced, not assumed.
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Array[java.lang.Double](1.0, null, 3.0))).toDF("v")
+    val e = intercept[Exception] {
+      df.select(expr("graft_tri12(v)")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft_tri12: null element at index 1")))
+  }
 }

@@ -68,6 +68,26 @@ class CheckpointsSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("cutPartitioned pins hash partitioning + ordering, values unchanged") {
+    val base = edges.select(col("u"), col("v")).distinct()
+    val cutP = Checkpoints.cutPartitioned(base, col("u"))
+    // values: identical row set to a plain lazy cut
+    val plain = Checkpoints.cut(base)
+    assert(cutP.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the pinned layout must be visible to the planner: a groupBy on the
+    // pinned key plans WITHOUT an Exchange (the whole point — a lazy cut's
+    // LogicalRDD carries UnknownPartitioning and re-shuffles)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges(cutP.groupBy(col("u")).count()) == 0,
+      cutP.groupBy(col("u")).count().queryExecution.executedPlan.toString)
+    assert(exchanges(plain.groupBy(col("u")).count()) > 0)
+    // AQE restored after the cut
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
   test("reliable mode writes checkpoint blocks under the configured dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-w")
     sys.props(Checkpoints.EnvVar) = dir.toString

@@ -32,6 +32,6 @@ if [ -z "$SCALA_JARS" ]; then
   SCALA_JARS=$( (find /root/.cache/coursier -name 'scala-library-2.13*.jar' 2>/dev/null || true) | head -1)
 fi
 [ -n "$SCALA_JARS" ] || { echo "scala-library jar not found" >&2; exit 1; }
-exec env "${ENV[@]}" java $OPENS -Xmx64g \
+exec env "${ENV[@]}" java $OPENS -Xmx64g ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*:$SCALA_JARS" graft.Bench
