@@ -141,6 +141,12 @@ object GraftFunctions {
     // see Sq8DequantArr.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq8dq", exprs => Sq8DequantArr(exprs.head), "scala_udf")
+    // fused assign argmax/argmin over a broadcast codeword array — the
+    // IVF/k-means/PQ assign hot loops; see VecArgBest.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cos_best", exprs => CosArgmax(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_argmin", exprs => PqArgmin(exprs.head, exprs(1)), "scala_udf")
     // Sibling aggregate: builds the filter BloomFilterMightContain probes.
     // Registered in Spark's INTERNAL registry only (runtime-filter
     // machinery), so expose it under an engine name.

@@ -544,7 +544,7 @@ object IvfPqStore {
       .select(col("vid"), col("s"), col("cid"))
     val assigned = liveById(spark, dest).select(col("vid"), col("cluster"))
     val rawVd = emb.select(col("vec_id").cast("long").as("vid"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     Similarity.ivfPqMultiFromParts(rawVd, cents, codebook, codesRows,
       assigned, maxQid, k, rerank, nprobe, m, sd)
   }
@@ -590,7 +590,7 @@ object IvfPqStore {
       }
       else {
         val qv = emb.filter(col("vec_id") === queryId)
-          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__qv"))
+          .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("__qv"))
         cents.crossJoin(broadcast(qv))
           .select(col("cid"), expr(
             """round(graft_dot(__qv, cv) /
@@ -602,7 +602,7 @@ object IvfPqStore {
       }
     val packed = liveCodes(spark, dest)
     val withVd = emb.select(col("vec_id").cast("long").as("vid"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     Similarity.ivfPqServePacked(withVd, codebook, cents, packed, probes,
       queryId, k, rerank, m, sd, "vec_id")
   }

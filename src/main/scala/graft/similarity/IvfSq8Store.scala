@@ -216,7 +216,7 @@ object IvfSq8Store {
       Seq(hit.get.getAs[Number]("cluster").longValue())
     } else {
       val qv = emb.filter(col("vec_id") === queryId)
-        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__qv"))
+        .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("__qv"))
       val probes = spark.read.parquet(s"$dest/centroids.parquet")
         .crossJoin(broadcast(qv))
         .select(col("cid"), expr(
@@ -249,7 +249,7 @@ object IvfSq8Store {
     GraftFunctions.register(spark)
     val probes = probeClusters(spark, dest, emb, queryId, nprobe)
     val withV = emb.select(col("vec_id").cast("long").as("vid"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val qv = withV.filter(col("vid") === queryId)
       .select(col("v").as("qv"))
     // the nprobe==1 path proves the id live in the STORE but not in
@@ -290,7 +290,7 @@ object IvfSq8Store {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val withV = emb.select(col("vec_id").cast("long").as("vid"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val qs = withV.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"), col("v").as("qv"))
     val centsArr = spark.read.parquet(s"$dest/centroids.parquet")

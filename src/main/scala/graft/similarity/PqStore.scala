@@ -257,7 +257,7 @@ object PqStore {
     val codes = liveCodes(spark, dest)
     val withVd = emb
       .select(col("vec_id").cast("long").as("vid"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
     Similarity.pqTopKMultiPacked(withVd, codebook, codes, maxQid, k, rerank,
       m, sd)
@@ -284,7 +284,7 @@ object PqStore {
     val codes = liveCodes(spark, dest)
     val withVd = emb
       .select(col("vec_id").cast("long").as("vid"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val sd = codebook.select(size(col("cv"))).head().getInt(0)
     Similarity.pqServePacked(withVd, codebook, codes, queryId, k, rerank,
       m, sd, "vec_id")

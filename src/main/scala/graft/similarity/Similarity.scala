@@ -353,22 +353,20 @@ object Similarity {
         .drop("cv", "cid", "__rn", "__vs", "__cs", "__sim")
     } else {
       // All centroids as ONE broadcast row (an array of (cid, vec)
-      // structs); the argmax is then a pure projection — array_max over a
-      // struct whose leading field is the similarity (tie-break: -cid,
-      // i.e. smallest cid wins) — so assignment is ZERO-shuffle: no
-      // window, no groupBy. The previous formulation (crossJoin +
-      // row_number over partitionBy(id)) shuffled nCentroids copies of
-      // the table just to pick the per-row max.
+      // structs); the argmax is then a pure projection — the fused
+      // graft_cos_best loop (max round6 cosine, ties → smallest cid;
+      // bit-parity with the previous array_max(transform(...)) pinned by
+      // VecArgBestSpec, which also computed graft_dot(v, v) once per
+      // CENTROID and a BigDecimal round(…, 6) per centroid per row) — so
+      // assignment is ZERO-shuffle: no window, no groupBy. The original
+      // formulation (crossJoin + row_number over partitionBy(id)) shuffled
+      // nCentroids copies of the table just to pick the per-row max.
       val centsArr = embeddings.filter(col(idCol) < nCentroids)
-        .agg(collect_list(struct(col(idCol).as("cid"), col(vecCol).as("cv")))
-          .as("__cents"))
+        .agg(collect_list(struct(col(idCol).cast("long").as("cid"),
+          col(vecCol).as("cv"))).as("__cents"))
       embeddings.crossJoin(broadcast(centsArr))
-        .withColumn("__best", expr(
-          s"""array_max(transform(__cents, c -> struct(
-             |  round(graft_dot($vecCol, c.cv) /
-             |    (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
-             |  -c.cid AS ncid)))""".stripMargin))
-        .withColumn("cluster", -col("__best.ncid"))
+        .withColumn("__best", expr(s"graft_cos_best(__cents, $vecCol)"))
+        .withColumn("cluster", col("__best.cid"))
         .withColumn("centroid_sim", col("__best.sim"))
         .drop("__cents", "__best")
     }
@@ -458,7 +456,7 @@ object Similarity {
     val shards = centroidShards.getOrElse(
       if (k < CentroidShardK) 1 else autoCentroidShards(embeddings, vecCol, k))
     val withVd = embeddings.select(col(idCol), col(vecCol),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
+      expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("__vd"))
     // genuinely the first k vectors BY id (TakeOrdered, k rows) — an
     // `id < k` filter would silently yield no centroids on id spaces that
     // don't start at 0
@@ -492,7 +490,7 @@ object Similarity {
     require(k > 0 && iters >= 1, "kmeansCentroids needs k > 0 and iters >= 1")
     GraftFunctions.register(embeddings.sparkSession)
     val withVd = embeddings.select(col(idCol),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
+      expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("__vd"))
     var cents = withVd.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol).cast("long").as("cid"), col("__vd").as("cv"))
     for (_ <- 1 until iters)
@@ -523,19 +521,16 @@ object Similarity {
     */
   private def assignNearest(withVd: DataFrame, cents: DataFrame): DataFrame = {
     val centsArr = cents
-      .agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
-    // codegen graft_dot in place of the interpreted folds (the ivfAssign
-    // shape) — bit-identical sequential accumulation (FloatVecDotSpec),
-    // evaluated k times per row, so the swap is the assign loop's hot-path
-    // fix (optimization guide §1.2 step 2). Callers all register
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+        col("cv").as("cv"))).as("__cents"))
+    // the whole per-row argmax is the fused codegen graft_cos_best loop
+    // (was: interpreted array_max(transform(...)) with a graft_dot(v, v)
+    // recompute and a BigDecimal round(…, 6) PER CENTROID per row) —
+    // bit-parity pinned by VecArgBestSpec. Callers all register
     // GraftFunctions.
     withVd.crossJoin(broadcast(centsArr))
-      .withColumn("__best", expr(
-        """array_max(transform(__cents, c -> struct(
-          |  round(graft_dot(__vd, c.cv) /
-          |    (sqrt(graft_dot(__vd, __vd)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
-          |  -c.cid AS ncid)))""".stripMargin))
-      .withColumn("cluster", -col("__best.ncid"))
+      .withColumn("__best", expr("graft_cos_best(__cents, __vd)"))
+      .withColumn("cluster", col("__best.cid"))
       .withColumn("centroid_sim", col("__best.sim"))
       .drop("__cents", "__best")
   }
@@ -698,7 +693,7 @@ object Similarity {
     val shards = centroidShards.getOrElse(
       autoCentroidShards(embeddings, vecCol, k))
     val withVd = embeddings.select(col(idCol), col(vecCol),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__vd"))
+      expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("__vd"))
     var cents = withVd.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol).cast("long").as("cid"), col("__vd").as("cv"))
     // iters−1 argmax refinement rounds, then the multi-probe assignment
@@ -950,7 +945,7 @@ object Similarity {
     // time instead of once per consumer (optimization guide §1.2 step 1:
     // fix recomputed passes before per-task work; §5 cache-when-reused)
     val withVd = embeddings.select(col(idCol).cast("long").as("vid"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("v"))
       .cutLineage()
     val dim = withVd.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"pqModel: dim $dim not divisible by m=$m")
@@ -972,6 +967,11 @@ object Similarity {
     // scans only its own subspace's ksub codewords instead of filtering
     // all m·ksub entries per row (same argmin domain — array_min is
     // order-independent, so collect_list order cannot matter).
+    // ... and the whole per-row argmin is ONE fused codegen loop
+    // (graft_pq_argmin — bit-parity with the array_min(transform(...))
+    // formulation pinned by VecArgBestSpec): the interpreted per-codeword
+    // lambda + struct alloc + BigDecimal round(…, 6) were the remaining
+    // train hot spot after graft_l2sq (r17; guide §1.2 step 2)
     def assign(cents: DataFrame): DataFrame = {
       val centsMap = cents
         .groupBy(col("s").as("cs"))
@@ -979,11 +979,9 @@ object Similarity {
         .agg(map_from_entries(collect_list(struct(col("cs"), col("__ca"))))
           .as("__cmap"))
       subs.crossJoin(broadcast(centsMap))
-        .withColumn("__best", expr(
-          """array_min(transform(element_at(__cmap, s), c -> struct(
-            |  round(graft_l2sq(sv, c.cv), 6) AS d,
-            |  c.cid AS cid)))""".stripMargin))
-        .select(col("vid"), col("s"), col("__best.cid").as("cid"), col("sv"))
+        .withColumn("cid",
+          expr("graft_pq_argmin(element_at(__cmap, s), sv)"))
+        .select(col("vid"), col("s"), col("cid"), col("sv"))
     }
     val seeds = subs
       .join(broadcast(withVd.orderBy(col("vid").asc).limit(ksub)
@@ -1015,7 +1013,7 @@ object Similarity {
                codebook: DataFrame, m: Int, sd: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val withVd = embeddings.select(col(idCol).cast("long").as("vid"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("v"))
     val subs = withVd
       .select(col("vid"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("s"))
       .select(col("vid"), col("s"), slice(col("v"), col("s") * sd + 1, lit(sd)).as("sv"))
@@ -1027,11 +1025,9 @@ object Similarity {
       .agg(map_from_entries(collect_list(struct(col("cs"), col("__ca"))))
         .as("__cmap"))
     subs.crossJoin(broadcast(centsMap))
-      .withColumn("__best", expr(
-        """array_min(transform(element_at(__cmap, s), c -> struct(
-          |  round(graft_l2sq(sv, c.cv), 6) AS d,
-          |  c.cid AS cid)))""".stripMargin))
-      .select(col("vid"), col("s"), col("__best.cid").as("cid"))
+      .withColumn("cid",
+        expr("graft_pq_argmin(element_at(__cmap, s), sv)"))
+      .select(col("vid"), col("s"), col("cid"))
   }
 
   /** [[ivfAssign]]'s broadcast argmax against an EXPLICIT (cid, cv)
@@ -1045,15 +1041,11 @@ object Similarity {
                         centroids: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val centsArr = centroids
-      .agg(collect_list(struct(col("cid").cast("long").as("cid"), col("cv")))
-        .as("__cents"))
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+        col("cv").as("cv"))).as("__cents"))
     embeddings.crossJoin(broadcast(centsArr))
-      .withColumn("__best", expr(
-        s"""array_max(transform(__cents, c -> struct(
-           |  round(graft_dot($vecCol, c.cv) /
-           |    (sqrt(graft_dot($vecCol, $vecCol)) * sqrt(graft_dot(c.cv, c.cv))), 6) AS sim,
-           |  -c.cid AS ncid)))""".stripMargin))
-      .withColumn("cluster", -col("__best.ncid"))
+      .withColumn("__best", expr(s"graft_cos_best(__cents, $vecCol)"))
+      .withColumn("cluster", col("__best.cid"))
       .withColumn("centroid_sim", col("__best.sim"))
       .drop("__cents", "__best")
   }
@@ -1270,7 +1262,7 @@ object Similarity {
                                         nCentroids: Int): DataFrame =
     embeddings.filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("long").as("cid"),
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("cv"))
+        expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("cv"))
 
   /** Residuals r = v − c(cluster) for IVF-PQ: each vector minus its
     * assigned coarse centroid, elementwise in double (exact float casts,
@@ -1284,7 +1276,7 @@ object Similarity {
     embeddings.join(assigned, Seq(idCol))
       .join(broadcast(cents), col("cluster") === col("cid"))
       .select(col(idCol),
-        expr(s"zip_with(transform($vecCol, x -> CAST(x AS DOUBLE)), cv," +
+        expr(s"zip_with(CAST($vecCol AS ARRAY<DOUBLE>), cv," +
           " (x, y) -> x - y)").as("embedding"))
 
   /** Train the residual PQ codebook and encode ALL rows — the one
@@ -1410,7 +1402,7 @@ object Similarity {
     // this frame from three subtrees (LUT slices, query norm, rerank) —
     // cut once.
     val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("v"))
       .cutLineage()
     pqServe(rawVd, cshift, codes.join(clusterIds, "vid"), queryId, k, rerank,
       m, sd, idCol)
@@ -1450,7 +1442,7 @@ object Similarity {
     val (cb, codes, sd) =
       ivfPqCodebookAndCodes(resid, idCol, nCentroids, m, ksub)
     val rawVd = embeddings.select(col(idCol).cast("long").as("vid"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      expr(s"CAST($vecCol AS ARRAY<DOUBLE>)").as("v"))
       .cutLineage()
     ivfPqMultiFromParts(rawVd, cents, cb, codes, assigned, maxQid, k, rerank,
       nprobe, m, sd)

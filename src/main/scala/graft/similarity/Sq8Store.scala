@@ -167,7 +167,7 @@ object Sq8Store {
     require(rerank >= k, "Sq8Store.topKAt: rerank must be >= k")
     GraftFunctions.register(spark)
     val withV = emb.select(col("vec_id").cast("long").as("vid"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val qv = withV.filter(col("vid") === queryId)
       .select(col("v").as("qv"))
     val cands = liveCodes(spark, dest)
@@ -199,7 +199,7 @@ object Sq8Store {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val withV = emb.select(col("vec_id").cast("long").as("vid"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val qs = withV.filter(col("vid") < maxQid)
       .select(col("vid").as("qid"), col("v").as("qv"))
     val cands = liveCodes(spark, dest)
